@@ -1,0 +1,231 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import Money._
+
+/** Relational analytics core (SURVEY.md §2.2).
+  *
+  * Every query is declarative DataFrame code so Catalyst handles
+  * predicate pushdown, column pruning, and join planning; small
+  * dimension tables are explicitly `broadcast` so the fact-table scan
+  * never shuffles for them. Aggregate outputs are rounded to fixed
+  * decimals (matching the DuckDB oracle SQL in [[graft.SparkEntry]])
+  * because double summation order differs between engines, and every
+  * result carries a deterministic total ORDER BY.
+  *
+  * Scale notes (100 TB): the only shuffles here are on the
+  * aggregation keys themselves (bounded-cardinality flags, nations,
+  * priorities) after map-side partial aggregation, plus the one
+  * unavoidable fact-fact shuffle in q3/q5 on the join key. Nothing
+  * collects to the driver; nothing sorts globally except bounded
+  * top-N (TakeOrdered).
+  */
+object Relational {
+
+  /** Q1-shape pricing summary: single scan, partial-agg groupBy on a
+    * 6-value composite key. No join, no wide shuffle.
+    */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        dollars(sum(priceC), 100.0).as("sum_base_price"),
+        dollars(sum(netE4), 10000.0).as("sum_disc_price"),
+        dollars(sum(chargeE6), 1000000.0).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sum(priceC).cast("double") / lit(100.0) / count(lit(1))).as("avg_price"),
+        (sum(discC).cast("double") / lit(100.0) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Q3-shape shipping priority: broadcast the filtered customer dim,
+    * shuffle orders↔lineitem on the order key once, bounded top-N via
+    * TakeOrderedAndProject (no global sort).
+    */
+  def q3TopnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dollars(sum(netE4), 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5-shape snowflake: region→nation→(customer, supplier) are all
+    * broadcast; the single shuffle is lineitem↔orders on the order
+    * key. Requires customer and supplier in the same nation.
+    */
+  def q5SnowflakeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dollars(sum(netE4), 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Q6-shape forecast: pure pushed-down filter + scalar aggregate.
+    * The parquet scan should show PushedFilters on shipdate/discount/
+    * quantity and a 4-column ReadSchema.
+    */
+  def q6FilterSum(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(dollars(sum(discRevenueE4), 10000.0).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** EXISTS as left-semi join: orders having any near-full-quantity
+    * line, aggregated by priority so output stays bounded.
+    */
+  def qExistsSemi(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir).filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey"))
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dollars(sum(cents(col("o_totalprice"))), 100.0).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** NOT EXISTS as left-anti join: customers with no orders at all,
+    * per market segment. The orders side is reduced to its distinct
+    * keys before the anti-join.
+    */
+  def qNotExistsAnti(spark: SparkSession, dir: String): DataFrame = {
+    val ordKeys = Tables.orders(spark, dir).select(col("o_custkey")).distinct()
+    Tables.customer(spark, dir)
+      .join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        dollars(sum(cents(col("c_acctbal"))), 100.0).as("sum_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Conditional (CASE-filtered) aggregates: codegen'd CASE inside the
+    * partial aggregate, one scan.
+    */
+  def qConditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_finished"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        dollars(sum(when(col("o_totalprice") > 200000, cents(col("o_totalprice"))).otherwise(lit(0L))), 100.0).as("big_total"),
+        (sum(when(col("o_orderstatus") === "F", cents(col("o_totalprice"))).otherwise(lit(0L))).cast("double")
+          / lit(100.0)
+          / sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))).as("avg_finished_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Hierarchical rollup region→nation over customer balances.
+    * GROUPING() disambiguates the subtotal rows exactly as the DuckDB
+    * oracle does.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val nat = broadcast(Tables.nation(spark, dir))
+    val reg = broadcast(Tables.region(spark, dir))
+    cust.join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        dollars(sum(cents(col("c_acctbal"))), 100.0).as("sum_acctbal"),
+        grouping(col("r_name")).as("g_r"), grouping(col("n_name")).as("g_n"))
+      .select(
+        when(col("g_r") === 1, lit("ALL")).otherwise(col("r_name")).as("region_name"),
+        when(col("g_n") === 1, lit("ALL")).otherwise(col("n_name")).as("nation_name"),
+        col("n_customers"), col("sum_acctbal"))
+      .orderBy(col("region_name"), col("nation_name"))
+  }
+
+  /** Pivot event_type counts per calendar day (fixed, known pivot key
+    * set so the plan is a single partial-agg pass; the oracle uses
+    * FILTERed counts).
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("event_date"))
+
+  /** Exact interpolated percentiles + dispersion per event type.
+    * Spark `percentile` and DuckDB `quantile_cont` share linear
+    * interpolation semantics.
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        round(stddev(col("value")), 4).as("sd"),
+        round(avg(col("value")), 4).as("mean"))
+      .orderBy(col("event_type"))
+
+  /** Exact distinct cardinality per event type (the approx/HLL twin is
+    * exercised in ApproxSpec; the oracle checks the exact path).
+    */
+  def qDistinctHll(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  /** Batch twin of the streaming windowed aggregation (SURVEY §2.7):
+    * hourly tumbling windows per event type.
+    */
+  def qStreamBatchTwin(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Skew-resistant join: the fact side keeps a deterministic salt,
+    * the dimension side is exploded across all salt replicas, the join
+    * runs on (key, salt) so one hot key spreads over `salts`
+    * partitions. Result is provably identical to the unsalted join —
+    * the oracle IS the plain join. AQE's skew handling covers the
+    * runtime case; this operator is the explicit/static variant for
+    * engines or key distributions where AQE can't see the skew.
+    */
+  def qJoinSkewSalt(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 8
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("salt", (col("l_linenumber") % salts).cast("int"))
+    val ord = Tables.orders(spark, dir)
+      .withColumn("salt", explode(lit((0 until salts).toArray)))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(dollars(sum(netE4), 10000.0).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderstatus"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import Money._
+
+/** Window / sessionization operators (SURVEY.md §2.2 #17–20).
+  *
+  * Every window partitions by a bounded-cardinality business key
+  * (suppkey, brand, custkey, user_id) — never an unpartitioned global
+  * window, which would serialize on one task at scale. Window ORDER BY
+  * keys are made unique (tie-broken by primary keys) so row_number and
+  * running frames are deterministic and engine-portable.
+  */
+object Windows {
+
+  /** Running revenue per supplier in ship-date order. The frame is
+    * ROWS unbounded-preceding..current over a unique ordering, which
+    * both Spark and DuckDB evaluate identically.
+    */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 5)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("ship_date"),
+        netE4.as("net_e4"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("ship_date"), col("l_orderkey"), col("l_linenumber"))).cast("long"))
+      .withColumn("running_net_e4", sum(col("net_e4")).over(
+        Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("ship_date"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("l_suppkey"), col("rn"), col("ship_date"), col("net_e4"), col("running_net_e4"))
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
+
+  /** Top-3 parts by revenue within each brand: partial-agg then a
+    * rank window over the (brand) partition; ties broken by partkey so
+    * the cut is deterministic.
+    */
+  def qWindowTopn(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(dollars(sum(netE4), 10000.0).as("revenue"))
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("revenue").desc, col("p_partkey"))
+    rev.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("p_brand"), col("rnk"))
+  }
+
+  /** Per-customer order-date deltas via lag. Output restricted to a
+    * bounded key range to keep the verify dump small; the plan shape
+    * is identical at any scale.
+    */
+  def qWindowLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
+      .withColumn("prev_date", lag(col("order_date"), 1).over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("order_date"), col("o_orderkey"))))
+      .withColumn("gap_days", datediff(col("order_date"), col("prev_date")).cast("long"))
+      .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
+  }
+
+  /** Event sessionization with a 30-minute inactivity gap: lag →
+    * boundary flag → running sum = session id, then per-user session
+    * stats. Two window passes over the same (user_id, ts) shuffle —
+    * Spark reuses the exchange. Durations in exact integer
+    * microseconds so the oracle compare is float-free.
+    */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new", when(col("prev_ts").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
+        round(sum(col("value")), 2).as("session_value"))
+    sessions.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("duration_us")).as("max_duration_us"),
+        round(sum(col("session_value")), 2).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+}

@@ -1,0 +1,247 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.text.TextAnalysis.tokensCol
+
+/** Deduplication operators over `documents` (SURVEY.md §2.3).
+  *
+  * Design for 100 TB: nothing here is O(n²) over the corpus. Exact
+  * dedup is one digest-shuffle with map-side combine; MinHash/LSH
+  * explodes k band hashes per doc and bucket-joins (linear in corpus
+  * size × bands); Jaccard/embedding verification runs only inside
+  * blocking buckets. All hashing is md5-based so the DuckDB oracle
+  * reproduces signatures bit-for-bit (md5 is engine-portable where
+  * murmur3/xxhash implementations are not).
+  */
+object Dedup {
+
+  /** Normalized-content digest used for exact dedup. */
+  private def digest: Column = md5(lower(col("text")))
+
+  /** §2.3#27 — exact dedup clusters: one row per distinct content
+    * digest with cluster size and the surviving (min) doc_id.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(digest.as("digest"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc_id"))
+      .orderBy(col("digest"))
+
+  /** §2.3#28 — survivor set after exact dedup: the docs that keep
+    * their cluster (doc_id == min per digest). Window-min over the
+    * digest shuffle; identical exchange to #27, reused by Spark.
+    */
+  def dedupExactSurvivors(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), digest.as("digest"))
+      .withColumn("keeper", min(col("doc_id")).over(Window.partitionBy(col("digest"))))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("digest"))
+      .orderBy(col("doc_id"))
+
+  // ---- MinHash / LSH ----
+
+  /** Word 3-gram shingles (1-based element_at matches the oracle's
+    * 1-based list indexing).
+    */
+  def shinglesCol(text: Column): Column = {
+    val toks = tokensCol(text)
+    transform(sequence(lit(1), size(toks) - 2),
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1),
+        lit(" "), element_at(toks, i + 2)))
+  }
+
+  val MinhashK = 12
+  val LshBands = 4 // 4 bands × 3 rows
+
+  /** k MinHash signatures: min over shingles of md5(seed || '|' ||
+    * shingle). Min over hex strings is a total order both engines
+    * share; no numeric hex conversion needed.
+    */
+  def signatureCols(text: Column): Seq[Column] = {
+    val sh = shinglesCol(text)
+    (0 until MinhashK).map { k =>
+      array_min(transform(sh, s => md5(concat(lit(s"$k|"), s)))).as(s"sig$k")
+    }
+  }
+
+  /** Per-doc signature + LSH band hashes (md5 of 3 consecutive
+    * signature rows per band).
+    */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val withSigs = Tables.documents(spark, dir)
+      .select(col("doc_id") +: signatureCols(col("text")): _*)
+    val bandCols = (0 until LshBands).map { b =>
+      md5(concat(col(s"sig${3 * b}"), col(s"sig${3 * b + 1}"), col(s"sig${3 * b + 2}")))
+        .as(s"band$b")
+    }
+    withSigs.select(
+      col("doc_id") +:
+        md5(concat((0 until MinhashK).map(k => col(s"sig$k")): _*)).as("sig_digest") +:
+        bandCols: _*)
+  }
+
+  /** §2.3#29 — LSH bucket statistics: explode the band hashes and
+    * aggregate bucket occupancy per band. Buckets with n_docs > 1 are
+    * the candidate-pair source ([[minhashCandidatePairs]]); this
+    * aggregated view is the oracle-checked surface because the pair
+    * set may legitimately be empty on a dup-free corpus.
+    */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir)
+    val exploded = sigs.select(col("doc_id"),
+      explode(map((0 until LshBands).flatMap(b => Seq(lit(b).cast("long"), col(s"band$b"))): _*))
+        .as(Seq("band_idx", "band_hash")))
+    exploded.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .groupBy(col("band_idx"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("bucket_size")).as("max_bucket"),
+        sum(when(col("bucket_size") > 1, 1L).otherwise(0L)).as("n_collision_buckets"))
+      .orderBy(col("band_idx"))
+  }
+
+  /** Candidate near-dup pairs: docs sharing any LSH band bucket.
+    * Linear explode + bucket self-join — never a full cross join.
+    */
+  def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir)
+    val exploded = sigs.select(col("doc_id"),
+      explode(map((0 until LshBands).flatMap(b => Seq(lit(b).cast("long"), col(s"band$b"))): _*))
+        .as(Seq("band_idx", "band_hash")))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  // ---- n-gram Jaccard ----
+
+  /** §2.3#30 — n-gram Jaccard similarity inside blocking buckets
+    * (lang × length band): distinct-token-set intersection over
+    * union, emitted for pairs above threshold. The bucket key bounds
+    * the pair blow-up; at scale the bucket would come from LSH
+    * (#29) instead of length banding.
+    */
+  def dedupNgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / 100).cast("long").as("len_band"),
+        array_distinct(tokensCol(col("text"))).as("tokset"))
+    val a = docs.as("a")
+    val b = docs.as("b")
+    val inter = size(array_intersect(col("a.tokset"), col("b.tokset"))).cast("double")
+    val union = size(array_union(col("a.tokset"), col("b.tokset"))).cast("double")
+    a.join(b, col("a.lang") === col("b.lang") &&
+        col("a.len_band") === col("b.len_band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(inter / union, 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- SimHash ----
+
+  /** §2.3#31 — 32-bit SimHash fingerprint. Bit k of the fingerprint
+    * is the sign of the token-frequency-weighted vote on bit k of
+    * each token's md5 (bits read straight off hex nibbles, so the
+    * oracle reproduces them without any hex→int conversion). Near-dup
+    * candidates are then docs whose fingerprints share a 16-bit half
+    * (hamming-band blocking) — see [[simhashCandidatePairs]].
+    *
+    * Scale note: 32 membership-test filters per doc is the portable
+    * formulation; the production path is a single custom Catalyst
+    * Expression computing all 32 votes in one pass over the tokens.
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = transform(tokensCol(col("text")), t => md5(t))
+    val nToks = size(col("hashes"))
+    // hex chars whose nibble has bit j set (j=3 is the high bit)
+    val nibbleSets = Seq(
+      "89abcdef", // bit value 8
+      "4567cdef", // bit value 4
+      "2367abef", // bit value 2
+      "13579bdf") // bit value 1
+    val bitCols = (0 until 32).map { k =>
+      val pos = k / 4 + 1 // 1-based hex char within the md5
+      val setStr = nibbleSets(k % 4)
+      val inSet: Column => Column =
+        h => setStr.map(c => substring(h, pos, 1) === c.toString).reduce(_ || _)
+      val hits = size(filter(col("hashes"), inSet))
+      when(hits * 2 > nToks, lit("1")).otherwise(lit("0"))
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), hashes.as("hashes"))
+      .select(col("doc_id"), concat(bitCols: _*).as("simhash32"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[dedupMinhashLsh]] — the identical md5-based
+    * signature/band construction in list-function SQL. Generated here
+    * so the seed count and band layout stay in lockstep with the
+    * Spark implementation.
+    */
+  def minhashLshOracleSql: String = {
+    val sigExprs = (0 until MinhashK).map { k =>
+      s"list_aggregate(list_transform(sh, x -> md5('$k|' || x)), 'min') AS sig$k"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until LshBands).map { b =>
+      val cat = (0 until 3).map(r => s"sig${3 * b + r}").mkString(" || ")
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band_idx, md5($cat) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+       |s AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS sh FROM t),
+       |sig AS (SELECT doc_id,
+       |  $sigExprs
+       |  FROM s),
+       |bands AS ($bandSelects),
+       |buckets AS (SELECT band_idx, band_hash, count(*) AS bucket_size FROM bands GROUP BY band_idx, band_hash)
+       |SELECT band_idx, count(*) AS n_buckets,
+       |  CAST(max(bucket_size) AS BIGINT) AS max_bucket,
+       |  CAST(sum(CASE WHEN bucket_size > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_collision_buckets
+       |FROM buckets GROUP BY band_idx ORDER BY band_idx""".stripMargin
+  }
+
+  /** DuckDB oracle for [[dedupSimhash]] — same hex-nibble bit votes,
+    * generated so the 32 membership sets match the Scala side.
+    */
+  def simhashOracleSql: String = {
+    val nibbleSets = Seq("89abcdef", "4567cdef", "2367abef", "13579bdf")
+    val bitExprs = (0 until 32).map { k =>
+      val pos = k / 4 + 1
+      val tests = nibbleSets(k % 4).map(c => s"substr(x, $pos, 1) = '$c'").mkString(" OR ")
+      s"(CASE WHEN 2 * len(list_filter(hs, x -> $tests)) > n THEN '1' ELSE '0' END)"
+    }.mkString(" ||\n  ")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+       |h AS (SELECT doc_id, len(toks) AS n, list_transform(toks, x -> md5(x)) AS hs FROM t)
+       |SELECT doc_id,
+       |  $bitExprs AS simhash32
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  /** Hamming-band candidates: docs sharing either 16-bit half of the
+    * fingerprint (pigeonhole: hamming distance ≤ 1 guarantees a
+    * shared half). Bucket join, linear.
+    */
+  def simhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = dedupSimhash(spark, dir)
+      .select(col("doc_id"),
+        explode(array(
+          concat(lit("L"), substring(col("simhash32"), 1, 16)),
+          concat(lit("H"), substring(col("simhash32"), 17, 16)))).as("half"))
+    val a = fp.as("a")
+    val b = fp.as("b")
+    a.join(b, col("a.half") === col("b.half") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+}

@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Multimodal column plumbing (SURVEY.md §2.6).
+  *
+  * Media payloads are opaque `binary` columns plus a typed metadata
+  * struct — the schema/partitioning/batching layer a 100 TB
+  * image/audio corpus needs, with the decode kernel stubbed (the
+  * image/audio codecs are not in this container). The Spark-side
+  * shapes are real: binary columns survive parquet round-trips,
+  * feature extraction runs as a batched `mapPartitions` (the JVM
+  * analogue of `mapInPandas`: one buffer per batch, vectorizable
+  * kernel boundary), and partitioning is by media bucket so one
+  * executor handles one shard of blobs.
+  */
+object Media {
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false),
+    StructField("feature", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** §2.6#41 — ingest: text payloads stood in as UTF-8 binary blobs
+    * with a typed metadata struct (mime/width/height derived
+    * deterministically so the oracle can check the metadata surface).
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("media"),
+        struct(
+          when(col("doc_id") % 3 === 0, lit("image/png"))
+            .when(col("doc_id") % 3 === 1, lit("audio/wav"))
+            .otherwise(lit("video/mp4")).as("mime"),
+          (col("n_chars") % 640).cast("long").as("width"),
+          (col("n_chars") % 480).cast("long").as("height"),
+          col("source").as("origin")).as("meta"))
+
+  /** Oracle-checked metadata surface of the ingest. */
+  def mmIngest(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"),
+        length(col("media")).cast("long").as("n_bytes"),
+        col("meta.mime").as("mime"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"))
+      .orderBy(col("doc_id"))
+
+  /** §2.6#42 — feature extraction plumbing: batched per-partition
+    * kernel over the binary column. The decode step is a
+    * deterministic STUB (byte-sum checksum + an 8-bucket byte
+    * histogram as the "feature"); a real deployment swaps
+    * [[stubKernel]] for the codec call without touching the
+    * distributed shape.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("media")).rdd.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch => // batch boundary = vectorized-kernel call
+        batch.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val (checksum, hist) = stubKernel(bytes)
+          Row(id, bytes.length.toLong, checksum, hist)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** STUB decode kernel — deterministic fake standing in for the real
+    * image/audio codec (not available in this container).
+    */
+  def stubKernel(bytes: Array[Byte]): (Long, Seq[Double]) = {
+    var sum = 0L
+    val hist = new Array[Double](8)
+    var i = 0
+    while (i < bytes.length) {
+      val u = bytes(i) & 0xff
+      sum += u
+      hist(u % 8) += 1.0
+      i += 1
+    }
+    (sum, hist.toSeq)
+  }
+}

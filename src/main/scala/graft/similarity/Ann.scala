@@ -1,0 +1,121 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import VectorOps._
+
+/** Similarity search over `embeddings` (SURVEY.md §2.4).
+  *
+  * Scale design: the query set is always the bounded side — broadcast
+  * it, keep the corpus scan partition-parallel, take per-partition
+  * top-k before the global bounded sort (Spark's TakeOrdered via
+  * window + filter on rounded, tie-broken ranks). The LSH path prunes
+  * the corpus to matching buckets before any distance math runs.
+  */
+object Ann {
+
+  val TopK = 10
+
+  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+
+  /** §2.4#33 — brute-force exact cosine top-k: queries (vec_id < 5)
+    * broadcast against the whole corpus. Ranks use the rounded
+    * similarity with vec_id tie-break so the cut is deterministic
+    * across engines.
+    */
+  def annBruteforceTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 5)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TopK)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Sign-bucket code over the first three components — the
+    * deterministic (axis-aligned hyperplane) LSH used by the oracle-
+    * checked path. Production variant with seeded random hyperplanes:
+    * [[randomHyperplaneBucket]].
+    */
+  private def signBucket(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      when(element_at(v, 1) > 0, lit("1")).otherwise(lit("0")),
+      when(element_at(v, 2) > 0, lit("1")).otherwise(lit("0")),
+      when(element_at(v, 3) > 0, lit("1")).otherwise(lit("0")))
+
+  /** §2.4#34 — bucketed approximate top-k: queries only search the
+    * corpus partition sharing their sign-bucket (~1/8 of the data
+    * here; 1/2^p generally). Same join/rank shape as #33 but the
+    * bucket equi-join key lets Spark shuffle-partition the corpus
+    * instead of broadcasting everything everywhere.
+    */
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir).withColumn("bucket", signBucket(col("v")))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+    val corpus = e.filter(col("vec_id") >= 5)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .select(col("q_id"), col("vec_id"), col("bucket"),
+        round(cosine(col("qv"), col("v")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** §2.4#35 — per-vector norm/moment primitives. */
+  def vecNorms(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        size(col("v")).cast("long").as("dim"),
+        round(norm2(col("v")), 4).as("l2_norm"),
+        round(vSum(col("v")) / size(col("v")), 4).as("mean"),
+        round(vMin(col("v")), 4).as("vmin"),
+        round(vMax(col("v")), 4).as("vmax"))
+      .orderBy(col("vec_id"))
+
+  /** §2.3#32 — embedding near-duplicate pairs: cosine above threshold
+    * inside label blocking buckets (at scale: LSH buckets). Lives here
+    * with the vector machinery; listed under dedup in the inventory.
+    */
+  def dedupEmbeddingCos(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    val e = embeddings(spark, dir)
+    val a = e.as("a")
+    val b = e.as("b")
+    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"),
+        round(cosine(col("a.v"), col("b.v")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Seeded random-hyperplane bucket (production LSH path, exercised
+    * in tests): p pseudo-random hyperplanes derived from md5(seed,
+    * plane, dim) so the code is deterministic without Math.random.
+    */
+  def randomHyperplaneBucket(spark: SparkSession, dir: String, planes: Int = 8): DataFrame = {
+    val e = embeddings(spark, dir)
+    val bucketBits = (0 until planes).map { p =>
+      // plane p component d = (md5-derived value in [-0.5, 0.5))
+      val proj = aggregate(
+        zip_with(col("v"),
+          transform(sequence(lit(1), size(col("v"))),
+            d => (conv(substring(md5(concat(lit(s"plane$p|"), d.cast("string"))), 1, 6), 16, 10)
+              .cast("double") / lit(16777216.0)) - 0.5),
+          (x, h) => x * h),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit("1")).otherwise(lit("0"))
+    }
+    e.select(col("vec_id"), col("label"), concat(bucketBits: _*).as("rh_bucket"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Streaming operators (SURVEY.md §2.7) — the Spark-native
+  * replacement for the reference's inotify watcher
+  * (`Watcher.watch`, `/root/reference/bin/cassandra-syncer`): instead
+  * of a kernel callback per file, a Structured Streaming file/event
+  * source drives the same declarative upload-plan and windowed
+  * accounting transforms continuously with watermarked state.
+  */
+object StreamWatcher {
+
+  /** Streaming view of the events table (file-arrival stream), with
+    * the same ns→µs timestamp normalization as the batch loader.
+    */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema: StructType =
+      spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+
+  /** Watermarked hourly windowed accounting per event type — the
+    * streaming twin of `Relational.qStreamBatchTwin`; on a cluster
+    * this runs `writeStream` into the bucket-stats sink.
+    */
+  def windowedCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("win.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming upload plan: new arrivals (non-temp) mapped to their
+    * inventory entries — the continuous version of
+    * `SyncOps.syncDiffUpload`'s source side.
+    */
+  def uploadPlanStream(stream: DataFrame): DataFrame = {
+    val nodeId = (col("user_id") % 10).cast("long")
+    val isTemp = col("event_id") % 20 === 0
+    stream
+      .filter(!isTemp)
+      .select(
+        col("event_type").as("cf"),
+        nodeId.as("node_id"),
+        col("event_id").as("generation"),
+        concat(lit("ks1/"), col("event_type"), lit("/node"), nodeId.cast("string"),
+          lit("/na-"), col("event_id").cast("string"), lit("-Data.db")).as("path"),
+        col("ts").as("mtime"))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.syncer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sync/reconciliation operators (SURVEY.md §2.1) over
+  * [[FileInventory]]. Each mirrors a behavior of the reference tool —
+  * see the per-method notes — as a declarative Spark plan.
+  */
+object SyncOps {
+
+  /** §2.1#1 — the inventory relation itself (reference: the source
+    * directory walk in `Watcher.backup`). Ordered dump for the oracle.
+    */
+  def syncInventory(spark: SparkSession, dir: String): DataFrame =
+    FileInventory.inventory(spark, dir)
+      .select(col("path"), col("cf"), col("node_id"), col("shard_id"),
+        col("generation"), col("is_temp"), col("size_bytes"))
+      .orderBy(col("generation"))
+
+  /** §2.1#2 — live-set snapshot: the highest generation per compaction
+    * lineage (cf × node × shard) among durable files. This is what
+    * `Uploader._writeManifest` snapshots: the minimum file set that
+    * reconstructs current state. Window-max over a unique ordering
+    * key; one shuffle on the bounded lineage key.
+    */
+  def syncLiveSet(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cf"), col("node_id"), col("shard_id"))
+      .orderBy(col("generation").desc)
+    FileInventory.durable(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cf"), col("node_id"), col("shard_id"),
+        col("generation"), col("path"), col("size_bytes"))
+      .orderBy(col("cf"), col("node_id"), col("shard_id"))
+  }
+
+  /** §2.1#3 — temp-file accounting per cf (reference:
+    * `Watcher.isTempFile` exclusion). Pure partial aggregate.
+    */
+  def syncTempFilter(spark: SparkSession, dir: String): DataFrame =
+    FileInventory.inventory(spark, dir)
+      .groupBy(col("cf"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("is_temp"), 1L).otherwise(0L)).as("n_temp"),
+        sum(when(!col("is_temp"), 1L).otherwise(0L)).as("n_durable"),
+        sum(when(!col("is_temp"), col("size_bytes")).otherwise(0L)).as("durable_bytes"))
+      .orderBy(col("cf"))
+
+  /** §2.1#4 — incremental upload plan: durable source files absent
+    * from the target bucket (reference: the walk+enqueue in
+    * `Watcher.backup` against an existing container). Left-anti join
+    * on path; at scale the target side is a manifest digest small
+    * enough to broadcast, and the anti-join never shuffles the fact
+    * scan.
+    */
+  def syncDiffUpload(spark: SparkSession, dir: String): DataFrame = {
+    val tgt = FileInventory.target(spark, dir).select(col("path"))
+    FileInventory.durable(spark, dir)
+      .join(tgt, Seq("path"), "left_anti")
+      .select(col("path"), col("cf"), col("node_id"), col("generation"), col("size_bytes"))
+      .orderBy(col("generation"))
+  }
+
+  /** §2.1#5 — minimal restore set as of a snapshot day (reference:
+    * `Restore.restore` picks the latest manifest ≤ now and fetches
+    * only its files). Time-travel semantics: among durable files that
+    * existed by the snapshot date, the max generation per lineage.
+    */
+  def syncRestoreSet(spark: SparkSession, dir: String, asOf: String = "2024-01-15"): DataFrame = {
+    val w = Window.partitionBy(col("cf"), col("node_id"), col("shard_id"))
+      .orderBy(col("generation").desc)
+    FileInventory.durable(spark, dir)
+      .filter(col("snap_date") <= lit(asOf).cast("date"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cf"), col("node_id"), col("shard_id"),
+        col("generation"), col("path"), col("size_bytes"))
+      .orderBy(col("cf"), col("node_id"), col("shard_id"))
+  }
+
+  /** §2.1#6 — prune plan (reference README: `fsck --older-than N`):
+    * durable files older than the cutoff that the current live set
+    * does not reference — "prune old backups accurately, based on
+    * what is actually needed". Anti-join against the (tiny,
+    * broadcastable) live set, aggregated per cf.
+    */
+  def syncPrune(spark: SparkSession, dir: String, cutoff: String = "2024-01-20"): DataFrame = {
+    val live = syncLiveSet(spark, dir).select(col("path"))
+    FileInventory.durable(spark, dir)
+      .filter(col("snap_date") < lit(cutoff).cast("date"))
+      .join(live, Seq("path"), "left_anti")
+      .groupBy(col("cf"))
+      .agg(count(lit(1)).as("n_prunable"),
+        sum(col("size_bytes")).as("reclaim_bytes"),
+        max(col("generation")).as("max_pruned_gen"))
+      .orderBy(col("cf"))
+  }
+
+  /** §2.1#7 — full-vs-incremental decision per node (reference:
+    * `Uploader.isAFullBackupNeeded` checks whether the container
+    * exists). A node with zero files in the target bucket needs a
+    * full backup; everyone else syncs incrementally.
+    */
+  def syncFullOrIncr(spark: SparkSession, dir: String): DataFrame = {
+    val tgtPerNode = FileInventory.target(spark, dir)
+      .groupBy(col("node_id")).agg(count(lit(1)).as("n_in_target"))
+    FileInventory.durable(spark, dir)
+      .groupBy(col("node_id")).agg(count(lit(1)).as("n_durable"))
+      .join(tgtPerNode, Seq("node_id"), "left_outer")
+      .select(col("node_id"), col("n_durable"),
+        coalesce(col("n_in_target"), lit(0L)).as("n_in_target"),
+        when(coalesce(col("n_in_target"), lit(0L)) === 0, lit("full"))
+          .otherwise(lit("incremental")).as("mode"))
+      .orderBy(col("node_id"))
+  }
+
+  /** §2.1#8 — per-bucket (cf) upload accounting, the queue statistics
+    * the reference logs per upload. Map-side partial aggregation only.
+    */
+  def syncBucketStats(spark: SparkSession, dir: String): DataFrame =
+    FileInventory.durable(spark, dir)
+      .groupBy(col("cf"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("size_bytes")).as("total_bytes"),
+        round(avg(col("size_bytes")), 2).as("avg_bytes"),
+        max(col("generation")).as("max_generation"),
+        countDistinct(col("node_id")).as("n_nodes"))
+      .orderBy(col("cf"))
+
+  /** §2.1#9 — at-least-once retry ledger (reference: `Uploader._onDone`
+    * re-enqueues failures until success). Attempt counts are modeled
+    * deterministically — error-cf uploads flake (generation % 3 extra
+    * attempts) — and rolled up per cf.
+    */
+  def syncRetryLedger(spark: SparkSession, dir: String): DataFrame =
+    FileInventory.durable(spark, dir)
+      .withColumn("attempts",
+        lit(1L) + when(col("cf") === "error", col("generation") % 3).otherwise(0L))
+      .groupBy(col("cf"))
+      .agg(sum(col("attempts")).as("total_attempts"),
+        sum(when(col("attempts") > 1, 1L).otherwise(0L)).as("n_retried"),
+        max(col("attempts")).as("max_attempts"),
+        count(lit(1)).as("n_files"))
+      .orderBy(col("cf"))
+}

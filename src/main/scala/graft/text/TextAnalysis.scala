@@ -1,0 +1,115 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators over `documents` (SURVEY.md §2.5).
+  *
+  * Everything is built from codegen'd `functions._` expressions —
+  * regex splits, higher-order array functions, digests — no UDFs, so
+  * the whole stage stays inside WholeStageCodegen and scales linearly
+  * with no shuffle except the final small aggregations.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization shared by the operators; lower-cased. */
+  def tokensCol(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** §2.5#36 — token counting: whitespace tokens plus a word-regex
+    * token count (BPE-ish pre-tokenizer shape: runs of letters, runs
+    * of digits, or single punctuation marks).
+    */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokensCol(col("text"))).cast("long").as("n_ws_tokens"),
+        size(split(trim(col("text")), "[a-zA-Z]+")).cast("long").minus(1).as("n_word_splits"),
+        length(col("text")).cast("long").as("len_chars"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** §2.5#37 — quality scoring: length stats, whitespace/character
+    * ratios, mean token length, stopword ratio, and a composite score
+    * in [0,1]. All pure arithmetic over one scan.
+    */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val nToks = size(toks).cast("double")
+    val lenC = length(col("text")).cast("double")
+    val nSpace = (length(col("text")) - length(replace(col("text"), lit(" "), lit("")))).cast("double")
+    val stopHits = size(filter(toks, t => t === "the" || t === "a")).cast("double")
+    val meanTok = (lenC - nSpace) / nToks
+    val stopRatio = stopHits / nToks
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("len_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        round(meanTok, 4).as("mean_token_len"),
+        round(nSpace / lenC, 4).as("space_ratio"),
+        round(stopRatio, 4).as("stopword_ratio"),
+        round((lit(1.0) - stopRatio) * least(lit(1.0), nToks / 50.0), 4).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2.5#38 — language ID: stopword-marker voting. Each candidate
+    * language scores by hits of its top function-words in the token
+    * stream; highest vote wins, ties and zero-evidence fall back to
+    * 'und' (undetermined). The marker lists are tiny broadcast-free
+    * literals so this is a narrow codegen'd pass.
+    */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokensCol(col("text"))
+    def hits(words: Seq[String]): Column =
+      size(filter(toks, t => words.map(w => t === w).reduce(_ || _))).cast("long")
+    val en = hits(Seq("the", "a", "of", "and", "is"))
+    val de = hits(Seq("der", "die", "das", "und", "ist"))
+    val es = hits(Seq("el", "la", "los", "y", "es"))
+    val fr = hits(Seq("le", "la", "les", "et", "est"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        en.as("en_hits"), de.as("de_hits"), es.as("es_hits"), fr.as("fr_hits"))
+      .withColumn("predicted_lang",
+        when(greatest(col("en_hits"), col("de_hits"), col("es_hits"), col("fr_hits")) === 0, lit("und"))
+          .when(col("en_hits") >= greatest(col("de_hits"), col("es_hits"), col("fr_hits")), lit("en"))
+          .when(col("de_hits") >= greatest(col("es_hits"), col("fr_hits")), lit("de"))
+          .when(col("es_hits") >= col("fr_hits"), lit("es"))
+          .otherwise(lit("fr")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2.5#39 — document fingerprint: digest of the
+    * alphanumeric-normalized text (case/punct/whitespace-insensitive
+    * identity), plus the size of each fingerprint's duplicate
+    * cluster. The digest shuffle is the only exchange.
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val fp = md5(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fp.as("fingerprint"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("fingerprint"))).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2.5#40 — top-5 word bigrams per language: explode n-grams,
+    * partial-agg count, rank window per language. The explode is the
+    * classic linear fan-out; the shuffle key (lang, bigram) is
+    * bounded by vocabulary².
+    */
+  def textNgramStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val bigrams = transform(sequence(lit(1), size(toks) - 1),
+      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(bigrams).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("bigram"))
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("lang"), col("rnk"))
+  }
+}
