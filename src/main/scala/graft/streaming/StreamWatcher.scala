@@ -19,7 +19,10 @@ object StreamWatcher {
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     val schema: StructType =
       spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    // the file-stream source wants a directory to watch (new files
+    // appear over time); the glob narrows it to the events table
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

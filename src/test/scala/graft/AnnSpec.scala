@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Ann
+
+class AnnSpec extends GraftSpec {
+
+  test("brute-force top-k returns k ranked neighbors per query") {
+    val r = Ann.annBruteforceTopk(spark, sf).cache()
+    val perQuery = r.groupBy(col("q_id")).count().collect()
+    assert(perQuery.length === 5)
+    perQuery.foreach(row => assert(row.getLong(1) === Ann.TopK))
+    // rank 1 has the maximum cos within each query
+    val byQ = r.collect().groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.head.getAs[Double]("cos") === rows.map(_.getAs[Double]("cos")).max)
+      // ranks are 1..k with non-increasing cos
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq === (1L to Ann.TopK))
+      assert(sorted.sliding(2).forall(p =>
+        p.head.getAs[Double]("cos") >= p.last.getAs[Double]("cos")))
+    }
+  }
+
+  test("LSH top-k results all share the query's bucket and appear in brute-force order") {
+    val lsh = Ann.annLshTopk(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    val buckets = lsh.groupBy(_.getAs[Long]("q_id")).view.mapValues(_.map(_.getAs[String]("bucket")).toSet)
+    buckets.foreach { case (_, bs) => assert(bs.size === 1) } // one bucket per query
+  }
+
+  test("random hyperplane buckets are deterministic and well-formed") {
+    val a = Ann.randomHyperplaneBucket(spark, sf).orderBy("vec_id").collect()
+    val b = Ann.randomHyperplaneBucket(spark, sf).orderBy("vec_id").collect()
+    assert(a.sameElements(b))
+    assert(a.forall(_.getAs[String]("rh_bucket").matches("[01]{8}")))
+    // planes actually split the space: more than one bucket in use
+    assert(a.map(_.getAs[String]("rh_bucket")).toSet.size > 1)
+  }
+
+  test("vec_norms: unit-ish vectors have l2 in a sane range and dim 64") {
+    val r = Ann.vecNorms(spark, sf).collect()
+    assert(r.forall(_.getAs[Long]("dim") === 64L))
+    r.foreach { row =>
+      val l2 = row.getAs[Double]("l2_norm")
+      assert(l2 > 0 && l2 < 100)
+      assert(row.getAs[Double]("vmin") <= row.getAs[Double]("vmax"))
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.similarity.Ann
+
+class DedupSpec extends GraftSpec {
+
+  /** Synthetic documents dir with known near-duplicates, matching the
+    * documents schema, so candidate-pair generation has positives.
+    */
+  lazy val dupDir: String = {
+    import spark.implicits._
+    val base = "spark shuffle join partition broadcast hash aggregate sort merge " +
+      "scan filter project window stream batch column row vector table"
+    val docs = Seq(
+      (0L, base, "en", "s0", base.length.toLong),
+      (1L, base, "en", "s1", base.length.toLong), // exact dup of 0
+      (2L, base.replace("vector", "tensor"), "en", "s2", base.length.toLong), // near-dup
+      (3L, "completely different tiny text about nothing at all here now", "en", "s3", 60L),
+      (4L, base.toUpperCase, "en", "s4", base.length.toLong)) // case-dup of 0
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = Files.createTempDirectory("graft-dup").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup collapses case-insensitive duplicates") {
+    val clusters = Dedup.dedupExact(spark, dupDir).collect()
+    // docs 0, 1, 4 share a digest (lower-cased identity)
+    val big = clusters.filter(_.getAs[Long]("n_docs") === 3)
+    assert(big.length === 1)
+    assert(big(0).getAs[Long]("keeper_doc_id") === 0L)
+    assert(Dedup.dedupExactSurvivors(spark, dupDir).count() === 3) // 0, 2, 3
+  }
+
+  test("minhash LSH candidates find exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashCandidatePairs(spark, dupDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"exact dup pair missing: $pairs")
+    assert(pairs.contains((0L, 4L)), s"case dup pair missing: $pairs")
+    assert(pairs.contains((0L, 2L)), s"near dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"unrelated doc paired: $pairs")
+  }
+
+  test("minhash signatures are deterministic") {
+    val a = Dedup.minhashSignatures(spark, dupDir).orderBy("doc_id").collect()
+    val b = Dedup.minhashSignatures(spark, dupDir).orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("simhash: identical docs identical, near-dups close, unrelated far") {
+    def hamming(x: String, y: String): Int = x.zip(y).count(p => p._1 != p._2)
+    val fp = Dedup.dedupSimhash(spark, dupDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) === fp(1L))
+    assert(fp(0L) === fp(4L))
+    assert(hamming(fp(0L), fp(2L)) <= 6)
+    assert(hamming(fp(0L), fp(3L)) > 6)
+    assert(fp.values.forall(_.length === 32))
+  }
+
+  test("simhash hamming-band pairs include the duplicate family") {
+    val pairs = Dedup.simhashCandidatePairs(spark, dupDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 4L)))
+  }
+
+  test("ngram jaccard scores the near-dup above threshold, unrelated below") {
+    val j = Dedup.dedupNgramJaccard(spark, dupDir, threshold = 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(j((0L, 1L)) === 1.0)
+    assert(j((0L, 2L)) > 0.8)
+    assert(j.get((0L, 3L)).forall(_ < 0.2)) // different len_band may exclude entirely
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val pairs = Ann.dedupEmbeddingCos(spark, sf).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getAs[Double]("cos") >= 0.35)
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Relational, Windows}
+import graft.sources.Tables
+
+class RelationalSpec extends GraftSpec {
+
+  test("q1 produces the flag x status groups with exact count totals") {
+    val r = Relational.q1Agg(spark, sf).collect()
+    assert(r.nonEmpty)
+    val total = r.map(_.getAs[Long]("count_order")).sum
+    assert(total === Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp")).count())
+  }
+
+  test("salted join equals the plain join it replaces") {
+    val salted = Relational.qJoinSkewSalt(spark, sf)
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_lines"))
+    val s = salted.select(col("o_orderstatus"), col("n_lines")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val p = plain.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s === p)
+  }
+
+  test("window top-n keeps at most 3 parts per brand, ranked correctly") {
+    val r = Windows.qWindowTopn(spark, sf)
+    assert(r.groupBy(col("p_brand")).count().filter(col("count") > 3).count() === 0)
+    assert(r.filter(col("rnk") < 1 || col("rnk") > 3).count() === 0)
+  }
+
+  test("sessionize conserves events") {
+    val total = Windows.qSessionize(spark, sf)
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+  }
+
+  test("rollup grand total equals customer count") {
+    val grand = Relational.qRollup(spark, sf)
+      .filter(col("region_name") === "ALL" && col("nation_name") === "ALL")
+      .collect()
+    assert(grand.length === 1)
+    assert(grand(0).getAs[Long]("n_customers") === Tables.customer(spark, sf).count())
+  }
+
+  test("exact distinct matches approx HLL within its error bound") {
+    val exact = Relational.qDistinctHll(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_users")).toMap
+    val approx = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("approx_users")).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.1, s"$k: exact=$n approx=${approx(k)}")
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Media
+import graft.text.TextAnalysis
+
+class TextAndMediaSpec extends GraftSpec {
+
+  test("token counts are positive and consistent with given n_chars") {
+    val r = TextAnalysis.textTokens(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_ws_tokens") > 0)
+      assert(row.getAs[Long]("len_chars") === row.getAs[Long]("n_chars"))
+    }
+  }
+
+  test("quality scores live in [0, 1] and ratios are sane") {
+    TextAnalysis.textQuality(spark, sf).collect().foreach { row =>
+      val q = row.getAs[Double]("quality_score")
+      assert(q >= 0.0 && q <= 1.0)
+      val sr = row.getAs[Double]("space_ratio")
+      assert(sr > 0.0 && sr < 1.0)
+    }
+  }
+
+  test("langid always predicts a label from the closed set") {
+    val preds = TextAnalysis.textLangid(spark, sf)
+      .select(col("predicted_lang")).distinct().collect().map(_.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "de", "es", "fr", "und")))
+  }
+
+  test("fingerprint clusters cover every doc exactly once") {
+    val r = TextAnalysis.textFingerprint(spark, sf)
+    assert(r.count() === graft.sources.Tables.documents(spark, sf).count())
+  }
+
+  test("ngram stats: 5 top bigrams per language") {
+    val r = TextAnalysis.textNgramStats(spark, sf).groupBy(col("lang")).count().collect()
+    r.foreach(row => assert(row.getLong(1) === 5L))
+  }
+
+  test("media ingest produces binary payloads measured correctly") {
+    val m = Media.mediaTable(spark, sf)
+    val row = m.select(col("doc_id"), length(col("media")).as("len"), col("meta.mime"))
+      .orderBy(col("doc_id")).first()
+    assert(row.getAs[Int]("len") > 0)
+    assert(Set("image/png", "audio/wav", "video/mp4").contains(row.getAs[String]("mime")))
+  }
+
+  test("feature extraction stub: batched kernel output matches a driver-side recompute") {
+    val media = Media.mediaTable(spark, sf).limit(10).cache()
+    val feats = Media.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getSeq[Double](3))).toMap
+    media.collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val bytes = r.getAs[Array[Byte]]("media")
+      val (ck, hist) = Media.stubKernel(bytes)
+      val (nb, fck, fhist) = feats(id)
+      assert(nb === bytes.length.toLong)
+      assert(fck === ck)
+      assert(fhist === hist)
+      assert(fhist.sum === bytes.length.toDouble)
+    }
+  }
+}
