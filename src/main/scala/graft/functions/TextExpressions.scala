@@ -1,0 +1,168 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the text-dedup hot loops (SURVEY.md §2.3).
+  *
+  * The portable formulations in Dedup.scala (higher-order
+  * `filter`/`transform` with per-element md5 + substring lambdas)
+  * evaluate an interpreted closure per token per bit/seed; these
+  * expressions make one pass per row with a reused MessageDigest and
+  * produce bit-identical results (asserted against the HOF forms in
+  * NativeTextExprSpec, and against the DuckDB oracle by Verify):
+  * md5 is computed on the same UTF-8 bytes, hex/nibble addressing
+  * matches the oracle's `substr(md5(x), p, 1)` reading, and string
+  * mins compare byte-wise like both engines' VARCHAR min.
+  */
+private object Digests {
+  val threadMd5: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  val HexChars: Array[Char] = "0123456789abcdef".toCharArray
+
+  def md5Hex(md: MessageDigest, bytes: Array[Byte]): Array[Char] = {
+    md.reset()
+    val d = md.digest(bytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(d(i) & 0xf)
+      i += 1
+    }
+    out
+  }
+}
+
+/** 32-bit SimHash over a token array: one md5 per token, nibble-bit
+  * votes, '0'/'1'-string fingerprint — semantics of
+  * [[graft.dedup.Dedup.dedupSimhash]]'s portable form.
+  */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val md = Digests.threadMd5.get()
+    val votes = new Array[Int](32)
+    var t = 0
+    while (t < n) {
+      val bytes = toks.getUTF8String(t).getBytes
+      md.reset()
+      val d = md.digest(bytes)
+      // bit k reads hex char k/4 = nibble of digest byte (k/8),
+      // high nibble for even hex positions; bit (3 - k%4) of it
+      var k = 0
+      while (k < 32) {
+        val hexPos = k / 4
+        val b = d(hexPos / 2)
+        val nibble = if (hexPos % 2 == 0) (b >> 4) & 0xf else b & 0xf
+        if (((nibble >> (3 - (k % 4))) & 1) == 1) votes(k) += 1
+        k += 1
+      }
+      t += 1
+    }
+    val out = new Array[Char](32)
+    var k = 0
+    while (k < 32) {
+      out(k) = if (2 * votes(k) > n) '1' else '0'
+      k += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** k MinHash signatures over a shingle array: sig_j = min over
+  * shingles of md5Hex("j|" ++ shingle) — semantics of the exploded
+  * groupBy form in [[graft.dedup.Dedup.minhashSignatures]], fused
+  * into one pass returning array<string>.
+  */
+case class MinHashSigs(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  private lazy val prefixes: Array[Array[Byte]] =
+    (0 until k).map(j => s"$j|".getBytes(StandardCharsets.UTF_8)).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val shingles = input.asInstanceOf[ArrayData]
+    val n = shingles.numElements()
+    val md = Digests.threadMd5.get()
+    val mins = new Array[String](k)
+    var s = 0
+    while (s < n) {
+      val sb = shingles.getUTF8String(s).getBytes
+      var j = 0
+      while (j < k) {
+        val p = prefixes(j)
+        val buf = new Array[Byte](p.length + sb.length)
+        System.arraycopy(p, 0, buf, 0, p.length)
+        System.arraycopy(sb, 0, buf, p.length, sb.length)
+        val hex = new String(Digests.md5Hex(md, buf))
+        if (mins(j) == null || hex.compareTo(mins(j)) < 0) mins(j) = hex
+        j += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins.map(m => if (m == null) null else UTF8String.fromString(m)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Jaccard similarity of two SORTED distinct string arrays via a
+  * merge walk: |∩| / (|a| + |b| − |∩|). Same integers — hence the
+  * same double — as the array_intersect/array_union composition.
+  */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < nx && j < ny) {
+      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = nx + ny - inter
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object TextFunctions {
+  def simhash32(tokens: Column): Column =
+    Shim.toColumn(SimHash32(Shim.toExpression(tokens)))
+
+  def minhash_sigs(shingles: Column, k: Int): Column =
+    Shim.toColumn(MinHashSigs(Shim.toExpression(shingles), k))
+
+  def jaccard_sorted(a: Column, b: Column): Column =
+    Shim.toColumn(JaccardSorted(Shim.toExpression(a), Shim.toExpression(b)))
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions.cosine_sim
 import graft.sources.Tables
 import VectorOps._
 
@@ -21,6 +22,9 @@ object Ann {
 
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
+      // single-file scans land in one partition locally; rebalance so
+      // the distance math uses every core (no-op shape on a cluster)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
 
   /** §2.4#33 — brute-force exact cosine top-k: queries (vec_id < 5)
@@ -35,7 +39,7 @@ object Ann {
     val corpus = e.filter(col("vec_id") >= 5)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     corpus.join(broadcast(queries))
-      .select(col("q_id"), col("vec_id"), round(cosine(col("qv"), col("v")), 4).as("cos"))
+      .select(col("q_id"), col("vec_id"), round(cosine_sim(col("qv"), col("v")), 4).as("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= TopK)
       .orderBy(col("q_id"), col("rnk"))
@@ -66,7 +70,7 @@ object Ann {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     corpus.join(broadcast(queries), Seq("bucket"))
       .select(col("q_id"), col("vec_id"), col("bucket"),
-        round(cosine(col("qv"), col("v")), 4).as("cos"))
+        round(cosine_sim(col("qv"), col("v")), 4).as("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .orderBy(col("q_id"), col("rnk"))
@@ -94,7 +98,7 @@ object Ann {
     a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.label").as("label"),
-        round(cosine(col("a.v"), col("b.v")), 4).as("cos"))
+        round(cosine_sim(col("a.v"), col("b.v")), 4).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
   }

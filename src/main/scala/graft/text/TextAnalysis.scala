@@ -104,6 +104,7 @@ object TextAnalysis {
     val bigrams = transform(sequence(lit(1), size(toks) - 1),
       i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
     val counts = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("lang"), explode(bigrams).as("bigram"))
       .groupBy(col("lang"), col("bigram"))
       .agg(count(lit(1)).as("n"))

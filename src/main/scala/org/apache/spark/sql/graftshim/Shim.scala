@@ -1,0 +1,17 @@
+/*
+ * Bridge into Spark's private[sql] Column↔Expression converters —
+ * the standard pattern for third-party Catalyst extensions (Spark 4
+ * moved the public Column API to ColumnNode, so libraries adding
+ * native expressions place one converter in an org.apache.spark.sql
+ * subpackage).
+ */
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+object Shim {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}

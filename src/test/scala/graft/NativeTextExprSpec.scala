@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+class NativeTextExprSpec extends GraftSpec {
+
+  test("minhash plan evaluates the signature expression once, not per band") {
+    val plan = Dedup.dedupMinhashLsh(spark, sf).queryExecution.executedPlan.toString
+    val n = "(?i)minhashsigs".r.findAllIn(plan).length
+    assert(n <= 1, s"MinHashSigs appears $n times in the physical plan:\n${plan.take(3000)}")
+  }
+
+  test("simhash matches the portable HOF formulation bit-for-bit") {
+    import graft.text.TextAnalysis.tokensCol
+    val nibbleSets = Seq("89abcdef", "4567cdef", "2367abef", "13579bdf")
+    val hashes = transform(tokensCol(col("text")), t => md5(t))
+    val nToks = size(col("hashes"))
+    val bitCols = (0 until 32).map { k =>
+      val pos = k / 4 + 1
+      val inSet: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        h => nibbleSets(k % 4).map(c => substring(h, pos, 1) === c.toString).reduce(_ || _)
+      when(size(filter(col("hashes"), inSet)) * 2 > nToks, lit("1")).otherwise(lit("0"))
+    }
+    val hof = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), hashes.as("hashes"))
+      .select(col("doc_id"), concat(bitCols: _*).as("hof_hash"))
+    val native = Dedup.dedupSimhash(spark, sf)
+    val joined = native.join(hof, "doc_id")
+    assert(joined.filter(col("simhash32") =!= col("hof_hash")).count() === 0)
+  }
+
+  test("jaccard_sorted matches the intersect/union composition bit-for-bit") {
+    import graft.functions.TextFunctions.jaccard_sorted
+    import graft.text.TextAnalysis.tokensCol
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), array_sort(array_distinct(tokensCol(col("text")))).as("ts"))
+    val a = docs.as("a"); val b = docs.as("b")
+    val pairs = a.join(b, col("a.doc_id") < col("b.doc_id")).limit(20000)
+      .select(
+        jaccard_sorted(col("a.ts"), col("b.ts")).as("native"),
+        (size(array_intersect(col("a.ts"), col("b.ts"))).cast("double") /
+          size(array_union(col("a.ts"), col("b.ts"))).cast("double")).as("hof"))
+    assert(pairs.filter(col("native") =!= col("hof")).count() === 0)
+  }
+}
