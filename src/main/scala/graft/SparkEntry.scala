@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Relational, Windows}
+import graft.analytics.{Relational, Temporal, Windows}
 import graft.dedup.Dedup
 import graft.multimodal.Media
 import graft.similarity.Ann
@@ -34,6 +34,7 @@ object SparkEntry {
     "sync_full_or_incr" -> (SyncOps.syncFullOrIncr(_, _)),
     "sync_bucket_stats" -> (SyncOps.syncBucketStats(_, _)),
     "sync_retry_ledger" -> (SyncOps.syncRetryLedger(_, _)),
+    "sync_manifest_diff" -> ((s, d) => SyncOps.syncManifestDiff(s, d)),
     // §2.2 relational core
     "q1_agg" -> (Relational.q1Agg(_, _)),
     "q3_topn_join" -> (Relational.q3TopnJoin(_, _)),
@@ -52,6 +53,8 @@ object SparkEntry {
     "q_window_topn" -> (Windows.qWindowTopn(_, _)),
     "q_window_lag" -> (Windows.qWindowLag(_, _)),
     "q_sessionize" -> (Windows.qSessionize(_, _)),
+    "q_asof_join" -> (Temporal.qAsofJoin(_, _)),
+    "q_range_join" -> (Temporal.qRangeJoin(_, _)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_exact_survivors" -> (Dedup.dedupExactSurvivors(_, _)),
@@ -63,6 +66,7 @@ object SparkEntry {
     "ann_bruteforce_topk" -> (Ann.annBruteforceTopk(_, _)),
     "ann_lsh_topk" -> (Ann.annLshTopk(_, _)),
     "vec_norms" -> (Ann.vecNorms(_, _)),
+    "ann_ivf_assign" -> (Ann.annIvfAssign(_, _)),
     // §2.5 text
     "text_tokens" -> (TextAnalysis.textTokens(_, _)),
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
@@ -185,6 +189,55 @@ object SparkEntry {
          |  count(*) AS n_files
          |FROM a GROUP BY cf ORDER BY cf""".stripMargin,
 
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(ts AS TIMESTAMP) AS purchase_ts,
+        |  CAST(last_click_ts AS TIMESTAMP) AS last_click_ts,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(last_click_ts AS TIMESTAMP)) AS gap_us
+        |FROM u WHERE event_type = 'purchase' ORDER BY user_id, event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |err AS (SELECT user_id AS e_user, event_id AS e_id, epoch_us(CAST(ts AS TIMESTAMP)) AS e_us
+        |        FROM events WHERE event_type = 'error')
+        |SELECT e_user AS user_id, e_id AS event_id, count(*) AS n_prior_5min
+        |FROM err JOIN ev ON e_user = ev.user_id
+        |  AND ev.us > e_us - 300000000 AND ev.us <= e_us AND ev.event_id <> e_id
+        |GROUP BY e_user, e_id ORDER BY user_id, event_id""".stripMargin,
+    "sync_manifest_diff" ->
+      s"""WITH $invCte, $durCte,
+         |older AS (SELECT cf, node_id, shard_id, generation AS gen_old FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cf, node_id, shard_id
+         |                               ORDER BY generation DESC) AS rn
+         |  FROM dur WHERE snap_date <= DATE '2024-01-10') WHERE rn = 1),
+         |newer AS (SELECT cf, node_id, shard_id, generation AS gen_new FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cf, node_id, shard_id
+         |                               ORDER BY generation DESC) AS rn
+         |  FROM dur WHERE snap_date <= DATE '2024-01-20') WHERE rn = 1)
+         |SELECT n.cf, n.node_id, n.shard_id, o.gen_old, n.gen_new,
+         |  CASE WHEN o.gen_old IS NULL THEN 'added'
+         |       WHEN n.gen_new > o.gen_old THEN 'updated'
+         |       ELSE 'unchanged' END AS status
+         |FROM newer n LEFT JOIN older o
+         |  ON n.cf = o.cf AND n.node_id = o.node_id AND n.shard_id = o.shard_id
+         |ORDER BY n.cf, n.node_id, n.shard_id""".stripMargin,
+    "ann_ivf_assign" ->
+      s"""WITH $embCte,
+         |comp AS (SELECT label AS c_id, pos - 1 AS pos, x
+         |         FROM (SELECT label, unnest(v) AS x,
+         |               generate_subscripts(v, 1) AS pos FROM e)),
+         |cent AS (SELECT c_id, list(cx ORDER BY pos) AS cv FROM (
+         |  SELECT c_id, pos, avg(x) AS cx FROM comp GROUP BY c_id, pos) GROUP BY c_id),
+         |scored AS (SELECT vec_id, label, c_id,
+         |  round(list_cosine_similarity(v, cv), 4) + 0.0 AS cos FROM e CROSS JOIN cent)
+         |SELECT vec_id, label, c_id AS assigned_centroid, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+         |  FROM scored) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q1_agg" ->
       s"""WITH $lpCte
          |SELECT l_returnflag, l_linestatus,

@@ -103,6 +103,33 @@ object Ann {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** §2.4#47 — IVF coarse quantization: centroids are the per-label
+    * mean vectors (posexplode → component-wise partial-agg avg →
+    * re-assembled in position order), every vector is assigned to its
+    * nearest centroid by cosine. The centroid table is tiny and
+    * broadcast; at query time an IVF search probes only the matching
+    * centroid's partition (demonstrated in AnnSpec), which is the
+    * standard two-stage ANN layout at 100 TB. Ties in the rounded
+    * similarity break on centroid id so the argmax is deterministic.
+    */
+  def annIvfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    val centroids = e
+      .select(col("label").as("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("c_id"), col("pos")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("c_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        s => s.getField("cx")).as("cv"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_id"))
+    e.join(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("c_id"),
+        round(cosine_sim(col("v"), col("cv")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("label"), col("c_id").as("assigned_centroid"), col("cos"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Seeded random-hyperplane bucket (production LSH path, exercised
     * in tests): p pseudo-random hyperplanes derived from md5(seed,
     * plane, dim) so the code is deterministic without Math.random.

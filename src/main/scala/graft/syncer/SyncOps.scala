@@ -99,6 +99,36 @@ object SyncOps {
       .orderBy(col("cf"))
   }
 
+  /** §2.1#48 — manifest diff between two snapshot days: per lineage,
+    * how the live generation moved (added / updated / unchanged).
+    * This is the reconciliation the reference performs implicitly
+    * when it uploads "what changed since the last manifest" — made
+    * explicit as a join of two window-max snapshots (lineages are
+    * monotone in this model, so a left join from the newer snapshot
+    * covers all cases).
+    */
+  def syncManifestDiff(spark: SparkSession, dir: String,
+      fromDay: String = "2024-01-10", toDay: String = "2024-01-20"): DataFrame = {
+    def liveAt(day: String): DataFrame = {
+      val w = Window.partitionBy(col("cf"), col("node_id"), col("shard_id"))
+        .orderBy(col("generation").desc)
+      FileInventory.durable(spark, dir)
+        .filter(col("snap_date") <= lit(day).cast("date"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cf"), col("node_id"), col("shard_id"), col("generation"))
+    }
+    val newer = liveAt(toDay)
+    val older = liveAt(fromDay).withColumnRenamed("generation", "gen_old")
+    newer.join(older, Seq("cf", "node_id", "shard_id"), "left_outer")
+      .select(col("cf"), col("node_id"), col("shard_id"),
+        col("gen_old"), col("generation").as("gen_new"),
+        when(col("gen_old").isNull, lit("added"))
+          .when(col("generation") > col("gen_old"), lit("updated"))
+          .otherwise(lit("unchanged")).as("status"))
+      .orderBy(col("cf"), col("node_id"), col("shard_id"))
+  }
+
   /** §2.1#7 — full-vs-incremental decision per node (reference:
     * `Uploader.isAFullBackupNeeded` checks whether the container
     * exists). A node with zero files in the target bucket needs a
