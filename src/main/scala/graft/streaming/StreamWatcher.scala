@@ -1,8 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import org.apache.spark.sql.types.StructType
+
+/** One upload attempt flowing through the streaming retry queue. */
+case class UploadAttempt(path: String, cf: String, requiredAttempts: Long)
+
+/** Current retry-queue status of one file. */
+case class UploadOutcome(path: String, attempts: Long, status: String)
 
 /** Streaming operators (SURVEY.md §2.7) — the Spark-native
   * replacement for the reference's inotify watcher
@@ -42,6 +49,38 @@ object StreamWatcher {
         round(sum(col("value")), 2).as("sum_value"))
       .select(col("win.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** At-least-once retry queue as explicit streaming state
+    * (reference: `Uploader._onDone` re-enqueues failed uploads until
+    * they succeed). Each file's attempt count lives in
+    * `mapGroupsWithState` keyed by path; a file whose cumulative
+    * attempts reach its required count reports "uploaded", otherwise
+    * "retrying". Flaky-upload model matches SyncOps.syncRetryLedger:
+    * error-cf files need 1 + generation%3 attempts.
+    */
+  def retryQueueStream(stream: org.apache.spark.sql.DataFrame): Dataset[UploadOutcome] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val nodeId = (col("user_id") % 10).cast("long")
+    val attempts = stream
+      .filter(!(col("event_id") % 20 === 0))
+      .select(
+        concat(lit("ks1/"), col("event_type"), lit("/node"), nodeId.cast("string"),
+          lit("/na-"), col("event_id").cast("string"), lit("-Data.db")).as("path"),
+        col("event_type").as("cf"),
+        (lit(1L) + when(col("event_type") === "error", col("event_id") % 3).otherwise(0L))
+          .as("requiredAttempts"))
+      .as[UploadAttempt]
+    attempts.groupByKey(_.path)
+      .mapGroupsWithState[Long, UploadOutcome](GroupStateTimeout.NoTimeout) {
+        (path, batch, state: GroupState[Long]) =>
+          val rows = batch.toSeq
+          val seen = state.getOption.getOrElse(0L) + rows.size
+          state.update(seen)
+          val required = rows.headOption.map(_.requiredAttempts).getOrElse(1L)
+          UploadOutcome(path, seen, if (seen >= required) "uploaded" else "retrying")
+      }
+  }
 
   /** Streaming upload plan: new arrivals (non-temp) mapped to their
     * inventory entries — the continuous version of

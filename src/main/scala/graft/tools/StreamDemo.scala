@@ -35,6 +35,12 @@ object StreamDemo {
     println(s"[stream-demo] upload-plan rows: ${spark.table("plan").count()}")
     spark.table("plan").orderBy("generation").show(5, truncate = false)
 
-    counts.stop(); plan.stop(); spark.stop()
+    val retry = StreamWatcher.retryQueueStream(StreamWatcher.eventStream(spark, dir))
+      .writeStream.outputMode("update").format("memory").queryName("retry").start()
+    retry.processAllAvailable()
+    println(s"[stream-demo] retry-queue rows: ${spark.table("retry").count()}")
+    spark.table("retry").groupBy("status").count().show(truncate = false)
+
+    counts.stop(); plan.stop(); retry.stop(); spark.stop()
   }
 }

@@ -1,0 +1,38 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Io
+import graft.syncer.FileInventory
+
+class SourcesSpec extends GraftSpec {
+
+  test("partitioned inventory round-trips and prunes partitions on snap_date") {
+    val dir = Files.createTempDirectory("graft-inv").toString
+    val inv = FileInventory.inventory(spark, sf)
+    Io.writeInventoryPartitioned(inv, dir)
+    val back = Io.readInventoryPartitioned(spark, dir)
+    assert(back.count() === inv.count())
+    val pruned = back.filter(col("snap_date") === lit("2024-01-05").cast("date"))
+    // partition pruning reaches the scan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(1500))
+    assert(pruned.count() ===
+      inv.filter(col("snap_date") === lit("2024-01-05").cast("date")).count())
+  }
+
+  test("csv and json round-trip with explicit schemas") {
+    val dir = Files.createTempDirectory("graft-io").toString
+    val live = graft.syncer.SyncOps.syncLiveSet(spark, sf)
+    Io.writeCsv(live, s"$dir/csv")
+    Io.writeJson(live, s"$dir/json")
+    val csv = Io.readCsv(spark, s"$dir/csv", live.schema)
+    val json = Io.readJson(spark, s"$dir/json", live.schema)
+    assert(csv.count() === live.count())
+    assert(json.count() === live.count())
+    assert(csv.schema === live.schema)
+    assert(json.exceptAll(live).count() === 0)
+  }
+}

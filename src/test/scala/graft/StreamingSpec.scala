@@ -36,4 +36,24 @@ class StreamingSpec extends GraftSpec {
       assert(streamPaths.exceptAll(batchPaths).count() === 0)
     } finally q.stop()
   }
+
+  test("stateful retry queue: clean uploads succeed first attempt, flaky ones keep retrying") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val q = StreamWatcher.retryQueueStream(StreamWatcher.eventStream(spark, sf))
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("retry_q").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("retry_q").collect()
+      assert(out.length === FileInventory.durable(spark, sf).count())
+      val byStatus = out.groupBy(_.getAs[String]("status")).view.mapValues(_.length).toMap
+      // every non-error file (and error files with generation%3==0 → required 1)
+      // uploads on the first attempt; the rest await retries
+      val required1 = FileInventory.durable(spark, sf)
+        .filter(org.apache.spark.sql.functions.expr(
+          "cf <> 'error' or generation % 3 = 0")).count()
+      assert(byStatus("uploaded").toLong === required1)
+      assert(byStatus.getOrElse("retrying", 0).toLong === out.length - required1)
+    } finally q.stop()
+  }
 }
