@@ -73,8 +73,10 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.textLangid(_, _)),
     "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
     "text_ngram_stats" -> (TextAnalysis.textNgramStats(_, _)),
+    "text_tfidf" -> (TextAnalysis.textTfidf(_, _)),
     // §2.6 multimodal
     "mm_ingest" -> (Media.mmIngest(_, _)),
+    "mm_features" -> (Media.mmFeatures(_, _)),
   )
 
   // ---- oracle SQL ----
@@ -507,6 +509,22 @@ object SparkEntry {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS BIGINT) AS rnk
          |  FROM c) WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
 
+    "text_tfidf" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT lang, doc_id, unnest(toks) AS word FROM t),
+         |tf AS (SELECT lang, word, count(*) AS tf FROM tok GROUP BY lang, word),
+         |df AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT word, doc_id FROM tok) GROUP BY word),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (SELECT lang, tf.word AS word, tf, df,
+         |  round(tf * ln(n_docs / df), 6) AS tfidf FROM tf JOIN df ON tf.word = df.word CROSS JOIN n)
+         |SELECT lang, word, tf, df, tfidf, rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, word) AS BIGINT) AS rnk
+         |  FROM scored) WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(string_split(text, ''), x -> ascii(x))) AS BIGINT) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_ingest" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

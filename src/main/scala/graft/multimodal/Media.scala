@@ -53,6 +53,17 @@ object Media {
         col("meta.height").as("height"))
       .orderBy(col("doc_id"))
 
+  /** Oracle-checked surface of the feature pipeline: doc_id, byte
+    * length, and the stub checksum, computed through the real
+    * distributed path (binary column → batched mapPartitions kernel →
+    * DataFrame). The oracle recomputes the byte-sum from the text
+    * (payloads here are ASCII, so UTF-8 bytes == character codes).
+    */
+  def mmFeatures(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(spark, dir))
+      .select(col("doc_id"), col("n_bytes"), col("checksum"))
+      .orderBy(col("doc_id"))
+
   /** §2.6#42 — feature extraction plumbing: batched per-partition
     * kernel over the binary column. The decode step is a
     * deterministic STUB (byte-sum checksum + an 8-bucket byte

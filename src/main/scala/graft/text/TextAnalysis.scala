@@ -94,6 +94,30 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.5#52 — TF-IDF: top-5 terms per language by language-local
+    * term frequency × corpus-global inverse document frequency.
+    * Three partial-aggregated shuffles (tf by lang×word, df by word,
+    * corpus size as a broadcast scalar) joined on the bounded word
+    * key — the standard fully-distributed tf-idf layout.
+    */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("lang"), col("doc_id"), explode(tokensCol(col("text"))).as("word"))
+    val tf = tok.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tok.select(col("word"), col("doc_id")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("tfidf").desc, col("word"))
+    tf.join(df, Seq("word"))
+      .crossJoin(broadcast(n))
+      .select(col("lang"), col("word"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("lang"), col("rnk"))
+  }
+
   /** §2.5#40 — top-5 word bigrams per language: explode n-grams,
     * partial-agg count, rank window per language. The explode is the
     * classic linear fan-out; the shuffle key (lang, bigram) is

@@ -35,4 +35,12 @@ class PlanAuditSpec extends GraftSpec {
     assert(plan.contains("HashAggregate"), plan.take(2000))
     assert(plan.contains("Exchange hashpartitioning"), plan.take(2000))
   }
+
+  test("AQE is active: adaptive plans appear after execution") {
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+    val df = Relational.q5SnowflakeJoin(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AdaptiveSparkPlan"), plan.take(500))
+  }
 }
