@@ -46,15 +46,16 @@ object Dedup {
 
   // ---- MinHash / LSH ----
 
-  /** Word 3-gram shingles (1-based element_at matches the oracle's
-    * 1-based list indexing).
+  /** Word 3-gram shingles from an already-materialized token column
+    * (1-based element_at matches the oracle's 1-based list indexing).
+    * The argument must be an attribute, not the tokenizer expression
+    * itself — inlining split() into the lambda re-tokenizes per
+    * shingle element, quadratic in document length.
     */
-  def shinglesCol(text: Column): Column = {
-    val toks = tokensCol(text)
+  def shinglesOf(toks: Column): Column =
     transform(sequence(lit(1), size(toks) - 2),
       i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1),
         lit(" "), element_at(toks, i + 2)))
-  }
 
   val MinhashK = 12
   val LshBands = 4 // 4 bands × 3 rows
@@ -75,7 +76,8 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
     val withSigs = docs
-      .select(col("doc_id"), minhash_sigs(shinglesCol(col("text")), MinhashK).as("sigs"))
+      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), minhash_sigs(shinglesOf(col("toks")), MinhashK).as("sigs"))
       .select(col("doc_id") +:
         (0 until MinhashK).map(k => element_at(col("sigs"), k + 1).as(s"sig$k")): _*)
     val bandCols = (0 until LshBands).map { b =>

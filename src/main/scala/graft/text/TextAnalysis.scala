@@ -124,11 +124,14 @@ object TextAnalysis {
     * bounded by vocabulary².
     */
   def textNgramStats(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokensCol(col("text"))
-    val bigrams = transform(sequence(lit(1), size(toks) - 1),
-      i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))
+    // tokenize into a real column first: element_at inside the lambda
+    // must hit an attribute, not re-run split() per n-gram element
+    // (that inlining is quadratic in document length)
+    val bigrams = transform(sequence(lit(1), size(col("toks")) - 1),
+      i => concat(element_at(col("toks"), i), lit(" "), element_at(col("toks"), i + 1)))
     val counts = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("lang"), tokensCol(col("text")).as("toks"))
       .select(col("lang"), explode(bigrams).as("bigram"))
       .groupBy(col("lang"), col("bigram"))
       .agg(count(lit(1)).as("n"))
