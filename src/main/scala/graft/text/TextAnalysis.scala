@@ -104,9 +104,13 @@ object TextAnalysis {
     val tok = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("lang"), col("doc_id"), explode(tokensCol(col("text"))).as("word"))
-    val tf = tok.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("tf"))
-    val df = tok.select(col("word"), col("doc_id")).distinct()
-      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // one shuffle over the exploded stream; tf and df both derive
+    // from the compact (word, doc) aggregate (doc determines lang, so
+    // (word, doc_id) is unique and df is a plain count)
+    val perDoc = tok.groupBy(col("word"), col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val tf = perDoc.groupBy(col("lang"), col("word")).agg(sum(col("c")).as("tf"))
+    val df = perDoc.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("lang")).orderBy(col("tfidf").desc, col("word"))
     tf.join(df, Seq("word"))
