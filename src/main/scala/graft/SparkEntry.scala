@@ -49,6 +49,10 @@ object SparkEntry {
     "q_distinct_hll" -> (Relational.qDistinctHll(_, _)),
     "q_stream_batch_twin" -> (Relational.qStreamBatchTwin(_, _)),
     "q_join_skew_salt" -> (Relational.qJoinSkewSalt(_, _)),
+    "q_cube" -> (Relational.qCube(_, _)),
+    "q_sample_hash" -> (Relational.qSampleHash(_, _)),
+    "q_set_ops" -> (Relational.qSetOps(_, _)),
+    "q_scalar_subquery" -> (Relational.qScalarSubquery(_, _)),
     "q_window_running" -> (Windows.qWindowRunning(_, _)),
     "q_window_topn" -> (Windows.qWindowTopn(_, _)),
     "q_window_lag" -> (Windows.qWindowLag(_, _)),
@@ -344,6 +348,32 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM lp JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_cube" ->
+      """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+        |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT l_returnflag, count(*) AS n_sampled, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_set_ops" ->
+      """SELECT custkey FROM (
+        |  (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |   INTERSECT
+        |   SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 100000)
+        |  EXCEPT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY custkey""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderpriority, count(*) AS n_big,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS big_total
+        |FROM orders
+        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_window_running" ->
       s"""WITH $lpCte, base AS (
         |  SELECT l_suppkey, l_orderkey, l_linenumber,

@@ -208,6 +208,65 @@ object Relational {
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
+  /** §2.2#54 — CUBE over status × priority with money-exact totals;
+    * GROUPING() labels the subtotal planes.
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dollars(sum(cents(col("o_totalprice"))), 100.0).as("total_price"),
+        grouping(col("o_orderstatus")).as("g_s"), grouping(col("o_orderpriority")).as("g_p"))
+      .select(
+        when(col("g_s") === 1, lit("ALL")).otherwise(col("o_orderstatus")).as("status"),
+        when(col("g_p") === 1, lit("ALL")).otherwise(col("o_orderpriority")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("status"), col("priority"))
+
+  /** §2.2#55 — deterministic hash sampling: keep rows whose md5 of a
+    * stable composite key starts below a hex threshold (≈10%). Unlike
+    * `sample()`, this is reproducible across engines, runs and
+    * cluster layouts — the right way to cut an experimentation slice
+    * from a 100 TB table.
+    */
+  def qSampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(substring(md5(concat(col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string"))), 1, 2) < "1a")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** §2.2#56 — set operations: building-segment customers who placed
+    * a big order but never a finished one (INTERSECT then EXCEPT,
+    * explicit order).
+    */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("custkey"))
+    val big = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 100000).select(col("o_custkey").as("custkey"))
+    val finished = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    building.intersect(big).except(finished).orderBy(col("custkey"))
+  }
+
+  /** §2.2#57 — scalar-subquery shape: orders above twice the global
+    * mean price, per priority. The scalar aggregate is broadcast into
+    * the scan's filter rather than collected on the driver.
+    */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val avgPrice = Tables.orders(spark, dir).agg(avg(col("o_totalprice")).as("avg_price"))
+    Tables.orders(spark, dir)
+      .crossJoin(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("avg_price") * 2)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_big"),
+        dollars(sum(cents(col("o_totalprice"))), 100.0).as("big_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Skew-resistant join: the fact side keeps a deterministic salt,
     * the dimension side is exploded across all salt replicas, the join
     * runs on (key, salt) so one hot key spreads over `salts`

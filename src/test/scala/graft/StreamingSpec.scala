@@ -56,4 +56,20 @@ class StreamingSpec extends GraftSpec {
       assert(byStatus.getOrElse("retrying", 0).toLong === out.length - required1)
     } finally q.stop()
   }
+
+  test("streaming dedup within watermark drops replayed events") {
+    // replay the stream twice by unioning it with itself: exact
+    // duplicates must collapse to the batch-distinct count
+    val es = StreamWatcher.eventStream(spark, sf)
+    val q = es.union(es)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy().count()
+      .writeStream.outputMode("complete").format("memory").queryName("dedup_s").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("dedup_s").collect()(0).getLong(0)
+      assert(n === graft.sources.Tables.events(spark, sf).count())
+    } finally q.stop()
+  }
 }
