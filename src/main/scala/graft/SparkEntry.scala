@@ -53,6 +53,7 @@ object SparkEntry {
     "q_sample_hash" -> (Relational.qSampleHash(_, _)),
     "q_set_ops" -> (Relational.qSetOps(_, _)),
     "q_scalar_subquery" -> (Relational.qScalarSubquery(_, _)),
+    "q10_returns" -> (Relational.q10Returns(_, _)),
     "q_window_running" -> (Windows.qWindowRunning(_, _)),
     "q_window_topn" -> (Windows.qWindowTopn(_, _)),
     "q_window_lag" -> (Windows.qWindowLag(_, _)),
@@ -66,6 +67,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
     "dedup_simhash" -> (Dedup.dedupSimhash(_, _)),
     "dedup_embedding_cos" -> ((s, d) => Ann.dedupEmbeddingCos(s, d)),
+    "dedup_minhash_by_lang" -> (Dedup.dedupMinhashByLang(_, _)),
     // §2.4 similarity
     "ann_bruteforce_topk" -> (Ann.annBruteforceTopk(_, _)),
     "ann_lsh_topk" -> (Ann.annLshTopk(_, _)),
@@ -348,6 +350,18 @@ object SparkEntry {
         |  count(*) AS n_lines
         |FROM lp JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q10_returns" ->
+      s"""WITH $lpCte
+        |SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(price_c * (100 - disc_c)) AS DOUBLE) / 10000.0 AS revenue,
+        |  count(*) AS n_lines
+        |FROM lp JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_cube" ->
       """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
         |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
@@ -436,6 +450,7 @@ object SparkEntry {
         |    min(doc_id) OVER (PARTITION BY md5(lower(text))) AS keeper
         |  FROM documents) WHERE doc_id = keeper ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracleSql,
+    "dedup_minhash_by_lang" -> Dedup.minhashByLangOracleSql,
     "dedup_ngram_jaccard" ->
       s"""WITH $toksCte,
          |d AS (SELECT doc_id, lang,

@@ -208,6 +208,25 @@ object Relational {
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
+  /** §2.2#58 — Q10-shape returned-item report: top 20 customers by
+    * revenue lost to returns in a quarter. Fact-fact shuffle on the
+    * order key, broadcast customer/nation dims, bounded top-N.
+    */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dollars(sum(netE4), 10000.0).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** §2.2#54 — CUBE over status × priority with money-exact totals;
     * GROUPING() labels the subtotal planes.
     */

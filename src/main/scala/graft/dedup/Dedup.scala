@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.MinHashAggFunctions.minhash_agg
 import graft.functions.TextFunctions.{jaccard_sorted, minhash_sigs, simhash32}
 import graft.sources.Tables
 import graft.text.TextAnalysis.tokensCol
@@ -170,6 +171,35 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), simhash32(tokensCol(col("text"))).as("simhash32"))
       .orderBy(col("doc_id"))
+
+  /** §2.3#59 — group-level MinHash sketches: one k-signature sketch
+    * per language over every member document's shingles, computed by
+    * the mergeable [[graft.functions.MinHashAgg]] imperative
+    * aggregate (map-side partial sketches, tiny merge buffers).
+    */
+  def dedupMinhashByLang(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("lang"), tokensCol(col("text")).as("toks"))
+      .select(col("lang"), shinglesOf(col("toks")).as("sh"))
+      .groupBy(col("lang"))
+      .agg(minhash_agg(col("sh"), MinhashK).as("sigs"))
+      .select(col("lang") +:
+        (0 until MinhashK).map(k => element_at(col("sigs"), k + 1).as(s"sig$k")): _*)
+      .orderBy(col("lang"))
+
+  /** DuckDB oracle for [[dedupMinhashByLang]]. */
+  def minhashByLangOracleSql: String = {
+    val sigExprs = (0 until MinhashK).map { k =>
+      s"min(md5('$k|' || sh)) AS sig$k"
+    }.mkString(",\n  ")
+    s"""WITH t AS (SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+       |s AS (SELECT lang, unnest(list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh FROM t)
+       |SELECT lang,
+       |  $sigExprs
+       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+  }
 
   /** DuckDB oracle for [[dedupMinhashLsh]] — the identical md5-based
     * signature/band construction in list-function SQL. Generated here
