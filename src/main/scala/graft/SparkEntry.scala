@@ -54,6 +54,9 @@ object SparkEntry {
     "q_set_ops" -> (Relational.qSetOps(_, _)),
     "q_scalar_subquery" -> (Relational.qScalarSubquery(_, _)),
     "q10_returns" -> (Relational.q10Returns(_, _)),
+    "q_full_outer" -> (Relational.qFullOuter(_, _)),
+    "q_date_parts" -> (Relational.qDateParts(_, _)),
+    "q_string_funcs" -> (Relational.qStringFuncs(_, _)),
     "q_window_running" -> (Windows.qWindowRunning(_, _)),
     "q_window_topn" -> (Windows.qWindowTopn(_, _)),
     "q_window_lag" -> (Windows.qWindowLag(_, _)),
@@ -73,6 +76,7 @@ object SparkEntry {
     "ann_lsh_topk" -> (Ann.annLshTopk(_, _)),
     "vec_norms" -> (Ann.vecNorms(_, _)),
     "ann_ivf_assign" -> (Ann.annIvfAssign(_, _)),
+    "vec_quantize" -> (Ann.vecQuantize(_, _)),
     // §2.5 text
     "text_tokens" -> (TextAnalysis.textTokens(_, _)),
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
@@ -362,6 +366,48 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS c_nk, count(*) AS n_customers,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS cust_bal
+        |  FROM customer GROUP BY c_nationkey),
+        |s AS (SELECT s_nationkey AS s_nk, count(*) AS n_suppliers,
+        |  CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS supp_bal
+        |  FROM supplier GROUP BY s_nationkey)
+        |SELECT COALESCE(c_nk, s_nk) AS nationkey,
+        |  COALESCE(n_customers, 0) AS n_customers,
+        |  COALESCE(n_suppliers, 0) AS n_suppliers,
+        |  cust_bal, supp_bal
+        |FROM c FULL OUTER JOIN s ON c_nk = s_nk ORDER BY nationkey""".stripMargin,
+    "q_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mon,
+        |  count(*) AS n_orders,
+        |  CAST(min(dayofmonth(o_orderdate)) AS BIGINT) AS first_dom,
+        |  CAST(max(dayofmonth(o_orderdate)) AS BIGINT) AS last_dom
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, qtr, mon""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_upper,
+        |  lower(p_type) AS type_lower,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  substr(p_name, 1, 5) AS name_prefix,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  reverse(p_brand) AS brand_rev,
+        |  replace(p_type, ' ', '_') AS type_snake,
+        |  CAST(strpos(p_type, 'BRASS') AS BIGINT) AS brass_pos,
+        |  p_brand || '|' || p_type AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "vec_quantize" ->
+      s"""WITH $embCte,
+         |b AS (SELECT vec_id, v, list_aggregate(v, 'min') AS lo, list_aggregate(v, 'max') AS hi FROM e),
+         |c AS (SELECT vec_id, list_transform(v,
+         |        x -> CAST(floor((x - lo) / (hi - lo) * 255) AS BIGINT)) AS codes FROM b)
+         |SELECT vec_id, codes[1] AS code0, codes[2] AS code1,
+         |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+         |  CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
+         |  CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max
+         |FROM c ORDER BY vec_id""".stripMargin,
     "q_cube" ->
       """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
         |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,

@@ -286,6 +286,61 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** §2.2#61 — full outer join: per-nation customer/supplier balance
+    * comparison where either side may be absent; COALESCE'd keys and
+    * grouped totals.
+    */
+  def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val custN = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        dollars(sum(cents(col("c_acctbal"))), 100.0).as("cust_bal"))
+    val suppN = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        dollars(sum(cents(col("s_acctbal"))), 100.0).as("supp_bal"))
+    custN.withColumnRenamed("nationkey", "c_nk")
+      .join(suppN.withColumnRenamed("nationkey", "s_nk"),
+        col("c_nk") === col("s_nk"), "full_outer")
+      .select(coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        col("cust_bal"), col("supp_bal"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** §2.2#62 — datetime decomposition: order counts by calendar
+    * hierarchy (year, quarter, month) plus day-of-month extremes.
+    */
+  def qDateParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mon"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(dayofmonth(col("o_orderdate"))).cast("long").as("first_dom"),
+        max(dayofmonth(col("o_orderdate"))).cast("long").as("last_dom"))
+      .select(col("yr").cast("long").as("yr"), col("qtr").cast("long").as("qtr"),
+        col("mon").cast("long").as("mon"), col("n_orders"), col("first_dom"), col("last_dom"))
+      .orderBy(col("yr"), col("qtr"), col("mon"))
+
+  /** §2.2#63 — string-function projection over part names: the
+    * engine-portable core string surface in one pass.
+    */
+  def qStringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        lower(col("p_type")).as("type_lower"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 5).as("name_prefix"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"),
+        reverse(col("p_brand")).as("brand_rev"),
+        replace(col("p_type"), lit(" "), lit("_")).as("type_snake"),
+        instr(col("p_type"), "BRASS").cast("long").as("brass_pos"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+
   /** Skew-resistant join: the fact side keeps a deterministic salt,
     * the dimension side is exploded across all salt replicas, the join
     * runs on (key, salt) so one hot key spreads over `salts`

@@ -130,6 +130,27 @@ object Ann {
       .orderBy(col("vec_id"))
   }
 
+  /** §2.4#64 — scalar quantization: each vector affinely mapped to
+    * uint8 codes against its own [min, max] range — the storage-side
+    * compression step of a vector index (4× smaller than float32;
+    * 32× vs double). Emits per-vector code stats so the oracle check
+    * is compact.
+    */
+  def vecQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    e.select(col("vec_id"), col("v"),
+        array_min(col("v")).as("lo"), array_max(col("v")).as("hi"))
+      .select(col("vec_id"), transform(col("v"),
+        x => floor((x - col("lo")) / (col("hi") - col("lo")) * 255).cast("long")).as("codes"))
+      .select(col("vec_id"),
+        element_at(col("codes"), 1).as("code0"),
+        element_at(col("codes"), 2).as("code1"),
+        aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("code_sum"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Seeded random-hyperplane bucket (production LSH path, exercised
     * in tests): p pseudo-random hyperplanes derived from md5(seed,
     * plane, dim) so the code is deterministic without Math.random.
