@@ -84,6 +84,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
     "text_ngram_stats" -> (TextAnalysis.textNgramStats(_, _)),
     "text_tfidf" -> (TextAnalysis.textTfidf(_, _)),
+    "text_winnowing" -> ((s, d) => TextAnalysis.textWinnowing(s, d)),
     // §2.6 multimodal
     "mm_ingest" -> (Media.mmIngest(_, _)),
     "mm_features" -> (Media.mmFeatures(_, _)),
@@ -616,6 +617,16 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(list_sum(list_transform(string_split(text, ''), x -> ascii(x))) AS BIGINT) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_winnowing" ->
+      """WITH kg AS (SELECT doc_id,
+        |  list_transform(range(1, length(text) - 6), i -> md5(substr(text, i, 8))) AS kg
+        |  FROM documents),
+        |fps AS (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(kg) - 2), j -> list_aggregate(kg[j:j+3], 'min'))) AS fps
+        |  FROM kg)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+        |  md5(list_aggregate(list_sort(fps), 'string_agg', '')) AS fp_digest
+        |FROM fps ORDER BY doc_id""".stripMargin,
     "mm_ingest" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -151,6 +151,44 @@ object Ann {
       .orderBy(col("vec_id"))
   }
 
+  /** One Lloyd iteration: assign every vector to its nearest centroid
+    * (broadcast argmax, cosine) and recompute centroids as component
+    * means of their members. Input/output centroid tables are
+    * (c_id: long, cv: array<double>).
+    */
+  def kmeansStep(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_id"))
+    val assigned = vectors.join(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("c_id"),
+        cosine_sim(col("v"), col("cv")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+    assigned
+      .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("c_id"), col("pos")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("c_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        s => s.getField("cx")).as("cv"))
+  }
+
+  /** K-means over the embeddings: deterministic seeding from the k
+    * lowest vec_ids, `iters` Lloyd iterations. Each iteration is one
+    * broadcast-assign pass + one component-mean shuffle — the
+    * standard distributed k-means layout (no driver-side math beyond
+    * the loop).
+    */
+  def kmeans(spark: SparkSession, dir: String, k: Int = 8, iters: Int = 3): DataFrame = {
+    val e = embeddings(spark, dir).select(col("vec_id"), col("v"))
+    var centroids = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    var i = 0
+    while (i < iters) {
+      centroids = kmeansStep(e, centroids).cache()
+      i += 1
+    }
+    centroids
+  }
+
   /** Seeded random-hyperplane bucket (production LSH path, exercised
     * in tests): p pseudo-random hyperplanes derived from md5(seed,
     * plane, dim) so the code is deterministic without Math.random.

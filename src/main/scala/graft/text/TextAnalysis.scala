@@ -94,6 +94,29 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.5#65 — winnowing fingerprints (rolling-hash document
+    * signatures, MOSS-style): hash every k-gram character window,
+    * then keep the minimum hash of each w-window of consecutive
+    * k-grams; the distinct selected hashes are the document's
+    * fingerprint set, robust to local edits. Output is the set size
+    * plus a digest of the sorted set so the oracle compare stays
+    * compact. Narrow per-doc computation, no shuffle until the final
+    * order.
+    */
+  def textWinnowing(spark: SparkSession, dir: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        expr(s"transform(sequence(1, length(text) - ${k - 1}), i -> md5(substring(text, i, $k)))").as("kg"))
+      .select(col("doc_id"),
+        expr(s"array_distinct(transform(sequence(1, size(kg) - ${w - 1}), j -> array_min(slice(kg, j, $w))))").as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        md5(concat_ws("", array_sort(col("fps")))).as("fp_digest"))
+      .orderBy(col("doc_id"))
+  }
+
   /** §2.5#52 — TF-IDF: top-5 terms per language by language-local
     * term frequency × corpus-global inverse document frequency.
     * Three partial-aggregated shuffles (tf by lang×word, df by word,

@@ -48,4 +48,21 @@ class AnnSpec extends GraftSpec {
       assert(row.getAs[Double]("vmin") <= row.getAs[Double]("vmax"))
     }
   }
+
+  test("k-means: deterministic, k centroids of full dimension, assignments stabilize") {
+    val c1 = Ann.kmeans(spark, sf, k = 4, iters = 2).orderBy("c_id").collect()
+    val c2 = Ann.kmeans(spark, sf, k = 4, iters = 2).orderBy("c_id").collect()
+    assert(c1.length === 4)
+    assert(c1.forall(_.getSeq[Double](1).length === 64))
+    assert(c1.map(_.getLong(0)).toSeq === c2.map(_.getLong(0)).toSeq)
+    c1.zip(c2).foreach { case (a, b) => assert(a.getSeq[Double](1) === b.getSeq[Double](1)) }
+  }
+
+  test("vec_quantize: codes span [0, 255] with the extremes hit exactly") {
+    val r = Ann.vecQuantize(spark, sf).collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("code_min") === 0L)   // x == lo maps to 0
+      assert(row.getAs[Long]("code_max") === 255L) // x == hi maps to 255
+    }
+  }
 }
