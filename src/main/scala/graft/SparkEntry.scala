@@ -35,6 +35,7 @@ object SparkEntry {
     "sync_bucket_stats" -> (SyncOps.syncBucketStats(_, _)),
     "sync_retry_ledger" -> (SyncOps.syncRetryLedger(_, _)),
     "sync_manifest_diff" -> ((s, d) => SyncOps.syncManifestDiff(s, d)),
+    "sync_lww_merge" -> (SyncOps.syncLwwMerge(_, _)),
     // §2.2 relational core
     "q1_agg" -> (Relational.q1Agg(_, _)),
     "q3_topn_join" -> (Relational.q3TopnJoin(_, _)),
@@ -202,6 +203,14 @@ object SparkEntry {
          |  count(*) AS n_files
          |FROM a GROUP BY cf ORDER BY cf""".stripMargin,
 
+    "sync_lww_merge" ->
+      """WITH cells AS (SELECT CAST(user_id % 50 AS BIGINT) AS row_key, value,
+        |  CAST(ts AS TIMESTAMP) AS write_ts, event_id AS generation,
+        |  (event_type = 'error') AS tombstone FROM events)
+        |SELECT row_key, value AS latest_value, write_ts, generation FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY row_key
+        |    ORDER BY write_ts DESC, generation DESC) AS rn FROM cells)
+        |WHERE rn = 1 AND NOT tombstone ORDER BY row_key""".stripMargin,
     "q_asof_join" ->
       """WITH u AS (
         |  SELECT user_id, event_id, ts, event_type,

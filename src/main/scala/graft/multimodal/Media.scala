@@ -86,6 +86,69 @@ object Media {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** STUB resize kernel: deterministic down-sampling of the payload
+    * to `targetBytes` by stride selection — stands in for an image
+    * resize; the distributed shape (binary in, smaller binary out,
+    * same batching) is the real one.
+    */
+  def stubResize(bytes: Array[Byte], targetBytes: Int): Array[Byte] =
+    if (bytes.length <= targetBytes) bytes
+    else {
+      val out = new Array[Byte](targetBytes)
+      val stride = bytes.length.toDouble / targetBytes
+      var i = 0
+      while (i < targetBytes) { out(i) = bytes((i * stride).toInt); i += 1 }
+      out
+    }
+
+  /** STUB frame sampler: splits the payload into `frames` equal spans
+    * and returns (frame_idx, span) pairs — the video frame-sampling
+    * plumbing with a deterministic fake decoder.
+    */
+  def stubFrameSample(bytes: Array[Byte], frames: Int): Seq[(Int, Array[Byte])] = {
+    val span = math.max(1, bytes.length / frames)
+    (0 until frames).flatMap { f =>
+      val start = f * span
+      if (start >= bytes.length) None
+      else Some(f -> bytes.slice(start, math.min(start + span, bytes.length)))
+    }
+  }
+
+  /** Resize pass over the media table — batched mapPartitions like
+    * [[extractFeatures]].
+    */
+  def resizeMedia(media: DataFrame, targetBytes: Int): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("resized", BinaryType, nullable = false),
+      StructField("orig_bytes", LongType, nullable = false)))
+    val rdd = media.select(col("doc_id"), col("media")).rdd.mapPartitions { rows =>
+      rows.grouped(64).flatMap(_.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        Row(r.getLong(0), stubResize(bytes, targetBytes), bytes.length.toLong)
+      })
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Frame-sampling pass: one output row per sampled frame. */
+  def sampleFrames(media: DataFrame, frames: Int): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val rdd = media.select(col("doc_id"), col("media")).rdd.mapPartitions { rows =>
+      rows.grouped(64).flatMap(_.flatMap { r =>
+        stubFrameSample(r.getAs[Array[Byte]](1), frames).map { case (i, b) =>
+          Row(r.getLong(0), i, b)
+        }
+      })
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** STUB decode kernel — deterministic fake standing in for the real
     * image/audio codec (not available in this container).
     */

@@ -129,6 +129,31 @@ object SyncOps {
       .orderBy(col("cf"), col("node_id"), col("shard_id"))
   }
 
+  /** §2.1#67 — last-write-wins merge with tombstones: the Cassandra
+    * read/compaction semantic over the rows the synced SSTables
+    * contain. Each event is a cell write (key = user bucket, value,
+    * write timestamp); 'error' events model deletes (tombstones).
+    * The merged view keeps the newest write per key and drops keys
+    * whose newest write is a tombstone — exactly what a reader of the
+    * restored file set must compute. One shuffle on the row key;
+    * window-max over (ts, generation) for total order.
+    */
+  def syncLwwMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.sources.Tables.events(spark, dir)
+      .select((col("user_id") % 50).cast("long").as("row_key"),
+        col("value"),
+        col("ts").as("write_ts"),
+        col("event_id").as("generation"),
+        (col("event_type") === "error").as("tombstone"))
+    val w = Window.partitionBy(col("row_key"))
+      .orderBy(col("write_ts").desc, col("generation").desc)
+    cells.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && !col("tombstone"))
+      .select(col("row_key"), col("value").as("latest_value"),
+        col("write_ts"), col("generation"))
+      .orderBy(col("row_key"))
+  }
+
   /** §2.1#7 — full-vs-incremental decision per node (reference:
     * `Uploader.isAFullBackupNeeded` checks whether the container
     * exists). A node with zero files in the target bucket needs a

@@ -64,4 +64,25 @@ class TextAndMediaSpec extends GraftSpec {
       assert(fhist.sum === bytes.length.toDouble)
     }
   }
+
+  test("resize stub preserves ids and respects the byte budget") {
+    val media = Media.mediaTable(spark, sf).limit(20).cache()
+    val resized = Media.resizeMedia(media, 32).collect()
+    assert(resized.length === 20)
+    resized.foreach { r =>
+      assert(r.getAs[Array[Byte]]("resized").length <= 32)
+      assert(r.getAs[Long]("orig_bytes") > 0)
+    }
+  }
+
+  test("frame sampling emits ordered spans that reassemble within the payload") {
+    val media = Media.mediaTable(spark, sf).limit(5).cache()
+    val frames = Media.sampleFrames(media, 4).collect()
+    val byDoc = frames.groupBy(_.getLong(0))
+    assert(byDoc.size === 5)
+    byDoc.values.foreach { fs =>
+      assert(fs.map(_.getInt(1)).sorted.toSeq === (0 until fs.length))
+      assert(fs.forall(_.getAs[Array[Byte]]("frame").nonEmpty))
+    }
+  }
 }
