@@ -36,6 +36,7 @@ object SparkEntry {
     "sync_retry_ledger" -> (SyncOps.syncRetryLedger(_, _)),
     "sync_manifest_diff" -> ((s, d) => SyncOps.syncManifestDiff(s, d)),
     "sync_lww_merge" -> (SyncOps.syncLwwMerge(_, _)),
+    "sync_skip_vanished" -> (SyncOps.syncSkipVanished(_, _)),
     // §2.2 relational core
     "q1_agg" -> (Relational.q1Agg(_, _)),
     "q3_topn_join" -> (Relational.q3TopnJoin(_, _)),
@@ -203,6 +204,18 @@ object SparkEntry {
          |  count(*) AS n_files
          |FROM a GROUP BY cf ORDER BY cf""".stripMargin,
 
+    "sync_skip_vanished" ->
+      s"""WITH $invCte, $durCte,
+         |lineage_max AS (SELECT cf, node_id, shard_id, max(generation) AS max_gen
+         |  FROM dur GROUP BY cf, node_id, shard_id),
+         |planned AS (SELECT * FROM dur s WHERE NOT EXISTS (
+         |  SELECT 1 FROM dur t WHERE t.generation % 3 <> 0 AND t.node_id <> 3 AND t.path = s.path)),
+         |mx AS (SELECT p.*, m.max_gen FROM planned p
+         |  JOIN lineage_max m ON p.cf = m.cf AND p.node_id = m.node_id AND p.shard_id = m.shard_id)
+         |SELECT cf, count(*) AS n_planned,
+         |  CAST(sum(CASE WHEN generation = max_gen THEN 1 ELSE 0 END) AS BIGINT) AS n_uploadable,
+         |  CAST(sum(CASE WHEN generation <> max_gen THEN 1 ELSE 0 END) AS BIGINT) AS n_vanished
+         |FROM mx GROUP BY cf ORDER BY cf""".stripMargin,
     "sync_lww_merge" ->
       """WITH cells AS (SELECT CAST(user_id % 50 AS BIGINT) AS row_key, value,
         |  CAST(ts AS TIMESTAMP) AS write_ts, event_id AS generation,

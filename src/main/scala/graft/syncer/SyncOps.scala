@@ -129,6 +129,28 @@ object SyncOps {
       .orderBy(col("cf"), col("node_id"), col("shard_id"))
   }
 
+  /** §2.1#69 — skip-vanished accounting (reference:
+    * `Uploader._performUpload` stats the file and silently skips on
+    * ENOENT — files compacted away between walk and upload). In set
+    * terms: upload-plan entries whose generation is no longer its
+    * lineage's maximum by the time the plan runs. Per-cf counts of
+    * uploadable vs vanished.
+    */
+  def syncSkipVanished(spark: SparkSession, dir: String): DataFrame = {
+    val lineageMax = FileInventory.durable(spark, dir)
+      .groupBy(col("cf"), col("node_id"), col("shard_id"))
+      .agg(max(col("generation")).as("max_gen"))
+    val planned = FileInventory.durable(spark, dir)
+      .join(FileInventory.target(spark, dir).select(col("path")), Seq("path"), "left_anti")
+    planned
+      .join(lineageMax, Seq("cf", "node_id", "shard_id"))
+      .groupBy(col("cf"))
+      .agg(count(lit(1)).as("n_planned"),
+        sum(when(col("generation") === col("max_gen"), 1L).otherwise(0L)).as("n_uploadable"),
+        sum(when(col("generation") =!= col("max_gen"), 1L).otherwise(0L)).as("n_vanished"))
+      .orderBy(col("cf"))
+  }
+
   /** §2.1#67 — last-write-wins merge with tombstones: the Cassandra
     * read/compaction semantic over the rows the synced SSTables
     * contain. Each event is a cell write (key = user bucket, value,
