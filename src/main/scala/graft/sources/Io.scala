@@ -25,6 +25,17 @@ object Io {
   def readInventoryPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed managed table: co-locates join keys at write time so
+    * later equi-joins on the bucket column need no exchange at all —
+    * the pre-shuffle pattern for repeatedly-joined 100 TB fact
+    * tables. (Bucket metadata lives in the session catalog; on a
+    * cluster this is the metastore.)
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 

@@ -5,6 +5,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import org.apache.spark.sql.types.StructType
 
+/** One cell write flowing through the CDC change feed. */
+case class CellWrite(row_key: Long, value: Double, write_us: Long,
+    generation: Long, tombstone: Boolean)
+
+/** A change-feed record: the transition one write caused. */
+case class ChangeRecord(row_key: Long, generation: Long,
+    old_value: Option[Double], new_value: Option[Double], kind: String)
+
 /** One upload attempt flowing through the streaming retry queue. */
 case class UploadAttempt(path: String, cf: String, requiredAttempts: Long)
 
@@ -79,6 +87,39 @@ object StreamWatcher {
           state.update(seen)
           val required = rows.headOption.map(_.requiredAttempts).getOrElse(1L)
           UploadOutcome(path, seen, if (seen >= required) "uploaded" else "retrying")
+      }
+  }
+
+  /** CDC change feed over the cell-write stream (the "real-time CDC"
+    * face of the sync domain): per row key, every write is turned
+    * into an insert/update/delete change record against the carried
+    * state, with writes applied in (timestamp, generation) order —
+    * the streaming twin of `SyncOps.syncLwwMerge`'s batch view.
+    */
+  def changeFeed(stream: DataFrame): Dataset[ChangeRecord] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val cells = stream.select(
+      (col("user_id") % 50).cast("long").as("row_key"),
+      col("value"),
+      unix_micros(col("ts")).as("write_us"),
+      col("event_id").as("generation"),
+      (col("event_type") === "error").as("tombstone")).as[CellWrite]
+    cells.groupByKey(_.row_key)
+      .flatMapGroupsWithState[Option[Double], ChangeRecord](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) { (key, batch, state: GroupState[Option[Double]]) =>
+        var current = state.getOption.flatten
+        val out = batch.toSeq.sortBy(w => (w.write_us, w.generation)).map { w =>
+          val old = current
+          val (next, kind) =
+            if (w.tombstone) (None, if (old.isDefined) "delete" else "noop_delete")
+            else (Some(w.value), if (old.isDefined) "update" else "insert")
+          current = next
+          ChangeRecord(key, w.generation, old, next, kind)
+        }
+        state.update(Some(current).flatten)
+        out.iterator
       }
   }
 

@@ -35,4 +35,22 @@ class SourcesSpec extends GraftSpec {
     assert(csv.schema === live.schema)
     assert(json.exceptAll(live).count() === 0)
   }
+
+  test("bucketed tables join without any exchange") {
+    Io.writeBucketed(graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity")), "li_b", "l_orderkey", 8)
+    Io.writeBucketed(graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")), "ord_b", "o_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      joined.write.format("noop").mode("overwrite").save()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n${plan.take(2000)}")
+      assert(joined.count() === graft.sources.Tables.lineitem(spark, sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -72,4 +72,25 @@ class StreamingSpec extends GraftSpec {
       assert(n === graft.sources.Tables.events(spark, sf).count())
     } finally q.stop()
   }
+
+  test("CDC change feed: one record per write; final state matches batch LWW merge") {
+    val q = StreamWatcher.changeFeed(StreamWatcher.eventStream(spark, sf))
+      .writeStream.outputMode("append").format("memory").queryName("cdc").start()
+    try {
+      q.processAllAvailable()
+      val changes = spark.table("cdc")
+      assert(changes.count() === graft.sources.Tables.events(spark, sf).count())
+      // replaying the change log yields the batch LWW view
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("row_key")).orderBy(col("generation").desc)
+      val finalState = changes
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") === 1 && col("new_value").isNotNull)
+        .select(col("row_key"), col("new_value"))
+      val lww = graft.syncer.SyncOps.syncLwwMerge(spark, sf)
+        .select(col("row_key"), col("latest_value").as("new_value"))
+      assert(finalState.exceptAll(lww).count() === 0)
+      assert(lww.exceptAll(finalState).count() === 0)
+    } finally q.stop()
+  }
 }
