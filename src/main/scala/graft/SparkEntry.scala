@@ -55,6 +55,7 @@ object SparkEntry {
     "q_sample_hash" -> (Relational.qSampleHash(_, _)),
     "q_set_ops" -> (Relational.qSetOps(_, _)),
     "q_scalar_subquery" -> (Relational.qScalarSubquery(_, _)),
+    "q_histogram" -> (Relational.qHistogram(_, _)),
     "q10_returns" -> (Relational.q10Returns(_, _)),
     "q_full_outer" -> (Relational.qFullOuter(_, _)),
     "q_date_parts" -> (Relational.qDateParts(_, _)),
@@ -431,6 +432,11 @@ object SparkEntry {
          |  CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
          |  CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max
          |FROM c ORDER BY vec_id""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS bucket_total
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_cube" ->
       """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
         |  CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,

@@ -341,6 +341,19 @@ object Relational {
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
       .orderBy(col("p_partkey"))
 
+  /** §2.2#72 — fixed-width histogram over order totals: bucket
+    * arithmetic is plain floor division (identical in every engine,
+    * unlike width_bucket variants), partial-agg counts.
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(least(floor(col("o_totalprice") / 50000), lit(9)).cast("long").as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        dollars(sum(cents(col("o_totalprice"))), 100.0).as("bucket_total"))
+      .orderBy(col("bucket"))
+
   /** Skew-resistant join: the fact side keeps a deterministic salt,
     * the dimension side is exploded across all salt replicas, the join
     * runs on (key, salt) so one hot key spreads over `salts`
