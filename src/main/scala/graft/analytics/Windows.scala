@@ -21,10 +21,7 @@ object Windows {
     * ROWS unbounded-preceding..current over a unique ordering, which
     * both Spark and DuckDB evaluate identically.
     */
-  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .filter(col("l_suppkey") <= 5)
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -39,7 +36,6 @@ object Windows {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("l_suppkey"), col("rn"), col("ship_date"), col("net_e4"), col("running_net_e4"))
       .orderBy(col("l_suppkey"), col("rn"))
-  }
 
   /** Top-3 parts by revenue within each brand: partial-agg then a
     * rank window over the (brand) partition; ties broken by partkey so
@@ -60,8 +56,7 @@ object Windows {
     * bounded key range to keep the verify dump small; the plan shape
     * is identical at any scale.
     */
-  def qWindowLag(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+  def qWindowLag(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .filter(col("o_custkey") <= 100)
       .select(col("o_custkey"), col("o_orderkey"), to_date(col("o_orderdate")).as("order_date"))
@@ -69,7 +64,6 @@ object Windows {
         Window.partitionBy(col("o_custkey")).orderBy(col("order_date"), col("o_orderkey"))))
       .withColumn("gap_days", datediff(col("order_date"), col("prev_date")).cast("long"))
       .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
-  }
 
   /** Event sessionization with a 30-minute inactivity gap: lag →
     * boundary flag → running sum = session id, then per-user session
