@@ -93,4 +93,33 @@ class StreamingSpec extends GraftSpec {
       assert(lww.exceptAll(finalState).count() === 0)
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches the batch range join semantics") {
+    import org.apache.spark.sql.functions.expr
+    val purchases = StreamWatcher.eventStream(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts").as("p_ts")).withWatermark("p_ts", "1 hour")
+    val clicks = StreamWatcher.eventStream(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts")).withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      expr("p_user = c_user AND c_ts >= p_ts - interval 30 minutes AND c_ts <= p_ts"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ss_join").count()
+      // batch twin
+      val ev = graft.sources.Tables.events(spark, sf)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val batch = p.join(c, expr("p_user = c_user AND c_ts >= p_ts - interval 30 minutes AND c_ts <= p_ts")).count()
+      assert(streamed === batch)
+      assert(streamed > 0)
+    } finally q.stop()
+  }
 }
