@@ -128,6 +128,46 @@ object Dedup {
       .distinct()
   }
 
+  /** §2.3#73 — duplicate-cluster collapse: connected components over
+    * a candidate-pair edge list by iterative min-label propagation
+    * (each node adopts the smallest label in its neighborhood until
+    * fixpoint). Input: (doc_a, doc_b) pairs; output: (doc_id,
+    * cluster_id) where cluster_id is the smallest doc_id reachable.
+    * Each iteration is one shuffle on node id — the standard
+    * large-graph CC layout (label propagation, no driver-side graph).
+    * maxIter bounds the diameter walked; near-dup clusters are
+    * shallow so a handful of rounds converges.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .cache()
+    val nodes = edges.select(col("src").as("doc_id")).distinct()
+    var labels = nodes.withColumn("cluster_id", col("doc_id")).cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // smallest label among self and neighbors
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst_id"), col("dst") === col("dst_id"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster_id")).as("neighbor_min"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old_id"), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old_id")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   // ---- n-gram Jaccard ----
 
   /** §2.3#30 — n-gram Jaccard similarity inside blocking buckets

@@ -85,4 +85,24 @@ class DedupSpec extends GraftSpec {
       assert(r.getAs[Double]("cos") >= 0.35)
     }
   }
+
+  test("connected components collapse candidate pairs into clusters") {
+    import spark.implicits._
+    // chain 1-2, 2-3; separate pair 10-11; isolated 20 is absent (no edges)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) === 1L && cc(2L) === 1L && cc(3L) === 1L)
+    assert(cc(10L) === 10L && cc(11L) === 10L)
+    assert(!cc.contains(20L))
+  }
+
+  test("connected components on the real candidate pairs assign each doc one cluster") {
+    val pairs = Dedup.minhashCandidatePairs(spark, dupDir)
+    val cc = Dedup.connectedComponents(pairs)
+    assert(cc.groupBy("doc_id").count().filter(org.apache.spark.sql.functions.col("count") > 1).count() === 0)
+    val clusters = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 0,1,2,4 form one near-dup family → same cluster, rooted at 0
+    assert(Set(0L, 1L, 2L, 4L).flatMap(clusters.get).forall(_ === 0L))
+  }
 }

@@ -56,4 +56,20 @@ class RelationalSpec extends GraftSpec {
       assert(math.abs(approx(k) - n).toDouble / n < 0.1, s"$k: exact=$n approx=${approx(k)}")
     }
   }
+
+  test("typed Aggregator matches the untyped aggregation") {
+    import spark.implicits._
+    import graft.analytics.{EventRow, TypedAggs}
+    val typed = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value")).as[EventRow]
+      .groupByKey(_.user_id)
+      .agg(TypedAggs.userStats)
+      .collect().map { case (u, s) => u -> ((s.n_events, s.n_purchases, math.round(s.total_value * 100))) }.toMap
+    val untyped = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"),
+        sum(col("value")).as("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), math.round(r.getDouble(3) * 100)))).toMap
+    assert(typed === untyped)
+  }
 }
