@@ -37,6 +37,7 @@ object SparkEntry {
     "sync_manifest_diff" -> ((s, d) => SyncOps.syncManifestDiff(s, d)),
     "sync_lww_merge" -> (SyncOps.syncLwwMerge(_, _)),
     "sync_skip_vanished" -> (SyncOps.syncSkipVanished(_, _)),
+    "sync_path_parse" -> (SyncOps.syncPathParse(_, _)),
     // §2.2 relational core
     "q1_agg" -> (Relational.q1Agg(_, _)),
     "q3_topn_join" -> (Relational.q3TopnJoin(_, _)),
@@ -56,6 +57,7 @@ object SparkEntry {
     "q_set_ops" -> (Relational.qSetOps(_, _)),
     "q_scalar_subquery" -> (Relational.qScalarSubquery(_, _)),
     "q_histogram" -> (Relational.qHistogram(_, _)),
+    "q_correlated_agg" -> (Relational.qCorrelatedAgg(_, _)),
     "q10_returns" -> (Relational.q10Returns(_, _)),
     "q_full_outer" -> (Relational.qFullOuter(_, _)),
     "q_date_parts" -> (Relational.qDateParts(_, _)),
@@ -432,6 +434,25 @@ object SparkEntry {
          |  CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
          |  CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max
          |FROM c ORDER BY vec_id""".stripMargin,
+    "q_correlated_agg" ->
+      """WITH w AS (SELECT o_orderpriority, o_totalprice,
+        |  avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_above_avg,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS above_total
+        |FROM w WHERE o_totalprice > cust_avg
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "sync_path_parse" ->
+      s"""WITH $invCte,
+         |parsed AS (SELECT cf, node_id, generation, is_temp, path,
+         |  regexp_extract(path, '^ks1/([a-z]+)/', 1) AS cf_parsed,
+         |  CAST(regexp_extract(path, '/node([0-9]+)/', 1) AS BIGINT) AS node_parsed,
+         |  CAST(regexp_extract(path, '/na-([0-9]+)', 1) AS BIGINT) AS gen_parsed,
+         |  contains(path, '-tmp-') AS temp_parsed FROM inv)
+         |SELECT cf, count(*) AS n_paths,
+         |  CAST(sum(CASE WHEN cf_parsed = cf AND node_parsed = node_id
+         |    AND gen_parsed = generation AND temp_parsed = is_temp
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok
+         |FROM parsed GROUP BY cf ORDER BY cf""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
         |  count(*) AS n_orders,

@@ -354,6 +354,23 @@ object Relational {
         dollars(sum(cents(col("o_totalprice"))), 100.0).as("bucket_total"))
       .orderBy(col("bucket"))
 
+  /** §2.2#75 — correlated aggregate (orders above their own
+    * customer's average) rewritten as a window: the scalable form of
+    * `price > (SELECT avg(...) WHERE custkey = outer.custkey)` — one
+    * shuffle on the correlation key instead of a re-executed
+    * subquery.
+    */
+  def qCorrelatedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+    Tables.orders(spark, dir)
+      .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above_avg"),
+        dollars(sum(cents(col("o_totalprice"))), 100.0).as("above_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Skew-resistant join: the fact side keeps a deterministic salt,
     * the dimension side is exploded across all salt replicas, the join
     * runs on (key, salt) so one hot key spreads over `salts`

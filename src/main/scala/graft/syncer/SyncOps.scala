@@ -129,6 +129,28 @@ object SyncOps {
       .orderBy(col("cf"), col("node_id"), col("shard_id"))
   }
 
+  /** §2.1#76 — path parsing round-trip: recover cf/node/generation
+    * from the object path by regex and prove the parse agrees with
+    * the stored columns — the ingestion-side validation a real
+    * restore tool runs against bucket listings.
+    */
+  def syncPathParse(spark: SparkSession, dir: String): DataFrame =
+    FileInventory.inventory(spark, dir)
+      .select(col("cf"), col("node_id"), col("generation"), col("is_temp"), col("path"))
+      .withColumn("cf_parsed", regexp_extract(col("path"), "^ks1/([a-z]+)/", 1))
+      .withColumn("node_parsed",
+        regexp_extract(col("path"), "/node([0-9]+)/", 1).cast("long"))
+      .withColumn("gen_parsed",
+        regexp_extract(col("path"), "/na-([0-9]+)", 1).cast("long"))
+      .withColumn("temp_parsed", col("path").contains("-tmp-"))
+      .groupBy(col("cf"))
+      .agg(count(lit(1)).as("n_paths"),
+        sum(when(col("cf_parsed") === col("cf") &&
+          col("node_parsed") === col("node_id") &&
+          col("gen_parsed") === col("generation") &&
+          col("temp_parsed") === col("is_temp"), 1L).otherwise(0L)).as("n_roundtrip_ok"))
+      .orderBy(col("cf"))
+
   /** §2.1#69 — skip-vanished accounting (reference:
     * `Uploader._performUpload` stats the file and silently skips on
     * ENOENT — files compacted away between walk and upload). In set
