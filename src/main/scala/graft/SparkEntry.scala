@@ -58,6 +58,9 @@ object SparkEntry {
     "q_scalar_subquery" -> (Relational.qScalarSubquery(_, _)),
     "q_histogram" -> (Relational.qHistogram(_, _)),
     "q_correlated_agg" -> (Relational.qCorrelatedAgg(_, _)),
+    "q_json_extract" -> (Relational.qJsonExtract(_, _)),
+    "q_minmax_by" -> (Relational.qMinmaxBy(_, _)),
+    "q_session_window" -> (Relational.qSessionWindow(_, _)),
     "q10_returns" -> (Relational.q10Returns(_, _)),
     "q_full_outer" -> (Relational.qFullOuter(_, _)),
     "q_date_parts" -> (Relational.qDateParts(_, _)),
@@ -434,6 +437,34 @@ object SparkEntry {
          |  CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
          |  CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max
          |FROM c ORDER BY vec_id""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+        |  count(DISTINCT k) AS n_distinct_k
+        |FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_minmax_by" ->
+      """WITH t AS (SELECT event_type, user_id,
+        |  CAST(round(value * 100) AS BIGINT) * 10000000 + event_id AS m FROM events)
+        |SELECT event_type, max_by(user_id, m) AS top_value_user,
+        |  min_by(user_id, m) AS bottom_value_user, count(*) AS n_events
+        |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged),
+        |per_sess AS (SELECT user_id, session_id, count(*) AS n_events FROM sess GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(max(n_events) AS BIGINT) AS max_session_events
+        |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_correlated_agg" ->
       """WITH w AS (SELECT o_orderpriority, o_totalprice,
         |  avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg FROM orders)

@@ -371,6 +371,54 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** §2.2#77 — JSON property extraction (`props` carries a JSON
+    * payload): parse once in the scan projection, aggregate the
+    * extracted field. At 100 TB the lesson is the shape: extraction
+    * lives in the codegen'd projection, never a UDF.
+    */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        countDistinct(col("k")).as("n_distinct_k"))
+      .orderBy(col("event_type"))
+
+  /** §2.2#78 — argmin/argmax aggregates: which user produced the
+    * extreme value per event type. The comparison key is made unique
+    * (value cents ⊕ event id) so the answer is deterministic in any
+    * engine.
+    */
+  def qMinmaxBy(spark: SparkSession, dir: String): DataFrame = {
+    val uniq = (cents(col("value")) * 10000000L + col("event_id")).as("m")
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"), uniq)
+      .groupBy(col("event_type"))
+      .agg(max_by(col("user_id"), col("m")).as("top_value_user"),
+        min_by(col("user_id"), col("m")).as("bottom_value_user"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  /** §2.2#79 — built-in session windows: Spark's `session_window`
+    * (30-minute gap) aggregated per user; the oracle reproduces the
+    * semantics with the portable lag→cumsum formulation, pinning the
+    * two definitions to each other.
+    */
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+
   /** Skew-resistant join: the fact side keeps a deterministic salt,
     * the dimension side is exploded across all salt replicas, the join
     * runs on (key, salt) so one hot key spreads over `salts`
