@@ -69,6 +69,7 @@ object SparkEntry {
     "q_window_topn" -> (Windows.qWindowTopn(_, _)),
     "q_window_lag" -> (Windows.qWindowLag(_, _)),
     "q_sessionize" -> (Windows.qSessionize(_, _)),
+    "q_rank_family" -> (Windows.qRankFamily(_, _)),
     "q_asof_join" -> (Temporal.qAsofJoin(_, _)),
     "q_range_join" -> (Temporal.qRangeJoin(_, _)),
     // §2.3 dedup
@@ -545,6 +546,15 @@ object SparkEntry {
         |  CAST(date_diff('day', lag(order_date, 1) OVER w, order_date) AS BIGINT) AS gap_days
         |FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY order_date, o_orderkey)
         |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+    "q_rank_family" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders WHERE o_custkey <= 50
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,

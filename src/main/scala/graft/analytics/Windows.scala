@@ -65,6 +65,23 @@ object Windows {
       .withColumn("gap_days", datediff(col("order_date"), col("prev_date")).cast("long"))
       .orderBy(col("o_custkey"), col("order_date"), col("o_orderkey"))
 
+  /** §2.2#80 — ranking-function family over a unique total order:
+    * dense_rank, ntile quartiles, percent_rank, cume_dist per
+    * customer-bounded slice.
+    */
+  def qRankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 50)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("drank", dense_rank().over(w).cast("long"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .orderBy(col("o_orderpriority"), col("o_orderkey"))
+  }
+
   /** Event sessionization with a 30-minute inactivity gap: lag →
     * boundary flag → running sum = session id, then per-user session
     * stats. Two window passes over the same (user_id, ts) shuffle —
