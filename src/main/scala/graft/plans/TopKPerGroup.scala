@@ -80,6 +80,48 @@ case class TopKPerGroupExec(
   override protected def withNewChildInternal(c: SparkPlan): SparkPlan = copy(child = c)
 }
 
+/** Optimizer rule (the injected-`Rule[LogicalPlan]` extension rung):
+  * rewrites the ubiquitous
+  * `withColumn("rn", row_number().over(partitionBy(..).orderBy(..)))
+  *  .filter(rn <= k).drop("rn")`
+  * pattern into [[TopKPerGroupPlan]] whenever the rank column is
+  * dropped afterwards — turning the full per-partition sort the
+  * window plan needs into the bounded-heap scan. Fires only on the
+  * exact shape (single row_number window expression, `rn <= lit` /
+  * `rn = 1` predicate, rank absent from the surviving projection), so
+  * it is semantics-preserving by construction.
+  */
+object RewriteWindowTopK extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window => WindowNode}
+
+  private def limitOf(cond: Expression, rankId: ExprId): Option[Int] = {
+    def isRank(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.exprId == rankId
+      case Cast(inner, _, _, _) => isRank(inner)
+      case _ => false
+    }
+    cond match {
+      case LessThanOrEqual(r, Literal(k: Int, _)) if isRank(r) => Some(k)
+      case LessThanOrEqual(r, Literal(k: Long, _)) if isRank(r) => Some(k.toInt)
+      case LessThan(r, Literal(k: Int, _)) if isRank(r) => Some(k - 1)
+      case EqualTo(r, Literal(1, _)) if isRank(r) => Some(1)
+      case EqualTo(r, Literal(1L, _)) if isRank(r) => Some(1)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(projList,
+        Filter(cond, WindowNode(Seq(al @ Alias(WindowExpression(_: RowNumber, _), _)),
+          partitionSpec, orderSpec, child, _)))
+        if limitOf(cond, al.exprId).exists(_ > 0) &&
+          projList.forall(e => e.references.subsetOf(child.outputSet)) =>
+      Project(projList,
+        TopKPerGroupPlan(partitionSpec, orderSpec, limitOf(cond, al.exprId).get, child))
+  }
+}
+
 object TopK {
 
   /** Top-k rows per group: the first k rows of each group in the

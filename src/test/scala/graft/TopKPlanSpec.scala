@@ -49,4 +49,25 @@ class TopKPlanSpec extends GraftSpec {
       .select(col("id")).collect().map(_.getLong(0)).toSet
     assert(top2 === Set(1L, 2L))
   }
+
+  test("RewriteWindowTopK turns the naive window-filter-drop pattern into the heap operator") {
+    import org.apache.spark.sql.expressions.Window
+    TopK.ensureRegistered(spark)
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val before = classic.experimental.extraOptimizations
+    try {
+      classic.experimental.extraOptimizations = before :+ graft.plans.RewriteWindowTopK
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("revenue").desc, col("p_partkey"))
+      val naive = revenue.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn")
+      val plan = naive.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup"), s"rule did not fire:\n${plan.take(2000)}")
+      // result identical to the un-rewritten run
+      classic.experimental.extraOptimizations = before
+      val reference = revenue.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn")
+      assert(naive.exceptAll(reference).count() === 0)
+      assert(naive.count() === reference.count())
+    } finally classic.experimental.extraOptimizations = before
+  }
 }
