@@ -70,6 +70,8 @@ object SparkEntry {
     "q_window_lag" -> (Windows.qWindowLag(_, _)),
     "q_sessionize" -> (Windows.qSessionize(_, _)),
     "q_rank_family" -> (Windows.qRankFamily(_, _)),
+    "q_moving_window" -> (Windows.qMovingWindow(_, _)),
+    "q_upsert_merge" -> (Relational.qUpsertMerge(_, _)),
     "q_asof_join" -> (Temporal.qAsofJoin(_, _)),
     "q_range_join" -> (Temporal.qRangeJoin(_, _)),
     // §2.3 dedup
@@ -546,6 +548,34 @@ object SparkEntry {
         |  CAST(date_diff('day', lag(order_date, 1) OVER w, order_date) AS BIGINT) AS gap_days
         |FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY order_date, o_orderkey)
         |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+    "q_moving_window" ->
+      s"""WITH $lpCte, daily AS (
+         |  SELECT l_suppkey,
+         |    CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS epoch_day,
+         |    CAST(sum(price_c * (100 - disc_c)) AS BIGINT) AS day_e4
+         |  FROM lp WHERE l_suppkey <= 5 GROUP BY 1, 2)
+         |SELECT l_suppkey, epoch_day, day_e4,
+         |  CAST(sum(day_e4) OVER (PARTITION BY l_suppkey ORDER BY epoch_day
+         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS move7_e4
+         |FROM daily ORDER BY l_suppkey, epoch_day""".stripMargin,
+    "q_upsert_merge" ->
+      """WITH cur AS (SELECT c_custkey AS key, c_mktsegment AS segment,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+        |upd AS (
+        |  SELECT c_custkey AS key, 'UPDATED' AS segment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) + 100000 AS bal_c
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS key, 'INSERTED' AS segment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |merged AS (SELECT COALESCE(u.key, c.key) AS key,
+        |  COALESCE(u.segment, c.segment) AS segment,
+        |  COALESCE(u.bal_c, c.bal_c) AS bal_c
+        |  FROM cur c FULL OUTER JOIN upd u ON c.key = u.key)
+        |SELECT segment, count(*) AS n_rows,
+        |  CAST(sum(bal_c) AS DOUBLE) / 100.0 AS total_bal
+        |FROM merged GROUP BY segment ORDER BY segment""".stripMargin,
     "q_rank_family" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  CAST(dense_rank() OVER w AS BIGINT) AS drank,

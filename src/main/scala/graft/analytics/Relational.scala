@@ -419,6 +419,36 @@ object Relational {
         max(col("n_events")).as("max_session_events"))
       .orderBy(col("user_id"))
 
+  /** §2.2#83 — MERGE/upsert semantics without a table format:
+    * current dim ⟗ incoming changes, change rows win, inserts append
+    * — the declarative core of `MERGE INTO`. Changes are derived
+    * deterministically (every 7th customer re-balanced, every 13th a
+    * new row) and the merged view is aggregated per segment for a
+    * compact oracle.
+    */
+  def qUpsertMerge(spark: SparkSession, dir: String): DataFrame = {
+    val current = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("key"), col("c_mktsegment").as("segment"),
+        cents(col("c_acctbal")).as("bal_c"))
+    val changes = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("key"), lit("UPDATED").as("segment"),
+        (cents(col("c_acctbal")) + 100000L).as("bal_c"))
+      .unionByName(Tables.customer(spark, dir)
+        .filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000L).as("key"), lit("INSERTED").as("segment"),
+          cents(col("c_acctbal")).as("bal_c")))
+    val merged = current.withColumnRenamed("key", "c_key").as("cur")
+      .join(changes.withColumnRenamed("key", "u_key").as("upd"),
+        col("c_key") === col("u_key"), "full_outer")
+      .select(coalesce(col("u_key"), col("c_key")).as("key"),
+        coalesce(col("upd.segment"), col("cur.segment")).as("segment"),
+        coalesce(col("upd.bal_c"), col("cur.bal_c")).as("bal_c"))
+    merged.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_rows"), dollars(sum(col("bal_c")), 100.0).as("total_bal"))
+      .orderBy(col("segment"))
+  }
+
   /** Skew-resistant join: the fact side keeps a deterministic salt,
     * the dimension side is exploded across all salt replicas, the join
     * runs on (key, salt) so one hot key spreads over `salts`

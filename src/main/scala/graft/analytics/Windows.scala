@@ -82,6 +82,25 @@ object Windows {
       .orderBy(col("o_orderpriority"), col("o_orderkey"))
   }
 
+  /** §2.2#82 — moving RANGE-frame aggregate: 7-day rolling net
+    * revenue per supplier over daily pre-aggregates. RANGE frames on
+    * integer epoch days (not ROWS — days can be missing) after a
+    * partial daily rollup, so the window input is bounded by
+    * suppliers × days, not line items.
+    */
+  def qMovingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 5)
+      .groupBy(col("l_suppkey"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("epoch_day"))
+      .agg(sum(netE4).as("day_e4"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("epoch_day"))
+      .rangeBetween(-6, 0)
+    daily.withColumn("move7_e4", sum(col("day_e4")).over(w))
+      .orderBy(col("l_suppkey"), col("epoch_day"))
+  }
+
   /** Event sessionization with a 30-minute inactivity gap: lag →
     * boundary flag → running sum = session id, then per-user session
     * stats. Two window passes over the same (user_id, ts) shuffle —
