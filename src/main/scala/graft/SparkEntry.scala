@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{Relational, Temporal, Windows}
+import graft.analytics.{EventAnalytics, Relational, Temporal, Windows}
 import graft.dedup.Dedup
 import graft.multimodal.Media
 import graft.similarity.Ann
@@ -72,6 +72,9 @@ object SparkEntry {
     "q_rank_family" -> (Windows.qRankFamily(_, _)),
     "q_moving_window" -> (Windows.qMovingWindow(_, _)),
     "q_upsert_merge" -> (Relational.qUpsertMerge(_, _)),
+    "q_zscore_outliers" -> (EventAnalytics.qZscoreOutliers(_, _)),
+    "q_retention_cohort" -> (EventAnalytics.qRetentionCohort(_, _)),
+    "q_funnel" -> (EventAnalytics.qFunnel(_, _)),
     "q_asof_join" -> (Temporal.qAsofJoin(_, _)),
     "q_range_join" -> (Temporal.qRangeJoin(_, _)),
     // §2.3 dedup
@@ -548,6 +551,41 @@ object SparkEntry {
         |  CAST(date_diff('day', lag(order_date, 1) OVER w, order_date) AS BIGINT) AS gap_days
         |FROM base WINDOW w AS (PARTITION BY o_custkey ORDER BY order_date, o_orderkey)
         |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+    "q_zscore_outliers" ->
+      """WITH stats AS (SELECT event_type, avg(value) AS mean_v, stddev(value) AS sd_v
+        |  FROM events GROUP BY event_type),
+        |z AS (SELECT e.event_type, abs((value - mean_v) / sd_v) AS absz
+        |  FROM events e JOIN stats s ON e.event_type = s.event_type)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN absz > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(max(absz), 4) AS max_abs_z
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_retention_cohort" ->
+      """WITH first_day AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, active_day) AS BIGINT) AS day_offset,
+        |  count(DISTINCT a.user_id) AS n_active
+        |FROM active a JOIN first_day f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS v_ts
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT e.user_id, v_ts,
+        |    min(CASE WHEN event_type = 'click' AND CAST(ts AS TIMESTAMP) >= v_ts
+        |        THEN CAST(ts AS TIMESTAMP) END) AS c_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id GROUP BY e.user_id, v_ts),
+        |p AS (SELECT e.user_id, v_ts, c_ts,
+        |    min(CASE WHEN event_type = 'purchase' AND CAST(ts AS TIMESTAMP) >= c_ts
+        |        THEN CAST(ts AS TIMESTAMP) END) AS p_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id GROUP BY e.user_id, v_ts, c_ts)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN v_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+        |  CAST(sum(CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+        |  CAST(sum(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after_click
+        |FROM p""".stripMargin,
     "q_moving_window" ->
       s"""WITH $lpCte, daily AS (
          |  SELECT l_suppkey,

@@ -1,0 +1,71 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Product/event analytics operators (SURVEY.md §2.2 #84–86) — the
+  * standard telemetry battery: outlier detection, cohort retention,
+  * ordered funnels. All shapes are partial-agg + broadcast joins on
+  * bounded keys (event types, cohort days, users).
+  */
+object EventAnalytics {
+
+  /** §2.2#84 — z-score outliers per event type: per-type moments are
+    * tiny and broadcast back over the scan; only counts and the
+    * rounded max |z| leave the aggregation.
+    */
+  def qZscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mean_v"), stddev(col("value")).as("sd_v"))
+    Tables.events(spark, dir)
+      .join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"),
+        abs((col("value") - col("mean_v")) / col("sd_v")).as("absz"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("absz") > 3, 1L).otherwise(0L)).as("n_outliers"),
+        round(max(col("absz")), 4).as("max_abs_z"))
+      .orderBy(col("event_type"))
+  }
+
+  /** §2.2#85 — cohort retention: users grouped by first-seen day,
+    * distinct actives per (cohort day, day offset). Bounded output
+    * (days²), two shuffles (per-user min, then the cohort rollup).
+    */
+  def qRetentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val firstDay = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("active_day")).distinct()
+      .join(broadcast(firstDay), Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("active_day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** §2.2#86 — ordered funnel view→click→purchase: each stage's
+    * earliest qualifying timestamp feeds the next stage's predicate
+    * (strictly sequenced, not mere co-occurrence). Three
+    * partial-aggregated passes over the events scan; one summary row.
+    */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val v = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("v_ts"))
+    val c = ev.join(broadcast(v), Seq("user_id"))
+      .groupBy(col("user_id"), col("v_ts"))
+      .agg(min(when(col("event_type") === "click" && col("ts") >= col("v_ts"), col("ts"))).as("c_ts"))
+    val p = ev.join(broadcast(c.select(col("user_id"), col("v_ts"), col("c_ts"))), Seq("user_id"))
+      .groupBy(col("user_id"), col("v_ts"), col("c_ts"))
+      .agg(min(when(col("event_type") === "purchase" && col("ts") >= col("c_ts"), col("ts"))).as("p_ts"))
+    p.agg(count(lit(1)).as("n_users"),
+        sum(when(col("v_ts").isNotNull, 1L).otherwise(0L)).as("n_viewed"),
+        sum(when(col("c_ts").isNotNull, 1L).otherwise(0L)).as("n_clicked_after_view"),
+        sum(when(col("p_ts").isNotNull, 1L).otherwise(0L)).as("n_purchased_after_click"))
+  }
+}
