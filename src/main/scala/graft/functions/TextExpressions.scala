@@ -156,7 +156,60 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Winnowing fingerprint set: md5 each k-gram character window, take
+  * the minimum hash of every w-window of consecutive k-grams
+  * (monotonic-deque sliding minimum — O(n), no per-window slices),
+  * return the distinct selected hashes sorted ascending. Semantics of
+  * [[graft.text.TextAnalysis.textWinnowing]]'s portable form.
+  */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val n = text.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = Digests.threadMd5.get()
+    val hashes = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      hashes(i) = new String(Digests.md5Hex(md,
+        text.substring(i, i + k).getBytes(StandardCharsets.UTF_8)))
+      i += 1
+    }
+    val selected = new java.util.TreeSet[String]()
+    if (n < w) {
+      // fewer k-grams than the window width: no complete window, no
+      // fingerprints (matches the portable sequence(1, m-w+1) form)
+    } else {
+      // monotonic deque of candidate indices, increasing hash order
+      val deque = new java.util.ArrayDeque[Int]()
+      var j = 0
+      while (j < n) {
+        while (!deque.isEmpty && hashes(deque.peekLast()).compareTo(hashes(j)) >= 0)
+          deque.pollLast()
+        deque.addLast(j)
+        if (deque.peekFirst() <= j - w) deque.pollFirst()
+        if (j >= w - 1) selected.add(hashes(deque.peekFirst()))
+        j += 1
+      }
+    }
+    val out = new Array[Any](selected.size)
+    val it = selected.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextFunctions {
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
+    Shim.toColumn(WinnowFingerprints(Shim.toExpression(text), k, w))
+
   def simhash32(tokens: Column): Column =
     Shim.toColumn(SimHash32(Shim.toExpression(tokens)))
 

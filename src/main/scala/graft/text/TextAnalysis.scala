@@ -108,12 +108,10 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        expr(s"transform(sequence(1, length(text) - ${k - 1}), i -> md5(substring(text, i, $k)))").as("kg"))
-      .select(col("doc_id"),
-        expr(s"array_distinct(transform(sequence(1, size(kg) - ${w - 1}), j -> array_min(slice(kg, j, $w))))").as("fps"))
+        graft.functions.TextFunctions.winnow_fingerprints(col("text"), k, w).as("fps"))
       .select(col("doc_id"),
         size(col("fps")).cast("long").as("n_fingerprints"),
-        md5(concat_ws("", array_sort(col("fps")))).as("fp_digest"))
+        md5(concat_ws("", col("fps"))).as("fp_digest"))
       .orderBy(col("doc_id"))
   }
 

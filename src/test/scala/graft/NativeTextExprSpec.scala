@@ -44,4 +44,19 @@ class NativeTextExprSpec extends GraftSpec {
           size(array_union(col("a.ts"), col("b.ts"))).cast("double")).as("hof"))
     assert(pairs.filter(col("native") =!= col("hof")).count() === 0)
   }
+
+  test("winnow_fingerprints equals the portable slice/array_min formulation") {
+    import graft.functions.TextFunctions.winnow_fingerprints
+    val k = 8; val w = 4
+    val portable = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        expr(s"transform(sequence(1, length(text) - ${k - 1}), i -> md5(substring(text, i, $k)))").as("kg"))
+      .select(col("doc_id"),
+        expr(s"array_sort(array_distinct(transform(sequence(1, size(kg) - ${w - 1}), j -> array_min(slice(kg, j, $w)))))").as("fps_p"))
+    val native = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), winnow_fingerprints(col("text"), k, w).as("fps_n"))
+    val joined = native.join(portable, "doc_id")
+    assert(joined.filter(col("fps_n") =!= col("fps_p")).count() === 0)
+    assert(joined.count() === 500)
+  }
 }
