@@ -38,6 +38,7 @@ object SparkEntry {
     "sync_lww_merge" -> (SyncOps.syncLwwMerge(_, _)),
     "sync_skip_vanished" -> (SyncOps.syncSkipVanished(_, _)),
     "sync_path_parse" -> (SyncOps.syncPathParse(_, _)),
+    "sync_slot_schedule" -> ((s, d) => SyncOps.syncSlotSchedule(s, d)),
     // §2.2 relational core
     "q1_agg" -> (Relational.q1Agg(_, _)),
     "q3_topn_join" -> (Relational.q3TopnJoin(_, _)),
@@ -91,6 +92,7 @@ object SparkEntry {
     "vec_norms" -> (Ann.vecNorms(_, _)),
     "ann_ivf_assign" -> (Ann.annIvfAssign(_, _)),
     "vec_quantize" -> (Ann.vecQuantize(_, _)),
+    "ann_recall_at_k" -> (Ann.annRecallAtK(_, _)),
     // §2.5 text
     "text_tokens" -> (TextAnalysis.textTokens(_, _)),
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
@@ -285,6 +287,39 @@ object SparkEntry {
          |SELECT vec_id, label, c_id AS assigned_centroid, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
          |  FROM scored) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "sync_slot_schedule" ->
+      s"""WITH $invCte, $durCte,
+         |planned AS (SELECT * FROM dur s WHERE NOT EXISTS (
+         |  SELECT 1 FROM dur t WHERE t.generation % 3 <> 0 AND t.node_id <> 3 AND t.path = s.path))
+         |SELECT CAST(ascii(substr(md5(path), 1, 1)) % 4 AS BIGINT) AS slot,
+         |  count(*) AS n_files,
+         |  CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+         |  max(size_bytes) AS max_bytes
+         |FROM planned GROUP BY 1 ORDER BY slot""".stripMargin,
+    "ann_recall_at_k" ->
+      s"""WITH $embCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+         |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 5),
+         |bf AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY round(list_cosine_similarity(qv, v), 4) DESC, vec_id) AS rn
+         |  FROM c CROSS JOIN q) WHERE rn <= 5),
+         |eb AS (SELECT vec_id, v,
+         |  (CASE WHEN v[1] > 0 THEN '1' ELSE '0' END)
+         |  || (CASE WHEN v[2] > 0 THEN '1' ELSE '0' END)
+         |  || (CASE WHEN v[3] > 0 THEN '1' ELSE '0' END) AS bucket FROM e),
+         |lq AS (SELECT vec_id AS q_id, v AS qv, bucket FROM eb WHERE vec_id < 5),
+         |lc AS (SELECT vec_id, v, bucket FROM eb WHERE vec_id >= 5),
+         |lsh AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, lc.vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY round(list_cosine_similarity(qv, v), 4) DESC, lc.vec_id) AS rn
+         |  FROM lc JOIN lq ON lc.bucket = lq.bucket) WHERE rn <= 5),
+         |hits AS (SELECT l.q_id, count(*) AS n_hits FROM lsh l
+         |  JOIN bf ON l.q_id = bf.q_id AND l.vec_id = bf.vec_id GROUP BY l.q_id)
+         |SELECT q.q_id AS q_id, COALESCE(n_hits, 0) AS n_hits,
+         |  COALESCE(n_hits, 0) / 5 AS recall_at_5
+         |FROM (SELECT DISTINCT q_id FROM bf) q LEFT JOIN hits ON q.q_id = hits.q_id
+         |ORDER BY q.q_id""".stripMargin,
     "q1_agg" ->
       s"""WITH $lpCte
          |SELECT l_returnflag, l_linestatus,

@@ -151,6 +151,23 @@ object Ann {
       .orderBy(col("vec_id"))
   }
 
+  /** §2.4#88 — recall@5 of the LSH index against brute force: the
+    * built-in quality evaluation an ANN deployment runs after every
+    * index build. Hits = LSH results appearing in the exact top-5.
+    */
+  def annRecallAtK(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annBruteforceTopk(spark, dir).filter(col("rnk") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val approx = annLshTopk(spark, dir).select(col("q_id"), col("vec_id"))
+    val hits = approx.join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / lit(5)).as("recall_at_5"))
+      .orderBy(col("q_id"))
+  }
+
   /** One Lloyd iteration: assign every vector to its nearest centroid
     * (broadcast argmax, cosine) and recompute centroids as component
     * means of their members. Input/output centroid tables are

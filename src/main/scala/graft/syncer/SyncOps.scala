@@ -151,6 +151,22 @@ object SyncOps {
           col("temp_parsed") === col("is_temp"), 1L).otherwise(0L)).as("n_roundtrip_ok"))
       .orderBy(col("cf"))
 
+  /** §2.1#87 — upload slot scheduling (reference: `Uploader`'s
+    * `async.queue` with configurable concurrency): every planned
+    * upload is assigned a worker slot by a deterministic md5-derived
+    * hash of its path — embarrassingly parallel (no global ordering,
+    * unlike size-sorted binpacking) and stable across retries. Per-
+    * slot load accounting shows the balance.
+    */
+  def syncSlotSchedule(spark: SparkSession, dir: String, concurrency: Int = 4): DataFrame =
+    syncDiffUpload(spark, dir)
+      .withColumn("slot", (ascii(substring(md5(col("path")), 1, 1)) % concurrency).cast("long"))
+      .groupBy(col("slot"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("size_bytes")).as("total_bytes"),
+        max(col("size_bytes")).as("max_bytes"))
+      .orderBy(col("slot"))
+
   /** §2.1#69 — skip-vanished accounting (reference:
     * `Uploader._performUpload` stats the file and silently skips on
     * ENOENT — files compacted away between walk and upload). In set
