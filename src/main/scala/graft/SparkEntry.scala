@@ -86,6 +86,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash(_, _)),
     "dedup_embedding_cos" -> ((s, d) => Ann.dedupEmbeddingCos(s, d)),
     "dedup_minhash_by_lang" -> (Dedup.dedupMinhashByLang(_, _)),
+    "dedup_pipeline_verified" -> ((s, d) => Dedup.dedupPipelineVerified(s, d)),
     // §2.4 similarity
     "ann_bruteforce_topk" -> (Ann.annBruteforceTopk(_, _)),
     "ann_lsh_topk" -> (Ann.annLshTopk(_, _)),
@@ -691,6 +692,7 @@ object SparkEntry {
         |  FROM documents) WHERE doc_id = keeper ORDER BY doc_id""".stripMargin,
     "dedup_minhash_lsh" -> Dedup.minhashLshOracleSql,
     "dedup_minhash_by_lang" -> Dedup.minhashByLangOracleSql,
+    "dedup_pipeline_verified" -> Dedup.pipelineVerifiedOracleSql,
     "dedup_ngram_jaccard" ->
       s"""WITH $toksCte,
          |d AS (SELECT doc_id, lang,

@@ -228,6 +228,53 @@ object Dedup {
         (0 until MinhashK).map(k => element_at(col("sigs"), k + 1).as(s"sig$k")): _*)
       .orderBy(col("lang"))
 
+  /** §2.3#89 — the full near-dup pipeline in one plan: LSH candidate
+    * generation (linear band join) → exact Jaccard verification only
+    * on candidates. This is the production composition — the O(n²)
+    * verify work collapses to the candidate set the bands surface.
+    */
+  def dedupPipelineVerified(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val cand = minhashCandidatePairs(spark, dir)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_sort(array_distinct(tokensCol(col("text")))).as("tokset"))
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("tokset").as("ta")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("tokset").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard_sorted(col("ta"), col("tb")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB oracle for [[dedupPipelineVerified]]. */
+  def pipelineVerifiedOracleSql: String = {
+    val sigExprs = (0 until MinhashK).map { k =>
+      s"list_aggregate(list_transform(sh, x -> md5('$k|' || x)), 'min') AS sig$k"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until LshBands).map { b =>
+      val cat = (0 until 3).map(r => s"sig${3 * b + r}").mkString(" || ")
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band_idx, md5($cat) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+       |s AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS sh FROM t),
+       |sig AS (SELECT doc_id,
+       |  $sigExprs
+       |  FROM s),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+       |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |tok AS (SELECT doc_id, list_distinct(toks) AS tokset FROM t)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    round(CAST(len(list_filter(ta.tokset, x -> list_contains(tb.tokset, x))) AS DOUBLE)
+       |      / CAST(len(list_distinct(list_concat(ta.tokset, tb.tokset))) AS DOUBLE), 4) AS jaccard
+       |  FROM cand JOIN tok ta ON cand.doc_a = ta.doc_id
+       |    JOIN tok tb ON cand.doc_b = tb.doc_id)
+       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** DuckDB oracle for [[dedupMinhashByLang]]. */
   def minhashByLangOracleSql: String = {
     val sigExprs = (0 until MinhashK).map { k =>
