@@ -39,6 +39,7 @@ object SparkEntry {
     "sync_skip_vanished" -> (SyncOps.syncSkipVanished(_, _)),
     "sync_path_parse" -> (SyncOps.syncPathParse(_, _)),
     "sync_slot_schedule" -> ((s, d) => SyncOps.syncSlotSchedule(s, d)),
+    "sync_compaction_plan" -> (SyncOps.syncCompactionPlan(_, _)),
     // §2.2 relational core
     "q1_agg" -> (Relational.q1Agg(_, _)),
     "q3_topn_join" -> (Relational.q3TopnJoin(_, _)),
@@ -288,6 +289,13 @@ object SparkEntry {
          |SELECT vec_id, label, c_id AS assigned_centroid, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
          |  FROM scored) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "sync_compaction_plan" ->
+      s"""WITH $invCte, $durCte
+         |SELECT cf, CAST(length(CAST(size_bytes AS VARCHAR)) AS BIGINT) AS tier,
+         |  count(*) AS n_files,
+         |  CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
+         |  count(*) >= 4 AS needs_compaction
+         |FROM dur GROUP BY 1, 2 ORDER BY cf, tier""".stripMargin,
     "sync_slot_schedule" ->
       s"""WITH $invCte, $durCte,
          |planned AS (SELECT * FROM dur s WHERE NOT EXISTS (

@@ -151,6 +151,21 @@ object SyncOps {
           col("temp_parsed") === col("is_temp"), 1L).otherwise(0L)).as("n_roundtrip_ok"))
       .orderBy(col("cf"))
 
+  /** §2.1#90 — size-tiered compaction planning (the policy that
+    * produces the SSTable generations this whole domain syncs):
+    * durable files bucket into size tiers (decimal digit count —
+    * engine-portable, ~log10); any (cf, tier) holding 4+ files is a
+    * compaction candidate, exactly STCS's trigger shape.
+    */
+  def syncCompactionPlan(spark: SparkSession, dir: String): DataFrame =
+    FileInventory.durable(spark, dir)
+      .withColumn("tier", length(col("size_bytes").cast("string")).cast("long"))
+      .groupBy(col("cf"), col("tier"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("size_bytes")).as("total_bytes"),
+        (count(lit(1)) >= 4).as("needs_compaction"))
+      .orderBy(col("cf"), col("tier"))
+
   /** §2.1#87 — upload slot scheduling (reference: `Uploader`'s
     * `async.queue` with configurable concurrency): every planned
     * upload is assigned a worker slot by a deterministic md5-derived
