@@ -40,6 +40,7 @@ object SparkEntry {
     "sync_path_parse" -> (SyncOps.syncPathParse(_, _)),
     "sync_slot_schedule" -> ((s, d) => SyncOps.syncSlotSchedule(s, d)),
     "sync_compaction_plan" -> (SyncOps.syncCompactionPlan(_, _)),
+    "sync_daily_ingest" -> (SyncOps.syncDailyIngest(_, _)),
     // §2.2 relational core
     "q1_agg" -> (Relational.q1Agg(_, _)),
     "q3_topn_join" -> (Relational.q3TopnJoin(_, _)),
@@ -77,6 +78,8 @@ object SparkEntry {
     "q_zscore_outliers" -> (EventAnalytics.qZscoreOutliers(_, _)),
     "q_retention_cohort" -> (EventAnalytics.qRetentionCohort(_, _)),
     "q_funnel" -> (EventAnalytics.qFunnel(_, _)),
+    "q_having" -> (Relational.qHaving(_, _)),
+    "q_null_semantics" -> (Relational.qNullSemantics(_, _)),
     "q_asof_join" -> (Temporal.qAsofJoin(_, _)),
     "q_range_join" -> (Temporal.qRangeJoin(_, _)),
     // §2.3 dedup
@@ -95,6 +98,7 @@ object SparkEntry {
     "ann_ivf_assign" -> (Ann.annIvfAssign(_, _)),
     "vec_quantize" -> (Ann.vecQuantize(_, _)),
     "ann_recall_at_k" -> (Ann.annRecallAtK(_, _)),
+    "ann_label_separation" -> (Ann.annLabelSeparation(_, _)),
     // §2.5 text
     "text_tokens" -> (TextAnalysis.textTokens(_, _)),
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
@@ -329,6 +333,30 @@ object SparkEntry {
          |  COALESCE(n_hits, 0) / 5 AS recall_at_5
          |FROM (SELECT DISTINCT q_id FROM bf) q LEFT JOIN hits ON q.q_id = hits.q_id
          |ORDER BY q.q_id""".stripMargin,
+    "q_having" ->
+      """SELECT l_partkey, count(*) AS n_lines, sum(l_quantity) AS total_qty
+        |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 40
+        |ORDER BY l_partkey""".stripMargin,
+    "q_null_semantics" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |  count(nullif(o_orderstatus, 'P')) AS n_nonnull_np,
+        |  count(nullif(o_orderstatus, 'O')) AS n_nonnull_no,
+        |  CAST(sum(CASE WHEN nullif(o_orderstatus, 'P') IS NOT DISTINCT FROM nullif(o_orderstatus, 'O')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+        |  CAST(sum(CASE WHEN COALESCE(nullif(o_orderstatus, 'O'), 'X') = 'X'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "ann_label_separation" ->
+      s"""WITH $embCte
+         |SELECT a.label AS label, count(*) AS n_pairs,
+         |  round(avg(list_cosine_similarity(a.v, b.v)), 4) AS mean_within_cos
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |GROUP BY a.label ORDER BY label""".stripMargin,
+    "sync_daily_ingest" ->
+      s"""WITH $invCte, $durCte
+         |SELECT snap_date, cf, count(*) AS n_files,
+         |  CAST(sum(size_bytes) AS BIGINT) AS bytes
+         |FROM dur GROUP BY 1, 2 ORDER BY snap_date, cf""".stripMargin,
     "q1_agg" ->
       s"""WITH $lpCte
          |SELECT l_returnflag, l_linestatus,

@@ -449,6 +449,34 @@ object Relational {
       .orderBy(col("segment"))
   }
 
+  /** §2.2#91 — HAVING: post-aggregation predicate on the aggregate
+    * itself (parts appearing on 40+ order lines).
+    */
+  def qHaving(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("total_qty"))
+      .filter(col("n_lines") >= 40)
+      .orderBy(col("l_partkey"))
+
+  /** §2.2#92 — null-handling semantics: nulls derived via NULLIF,
+    * then COALESCE defaults, null-safe equality (`<=>` / IS NOT
+    * DISTINCT FROM), and null-aware counting — the exact corner
+    * semantics ports get wrong.
+    */
+  def qNullSemantics(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_np"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_no"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("status_np")).as("n_nonnull_np"),
+        count(col("status_no")).as("n_nonnull_no"),
+        sum(when(col("status_np") <=> col("status_no"), 1L).otherwise(0L)).as("n_nullsafe_eq"),
+        sum(when(coalesce(col("status_no"), lit("X")) === "X", 1L).otherwise(0L)).as("n_defaulted"))
+      .orderBy(col("o_orderpriority"))
+
   /** Skew-resistant join: the fact side keeps a deterministic salt,
     * the dimension side is exploded across all salt replicas, the join
     * runs on (key, salt) so one hot key spreads over `salts`

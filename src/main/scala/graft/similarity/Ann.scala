@@ -151,6 +151,21 @@ object Ann {
       .orderBy(col("vec_id"))
   }
 
+  /** §2.4#93 — label-separation diagnostic: mean within-label cosine
+    * per label (how clustered each class is) — the embedding-quality
+    * readout a training pipeline monitors. Pairs stay inside label
+    * blocks; the mean is rounded past double sum-order noise.
+    */
+  def annLabelSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"), cosine_sim(col("a.v"), col("b.v")).as("cos"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_pairs"), round(avg(col("cos")), 4).as("mean_within_cos"))
+      .orderBy(col("label"))
+  }
+
   /** §2.4#88 — recall@5 of the LSH index against brute force: the
     * built-in quality evaluation an ANN deployment runs after every
     * index build. Hits = LSH results appearing in the exact top-5.

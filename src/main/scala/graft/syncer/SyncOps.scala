@@ -151,6 +151,15 @@ object SyncOps {
           col("temp_parsed") === col("is_temp"), 1L).otherwise(0L)).as("n_roundtrip_ok"))
       .orderBy(col("cf"))
 
+  /** §2.1#94 — ingest-rate time series: files/bytes landing per day
+    * per cf — the monitoring view over the watch stream.
+    */
+  def syncDailyIngest(spark: SparkSession, dir: String): DataFrame =
+    FileInventory.durable(spark, dir)
+      .groupBy(col("snap_date"), col("cf"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size_bytes")).as("bytes"))
+      .orderBy(col("snap_date"), col("cf"))
+
   /** §2.1#90 — size-tiered compaction planning (the policy that
     * produces the SSTable generations this whole domain syncs):
     * durable files bucket into size tiers (decimal digit count —
