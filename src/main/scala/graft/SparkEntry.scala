@@ -99,6 +99,7 @@ object SparkEntry {
     "vec_quantize" -> (Ann.vecQuantize(_, _)),
     "ann_recall_at_k" -> (Ann.annRecallAtK(_, _)),
     "ann_label_separation" -> (Ann.annLabelSeparation(_, _)),
+    "vec_argmax" -> (Ann.vecArgmax(_, _)),
     // §2.5 text
     "text_tokens" -> (TextAnalysis.textTokens(_, _)),
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
@@ -346,6 +347,13 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN COALESCE(nullif(o_orderstatus, 'O'), 'X') = 'X'
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "vec_argmax" ->
+      s"""WITH $embCte
+         |SELECT vec_id,
+         |  CAST(list_position(v, list_aggregate(v, 'max')) AS BIGINT) AS argmax_pos,
+         |  CAST(list_position(v, list_aggregate(v, 'min')) AS BIGINT) AS argmin_pos,
+         |  CAST(len(v) AS BIGINT) AS dim
+         |FROM e ORDER BY vec_id""".stripMargin,
     "ann_label_separation" ->
       s"""WITH $embCte
          |SELECT a.label AS label, count(*) AS n_pairs,

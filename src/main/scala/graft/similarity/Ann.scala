@@ -166,6 +166,18 @@ object Ann {
       .orderBy(col("label"))
   }
 
+  /** §2.4#95 — array-position primitives: where each vector peaks
+    * and bottoms out (argmax/argmin over the component array).
+    */
+  def vecArgmax(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    e.select(col("vec_id"),
+        array_position(col("v"), array_max(col("v"))).as("argmax_pos"),
+        array_position(col("v"), array_min(col("v"))).as("argmin_pos"),
+        size(col("v")).cast("long").as("dim"))
+      .orderBy(col("vec_id"))
+  }
+
   /** §2.4#88 — recall@5 of the LSH index against brute force: the
     * built-in quality evaluation an ANN deployment runs after every
     * index build. Hits = LSH results appearing in the exact top-5.
