@@ -41,6 +41,7 @@ object SparkEntry {
     "sync_slot_schedule" -> ((s, d) => SyncOps.syncSlotSchedule(s, d)),
     "sync_compaction_plan" -> (SyncOps.syncCompactionPlan(_, _)),
     "sync_daily_ingest" -> (SyncOps.syncDailyIngest(_, _)),
+    "sync_generation_gaps" -> (SyncOps.syncGenerationGaps(_, _)),
     // §2.2 relational core
     "q1_agg" -> (Relational.q1Agg(_, _)),
     "q3_topn_join" -> (Relational.q3TopnJoin(_, _)),
@@ -80,6 +81,7 @@ object SparkEntry {
     "q_funnel" -> (EventAnalytics.qFunnel(_, _)),
     "q_having" -> (Relational.qHaving(_, _)),
     "q_null_semantics" -> (Relational.qNullSemantics(_, _)),
+    "q_median_abs_dev" -> (Relational.qMedianAbsDev(_, _)),
     "q_asof_join" -> (Temporal.qAsofJoin(_, _)),
     "q_range_join" -> (Temporal.qRangeJoin(_, _)),
     // §2.3 dedup
@@ -108,6 +110,7 @@ object SparkEntry {
     "text_ngram_stats" -> (TextAnalysis.textNgramStats(_, _)),
     "text_tfidf" -> (TextAnalysis.textTfidf(_, _)),
     "text_winnowing" -> ((s, d) => TextAnalysis.textWinnowing(s, d)),
+    "text_bigram_model" -> (TextAnalysis.textBigramModel(_, _)),
     // §2.6 multimodal
     "mm_ingest" -> (Media.mmIngest(_, _)),
     "mm_features" -> (Media.mmFeatures(_, _)),
@@ -334,6 +337,38 @@ object SparkEntry {
          |  COALESCE(n_hits, 0) / 5 AS recall_at_5
          |FROM (SELECT DISTINCT q_id FROM bf) q LEFT JOIN hits ON q.q_id = hits.q_id
          |ORDER BY q.q_id""".stripMargin,
+    "text_bigram_model" ->
+      s"""WITH $toksCte,
+         |bg AS (SELECT lang,
+         |  unnest(list_transform(range(1, len(toks)), i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+         |  FROM t),
+         |pairs AS (SELECT lang, b.w1 AS w1, b.w2 AS w2 FROM bg),
+         |bgc AS (SELECT lang, w1, w2, count(*) AS c_bg FROM pairs GROUP BY 1, 2, 3),
+         |pc AS (SELECT lang, w1, count(*) AS c_w1 FROM pairs GROUP BY 1, 2)
+         |SELECT lang, w1, w2, c_bg, c_w1, p_cond, rnk FROM (
+         |  SELECT bgc.lang AS lang, bgc.w1 AS w1, w2, c_bg, c_w1,
+         |    round(CAST(c_bg AS DOUBLE) / c_w1, 4) AS p_cond,
+         |    CAST(row_number() OVER (PARTITION BY bgc.lang
+         |      ORDER BY round(CAST(c_bg AS DOUBLE) / c_w1, 4) DESC, bgc.w1, w2) AS BIGINT) AS rnk
+         |  FROM bgc JOIN pc ON bgc.lang = pc.lang AND bgc.w1 = pc.w1
+         |  WHERE c_bg >= 20) WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin,
+    "q_median_abs_dev" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY event_type),
+        |d AS (SELECT e.event_type, abs(value - med) AS absdev
+        |  FROM events e JOIN med m ON e.event_type = m.event_type)
+        |SELECT event_type, round(quantile_cont(absdev, 0.5), 4) AS mad,
+        |  round(avg(absdev), 4) AS mean_abs_dev, count(*) AS n_events
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "sync_generation_gaps" ->
+      s"""WITH $invCte, $durCte,
+         |lin AS (SELECT cf, node_id, shard_id, count(*) AS n_files,
+         |  max(generation) - min(generation) + 1 - count(*) AS span_holes
+         |  FROM dur GROUP BY 1, 2, 3)
+         |SELECT cf, count(*) AS n_lineages,
+         |  CAST(sum(span_holes) AS BIGINT) AS total_holes,
+         |  max(span_holes) AS max_holes
+         |FROM lin GROUP BY cf ORDER BY cf""".stripMargin,
     "q_having" ->
       """SELECT l_partkey, count(*) AS n_lines, sum(l_quantity) AS total_qty
         |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 40

@@ -477,6 +477,24 @@ object Relational {
         sum(when(coalesce(col("status_no"), lit("X")) === "X", 1L).otherwise(0L)).as("n_defaulted"))
       .orderBy(col("o_orderpriority"))
 
+  /** §2.2#97 — robust dispersion: median absolute deviation around
+    * the per-type median (exact interpolated percentiles on both
+    * engines).
+    */
+  def qMedianAbsDev(spark: SparkSession, dir: String): DataFrame = {
+    val med = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    Tables.events(spark, dir)
+      .join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), abs(col("value") - col("med")).as("absdev"))
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(absdev, 0.5)"), 4).as("mad"),
+        round(avg(col("absdev")), 4).as("mean_abs_dev"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   /** Skew-resistant join: the fact side keeps a deterministic salt,
     * the dimension side is exploded across all salt replicas, the join
     * runs on (key, salt) so one hot key spreads over `salts`

@@ -151,6 +151,22 @@ object SyncOps {
           col("temp_parsed") === col("is_temp"), 1L).otherwise(0L)).as("n_roundtrip_ok"))
       .orderBy(col("cf"))
 
+  /** §2.1#98 — generation-gap integrity check: within each lineage's
+    * observed generation span, how many generations are missing (the
+    * "did every SSTable make it?" audit over bucket listings).
+    * Pure partial aggregation; exact integer arithmetic.
+    */
+  def syncGenerationGaps(spark: SparkSession, dir: String): DataFrame =
+    FileInventory.durable(spark, dir)
+      .groupBy(col("cf"), col("node_id"), col("shard_id"))
+      .agg(count(lit(1)).as("n_files"),
+        (max(col("generation")) - min(col("generation")) + 1 - count(lit(1))).as("span_holes"))
+      .groupBy(col("cf"))
+      .agg(count(lit(1)).as("n_lineages"),
+        sum(col("span_holes")).as("total_holes"),
+        max(col("span_holes")).as("max_holes"))
+      .orderBy(col("cf"))
+
   /** §2.1#94 — ingest-rate time series: files/bytes landing per day
     * per cf — the monitoring view over the watch stream.
     */

@@ -115,6 +115,35 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.5#96 — bigram language model: P(w2 | w1) for well-supported
+    * bigrams, top-3 per language by conditional probability. Two
+    * partial-agg shuffles (bigram counts, prefix counts) joined on
+    * the bounded (lang, word) key.
+    */
+  def textBigramModel(spark: SparkSession, dir: String): DataFrame = {
+    val toksDocs = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("lang"), tokensCol(col("text")).as("toks"))
+    val bigrams = toksDocs
+      .select(col("lang"), explode(transform(sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgCounts = bigrams.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bg"))
+    val prefixCounts = bigrams.groupBy(col("lang"), col("w1"))
+      .agg(count(lit(1)).as("c_w1"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("p_cond").desc, col("w1"), col("w2"))
+    bgCounts.join(prefixCounts, Seq("lang", "w1"))
+      .filter(col("c_bg") >= 20)
+      .withColumn("p_cond", round(col("c_bg").cast("double") / col("c_w1"), 4))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("lang"), col("w1"), col("w2"), col("c_bg"), col("c_w1"), col("p_cond"), col("rnk"))
+      .orderBy(col("lang"), col("rnk"))
+  }
+
   /** §2.5#52 — TF-IDF: top-5 terms per language by language-local
     * term frequency × corpus-global inverse document frequency.
     * Three partial-aggregated shuffles (tf by lang×word, df by word,
