@@ -79,6 +79,8 @@ object SparkEntry {
     "q_zscore_outliers" -> (EventAnalytics.qZscoreOutliers(_, _)),
     "q_retention_cohort" -> (EventAnalytics.qRetentionCohort(_, _)),
     "q_funnel" -> (EventAnalytics.qFunnel(_, _)),
+    "q_dow_profile" -> (EventAnalytics.qDowProfile(_, _)),
+    "q_correlation" -> (EventAnalytics.qCorrelation(_, _)),
     "q_having" -> (Relational.qHaving(_, _)),
     "q_null_semantics" -> (Relational.qNullSemantics(_, _)),
     "q_median_abs_dev" -> (Relational.qMedianAbsDev(_, _)),
@@ -111,6 +113,7 @@ object SparkEntry {
     "text_tfidf" -> (TextAnalysis.textTfidf(_, _)),
     "text_winnowing" -> ((s, d) => TextAnalysis.textWinnowing(s, d)),
     "text_bigram_model" -> (TextAnalysis.textBigramModel(_, _)),
+    "text_token_len_hist" -> (TextAnalysis.textTokenLenHist(_, _)),
     // §2.6 multimodal
     "mm_ingest" -> (Media.mmIngest(_, _)),
     "mm_features" -> (Media.mmFeatures(_, _)),
@@ -369,6 +372,19 @@ object SparkEntry {
          |  CAST(sum(span_holes) AS BIGINT) AS total_holes,
          |  max(span_holes) AS max_holes
          |FROM lin GROUP BY cf ORDER BY cf""".stripMargin,
+    "q_dow_profile" ->
+      """SELECT CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7 AS BIGINT) AS dow,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY dow""".stripMargin,
+    "q_correlation" ->
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "text_token_len_hist" ->
+      s"""WITH $toksCte
+         |SELECT CAST(length(tok) AS BIGINT) AS tok_len, count(*) AS n_tokens
+         |FROM (SELECT unnest(toks) AS tok FROM t)
+         |GROUP BY 1 ORDER BY tok_len""".stripMargin,
     "q_having" ->
       """SELECT l_partkey, count(*) AS n_lines, sum(l_quantity) AS total_qty
         |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 40

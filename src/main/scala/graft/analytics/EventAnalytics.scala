@@ -48,6 +48,30 @@ object EventAnalytics {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** §2.2#99 — day-of-week seasonality, computed arithmetically from
+    * epoch days ((d+3) mod 7, 0=Monday) — immune to the engines'
+    * differing dayofweek/isodow conventions.
+    */
+  def qDowProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(((datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) + 3) % 7)
+        .cast("long").as("dow"), col("value"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("dow"))
+
+  /** §2.2#100 — Pearson correlation of quantity vs price per return
+    * flag (the engines share the corr definition; rounded past
+    * accumulation-order noise).
+    */
+  def qCorrelation(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_returnflag"))
+
   /** §2.2#86 — ordered funnel view→click→purchase: each stage's
     * earliest qualifying timestamp feeds the next stage's predicate
     * (strictly sequenced, not mere co-occurrence). Three

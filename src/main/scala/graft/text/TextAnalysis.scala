@@ -115,6 +115,17 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.5#101 — token-length histogram corpus-wide: the vocabulary
+    * shape diagnostic (explode → tiny bounded aggregate).
+    */
+  def textTokenLenHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(explode(tokensCol(col("text"))).as("tok"))
+      .groupBy(length(col("tok")).cast("long").as("tok_len"))
+      .agg(count(lit(1)).as("n_tokens"))
+      .orderBy(col("tok_len"))
+
   /** §2.5#96 — bigram language model: P(w2 | w1) for well-supported
     * bigrams, top-3 per language by conditional probability. Two
     * partial-agg shuffles (bigram counts, prefix counts) joined on
