@@ -377,7 +377,7 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY dow""".stripMargin,
     "q_correlation" ->
-      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS qty_price_corr,
         |  count(*) AS n_lines
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "text_token_len_hist" ->
@@ -408,7 +408,7 @@ object SparkEntry {
     "ann_label_separation" ->
       s"""WITH $embCte
          |SELECT a.label AS label, count(*) AS n_pairs,
-         |  round(avg(list_cosine_similarity(a.v, b.v)), 4) AS mean_within_cos
+         |  round(avg(list_cosine_similarity(a.v, b.v)), 4) + 0.0 AS mean_within_cos
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |GROUP BY a.label ORDER BY label""".stripMargin,
     "sync_daily_ingest" ->
