@@ -42,6 +42,7 @@ object SparkEntry {
     "sync_compaction_plan" -> (SyncOps.syncCompactionPlan(_, _)),
     "sync_daily_ingest" -> (SyncOps.syncDailyIngest(_, _)),
     "sync_generation_gaps" -> (SyncOps.syncGenerationGaps(_, _)),
+    "sync_restore_delta" -> ((s, d) => SyncOps.syncRestoreDelta(s, d)),
     // §2.2 relational core
     "q1_agg" -> (Relational.q1Agg(_, _)),
     "q3_topn_join" -> (Relational.q3TopnJoin(_, _)),
@@ -271,6 +272,21 @@ object SparkEntry {
         |FROM err JOIN ev ON e_user = ev.user_id
         |  AND ev.us > e_us - 300000000 AND ev.us <= e_us AND ev.event_id <> e_id
         |GROUP BY e_user, e_id ORDER BY user_id, event_id""".stripMargin,
+    "sync_restore_delta" ->
+      s"""WITH $invCte, $durCte,
+         |older AS (SELECT cf, node_id, shard_id, generation AS gen_old FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cf, node_id, shard_id
+         |                               ORDER BY generation DESC) AS rn
+         |  FROM dur WHERE snap_date <= DATE '2024-01-10') WHERE rn = 1),
+         |newer AS (SELECT cf, node_id, shard_id, generation, path, size_bytes FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cf, node_id, shard_id
+         |                               ORDER BY generation DESC) AS rn
+         |  FROM dur WHERE snap_date <= DATE '2024-01-20') WHERE rn = 1)
+         |SELECT n.cf, n.node_id, n.shard_id, n.generation, n.path, n.size_bytes
+         |FROM newer n LEFT JOIN older o
+         |  ON n.cf = o.cf AND n.node_id = o.node_id AND n.shard_id = o.shard_id
+         |WHERE o.gen_old IS NULL OR n.generation > o.gen_old
+         |ORDER BY n.cf, n.node_id, n.shard_id""".stripMargin,
     "sync_manifest_diff" ->
       s"""WITH $invCte, $durCte,
          |older AS (SELECT cf, node_id, shard_id, generation AS gen_old FROM (

@@ -207,6 +207,33 @@ object SyncOps {
         max(col("size_bytes")).as("max_bytes"))
       .orderBy(col("slot"))
 
+  /** §2.1#102 — incremental restore delta: the files a node holding
+    * state as of `fromDay` must actually fetch to reach `toDay` —
+    * the changed/added lineage heads only, never the unchanged ones
+    * (the reference's minimal-set restore applied incrementally).
+    */
+  def syncRestoreDelta(spark: SparkSession, dir: String,
+      fromDay: String = "2024-01-10", toDay: String = "2024-01-20"): DataFrame = {
+    def liveAt(day: String): DataFrame = {
+      val w = Window.partitionBy(col("cf"), col("node_id"), col("shard_id"))
+        .orderBy(col("generation").desc)
+      FileInventory.durable(spark, dir)
+        .filter(col("snap_date") <= lit(day).cast("date"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cf"), col("node_id"), col("shard_id"),
+          col("generation"), col("path"), col("size_bytes"))
+    }
+    val newer = liveAt(toDay)
+    val older = liveAt(fromDay)
+      .select(col("cf"), col("node_id"), col("shard_id"), col("generation").as("gen_old"))
+    newer.join(older, Seq("cf", "node_id", "shard_id"), "left_outer")
+      .filter(col("gen_old").isNull || col("generation") > col("gen_old"))
+      .select(col("cf"), col("node_id"), col("shard_id"),
+        col("generation"), col("path"), col("size_bytes"))
+      .orderBy(col("cf"), col("node_id"), col("shard_id"))
+  }
+
   /** §2.1#69 — skip-vanished accounting (reference:
     * `Uploader._performUpload` stats the file and silently skips on
     * ENOENT — files compacted away between walk and upload). In set
