@@ -43,6 +43,7 @@ object SparkEntry {
     "sync_daily_ingest" -> (SyncOps.syncDailyIngest(_, _)),
     "sync_generation_gaps" -> (SyncOps.syncGenerationGaps(_, _)),
     "sync_restore_delta" -> ((s, d) => SyncOps.syncRestoreDelta(s, d)),
+    "sync_replication_audit" -> (SyncOps.syncReplicationAudit(_, _)),
     // §2.2 relational core
     "q1_agg" -> (Relational.q1Agg(_, _)),
     "q3_topn_join" -> (Relational.q3TopnJoin(_, _)),
@@ -76,6 +77,8 @@ object SparkEntry {
     "q_sessionize" -> (Windows.qSessionize(_, _)),
     "q_rank_family" -> (Windows.qRankFamily(_, _)),
     "q_moving_window" -> (Windows.qMovingWindow(_, _)),
+    "q_window_first_last" -> (Windows.qWindowFirstLast(_, _)),
+    "q_growth_rate" -> (EventAnalytics.qGrowthRate(_, _)),
     "q_upsert_merge" -> (Relational.qUpsertMerge(_, _)),
     "q_zscore_outliers" -> (EventAnalytics.qZscoreOutliers(_, _)),
     "q_retention_cohort" -> (EventAnalytics.qRetentionCohort(_, _)),
@@ -388,6 +391,36 @@ object SparkEntry {
          |  CAST(sum(span_holes) AS BIGINT) AS total_holes,
          |  max(span_holes) AS max_holes
          |FROM lin GROUP BY cf ORDER BY cf""".stripMargin,
+    "q_window_first_last" ->
+      """WITH base AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate
+        |  FROM lineitem WHERE l_suppkey <= 20),
+        |fl AS (SELECT l_suppkey,
+        |  first_value(l_orderkey) OVER w AS first_order,
+        |  last_value(l_orderkey) OVER w AS last_order,
+        |  nth_value(l_orderkey, 2) OVER w AS second_order
+        |FROM base WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT l_suppkey, first_order, last_order, second_order, count(*) AS n_lines
+        |FROM fl GROUP BY 1, 2, 3, 4 ORDER BY l_suppkey""".stripMargin,
+    "q_growth_rate" ->
+      """WITH monthly AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mon, count(*) AS n_orders
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT yr, mon, n_orders,
+        |  lag(n_orders, 1) OVER w AS prev_n,
+        |  n_orders - lag(n_orders, 1) OVER w AS delta,
+        |  round(CAST(n_orders - lag(n_orders, 1) OVER w AS DOUBLE)
+        |    / lag(n_orders, 1) OVER w * 100, 4) + 0.0 AS pct_growth
+        |FROM monthly WINDOW w AS (ORDER BY yr, mon) ORDER BY yr, mon""".stripMargin,
+    "sync_replication_audit" ->
+      s"""WITH $invCte, $durCte,
+         |sh AS (SELECT cf, shard_id, count(DISTINCT node_id) AS n_nodes, count(*) AS n_files
+         |  FROM dur GROUP BY 1, 2)
+         |SELECT cf, count(*) AS n_shards,
+         |  CAST(min(n_nodes) AS BIGINT) AS min_replication,
+         |  CAST(max(n_nodes) AS BIGINT) AS max_replication
+         |FROM sh GROUP BY cf ORDER BY cf""".stripMargin,
     "q_dow_profile" ->
       """SELECT CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7 AS BIGINT) AS dow,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value

@@ -48,6 +48,23 @@ object EventAnalytics {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** §2.2#104 — month-over-month growth: monthly order volume with
+    * lag-based deltas and percentage growth.
+    */
+  def qGrowthRate(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mon"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("yr"), col("mon"))
+    monthly
+      .withColumn("prev_n", lag(col("n_orders"), 1).over(w))
+      .withColumn("delta", (col("n_orders") - col("prev_n")))
+      .withColumn("pct_growth",
+        round((col("n_orders") - col("prev_n")).cast("double") / col("prev_n") * 100, 4))
+      .orderBy(col("yr"), col("mon"))
+  }
+
   /** §2.2#99 — day-of-week seasonality, computed arithmetically from
     * epoch days ((d+3) mod 7, 0=Monday) — immune to the engines'
     * differing dayofweek/isodow conventions.

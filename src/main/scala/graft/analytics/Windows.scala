@@ -82,6 +82,25 @@ object Windows {
       .orderBy(col("o_orderpriority"), col("o_orderkey"))
   }
 
+  /** §2.2#103 — first/last/nth window values over the whole
+    * partition (full frame, unique ordering): each supplier's first,
+    * last, and second order lines by ship date.
+    */
+  def qWindowFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val frame = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 20)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      .withColumn("first_order", first(col("l_orderkey")).over(frame))
+      .withColumn("last_order", last(col("l_orderkey")).over(frame))
+      .withColumn("second_order", nth_value(col("l_orderkey"), 2).over(frame))
+      .groupBy(col("l_suppkey"), col("first_order"), col("last_order"), col("second_order"))
+      .agg(count(lit(1)).as("n_lines"))
+      .orderBy(col("l_suppkey"))
+  }
+
   /** §2.2#82 — moving RANGE-frame aggregate: 7-day rolling net
     * revenue per supplier over daily pre-aggregates. RANGE frames on
     * integer epoch days (not ROWS — days can be missing) after a

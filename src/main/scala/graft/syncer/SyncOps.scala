@@ -207,6 +207,21 @@ object SyncOps {
         max(col("size_bytes")).as("max_bytes"))
       .orderBy(col("slot"))
 
+  /** §2.1#105 — replication-factor audit: on how many nodes each
+    * (cf, shard) lineage is materialized — the "is every shard
+    * replicated where it should be" check over the synced inventory.
+    */
+  def syncReplicationAudit(spark: SparkSession, dir: String): DataFrame =
+    FileInventory.durable(spark, dir)
+      .groupBy(col("cf"), col("shard_id"))
+      .agg(countDistinct(col("node_id")).as("n_nodes"),
+        count(lit(1)).as("n_files"))
+      .groupBy(col("cf"))
+      .agg(count(lit(1)).as("n_shards"),
+        min(col("n_nodes")).as("min_replication"),
+        max(col("n_nodes")).as("max_replication"))
+      .orderBy(col("cf"))
+
   /** §2.1#102 — incremental restore delta: the files a node holding
     * state as of `fromDay` must actually fetch to reach `toDay` —
     * the changed/added lineage heads only, never the unchanged ones
