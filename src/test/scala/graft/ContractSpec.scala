@@ -32,7 +32,10 @@ class ContractSpec extends GraftSpec {
       // JSON paths use bare '$'; Scala interpolation residue is '${' or '$invCte'-style
       assert(!sql.contains("${") && !sql.matches("(?s).*\\$[a-zA-Z].*"),
         s"$name oracle has an unsubstituted interpolation")
-      assert(!sql.linesIterator.exists(_.trim.startsWith("|")),
+      // a line starting with the || concat operator is fine; a single
+      // leading | is stripMargin residue
+      assert(!sql.linesIterator.exists(l =>
+        l.trim.startsWith("|") && !l.trim.startsWith("||")),
         s"$name oracle has an unstripped margin")
     }
   }
