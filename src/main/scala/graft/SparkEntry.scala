@@ -106,6 +106,7 @@ object SparkEntry {
     "ann_ivf_assign" -> (Ann.annIvfAssign(_, _)),
     "vec_quantize" -> (Ann.vecQuantize(_, _)),
     "ann_recall_at_k" -> (Ann.annRecallAtK(_, _)),
+    "ann_ivf_topk" -> (Ann.annIvfTopk(_, _)),
     "ann_label_separation" -> (Ann.annLabelSeparation(_, _)),
     "vec_argmax" -> (Ann.vecArgmax(_, _)),
     // §2.5 text
@@ -447,6 +448,27 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN COALESCE(nullif(o_orderstatus, 'O'), 'X') = 'X'
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH $embCte,
+         |comp AS (SELECT label AS c_id, pos - 1 AS pos, x
+         |         FROM (SELECT label, unnest(v) AS x,
+         |               generate_subscripts(v, 1) AS pos FROM e)),
+         |cent AS (SELECT c_id, list(cx ORDER BY pos) AS cv FROM (
+         |  SELECT c_id, pos, avg(x) AS cx FROM comp GROUP BY c_id, pos) GROUP BY c_id),
+         |scored AS (SELECT vec_id, label, c_id,
+         |  round(list_cosine_similarity(v, cv), 4) + 0.0 AS ccos FROM e CROSS JOIN cent),
+         |assign AS (SELECT vec_id, c_id AS assigned_centroid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+         |  FROM scored) WHERE rn = 1),
+         |ea AS (SELECT e.vec_id, v, assigned_centroid FROM e JOIN assign ON e.vec_id = assign.vec_id),
+         |q AS (SELECT vec_id AS q_id, v AS qv, assigned_centroid AS probe FROM ea WHERE vec_id < 5),
+         |c AS (SELECT vec_id, v, assigned_centroid FROM ea WHERE vec_id >= 5),
+         |s AS (SELECT q_id, c.vec_id, probe,
+         |  round(list_cosine_similarity(qv, v), 4) AS cos
+         |  FROM c JOIN q ON c.assigned_centroid = q.probe)
+         |SELECT q_id, vec_id, probe, cos, rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM s) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "vec_argmax" ->
       s"""WITH $embCte
          |SELECT vec_id,

@@ -130,6 +130,29 @@ object Ann {
       .orderBy(col("vec_id"))
   }
 
+  /** §2.4#106 — IVF probe search: each query searches only the
+    * corpus vectors assigned to its own centroid (nprobe=1), the
+    * second stage of the two-level ANN layout whose assignment is
+    * `annIvfAssign`. Same rank/tie-break discipline as the other
+    * top-k paths.
+    */
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val assign = annIvfAssign(spark, dir)
+      .select(col("vec_id"), col("assigned_centroid"))
+    val e = embeddings(spark, dir).join(assign, Seq("vec_id"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("assigned_centroid").as("probe"))
+    val corpus = e.filter(col("vec_id") >= 5)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(queries), col("assigned_centroid") === col("probe"))
+      .select(col("q_id"), col("vec_id"), col("probe"),
+        round(cosine_sim(col("qv"), col("v")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** §2.4#64 — scalar quantization: each vector affinely mapped to
     * uint8 codes against its own [min, max] range — the storage-side
     * compression step of a vector index (4× smaller than float32;
