@@ -31,12 +31,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
 
+  private def requireArity(name: String, exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n) {
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" ->
+          s"$name expects $n argument(s), got ${exprs.length}"))
+    }
+
+  /** Extract a positive Int from a foldable integral literal argument
+    * (accepting INT or BIGINT, as a SQL user may write either), with a
+    * clear analysis error instead of a ClassCastException/NPE for
+    * non-foldable or wrongly-typed expressions.
+    */
+  private def foldableInt(name: String, arg: String, e: Expression): Int = {
+    def fail(why: String): Nothing =
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "INTERNAL_ERROR",
+        messageParameters = Map("message" -> s"$name: $arg must be $why, got ${e.sql}"))
+    if (!e.foldable) fail("a constant integer")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case _ => fail("an integer literal")
+    }
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_cosine" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
-    "graft_simhash32" -> (exprs => SimHash32(exprs(0))),
-    "graft_minhash" -> (exprs => MinHashSigs(exprs(0),
-      exprs(1).eval().asInstanceOf[Int])),
-    "graft_jaccard_sorted" -> (exprs => JaccardSorted(exprs(0), exprs(1))),
+    "graft_cosine" -> (exprs => {
+      requireArity("graft_cosine", exprs, 2); CosineSimilarity(exprs(0), exprs(1))
+    }),
+    "graft_simhash32" -> (exprs => {
+      requireArity("graft_simhash32", exprs, 1); SimHash32(exprs(0))
+    }),
+    "graft_minhash" -> (exprs => {
+      requireArity("graft_minhash", exprs, 2)
+      MinHashSigs(exprs(0), foldableInt("graft_minhash", "k", exprs(1)))
+    }),
+    "graft_jaccard_sorted" -> (exprs => {
+      requireArity("graft_jaccard_sorted", exprs, 2); JaccardSorted(exprs(0), exprs(1))
+    }),
   )
 
   def register(spark: SparkSession): Unit =

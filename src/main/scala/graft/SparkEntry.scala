@@ -2,11 +2,14 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{EventAnalytics, Relational, Temporal, Windows}
+import graft.analytics.{EventAnalytics, Relational, Temporal, TypedAggs, Windows}
 import graft.dedup.Dedup
 import graft.multimodal.Media
+import graft.plans.TopK
 import graft.similarity.Ann
-import graft.syncer.SyncOps
+import graft.sources.Io
+import graft.streaming.StreamWatcher
+import graft.syncer.{BackupPipeline, SyncOps}
 import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -122,6 +125,24 @@ object SparkEntry {
     // §2.6 multimodal
     "mm_ingest" -> (Media.mmIngest(_, _)),
     "mm_features" -> (Media.mmFeatures(_, _)),
+    "mm_resize_frames" -> (Media.mmResizeFrames(_, _)),
+    // §2.7 streaming (bounded replay into a memory sink)
+    "stream_windowed_agg" -> (StreamWatcher.streamWindowedAggQuery(_, _)),
+    "stream_file_watch" -> (StreamWatcher.streamFileWatchQuery(_, _)),
+    "sync_watch_stream" -> (StreamWatcher.syncWatchStreamQuery(_, _)),
+    "stream_retry_queue" -> (StreamWatcher.streamRetryQueueQuery(_, _)),
+    "stream_change_feed" -> (StreamWatcher.streamChangeFeedQuery(_, _)),
+    // §2.8 sources/sinks
+    "io_partitioned_inventory" -> (Io.ioPartitionedInventory(_, _)),
+    "io_csv_json" -> (Io.ioCsvJson(_, _)),
+    "io_bucketed_join" -> (Io.ioBucketedJoin(_, _)),
+    // end-to-end pipeline + custom-operator/typed surfaces
+    "backup_pipeline" -> (BackupPipeline.backupPipelineQuery(_, _)),
+    "topk_per_group" -> (TopK.topkPerGroupQuery(_, _)),
+    "rewrite_window_topk" -> (TopK.rewriteWindowTopkQuery(_, _)),
+    "typed_aggregator" -> (TypedAggs.typedAggregatorQuery(_, _)),
+    "kmeans" -> (Ann.kmeansQuery(_, _)),
+    "dedup_cc_clusters" -> (Dedup.dedupCcClusters(_, _)),
   )
 
   // ---- oracle SQL ----
@@ -166,6 +187,26 @@ object SparkEntry {
   private val embCte =
     "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)"
 
+  /** Shared by `sync_restore_set` (analytical) and `backup_pipeline`
+    * (through real storage sinks): the minimal restore set as of
+    * 2024-01-15.
+    */
+  private lazy val restoreSetSql =
+    s"""WITH $invCte, $durCte
+       |SELECT cf, node_id, shard_id, generation, path, size_bytes FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cf, node_id, shard_id
+       |                               ORDER BY generation DESC) AS rn
+       |  FROM dur WHERE snap_date <= DATE '2024-01-15') WHERE rn = 1
+       |ORDER BY cf, node_id, shard_id""".stripMargin
+
+  /** Shared by `q_stream_batch_twin` (batch) and `stream_windowed_agg`
+    * (replayed stream): hourly windowed accounting per event type.
+    */
+  private val streamTwinSql =
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the driver's weaker
     * rows-only check.
@@ -193,13 +234,10 @@ object SparkEntry {
          |WHERE NOT EXISTS (SELECT 1 FROM dur t
          |  WHERE t.generation % 3 <> 0 AND t.node_id <> 3 AND t.path = s.path)
          |ORDER BY generation""".stripMargin,
-    "sync_restore_set" ->
-      s"""WITH $invCte, $durCte
-         |SELECT cf, node_id, shard_id, generation, path, size_bytes FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY cf, node_id, shard_id
-         |                               ORDER BY generation DESC) AS rn
-         |  FROM dur WHERE snap_date <= DATE '2024-01-15') WHERE rn = 1
-         |ORDER BY cf, node_id, shard_id""".stripMargin,
+    "sync_restore_set" -> restoreSetSql,
+    // the storage-backed pipeline restore must equal the analytical
+    // restore — the exact same oracle checks both
+    "backup_pipeline" -> restoreSetSql,
     "sync_prune" ->
       s"""WITH $invCte, $durCte, $liveCte
          |SELECT cf, count(*) AS n_prunable,
@@ -580,10 +618,8 @@ object SparkEntry {
     "q_distinct_hll" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q_stream_batch_twin" ->
-      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
-        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_batch_twin" -> streamTwinSql,
+    "stream_windowed_agg" -> streamTwinSql,
     "q_join_skew_salt" ->
       s"""WITH $lpCte
         |SELECT o_orderstatus,
@@ -997,5 +1033,98 @@ object SparkEntry {
         |  CAST(n_chars % 640 AS BIGINT) AS width,
         |  CAST(n_chars % 480 AS BIGINT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_resize_frames" ->
+      """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        |r AS (SELECT doc_id, n,
+        |  CAST(LEAST(n, 64) AS BIGINT) AS resized_bytes,
+        |  CAST(CASE WHEN n <= 64
+        |    THEN list_sum(list_transform(string_split(text, ''), x -> ascii(x)))
+        |    ELSE list_sum(list_transform(range(0, 64),
+        |      i -> ascii(substr(text, CAST(floor(i * (n / 64.0)) AS INTEGER) + 1, 1))))
+        |  END AS BIGINT) AS resized_checksum
+        |  FROM m),
+        |f AS (SELECT doc_id, GREATEST(1, n // 4) AS span, n FROM m),
+        |fr AS (SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0, 4),
+        |    g -> CASE WHEN g * span < n THEN 1 ELSE 0 END)) AS BIGINT) AS n_frames,
+        |  CAST(list_sum(list_transform(range(0, 4),
+        |    g -> CASE WHEN g * span < n THEN LEAST(span, n - g * span) ELSE 0 END)) AS BIGINT) AS frames_bytes
+        |  FROM f)
+        |SELECT m.doc_id AS doc_id, CAST(m.n AS BIGINT) AS orig_bytes,
+        |  r.resized_bytes, r.resized_checksum, fr.n_frames, fr.frames_bytes
+        |FROM m JOIN r ON m.doc_id = r.doc_id JOIN fr ON m.doc_id = fr.doc_id
+        |WHERE m.n > 0 ORDER BY m.doc_id""".stripMargin,
+    "sync_watch_stream" ->
+      s"""WITH $invCte, $durCte
+         |SELECT snap_date AS arrival_date, cf, count(*) AS n_new_files,
+         |  max(generation) AS max_generation
+         |FROM dur GROUP BY 1, 2 ORDER BY arrival_date, cf""".stripMargin,
+    "stream_file_watch" ->
+      s"""WITH $invCte
+         |SELECT cf, node_id, generation, path, CAST(mtime AS TIMESTAMP) AS mtime
+         |FROM inv WHERE NOT is_temp ORDER BY generation""".stripMargin,
+    "stream_retry_queue" ->
+      s"""WITH $invCte, $durCte
+         |SELECT path, CAST(1 AS BIGINT) AS attempts,
+         |  CASE WHEN cf <> 'error' OR generation % 3 = 0
+         |       THEN 'uploaded' ELSE 'retrying' END AS status
+         |FROM dur ORDER BY path""".stripMargin,
+    "stream_change_feed" ->
+      """WITH cells AS (SELECT CAST(user_id % 50 AS BIGINT) AS row_key, value,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS write_us, event_id AS generation,
+        |  (event_type = 'error') AS tombstone FROM events),
+        |seq AS (SELECT row_key, generation, tombstone,
+        |  CASE WHEN tombstone THEN NULL ELSE value END AS new_value,
+        |  lag(CASE WHEN tombstone THEN NULL ELSE value END)
+        |    OVER (PARTITION BY row_key ORDER BY write_us, generation) AS old_value
+        |  FROM cells)
+        |SELECT row_key, generation, old_value, new_value,
+        |  CASE WHEN tombstone AND old_value IS NOT NULL THEN 'delete'
+        |       WHEN tombstone THEN 'noop_delete'
+        |       WHEN old_value IS NOT NULL THEN 'update'
+        |       ELSE 'insert' END AS kind
+        |FROM seq ORDER BY row_key, generation""".stripMargin,
+    "io_partitioned_inventory" ->
+      s"""WITH $invCte, $durCte
+         |SELECT snap_date, cf, count(*) AS n_files,
+         |  CAST(sum(size_bytes) AS BIGINT) AS bytes
+         |FROM dur WHERE snap_date BETWEEN DATE '2024-01-05' AND DATE '2024-01-20'
+         |GROUP BY 1, 2 ORDER BY snap_date, cf""".stripMargin,
+    "io_csv_json" ->
+      s"""WITH $invCte, $durCte,
+         |d AS (SELECT snap_date, cf, count(*) AS n,
+         |  CAST(sum(size_bytes) AS BIGINT) AS b FROM dur GROUP BY 1, 2)
+         |SELECT snap_date, cf, n AS n_csv, b AS bytes_csv, n AS n_json, b AS bytes_json
+         |FROM d ORDER BY snap_date, cf""".stripMargin,
+    "io_bucketed_join" ->
+      s"""WITH $invCte, $durCte,
+         |tgt AS (SELECT path FROM dur WHERE generation % 3 <> 0 AND node_id <> 3)
+         |SELECT cf, count(*) AS n_synced,
+         |  CAST(sum(size_bytes) AS BIGINT) AS synced_bytes
+         |FROM dur JOIN tgt ON dur.path = tgt.path
+         |GROUP BY cf ORDER BY cf""".stripMargin,
+    "topk_per_group" ->
+      s"""WITH $lpCte
+         |SELECT l_returnflag, l_orderkey, l_linenumber, price_c FROM (
+         |  SELECT l_returnflag, l_orderkey, l_linenumber, price_c,
+         |    row_number() OVER (PARTITION BY l_returnflag
+         |      ORDER BY price_c DESC, l_orderkey, l_linenumber) AS rn FROM lp)
+         |WHERE rn <= 5
+         |ORDER BY l_returnflag, price_c DESC, l_orderkey, l_linenumber""".stripMargin,
+    "rewrite_window_topk" ->
+      """WITH op AS (SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders)
+        |SELECT o_custkey, o_orderkey, price_c FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY price_c DESC, o_orderkey) AS rn FROM op)
+        |WHERE rn <= 2 ORDER BY o_custkey, price_c DESC, o_orderkey""".stripMargin,
+    "typed_aggregator" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value,
+        |  max(value) AS max_value,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "kmeans" -> Ann.kmeansOracleSql,
+    "dedup_cc_clusters" -> Dedup.ccClustersOracleSql,
   )
 }

@@ -15,6 +15,25 @@ case class UserStats(n_events: Long, total_value: Double, max_value: Double,
 
 object TypedAggs {
 
+  /** §2.2#74 oracle surface: the typed aggregator over every user's
+    * events, flattened to scalar columns. `total_value` (a double sum
+    * whose partial-merge order differs per engine) is rounded;
+    * `max_value` is order-independent and stays exact.
+    */
+  def typedAggregatorQuery(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ds = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("value")).as[EventRow]
+    ds.groupByKey(_.user_id).agg(userStats).toDF("user_id", "stats")
+      .select(col("user_id"),
+        col("stats.n_events").as("n_events"),
+        round(col("stats.total_value"), 2).as("total_value"),
+        col("stats.max_value").as("max_value"),
+        col("stats.n_purchases").as("n_purchases"))
+      .orderBy(col("user_id"))
+  }
+
   val userStats: TypedColumn[EventRow, UserStats] =
     new Aggregator[EventRow, (Long, Double, Double, Long), UserStats] {
       override def zero: (Long, Double, Double, Long) = (0L, 0.0, Double.NegativeInfinity, 0L)

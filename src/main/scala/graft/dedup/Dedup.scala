@@ -54,7 +54,7 @@ object Dedup {
     * shingle element, quadratic in document length.
     */
   def shinglesOf(toks: Column): Column =
-    transform(sequence(lit(1), size(toks) - 2),
+    transform(graft.text.TextAnalysis.idxSeq(size(toks) - 2),
       i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1),
         lit(" "), element_at(toks, i + 2)))
 
@@ -70,12 +70,10 @@ object Dedup {
     * shingle array per signature and ran ~50× slower.
     */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    // single-file local scans arrive as one partition; spread the
-    // hash-heavy narrow stage across all cores (on a cluster the
-    // many-file scan already parallelizes and this is a cheap no-op
-    // rebalance of doc pointers)
-    val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    // gated rebalance: spreads the hash-heavy narrow stage across all
+    // cores when the local single-file scan arrives as one partition;
+    // skipped entirely on an already-parallel many-file scan
+    val docs = Tables.rebalanced(Tables.documents(spark, dir))
     val withSigs = docs
       .select(col("doc_id"), tokensCol(col("text")).as("toks"))
       .select(col("doc_id"), minhash_sigs(shinglesOf(col("toks")), MinhashK).as("sigs"))
@@ -154,11 +152,15 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst_id"), col("dst") === col("dst_id"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("cluster_id")).as("neighbor_min"))
+      // localCheckpoint (not cache): truncates the lineage each round
+      // so the plan doesn't grow by one join per iteration — cached
+      // generations still chain logically and deep graphs would
+      // otherwise blow the planner before they blow the executors
       val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old_id"), Seq("doc_id"))
         .filter(col("cluster_id") =!= col("old_id")).limit(1).count()
       labels = next
@@ -166,6 +168,48 @@ object Dedup {
       iter += 1
     }
     labels
+  }
+
+  /** §2.3#73 oracle surface: cluster collapse over the LSH candidate
+    * pairs — (doc_id, cluster_id = min reachable doc_id). maxIter 50
+    * (converges in a handful of rounds on shallow near-dup clusters;
+    * the early-exit check stops the loop at fixpoint).
+    */
+  def dedupCcClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhashCandidatePairs(spark, dir), maxIter = 50)
+      .orderBy(col("doc_id"))
+
+  /** DuckDB oracle for [[dedupCcClusters]]: same md5 band
+    * construction, then min-reachable-id via a recursive
+    * transitive-closure CTE (fine at oracle scale; the Spark side is
+    * the one that has to be iterative label propagation).
+    */
+  def ccClustersOracleSql: String = {
+    val sigExprs = (0 until MinhashK).map { k =>
+      s"list_aggregate(list_transform(sh, x -> md5('$k|' || x)), 'min') AS sig$k"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until LshBands).map { b =>
+      val cat = (0 until 3).map(r => s"sig${3 * b + r}").mkString(" || ")
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band_idx, md5($cat) AS band_hash FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+       |s AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS sh FROM t),
+       |sig AS (SELECT doc_id,
+       |  $sigExprs
+       |  FROM s),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+       |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+       |          UNION SELECT doc_b AS src, doc_a AS dst FROM cand),
+       |reach AS (SELECT src AS doc_id, src AS r FROM edges
+       |          UNION
+       |          SELECT e.src AS doc_id, reach.r AS r
+       |          FROM edges e JOIN reach ON e.dst = reach.doc_id)
+       |SELECT doc_id, min(r) AS cluster_id FROM reach
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   // ---- n-gram Jaccard ----
@@ -177,8 +221,7 @@ object Dedup {
     * (#29) instead of length banding.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val docs = Tables.rebalanced(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"),
         floor(col("n_chars") / 100).cast("long").as("len_band"),
         array_sort(array_distinct(tokensCol(col("text")))).as("tokset"))
@@ -207,8 +250,7 @@ object Dedup {
     * equivalent 32-filter HOF formulation measured ~40× slower).
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.rebalanced(Tables.documents(spark, dir))
       .select(col("doc_id"), simhash32(tokensCol(col("text"))).as("simhash32"))
       .orderBy(col("doc_id"))
 
@@ -218,8 +260,7 @@ object Dedup {
     * aggregate (map-side partial sketches, tiny merge buffers).
     */
   def dedupMinhashByLang(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.rebalanced(Tables.documents(spark, dir))
       .select(col("lang"), tokensCol(col("text")).as("toks"))
       .select(col("lang"), shinglesOf(col("toks")).as("sh"))
       .groupBy(col("lang"))

@@ -169,14 +169,18 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val n = text.length - k + 1
+    // window over Unicode code points, not UTF-16 code units — the
+    // oracle's substr/len count code points, and a surrogate pair
+    // split across a window boundary would hash differently
+    val cps = text.codePoints().toArray
+    val n = cps.length - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
     val md = Digests.threadMd5.get()
     val hashes = new Array[String](n)
     var i = 0
     while (i < n) {
       hashes(i) = new String(Digests.md5Hex(md,
-        text.substring(i, i + k).getBytes(StandardCharsets.UTF_8)))
+        new String(cps, i, k).getBytes(StandardCharsets.UTF_8)))
       i += 1
     }
     val selected = new java.util.TreeSet[String]()

@@ -149,6 +149,28 @@ object Media {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** §2.6#68 oracle surface: resize (stride selection to 64 bytes)
+    * and 4-way frame sampling, reported per doc as byte counts plus
+    * the resized payload's byte-sum checksum. Both passes run through
+    * the real batched-kernel path ([[resizeMedia]]/[[sampleFrames]]);
+    * the checksum reuses [[extractFeatures]] on the resized column.
+    */
+  def mmResizeFrames(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(spark, dir)
+    val resized = resizeMedia(media, 64)
+    val rChk = extractFeatures(resized.select(col("doc_id"), col("resized").as("media")))
+      .select(col("doc_id"), col("n_bytes").as("resized_bytes"),
+        col("checksum").as("resized_checksum"))
+    val frames = sampleFrames(media, 4)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame"))).cast("long").as("frames_bytes"))
+    resized.select(col("doc_id"), col("orig_bytes"))
+      .join(rChk, Seq("doc_id"))
+      .join(frames, Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** STUB decode kernel — deterministic fake standing in for the real
     * image/audio codec (not available in this container).
     */

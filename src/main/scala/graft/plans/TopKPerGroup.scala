@@ -112,10 +112,13 @@ object RewriteWindowTopK extends org.apache.spark.sql.catalyst.rules.Rule[Logica
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // partitionSpec must be non-empty: ClusteredDistribution(Nil) is
+    // rejected by Spark's constructor, and a global top-k is better
+    // served by the window plan (single partition either way).
     case p @ Project(projList,
         Filter(cond, WindowNode(Seq(al @ Alias(WindowExpression(_: RowNumber, _), _)),
           partitionSpec, orderSpec, child, _)))
-        if limitOf(cond, al.exprId).exists(_ > 0) &&
+        if partitionSpec.nonEmpty && limitOf(cond, al.exprId).exists(_ > 0) &&
           projList.forall(e => e.references.subsetOf(child.outputSet)) =>
       Project(projList,
         TopKPerGroupPlan(partitionSpec, orderSpec, limitOf(cond, al.exprId).get, child))
@@ -149,5 +152,51 @@ object TopK {
     if (!strategies.contains(TopKStrategy)) {
       Shim.addStrategy(spark, TopKStrategy)
     }
+  }
+
+  /** Also inject [[RewriteWindowTopK]] into the session's optimizer
+    * (idempotent) — the `extraOptimizations` path for sessions not
+    * bootstrapped with GraftExtensions.
+    */
+  def ensureRuleRegistered(spark: SparkSession): Unit = {
+    ensureRegistered(spark)
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!classic.experimental.extraOptimizations.contains(RewriteWindowTopK)) {
+      classic.experimental.extraOptimizations =
+        classic.experimental.extraOptimizations :+ RewriteWindowTopK
+    }
+  }
+
+  /** §2.2#53 oracle surface: top-5 lineitems per return flag by exact
+    * integer cents (orderkey/linenumber tie-break), executed by the
+    * heap operator instead of the window sort.
+    */
+  def topkPerGroupQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        graft.analytics.Money.priceC.as("price_c"))
+    perGroup(li, Seq("l_returnflag"),
+      Seq(("price_c", false), ("l_orderkey", true), ("l_linenumber", true)), 5)
+      .orderBy(col("l_returnflag"), col("price_c").desc,
+        col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** §2.2#81 oracle surface: the naive row_number-filter-drop pattern
+    * written the naive way — the injected rule rewrites it to the heap
+    * operator, and the result must still match the window-form oracle.
+    */
+  def rewriteWindowTopkQuery(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    ensureRuleRegistered(spark)
+    val o = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("price_c").desc, col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+      .orderBy(col("o_custkey"), col("price_c").desc, col("o_orderkey"))
   }
 }

@@ -21,10 +21,7 @@ object Ann {
   val TopK = 10
 
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      // single-file scans land in one partition locally; rebalance so
-      // the distance math uses every core (no-op shape on a cluster)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.rebalanced(Tables.embeddings(spark, dir))
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
 
   /** §2.4#33 — brute-force exact cosine top-k: queries (vec_id < 5)
@@ -225,9 +222,12 @@ object Ann {
     */
   def kmeansStep(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_id"))
+    // the argmax reads the similarity rounded to 4 decimals (ties
+    // break on c_id) so assignments are engine-exact — same discipline
+    // as annIvfAssign; double sum-order noise sits at 1e-16
     val assigned = vectors.join(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("c_id"),
-        cosine_sim(col("v"), col("cv")).as("cos"))
+        round(cosine_sim(col("v"), col("cv")), 4).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
     assigned
@@ -254,6 +254,48 @@ object Ann {
       i += 1
     }
     centroids
+  }
+
+  /** §2.4#66 oracle surface of [[kmeans]]: k=4, two Lloyd iterations,
+    * first four centroid components (rounded past avg sum-order
+    * noise) plus the dimension. The full-precision centroid table is
+    * the production output; this projection is what the cross-engine
+    * hash gate can compare exactly.
+    */
+  def kmeansQuery(spark: SparkSession, dir: String): DataFrame =
+    kmeans(spark, dir, k = 4, iters = 2)
+      .select(col("c_id"),
+        round(element_at(col("cv"), 1), 4).as("c0"),
+        round(element_at(col("cv"), 2), 4).as("c1"),
+        round(element_at(col("cv"), 3), 4).as("c2"),
+        round(element_at(col("cv"), 4), 4).as("c3"),
+        size(col("cv")).cast("long").as("dim"))
+      .orderBy(col("c_id"))
+
+  /** DuckDB oracle for [[kmeansQuery]] — the two Lloyd iterations
+    * unrolled as chained CTEs with the identical rounded-argmax
+    * assignment discipline.
+    */
+  def kmeansOracleSql: String = {
+    def assign(cent: String, out: String): String =
+      s"$out AS (SELECT vec_id, v, c_id FROM (\n" +
+        "  SELECT e.vec_id, e.v, c.c_id,\n" +
+        "    row_number() OVER (PARTITION BY e.vec_id\n" +
+        "      ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.c_id) AS rn\n" +
+        s"  FROM e CROSS JOIN $cent c) WHERE rn = 1)"
+    def recompute(asg: String, out: String): String =
+      s"$out AS (SELECT c_id, list(cx ORDER BY pos) AS cv FROM (\n" +
+        "  SELECT c_id, pos, avg(x) AS cx FROM (\n" +
+        s"    SELECT c_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM $asg)\n" +
+        "  GROUP BY c_id, pos) GROUP BY c_id)"
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n" +
+      "seed AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 4),\n" +
+      assign("seed", "asg1") + ",\n" + recompute("asg1", "cen1") + ",\n" +
+      assign("cen1", "asg2") + ",\n" + recompute("asg2", "cen2") + "\n" +
+      "SELECT c_id, round(cv[1], 4) + 0.0 AS c0, round(cv[2], 4) + 0.0 AS c1,\n" +
+      "  round(cv[3], 4) + 0.0 AS c2, round(cv[4], 4) + 0.0 AS c3,\n" +
+      "  CAST(len(cv) AS BIGINT) AS dim\n" +
+      "FROM cen2 ORDER BY c_id"
   }
 
   /** Seeded random-hyperplane bucket (production LSH path, exercised

@@ -47,4 +47,77 @@ object Io {
 
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Bucketed EXTERNAL table (explicit storage path + catalog entry)
+    * — same co-location contract as [[writeBucketed]] without writing
+    * into the session warehouse directory.
+    */
+  def writeBucketedAt(df: DataFrame, table: String, path: String,
+      bucketCol: String, buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+
+  // ---- oracle-checked query surfaces (SURVEY.md §2.8) ----
+
+  /** §2.8#50: write the durable inventory date/cf-partitioned, read
+    * it back through the partition-pruned scan (the snap_date filter
+    * prunes whole directories), and aggregate — proving the layout
+    * round-trips values, types (DATE partition inference), and the
+    * pruning path end to end.
+    */
+  def ioPartitionedInventory(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = "/tmp/graft_io_part_inv"
+    writeInventoryPartitioned(graft.syncer.FileInventory.durable(spark, dir), path)
+    readInventoryPartitioned(spark, path)
+      .filter(col("snap_date") >= lit("2024-01-05").cast("date") &&
+        col("snap_date") <= lit("2024-01-20").cast("date"))
+      .groupBy(col("snap_date"), col("cf"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size_bytes")).as("bytes"))
+      .orderBy(col("snap_date"), col("cf"))
+  }
+
+  /** §2.8#51: one daily aggregate written to CSV and JSON, both read
+    * back schema-explicit and joined — every column must survive both
+    * interchange formats bit-exactly.
+    */
+  def ioCsvJson(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val daily = graft.syncer.FileInventory.durable(spark, dir)
+      .groupBy(col("snap_date"), col("cf"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size_bytes")).as("bytes"))
+    writeCsv(daily, "/tmp/graft_io_csv")
+    writeJson(daily, "/tmp/graft_io_json")
+    val schema = StructType.fromDDL(
+      "snap_date DATE, cf STRING, n_files BIGINT, bytes BIGINT")
+    val c = readCsv(spark, "/tmp/graft_io_csv", schema)
+      .select(col("snap_date"), col("cf"),
+        col("n_files").as("n_csv"), col("bytes").as("bytes_csv"))
+    val j = readJson(spark, "/tmp/graft_io_json", schema)
+      .select(col("snap_date"), col("cf"),
+        col("n_files").as("n_json"), col("bytes").as("bytes_json"))
+    c.join(j, Seq("snap_date", "cf"))
+      .orderBy(col("snap_date"), col("cf"))
+  }
+
+  /** §2.8#71: durable and target inventories written as bucketed
+    * tables on the join key, then equi-joined — the bucket metadata
+    * lets the join run with zero exchanges (asserted in SourcesSpec);
+    * at 100 TB this is the pre-shuffled repeatedly-joined fact pair.
+    */
+  def ioBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dur = graft.syncer.FileInventory.durable(spark, dir)
+      .select(col("path"), col("cf"), col("size_bytes"))
+    val tgt = graft.syncer.FileInventory.target(spark, dir)
+      .select(col("path").as("t_path"))
+    writeBucketedAt(dur, "graft_dur_b", "/tmp/graft_bucketed/dur", "path", 8)
+    writeBucketedAt(tgt, "graft_tgt_b", "/tmp/graft_bucketed/tgt", "t_path", 8)
+    spark.table("graft_dur_b")
+      .join(spark.table("graft_tgt_b"), col("path") === col("t_path"))
+      .groupBy(col("cf"))
+      .agg(count(lit(1)).as("n_synced"), sum(col("size_bytes")).as("synced_bytes"))
+      .orderBy(col("cf"))
+  }
 }

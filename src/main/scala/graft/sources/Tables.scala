@@ -18,6 +18,20 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Rebalance a scan ONLY when it arrives with fewer partitions than
+    * the session's parallelism (the local single-file case — one
+    * parquet file, one row group, one partition). An unconditional
+    * `repartition()` would insert a round-robin Exchange shuffling
+    * full rows (document text, embedding arrays) even on a cluster
+    * whose many-file scan is already parallel — at 100 TB that doubles
+    * I/O before any narrow work. The partition probe (`df.rdd` plans
+    * the scan, runs no job) keeps the operator a true no-op there.
+    */
+  def rebalanced(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")

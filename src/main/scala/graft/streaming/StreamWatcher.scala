@@ -123,6 +123,65 @@ object StreamWatcher {
       }
   }
 
+  /** Watch dashboard: daily arrival accounting per cf over the
+    * upload-plan stream (the operational readout the reference's
+    * watcher would feed a monitoring sink).
+    */
+  def watchDashboard(stream: DataFrame): DataFrame =
+    uploadPlanStream(stream)
+      .withWatermark("mtime", "1 day")
+      .groupBy(window(col("mtime"), "1 day").as("win"), col("cf"))
+      .agg(count(lit(1)).as("n_new_files"), max(col("generation")).as("max_generation"))
+      .select(col("win.start").cast("date").as("arrival_date"), col("cf"),
+        col("n_new_files"), col("max_generation"))
+
+  private val replaySeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run a bounded stream to completion into a memory sink and return
+    * the materialized batch result — the driver-checkable face of the
+    * streaming operators. The streaming semantics (watermarks,
+    * incremental batches, state) are exercised in StreamingSpec; this
+    * replay makes the same pipelines oracle-comparable, because on a
+    * bounded source a correct streaming query must converge to its
+    * batch twin.
+    */
+  def replayToBatch(ds: Dataset[_], mode: String): DataFrame = {
+    val spark = ds.sparkSession
+    val name = s"graft_replay_${replaySeq.incrementAndGet()}"
+    val q = ds.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** §2.7#43 oracle surface: watermarked hourly windowed aggregation
+    * replayed to completion.
+    */
+  def streamWindowedAggQuery(spark: SparkSession, dir: String): DataFrame =
+    replayToBatch(windowedCounts(eventStream(spark, dir)), "complete")
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** §2.7#44 oracle surface: the file-arrival upload plan replayed. */
+  def streamFileWatchQuery(spark: SparkSession, dir: String): DataFrame =
+    replayToBatch(uploadPlanStream(eventStream(spark, dir)), "append")
+      .orderBy(col("generation"))
+
+  /** §2.1#10 oracle surface: the streaming watcher's daily arrival
+    * dashboard replayed.
+    */
+  def syncWatchStreamQuery(spark: SparkSession, dir: String): DataFrame =
+    replayToBatch(watchDashboard(eventStream(spark, dir)), "complete")
+      .orderBy(col("arrival_date"), col("cf"))
+
+  /** §2.7#49 oracle surface: the stateful retry queue replayed. */
+  def streamRetryQueueQuery(spark: SparkSession, dir: String): DataFrame =
+    replayToBatch(retryQueueStream(eventStream(spark, dir)), "update")
+      .orderBy(col("path"))
+
+  /** §2.7#70 oracle surface: the CDC change feed replayed. */
+  def streamChangeFeedQuery(spark: SparkSession, dir: String): DataFrame =
+    replayToBatch(changeFeed(eventStream(spark, dir)), "append")
+      .orderBy(col("row_key"), col("generation"))
+
   /** Streaming upload plan: new arrivals (non-temp) mapped to their
     * inventory entries — the continuous version of
     * `SyncOps.syncDiffUpload`'s source side.

@@ -117,6 +117,20 @@ object BackupPipeline {
         col("generation"), col("path"), col("size_bytes"))
   }
 
+  /** §2.1#60 oracle surface: full backup to a directory target, then
+    * the storage-side restore set as of 2024-01-15 — the reference's
+    * complete backup→manifest→restore story through real parquet/JSON
+    * sinks. Must equal the purely-analytical restore
+    * (`sync_restore_set`), which is exactly what the shared oracle
+    * SQL computes.
+    */
+  def backupPipelineQuery(spark: SparkSession, dir: String): DataFrame = {
+    val url = "directory:///tmp/graft_backup_oracle"
+    backup(spark, dir, url)
+    restoreSet(spark, url, "2024-01-15")
+      .orderBy(col("cf"), col("node_id"), col("shard_id"))
+  }
+
   /** Prune phase: objects older than the cutoff that the newest
     * manifest no longer references.
     */

@@ -18,6 +18,15 @@ object TextAnalysis {
   /** Whitespace tokenization shared by the operators; lower-cased. */
   def tokensCol(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** 1..n index sequence that degrades to an empty array when n < 1.
+    * Bare `sequence(lit(1), n)` defaults to step -1 when n < 1 and
+    * yields [1, 0, ...], whose 0/negative indices crash or silently
+    * wrap `element_at` — short/empty docs must produce no n-grams
+    * (matching the oracle's `range(1, n+1)` semantics) instead.
+    */
+  def idxSeq(n: Column): Column =
+    when(n >= 1, sequence(lit(1), n)).otherwise(array().cast("array<int>"))
+
   /** §2.5#36 — token counting: whitespace tokens plus a word-regex
     * token count (BPE-ish pre-tokenizer shape: runs of letters, runs
     * of digits, or single punctuation marks).
@@ -105,8 +114,7 @@ object TextAnalysis {
     */
   def textWinnowing(spark: SparkSession, dir: String,
       k: Int = 8, w: Int = 4): DataFrame = {
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.rebalanced(Tables.documents(spark, dir))
       .select(col("doc_id"),
         graft.functions.TextFunctions.winnow_fingerprints(col("text"), k, w).as("fps"))
       .select(col("doc_id"),
@@ -119,8 +127,7 @@ object TextAnalysis {
     * shape diagnostic (explode → tiny bounded aggregate).
     */
   def textTokenLenHist(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    Tables.rebalanced(Tables.documents(spark, dir))
       .select(explode(tokensCol(col("text"))).as("tok"))
       .groupBy(length(col("tok")).cast("long").as("tok_len"))
       .agg(count(lit(1)).as("n_tokens"))
@@ -132,11 +139,10 @@ object TextAnalysis {
     * the bounded (lang, word) key.
     */
   def textBigramModel(spark: SparkSession, dir: String): DataFrame = {
-    val toksDocs = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val toksDocs = Tables.rebalanced(Tables.documents(spark, dir))
       .select(col("lang"), tokensCol(col("text")).as("toks"))
     val bigrams = toksDocs
-      .select(col("lang"), explode(transform(sequence(lit(1), size(col("toks")) - 1),
+      .select(col("lang"), explode(transform(idxSeq(size(col("toks")) - 1),
         i => struct(element_at(col("toks"), i).as("w1"),
           element_at(col("toks"), i + 1).as("w2")))).as("bg"))
       .select(col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
@@ -162,8 +168,7 @@ object TextAnalysis {
     * key — the standard fully-distributed tf-idf layout.
     */
   def textTfidf(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val tok = Tables.rebalanced(Tables.documents(spark, dir))
       .select(col("lang"), col("doc_id"), explode(tokensCol(col("text"))).as("word"))
     // one shuffle over the exploded stream; tf and df both derive
     // from the compact (word, doc) aggregate (doc determines lang, so
@@ -192,10 +197,9 @@ object TextAnalysis {
     // tokenize into a real column first: element_at inside the lambda
     // must hit an attribute, not re-run split() per n-gram element
     // (that inlining is quadratic in document length)
-    val bigrams = transform(sequence(lit(1), size(col("toks")) - 1),
+    val bigrams = transform(idxSeq(size(col("toks")) - 1),
       i => concat(element_at(col("toks"), i), lit(" "), element_at(col("toks"), i + 1)))
-    val counts = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    val counts = Tables.rebalanced(Tables.documents(spark, dir))
       .select(col("lang"), tokensCol(col("text")).as("toks"))
       .select(col("lang"), explode(bigrams).as("bigram"))
       .groupBy(col("lang"), col("bigram"))
