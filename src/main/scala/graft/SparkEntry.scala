@@ -58,6 +58,7 @@ object SparkEntry {
     "q_rollup" -> (Relational.qRollup(_, _)),
     "q_pivot" -> (Relational.qPivot(_, _)),
     "q_percentiles" -> (Relational.qPercentiles(_, _)),
+    "q_percentiles_approx" -> (Relational.qPercentilesApprox(_, _)),
     "q_distinct_hll" -> (Relational.qDistinctHll(_, _)),
     "q_stream_batch_twin" -> (Relational.qStreamBatchTwin(_, _)),
     "q_join_skew_salt" -> (Relational.qJoinSkewSalt(_, _)),
@@ -515,10 +516,11 @@ object SparkEntry {
          |  CAST(len(v) AS BIGINT) AS dim
          |FROM e ORDER BY vec_id""".stripMargin,
     "ann_label_separation" ->
-      s"""WITH $embCte
+      s"""WITH $embCte,
+         |es AS (SELECT * FROM e WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8')
          |SELECT a.label AS label, count(*) AS n_pairs,
          |  round(avg(list_cosine_similarity(a.v, b.v)), 4) + 0.0 AS mean_within_cos
-         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |FROM es a JOIN es b ON a.label = b.label AND a.vec_id < b.vec_id
          |GROUP BY a.label ORDER BY label""".stripMargin,
     "sync_daily_ingest" ->
       s"""WITH $invCte, $durCte
@@ -614,6 +616,10 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.99), 4) AS p99,
         |  round(stddev(value), 4) AS sd,
         |  round(avg(value), 4) AS mean
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_percentiles_approx" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  true AS p50_ok, true AS p90_ok, true AS p99_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_distinct_hll" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
@@ -909,11 +915,15 @@ object SparkEntry {
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" -> Dedup.simhashOracleSql,
     "dedup_embedding_cos" ->
-      s"""WITH $embCte
-         |SELECT vec_a, vec_b, label, cos FROM (
-         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+      s"""WITH $embCte,
+         |eb AS (SELECT vec_id, v,
+         |  (CASE WHEN v[1] > 0 THEN '1' ELSE '0' END)
+         |  || (CASE WHEN v[2] > 0 THEN '1' ELSE '0' END)
+         |  || (CASE WHEN v[3] > 0 THEN '1' ELSE '0' END) AS bucket FROM e)
+         |SELECT vec_a, vec_b, bucket, cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
          |    round(list_cosine_similarity(a.v, b.v), 4) + 0.0 AS cos
-         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE cos >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
 
     "ann_bruteforce_topk" ->

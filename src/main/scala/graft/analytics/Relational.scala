@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -173,20 +173,58 @@ object Relational {
       .na.fill(0L)
       .orderBy(col("event_date"))
 
-  /** Exact interpolated percentiles + dispersion per event type.
-    * Spark `percentile` and DuckDB `quantile_cont` share linear
-    * interpolation semantics.
+  /** Exact interpolated percentiles + dispersion per event type —
+    * computed by the distributed rank join ([[Quantiles.exact]]), not
+    * the `percentile` aggregate whose per-group in-memory value
+    * buffer is the 100 TB OOM. Semantics match DuckDB `quantile_cont`.
     */
-  def qPercentiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        round(expr("percentile(value, 0.99)"), 4).as("p99"),
-        round(stddev(col("value")), 4).as("sd"),
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val quants = Quantiles.exact(ev, "event_type", "value",
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(round(stddev(col("value")), 4).as("sd"),
         round(avg(col("value")), 4).as("mean"))
+    quants.join(stats, Seq("event_type"))
+      .select(col("event_type"),
+        round(col("p50"), 4).as("p50"),
+        round(col("p90"), 4).as("p90"),
+        round(col("p99"), 4).as("p99"),
+        col("sd"), col("mean"))
       .orderBy(col("event_type"))
+  }
+
+  /** Approximate-percentile scale path (t-digest sketch, memory
+    * O(accuracy) per group instead of O(n) — the form that survives
+    * unbounded group sizes at 100 TB). Sketch values are
+    * engine-specific, so the oracle-checked surface is the accuracy
+    * CONTRACT: the realized rank of each sketched quantile must sit
+    * within 1% of the requested rank (t-digest at accuracy 10000
+    * guarantees ~0.01%).
+    */
+  def qPercentilesApprox(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val approx = ev.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, array(0.5D, 0.9D, 0.99D), 10000)").as("ap"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"),
+        element_at(col("ap"), 1).as("a50"),
+        element_at(col("ap"), 2).as("a90"),
+        element_at(col("ap"), 3).as("a99"))
+    def realized(bound: Column): Column =
+      sum(when(col("value") <= bound, 1L).otherwise(0L)).cast("double") / count(lit(1))
+    val ranks = ev.join(broadcast(approx), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(realized(col("a50")).as("r50"),
+        realized(col("a90")).as("r90"),
+        realized(col("a99")).as("r99"))
+    approx.join(ranks, Seq("event_type"))
+      .select(col("event_type"), col("n_events"),
+        (abs(col("r50") - 0.5) <= 0.01).as("p50_ok"),
+        (abs(col("r90") - 0.9) <= 0.01).as("p90_ok"),
+        (abs(col("r99") - 0.99) <= 0.01).as("p99_ok"))
+      .orderBy(col("event_type"))
+  }
 
   /** Exact distinct cardinality per event type (the approx/HLL twin is
     * exercised in ApproxSpec; the oracle checks the exact path).
@@ -478,20 +516,21 @@ object Relational {
       .orderBy(col("o_orderpriority"))
 
   /** §2.2#97 — robust dispersion: median absolute deviation around
-    * the per-type median (exact interpolated percentiles on both
-    * engines).
+    * the per-type median. Both medians come from the distributed rank
+    * join ([[Quantiles.exact]]) — no per-group value buffering.
     */
   def qMedianAbsDev(spark: SparkSession, dir: String): DataFrame = {
-    val med = Tables.events(spark, dir)
-      .groupBy(col("event_type"))
-      .agg(expr("percentile(value, 0.5)").as("med"))
-    Tables.events(spark, dir)
-      .join(broadcast(med), Seq("event_type"))
+    val ev = Tables.events(spark, dir)
+    val med = Quantiles.exact(ev, "event_type", "value", Seq("med" -> 0.5))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
       .select(col("event_type"), abs(col("value") - col("med")).as("absdev"))
-      .groupBy(col("event_type"))
-      .agg(round(expr("percentile(absdev, 0.5)"), 4).as("mad"),
-        round(avg(col("absdev")), 4).as("mean_abs_dev"),
+    val mad = Quantiles.exact(dev, "event_type", "absdev", Seq("mad" -> 0.5))
+    dev.groupBy(col("event_type"))
+      .agg(round(avg(col("absdev")), 4).as("mean_abs_dev"),
         count(lit(1)).as("n_events"))
+      .join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), round(col("mad"), 4).as("mad"),
+        col("mean_abs_dev"), col("n_events"))
       .orderBy(col("event_type"))
   }
 

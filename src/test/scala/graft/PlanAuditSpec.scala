@@ -1,6 +1,9 @@
 package graft
 
-import graft.analytics.Relational
+import graft.analytics.{Relational, Windows}
+import graft.similarity.Ann
+import graft.sources.Tables
+import graft.text.TextAnalysis
 
 /** Scale-design audits: assert the *plan shapes* the 100 TB design
   * depends on — pushdown reaching the scan, dimensions broadcast,
@@ -34,6 +37,38 @@ class PlanAuditSpec extends GraftSpec {
     val plan = planOf(Relational.q1Agg(spark, sf))
     assert(plan.contains("HashAggregate"), plan.take(2000))
     assert(plan.contains("Exchange hashpartitioning"), plan.take(2000))
+  }
+
+  test("bounded-rank top-k paths keep WindowGroupLimit (rank-limit pushdown)") {
+    val audited = Seq(
+      "ann_bruteforce_topk" -> Ann.annBruteforceTopk(spark, sf),
+      "ann_lsh_topk" -> Ann.annLshTopk(spark, sf),
+      "ann_ivf_topk" -> Ann.annIvfTopk(spark, sf),
+      "q_window_topn" -> Windows.qWindowTopn(spark, sf),
+      "text_ngram_stats" -> TextAnalysis.textNgramStats(spark, sf))
+    audited.foreach { case (name, df) =>
+      val plan = planOf(df)
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name lost the WindowGroupLimit optimization:\n${plan.take(2000)}")
+    }
+  }
+
+  test("rebalanced is a true no-op on an already-parallel input") {
+    val par = spark.sparkContext.defaultParallelism
+    val base = Tables.documents(spark, sf).repartition(par)
+    // same object back — no RoundRobin exchange appended
+    assert(Tables.rebalanced(base) eq base)
+    // and a single-partition scan does get spread across cores
+    val single = Tables.documents(spark, sf).coalesce(1)
+    assert(Tables.rebalanced(single).rdd.getNumPartitions >= par)
+  }
+
+  test("IVF probe prunes to the probed cells and never rebuilds the index inline") {
+    val plan = planOf(Ann.annIvfTopk(spark, sf))
+    assert(plan.contains("PartitionFilters") && plan.contains("assigned_centroid"),
+      s"probe scan is not partition-pruned:\n${plan.take(3000)}")
+    assert(!plan.contains("posexplode"),
+      s"probe plan recomputes centroids inline:\n${plan.take(3000)}")
   }
 
   test("AQE is active: adaptive plans appear after execution") {
