@@ -134,6 +134,7 @@ object SparkEntry {
     "stream_retry_queue" -> (StreamWatcher.streamRetryQueueQuery(_, _)),
     "stream_change_feed" -> (StreamWatcher.streamChangeFeedQuery(_, _)),
     // §2.8 sources/sinks
+    "fs_inventory" -> (graft.syncer.FsInventory.fsInventoryQuery(_, _)),
     "io_partitioned_inventory" -> (Io.ioPartitionedInventory(_, _)),
     "io_csv_json" -> (Io.ioCsvJson(_, _)),
     "io_bucketed_join" -> (Io.ioBucketedJoin(_, _)),
@@ -1094,6 +1095,10 @@ object SparkEntry {
         |       WHEN old_value IS NOT NULL THEN 'update'
         |       ELSE 'insert' END AS kind
         |FROM seq ORDER BY row_key, generation""".stripMargin,
+    "fs_inventory" ->
+      s"""WITH $invCte
+         |SELECT path, cf, node_id, shard_id, generation, is_temp, size_bytes
+         |FROM inv WHERE generation <= 1500 ORDER BY generation""".stripMargin,
     "io_partitioned_inventory" ->
       s"""WITH $invCte, $durCte
          |SELECT snap_date, cf, count(*) AS n_files,

@@ -25,10 +25,16 @@ object SyncOps {
     * reconstructs current state. Window-max over a unique ordering
     * key; one shuffle on the bounded lineage key.
     */
-  def syncLiveSet(spark: SparkSession, dir: String): DataFrame = {
+  def syncLiveSet(spark: SparkSession, dir: String): DataFrame =
+    liveSetOf(FileInventory.durable(spark, dir))
+
+  /** [[syncLiveSet]] over ANY durable inventory relation (the
+    * events-derived model or a real [[FsInventory]] tree).
+    */
+  def liveSetOf(durable: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("cf"), col("node_id"), col("shard_id"))
       .orderBy(col("generation").desc)
-    FileInventory.durable(spark, dir)
+    durable
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("cf"), col("node_id"), col("shard_id"),
@@ -56,13 +62,16 @@ object SyncOps {
     * enough to broadcast, and the anti-join never shuffles the fact
     * scan.
     */
-  def syncDiffUpload(spark: SparkSession, dir: String): DataFrame = {
-    val tgt = FileInventory.target(spark, dir).select(col("path"))
-    FileInventory.durable(spark, dir)
-      .join(tgt, Seq("path"), "left_anti")
+  def syncDiffUpload(spark: SparkSession, dir: String): DataFrame =
+    diffUploadOf(FileInventory.durable(spark, dir),
+      FileInventory.target(spark, dir))
+
+  /** [[syncDiffUpload]] over ANY (durable, target) inventory pair. */
+  def diffUploadOf(durable: DataFrame, target: DataFrame): DataFrame =
+    durable
+      .join(target.select(col("path")), Seq("path"), "left_anti")
       .select(col("path"), col("cf"), col("node_id"), col("generation"), col("size_bytes"))
       .orderBy(col("generation"))
-  }
 
   /** §2.1#5 — minimal restore set as of a snapshot day (reference:
     * `Restore.restore` picks the latest manifest ≤ now and fetches
