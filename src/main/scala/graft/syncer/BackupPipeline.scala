@@ -36,13 +36,20 @@ object Target {
   }
 
   /** Object-store bucket target. Storage scheme resolution is left to
-    * the Hadoop filesystem layer (s3a/gs/abfs connectors on a real
-    * cluster); locally the bucket maps under /tmp like the reference's
-    * cloudfiles CACHE_PATH staging dir.
+    * the Hadoop filesystem layer: the `graft.objectstore.scheme`
+    * system property names the connector scheme (s3a/gs/abfs on a
+    * real cluster, `mockos` under test — see
+    * [[graft.sources.MockObjectStoreFs]]); with no scheme configured
+    * the bucket maps under /tmp like the reference's cloudfiles
+    * CACHE_PATH staging dir.
     */
   final case class ObjectStoreTarget(bucket: String) extends Target {
-    val objectsPath = s"/tmp/graft-objectstore/$bucket/objects"
-    val manifestsPath = s"/tmp/graft-objectstore/$bucket/manifests"
+    private val base = sys.props.get("graft.objectstore.scheme") match {
+      case Some(scheme) if scheme.nonEmpty => s"$scheme://$bucket"
+      case _ => s"/tmp/graft-objectstore/$bucket"
+    }
+    val objectsPath = s"$base/objects"
+    val manifestsPath = s"$base/manifests"
   }
 
   def parse(url: String): Target = url match {

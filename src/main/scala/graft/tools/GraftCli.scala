@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.syncer.BackupPipeline
+
+/** Command-line entry point — the analogue of the reference CLI
+  * (`cassandra-syncer --path <dir> --config <json> <target-url>` and
+  * `cassandra-syncer-restore`), driving the same workflows as Spark
+  * jobs:
+  *
+  * {{{
+  *   runMain graft.tools.GraftCli backup  --data <dir> --target <url>
+  *   runMain graft.tools.GraftCli restore --target <url> [--as-of 2024-01-15]
+  *   runMain graft.tools.GraftCli prune   --target <url> [--cutoff 2024-01-20]
+  *   runMain graft.tools.GraftCli query   --data <dir> --name <registry-key>
+  *   runMain graft.tools.GraftCli list
+  *   runMain graft.tools.GraftCli <cmd>   --config contrib/config.json.example
+  * }}}
+  *
+  * `--config` points at a flat JSON object (see
+  * `contrib/config.json.example`, mirroring the reference's config
+  * file); explicit flags override config values.
+  */
+object GraftCli {
+
+  private def parseFlags(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  /** Minimal flat-JSON parse ("key": "value" / "key": 123) — enough
+    * for the reference-shaped config file without a JSON dependency.
+    */
+  private[tools] def parseConfig(text: String): Map[String, String] = {
+    val kv = "\"([^\"]+)\"\\s*:\\s*(?:\"([^\"]*)\"|([-0-9.]+))".r
+    kv.findAllMatchIn(text).map { m =>
+      m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))
+    }.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    val cmd = args.head
+    val flags = parseFlags(args.tail)
+    val fromConfig = flags.get("config")
+      .map(p => parseConfig(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")))
+      .getOrElse(Map.empty)
+    val opts = fromConfig ++ (flags - "config")
+    def req(k: String): String = opts.getOrElse(k,
+      { System.err.println(s"missing --$k"); usage(); sys.exit(2) })
+
+    val spark = SparkSession.builder()
+      .master(opts.getOrElse("master", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        opts.getOrElse("shuffle_partitions", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      cmd match {
+        case "backup" =>
+          val target = BackupPipeline.backup(spark, req("data"), req("target"))
+          println(s"backup complete: objects=${target.objectsPath} " +
+            s"manifests=${target.manifestsPath}")
+        case "restore" =>
+          val asOf = opts.getOrElse("as-of", "2024-01-15")
+          val rs = BackupPipeline.restoreSet(spark, req("target"), asOf)
+          println(s"restore set as of $asOf: ${rs.count()} files")
+          rs.show(20, truncate = false)
+        case "prune" =>
+          val cutoff = opts.getOrElse("cutoff", "2024-01-20")
+          val plan = BackupPipeline.prunePlan(spark, req("target"), cutoff)
+          println(s"prunable before $cutoff: ${plan.count()} files")
+          plan.show(20, truncate = false)
+        case "query" =>
+          val name = req("name")
+          graft.SparkEntry.queries.get(name) match {
+            case Some(fn) => fn(spark, req("data")).show(20, truncate = false)
+            case None =>
+              System.err.println(s"unknown query '$name' — try `list`"); sys.exit(2)
+          }
+        case "list" =>
+          graft.SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+        case other =>
+          System.err.println(s"unknown command '$other'"); usage(); sys.exit(2)
+      }
+    } finally spark.stop()
+  }
+
+  private def usage(): Unit = System.err.println(
+    """usage: GraftCli <backup|restore|prune|query|list> [--config <json>]
+      |  backup  --data <dir> --target <directory://...|objectstore://bucket>
+      |  restore --target <url> [--as-of YYYY-MM-DD]
+      |  prune   --target <url> [--cutoff YYYY-MM-DD]
+      |  query   --data <dir> --name <registry-key>""".stripMargin)
+}

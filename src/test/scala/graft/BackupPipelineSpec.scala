@@ -43,6 +43,27 @@ class BackupPipelineSpec extends GraftSpec {
     assert(live.exceptAll(fromStorage).count() === 0)
   }
 
+  test("objectstore:// egress goes through a Hadoop FS connector scheme (mockos)") {
+    graft.sources.MockObjectStoreFs.register(spark)
+    val prev = sys.props.get("graft.objectstore.scheme")
+    sys.props.put("graft.objectstore.scheme", "mockos")
+    try {
+      BackupPipeline.backup(spark, sf, "objectstore://bucket-r2")
+      // bytes physically landed under the mock store's backing root
+      assert(new java.io.File(
+        graft.sources.MockObjectStoreFs.Root + "/bucket-r2/objects").exists())
+      val fromStore = BackupPipeline.restoreSet(spark, "objectstore://bucket-r2", "2024-01-15")
+        .select(col("cf"), col("node_id"), col("shard_id"), col("generation"),
+          col("path"), col("size_bytes"))
+      val analytical = SyncOps.syncRestoreSet(spark, sf, asOf = "2024-01-15")
+      assert(fromStore.exceptAll(analytical).count() === 0)
+      assert(analytical.exceptAll(fromStore).count() === 0)
+    } finally {
+      sys.props.remove("graft.objectstore.scheme")
+      prev.foreach(v => sys.props.put("graft.objectstore.scheme", v))
+    }
+  }
+
   test("prune plan from storage never touches the live set and matches cutoff") {
     val plan = BackupPipeline.prunePlan(spark, targetUrl, "2024-01-20").cache()
     val live = SyncOps.syncLiveSet(spark, sf).select(col("path"))
