@@ -155,15 +155,16 @@ object Dedup {
       // localCheckpoint (not cache): truncates the lineage each round
       // so the plan doesn't grow by one join per iteration — cached
       // generations still chain logically and deep graphs would
-      // otherwise blow the planner before they blow the executors
+      // otherwise blow the planner before they blow the executors.
+      // The old label rides along so the convergence check is a
+      // filter over the checkpointed rows, not a second join.
       val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("old_id"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old_id"), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old_id")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("cluster_id") =!= col("old_id")).limit(1).count()
+      labels = next.select(col("doc_id"), col("cluster_id"))
       converged = changed == 0
       iter += 1
     }

@@ -20,7 +20,14 @@ object Io {
     * visible as PartitionFilters in the scan).
     */
   def writeInventoryPartitioned(inv: DataFrame, path: String): Unit =
-    inv.write.mode("overwrite").partitionBy("snap_date", "cf").parquet(path)
+    inv
+      // cluster rows by the partition keys first: without this every
+      // upstream task writes a file into every (date, cf) directory —
+      // tasks × dirs small files, the classic partitioned-write
+      // explosion at scale
+      .repartition(org.apache.spark.sql.functions.col("snap_date"),
+        org.apache.spark.sql.functions.col("cf"))
+      .write.mode("overwrite").partitionBy("snap_date", "cf").parquet(path)
 
   def readInventoryPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

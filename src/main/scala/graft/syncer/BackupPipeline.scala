@@ -68,8 +68,12 @@ object BackupPipeline {
   def backup(spark: SparkSession, dataDir: String, targetUrl: String): Target = {
     val target = Target.parse(targetUrl)
     val durable = FileInventory.durable(spark, dataDir)
-    durable.write.mode("overwrite").partitionBy("cf").parquet(target.objectsPath)
+    // cluster by the partition key before the partitioned write so
+    // each directory gets one file per key, not one per upstream task
+    durable.repartition(col("cf"))
+      .write.mode("overwrite").partitionBy("cf").parquet(target.objectsPath)
     manifestRows(spark, dataDir)
+      .repartition(col("manifest_date"))
       .write.mode("overwrite").partitionBy("manifest_date").json(target.manifestsPath)
     target
   }
