@@ -111,6 +111,7 @@ object SparkEntry {
     "vec_quantize" -> (Ann.vecQuantize(_, _)),
     "ann_recall_at_k" -> (Ann.annRecallAtK(_, _)),
     "ann_ivf_topk" -> (Ann.annIvfTopk(_, _)),
+    "ann_ivf_multiprobe" -> (Ann.annIvfMultiprobe(_, _)),
     "ann_label_separation" -> (Ann.annLabelSeparation(_, _)),
     "vec_argmax" -> (Ann.vecArgmax(_, _)),
     // §2.5 text
@@ -123,6 +124,9 @@ object SparkEntry {
     "text_winnowing" -> ((s, d) => TextAnalysis.textWinnowing(s, d)),
     "text_bigram_model" -> (TextAnalysis.textBigramModel(_, _)),
     "text_token_len_hist" -> (TextAnalysis.textTokenLenHist(_, _)),
+    "text_quality_filter" -> (TextAnalysis.textQualityFilter(_, _)),
+    "text_repetition" -> (TextAnalysis.textRepetition(_, _)),
+    "text_common_spans" -> (TextAnalysis.textCommonSpans(_, _)),
     // §2.6 multimodal
     "mm_ingest" -> (Media.mmIngest(_, _)),
     "mm_features" -> (Media.mmFeatures(_, _)),
@@ -133,6 +137,7 @@ object SparkEntry {
     "sync_watch_stream" -> (StreamWatcher.syncWatchStreamQuery(_, _)),
     "stream_retry_queue" -> (StreamWatcher.streamRetryQueueQuery(_, _)),
     "stream_change_feed" -> (StreamWatcher.streamChangeFeedQuery(_, _)),
+    "stream_interval_join" -> (StreamWatcher.streamIntervalJoinQuery(_, _)),
     // §2.8 sources/sinks
     "fs_inventory" -> (graft.syncer.FsInventory.fsInventoryQuery(_, _)),
     "io_partitioned_inventory" -> (Io.ioPartitionedInventory(_, _)),
@@ -1141,5 +1146,79 @@ object SparkEntry {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "kmeans" -> Ann.kmeansOracleSql,
     "dedup_cc_clusters" -> Dedup.ccClustersOracleSql,
+    "text_quality_filter" ->
+      s"""WITH $toksCte,
+         |m AS (SELECT doc_id, len(toks) AS ntoks,
+         |  CAST(length(text) AS DOUBLE) AS lenc,
+         |  CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) AS nspace,
+         |  CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS symbols,
+         |  len(list_filter(toks, x -> x='the' OR x='a' OR x='of' OR x='and' OR x='is')) AS stophits
+         |  FROM t)
+         |SELECT doc_id,
+         |  (ntoks >= 5 AND ntoks <= 10000) AS ok_token_count,
+         |  ((lenc - nspace) / ntoks >= 2.0 AND (lenc - nspace) / ntoks <= 12.0) AS ok_mean_token_len,
+         |  (symbols / lenc <= 0.25) AS ok_symbol_ratio,
+         |  (stophits >= 1) AS ok_stopword_evidence,
+         |  ((ntoks >= 5 AND ntoks <= 10000)
+         |    AND ((lenc - nspace) / ntoks >= 2.0 AND (lenc - nspace) / ntoks <= 12.0)
+         |    AND (symbols / lenc <= 0.25) AND (stophits >= 1)) AS passes
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH $toksCte,
+         |g AS (SELECT doc_id,
+         |  list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS g2,
+         |  list_transform(range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS g3
+         |  FROM t)
+         |SELECT doc_id, CAST(len(g2) AS BIGINT) AS n_bigrams,
+         |  CASE WHEN len(g2) > 0
+         |    THEN round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 4)
+         |    ELSE 0.0 END AS dup_bigram_ratio,
+         |  CASE WHEN len(g3) > 0
+         |    THEN round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 4)
+         |    ELSE 0.0 END AS dup_trigram_ratio
+         |FROM g ORDER BY doc_id""".stripMargin,
+    "text_common_spans" ->
+      s"""WITH $toksCte,
+         |s AS (SELECT unnest(list_transform(range(1, len(toks) - 3),
+         |  i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' ||
+         |       toks[i + 3] || ' ' || toks[i + 4])) AS span FROM t)
+         |SELECT span, count(*) AS n_docs_span FROM s GROUP BY span
+         |ORDER BY n_docs_span DESC, span LIMIT 10""".stripMargin,
+    "stream_interval_join" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS p_us FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, event_id AS click_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS c_us FROM events WHERE event_type = 'click')
+        |SELECT user_id, purchase_id, click_id
+        |FROM p JOIN c ON user_id = c_user
+        |  AND c_us >= p_us - 1800000000 AND c_us <= p_us
+        |ORDER BY user_id, purchase_id, click_id""".stripMargin,
+    "ann_ivf_multiprobe" ->
+      s"""WITH $embCte,
+         |comp AS (SELECT label AS c_id, pos - 1 AS pos, x
+         |         FROM (SELECT label, unnest(v) AS x,
+         |               generate_subscripts(v, 1) AS pos FROM e)),
+         |cent AS (SELECT c_id, list(cx ORDER BY pos) AS cv FROM (
+         |  SELECT c_id, pos, avg(x) AS cx FROM comp GROUP BY c_id, pos) GROUP BY c_id),
+         |scored AS (SELECT vec_id, label, c_id,
+         |  round(list_cosine_similarity(v, cv), 4) + 0.0 AS ccos FROM e CROSS JOIN cent),
+         |assign AS (SELECT vec_id, c_id AS assigned_centroid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+         |  FROM scored) WHERE rn = 1),
+         |ea AS (SELECT e.vec_id, v, assigned_centroid FROM e JOIN assign ON e.vec_id = assign.vec_id),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM ea WHERE vec_id < 5),
+         |pr AS (SELECT q_id, qv, c_id AS probe FROM (
+         |  SELECT q.q_id, q.qv, cent.c_id,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round(list_cosine_similarity(q.qv, cent.cv), 4) DESC, cent.c_id) AS rn
+         |  FROM q CROSS JOIN cent) WHERE rn <= 2),
+         |c AS (SELECT vec_id, v, assigned_centroid FROM ea WHERE vec_id >= 5),
+         |s AS (SELECT q_id, c.vec_id, probe,
+         |  round(list_cosine_similarity(qv, v), 4) + 0.0 AS cos
+         |  FROM c JOIN pr ON c.assigned_centroid = pr.probe)
+         |SELECT q_id, vec_id, probe, cos, rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM s) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
   )
 }

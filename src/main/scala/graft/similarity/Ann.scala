@@ -227,6 +227,24 @@ object Ann {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** §2.4#113 — multi-probe IVF search (nprobe=2): each query also
+    * searches its second-nearest cell, trading 2× probe work for the
+    * recall lost at cell boundaries — the standard IVF recall knob.
+    * Same materialized index; the partition filter simply admits two
+    * cells per query.
+    */
+  def annIvfMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfBuilt.computeIfAbsent(dir, d => {
+      val p = ivfIndexPathFor(d); buildIvfIndex(spark, d, p); p
+    })
+    val queries = spark.read.parquet(s"$idx/cells")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    annIvfProbe(spark, queries, k = 5, nprobe = 2, indexPath = idx,
+      corpusFilter = col("vec_id") >= 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** §2.4#64 — scalar quantization: each vector affinely mapped to
     * uint8 codes against its own [min, max] range — the storage-side
     * compression step of a vector index (4× smaller than float32;

@@ -182,6 +182,34 @@ object StreamWatcher {
     replayToBatch(changeFeed(eventStream(spark, dir)), "append")
       .orderBy(col("row_key"), col("generation"))
 
+  /** Stream-stream interval join: every purchase matched to the
+    * clicks of the same user within the preceding 30 minutes. Both
+    * sides watermarked so the state store can expire rows — the
+    * bounded-state form of the batch range join at 100 TB/day rates.
+    */
+  def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks, expr(
+      "user_id = c_user AND c_ts >= p_ts - interval 30 minutes AND c_ts <= p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+  }
+
+  /** §2.7#112 oracle surface: the stream-stream interval join
+    * replayed — must equal the batch interval join.
+    */
+  def streamIntervalJoinQuery(spark: SparkSession, dir: String): DataFrame =
+    replayToBatch(intervalJoinStream(spark, dir), "append")
+      .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+
   /** Streaming upload plan: new arrivals (non-temp) mapped to their
     * inventory entries — the continuous version of
     * `SyncOps.syncDiffUpload`'s source side.

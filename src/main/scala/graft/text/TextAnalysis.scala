@@ -123,6 +123,76 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.5#109 — quality FILTER rules (Gopher/C4-style): the pass/fail
+    * gate a pretraining pipeline applies per document — token-count
+    * window, mean-token-length window, symbol-character ratio cap,
+    * and a stopword-evidence floor. Booleans only (no floats), so the
+    * oracle compare is exact with zero rounding; one narrow codegen
+    * pass, no shuffle.
+    */
+  def textQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val nToks = size(toks).cast("double")
+    val lenC = length(col("text")).cast("double")
+    val nSpace = (length(col("text")) - length(replace(col("text"), lit(" "), lit("")))).cast("double")
+    val meanTok = (lenC - nSpace) / nToks
+    val symbols = length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("double")
+    val stopHits = size(filter(toks, t =>
+      t === "the" || t === "a" || t === "of" || t === "and" || t === "is"))
+    val okLen = size(toks) >= 5 && size(toks) <= 10000
+    val okTokLen = meanTok >= 2.0 && meanTok <= 12.0
+    val okSymbol = symbols / lenC <= 0.25
+    val okStop = stopHits >= 1
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        okLen.as("ok_token_count"),
+        okTokLen.as("ok_mean_token_len"),
+        okSymbol.as("ok_symbol_ratio"),
+        okStop.as("ok_stopword_evidence"),
+        (okLen && okTokLen && okSymbol && okStop).as("passes"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2.5#110 — repetition diagnostic: duplicate-n-gram ratios per
+    * document (1 − distinct/total for 2-grams and 3-grams) — the
+    * Gopher repetition signal that catches looping/boilerplate text.
+    * Narrow per-doc array math.
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    def grams(n: Int) = transform(idxSeq(size(col("toks")) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(col("toks"), i + o)): _*))
+    def dupRatio(g: Column) =
+      when(size(g) > 0,
+        round(lit(1.0) - size(array_distinct(g)).cast("double") / size(g), 4))
+        .otherwise(lit(0.0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), grams(2).as("g2"), grams(3).as("g3"))
+      .select(col("doc_id"),
+        size(col("g2")).cast("long").as("n_bigrams"),
+        dupRatio(col("g2")).as("dup_bigram_ratio"),
+        dupRatio(col("g3")).as("dup_trigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2.5#111 — corpus boilerplate spans: the most frequent 5-token
+    * spans across every document (shared headers/footers/templates a
+    * cleaning pipeline strips). Explode is linear; the count shuffle
+    * keys on the span; the global top-10 is a bounded TakeOrdered,
+    * never a full sort.
+    */
+  def textCommonSpans(spark: SparkSession, dir: String): DataFrame = {
+    val spans = transform(idxSeq(size(col("toks")) - 4),
+      i => concat_ws(" ", (0 until 5).map(o => element_at(col("toks"), i + o)): _*))
+    Tables.rebalanced(Tables.documents(spark, dir))
+      .select(tokensCol(col("text")).as("toks"))
+      .select(explode(spans).as("span"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs_span"))
+      .orderBy(col("n_docs_span").desc, col("span"))
+      .limit(10)
+  }
+
   /** §2.5#101 — token-length histogram corpus-wide: the vocabulary
     * shape diagnostic (explode → tiny bounded aggregate).
     */
