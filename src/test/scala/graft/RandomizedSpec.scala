@@ -16,6 +16,29 @@ class RandomizedSpec extends GraftSpec {
   private val rnd = new Random(42)
   private val vocab = Vector("a", "bb", "ccc", "dd", "e", "ff", "g", "hhh", "ij", "kl")
 
+  test("Quantiles.exact equals Spark's percentile aggregate on random groups") {
+    import spark.implicits._
+    val rows = (0 until 2000).map { i =>
+      (s"g${rnd.nextInt(7)}", rnd.nextDouble() * 1000)
+    }
+    val df = rows.toDF("k", "v")
+    val qs = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9, "p999" -> 0.999)
+    val got = graft.analytics.Quantiles.exact(df, "k", "v", qs)
+      .collect().map(r => r.getString(0) ->
+        qs.indices.map(i => r.getDouble(i + 1))).toMap
+    val expect = df.groupBy(col("k"))
+      .agg(expr("percentile(v, 0.25)"), expr("percentile(v, 0.5)"),
+        expr("percentile(v, 0.9)"), expr("percentile(v, 0.999)"))
+      .collect().map(r => r.getString(0) ->
+        qs.indices.map(i => r.getDouble(i + 1))).toMap
+    assert(got.keySet === expect.keySet)
+    got.foreach { case (k, vals) =>
+      vals.zip(expect(k)).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(math.abs(g - e) < 1e-9, s"group $k quantile ${qs(i)._1}: $g vs $e")
+      }
+    }
+  }
+
   test("jaccard_sorted equals the Set-based definition on 300 random pairs") {
     import spark.implicits._
     val pairs = (0 until 300).map { i =>
