@@ -60,6 +60,7 @@ object SparkEntry {
     "q_percentiles" -> (Relational.qPercentiles(_, _)),
     "q_percentiles_approx" -> (Relational.qPercentilesApprox(_, _)),
     "q_distinct_hll" -> (Relational.qDistinctHll(_, _)),
+    "q_distinct_hll_sketch" -> (Relational.qDistinctHllSketch(_, _)),
     "q_stream_batch_twin" -> (Relational.qStreamBatchTwin(_, _)),
     "q_join_skew_salt" -> (Relational.qJoinSkewSalt(_, _)),
     "q_cube" -> (Relational.qCube(_, _)),
@@ -1194,6 +1195,44 @@ object SparkEntry {
         |FROM p JOIN c ON user_id = c_user
         |  AND c_us >= p_us - 1800000000 AND c_us <= p_us
         |ORDER BY user_id, purchase_id, click_id""".stripMargin,
+    "q_distinct_hll_sketch" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM du),
+        |d AS (SELECT event_type, hx,
+        |  (CASE WHEN substr(hx, 1, 1) BETWEEN '0' AND '9'
+        |     THEN ascii(substr(hx, 1, 1)) - 48 ELSE ascii(substr(hx, 1, 1)) - 87 END) * 16 +
+        |  (CASE WHEN substr(hx, 2, 1) BETWEEN '0' AND '9'
+        |     THEN ascii(substr(hx, 2, 1)) - 48 ELSE ascii(substr(hx, 2, 1)) - 87 END) AS byte0,
+        |  length(regexp_extract(substr(hx, 3), '^0*')) AS zh
+        |  FROM h),
+        |z AS (SELECT event_type, byte0 % 64 AS bucket, zh, substr(hx, 3 + zh, 1) AS fd FROM d),
+        |rh AS (SELECT event_type, bucket,
+        |  LEAST(4 * zh + (CASE WHEN dv >= 8 THEN 0 WHEN dv >= 4 THEN 1
+        |                       WHEN dv >= 2 THEN 2 ELSE 3 END) + 1, 30) AS rho
+        |  FROM (SELECT *, CASE WHEN fd = '' THEN 0
+        |                       WHEN fd BETWEEN '0' AND '9' THEN ascii(fd) - 48
+        |                       ELSE ascii(fd) - 87 END AS dv FROM z)),
+        |reg AS (SELECT event_type, bucket, max(rho) AS r FROM rh GROUP BY 1, 2),
+        |grid AS (SELECT event_type, b AS bucket FROM (SELECT DISTINCT event_type FROM events)
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
+        |fullr AS (SELECT grid.event_type AS event_type, grid.bucket AS bucket,
+        |    COALESCE(reg.r, 0) AS r
+        |  FROM grid LEFT JOIN reg ON grid.event_type = reg.event_type
+        |    AND grid.bucket = reg.bucket),
+        |agg AS (SELECT event_type,
+        |  md5(string_agg(CAST(bucket AS VARCHAR) || ':' || CAST(r AS VARCHAR), ',' ORDER BY bucket)) AS reg_digest,
+        |  CAST(sum(CAST(pow(2, 30 - r) AS BIGINT)) AS BIGINT) AS s_int,
+        |  CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+        |  FROM fullr GROUP BY event_type),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type),
+        |est AS (SELECT event_type, reg_digest,
+        |  0.709 * 4096.0 * 1073741824.0 / s_int AS raw, v_zero FROM agg)
+        |SELECT ex.event_type AS event_type, n_exact,
+        |  round(CASE WHEN raw <= 160.0 AND v_zero > 0
+        |             THEN 64.0 * ln(64.0 / v_zero) ELSE raw END, 2) AS hll_estimate,
+        |  reg_digest
+        |FROM ex JOIN est ON ex.event_type = est.event_type
+        |ORDER BY event_type""".stripMargin,
     "ann_ivf_multiprobe" ->
       s"""WITH $embCte,
          |comp AS (SELECT label AS c_id, pos - 1 AS pos, x

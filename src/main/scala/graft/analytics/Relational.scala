@@ -236,6 +236,22 @@ object Relational {
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
 
+  /** §2.2#114 — the HLL sketch path of distinct counting: the custom
+    * mergeable [[graft.functions.HllAgg]] aggregate next to the exact
+    * count. The oracle reproduces the md5 register construction in
+    * SQL and checks BOTH the register digest and the estimate — the
+    * sketch is engine-exact, not just "approximately right".
+    */
+  def qDistinctHllSketch(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        graft.functions.HllAggFunctions.hll_sketch(col("user_id").cast("string")).as("hll"))
+      .select(col("event_type"), col("n_exact"),
+        round(col("hll.estimate"), 2).as("hll_estimate"),
+        col("hll.reg_digest").as("reg_digest"))
+      .orderBy(col("event_type"))
+
   /** Batch twin of the streaming windowed aggregation (SURVEY §2.7):
     * hourly tumbling windows per event type.
     */
