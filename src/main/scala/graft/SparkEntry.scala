@@ -151,6 +151,7 @@ object SparkEntry {
     "typed_aggregator" -> (TypedAggs.typedAggregatorQuery(_, _)),
     "kmeans" -> (Ann.kmeansQuery(_, _)),
     "dedup_cc_clusters" -> (Dedup.dedupCcClusters(_, _)),
+    "dedup_cluster_stats" -> (Dedup.dedupClusterStats(_, _)),
   )
 
   // ---- oracle SQL ----
@@ -1147,6 +1148,7 @@ object SparkEntry {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "kmeans" -> Ann.kmeansOracleSql,
     "dedup_cc_clusters" -> Dedup.ccClustersOracleSql,
+    "dedup_cluster_stats" -> Dedup.clusterStatsOracleSql,
     "text_quality_filter" ->
       s"""WITH $toksCte,
          |m AS (SELECT doc_id, len(toks) AS ntoks,

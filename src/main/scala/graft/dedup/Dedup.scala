@@ -180,12 +180,21 @@ object Dedup {
     connectedComponents(minhashCandidatePairs(spark, dir), maxIter = 50)
       .orderBy(col("doc_id"))
 
-  /** DuckDB oracle for [[dedupCcClusters]]: same md5 band
-    * construction, then min-reachable-id via a recursive
-    * transitive-closure CTE (fine at oracle scale; the Spark side is
-    * the one that has to be iterative label propagation).
+  /** §2.3#116 — cluster-size profile of the near-dup components: how
+    * many clusters of each size exist (the dedup-savings readout a
+    * pipeline reports after clustering). Bounded two-level aggregate
+    * on top of [[dedupCcClusters]]'s labels.
     */
-  def ccClustersOracleSql: String = {
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(minhashCandidatePairs(spark, dir), maxIter = 50)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
+  /** Shared CTE chain for the CC oracles: md5 band construction →
+    * candidate pairs → undirected edges → transitive closure.
+    */
+  private def ccOracleCtes: String = {
     val sigExprs = (0 until MinhashK).map { k =>
       s"list_aggregate(list_transform(sh, x -> md5('$k|' || x)), 'min') AS sig$k"
     }.mkString(",\n  ")
@@ -208,10 +217,25 @@ object Dedup {
        |reach AS (SELECT src AS doc_id, src AS r FROM edges
        |          UNION
        |          SELECT e.src AS doc_id, reach.r AS r
-       |          FROM edges e JOIN reach ON e.dst = reach.doc_id)
-       |SELECT doc_id, min(r) AS cluster_id FROM reach
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |          FROM edges e JOIN reach ON e.dst = reach.doc_id)""".stripMargin
   }
+
+  /** DuckDB oracle for [[dedupCcClusters]]: same md5 band
+    * construction, then min-reachable-id via a recursive
+    * transitive-closure CTE (fine at oracle scale; the Spark side is
+    * the one that has to be iterative label propagation).
+    */
+  def ccClustersOracleSql: String =
+    ccOracleCtes + "\nSELECT doc_id, min(r) AS cluster_id FROM reach" +
+      "\nGROUP BY doc_id ORDER BY doc_id"
+
+  /** DuckDB oracle for [[dedupClusterStats]]. */
+  def clusterStatsOracleSql: String =
+    ccOracleCtes + """,
+      |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+      |cs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+      |SELECT cluster_size, count(*) AS n_clusters FROM cs
+      |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
 
   // ---- n-gram Jaccard ----
 

@@ -78,9 +78,12 @@ object Media {
         batch.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          // real codec first (PNG/JPEG via the JDK's imageio), stub
-          // for every other payload — same distributed shape either way
-          val (checksum, hist) = imageKernel(bytes).getOrElse(stubKernel(bytes))
+          // real codecs first (PNG/JPEG via imageio, WAV via
+          // javax.sound), stub for every other payload — same
+          // distributed shape either way
+          val (checksum, hist) = imageKernel(bytes)
+            .orElse(audioKernel(bytes))
+            .getOrElse(stubKernel(bytes))
           Row(id, bytes.length.toLong, checksum, hist)
         }
       }
@@ -127,6 +130,47 @@ object Media {
       }
       Some((sum, hist.toSeq))
     }
+  }
+
+  /** WAV magic sniff (RIFF....WAVE). */
+  def looksLikeWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
+      bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte &&
+      bytes(8) == 'W'.toByte && bytes(9) == 'A'.toByte &&
+      bytes(10) == 'V'.toByte && bytes(11) == 'E'.toByte
+
+  /** REAL audio decode kernel: `javax.sound.sampled` (in the JDK)
+    * parses WAV containers; for 16-bit PCM the feature is an 8-bucket
+    * amplitude histogram over the decoded samples and the checksum is
+    * the total absolute amplitude. None for anything undecodable so
+    * the caller falls back to [[stubKernel]].
+    */
+  def audioKernel(bytes: Array[Byte]): Option[(Long, Seq[Double])] = {
+    if (!looksLikeWav(bytes)) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+      else {
+        val data = ais.readAllBytes()
+        val big = fmt.isBigEndian
+        val hist = new Array[Double](8)
+        var sum = 0L
+        var i = 0
+        while (i + 1 < data.length) {
+          val s =
+            if (big) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+            else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+          sum += math.abs(s.toInt)
+          hist(((s.toInt + 32768) * 8) / 65536) += 1.0
+          i += 2
+        }
+        Some((sum, hist.toSeq))
+      }
+    } catch { case _: Exception => None }
   }
 
   /** STUB resize kernel: deterministic down-sampling of the payload

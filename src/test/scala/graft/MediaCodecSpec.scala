@@ -63,6 +63,35 @@ class MediaCodecSpec extends GraftSpec {
     assert(r.getSeq[Double](3) === stubHist)
   }
 
+  test("WAV payloads decode to exact PCM amplitude features") {
+    import javax.sound.sampled._
+    val samples: Array[Short] = Array(0, 1000, -1000, 32767, -32768, 500, -1)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte          // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    val wav = out.toByteArray
+    val expectedSum = samples.map(s => math.abs(s.toInt).toLong).sum
+    val got = Media.audioKernel(wav)
+    assert(got.isDefined, "WAV did not decode")
+    assert(got.get._1 === expectedSum)
+    assert(got.get._2.sum === samples.length.toDouble)
+    // and through the distributed pipeline
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("media", BinaryType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(7L, wav))), schema)
+    val r = Media.extractFeatures(df).collect().head
+    assert(r.getAs[Long]("checksum") === expectedSum)
+  }
+
   test("imageKernel refuses non-images and truncated images") {
     assert(Media.imageKernel("not an image".getBytes("UTF-8")).isEmpty)
     val valid = png(Array(Array(0x123456)))
