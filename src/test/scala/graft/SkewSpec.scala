@@ -32,4 +32,39 @@ class SkewSpec extends GraftSpec {
   test("AQE skew-join safety net is configured") {
     assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
   }
+
+  test("AQE actually splits a skewed shuffle join at runtime") {
+    val keep = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    // force a shuffle join and make the hot partition trip the skew
+    // detector at test scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50KB")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try {
+      val hot = spark.range(150000)
+        .select(lit(1L).as("k"), concat(lit("payload-"), col("id")).as("pad"))
+      val rest = spark.range(2000)
+        .select((col("id") + 2).as("k"), lit("y").as("pad"))
+      val right = spark.range(3000).select(col("id").as("k"), lit("r").as("rv"))
+      // keep the varied payload through the shuffle: a pruned
+      // constant-key column compresses below the skew threshold
+      val joined = hot.union(rest).join(right, "k").select(col("k"), col("pad"))
+      // collect() drives THIS dataset's QueryExecution, so the
+      // adaptive plan below is the finalized one
+      val n = joined.collect().length
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join:\n${plan.take(3000)}")
+      assert(n === 152000)
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
