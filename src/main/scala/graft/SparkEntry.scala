@@ -56,6 +56,8 @@ object SparkEntry {
     "q_not_exists_anti" -> (Relational.qNotExistsAnti(_, _)),
     "q_conditional_agg" -> (Relational.qConditionalAgg(_, _)),
     "q_rollup" -> (Relational.qRollup(_, _)),
+    "q_grouping_sets" -> (Relational.qGroupingSets(_, _)),
+    "q_asof_tolerance" -> (Temporal.qAsofTolerance(_, _)),
     "q_pivot" -> (Relational.qPivot(_, _)),
     "q_percentiles" -> (Relational.qPercentiles(_, _)),
     "q_percentiles_approx" -> (Relational.qPercentilesApprox(_, _)),
@@ -1149,6 +1151,31 @@ object SparkEntry {
     "kmeans" -> Ann.kmeansOracleSql,
     "dedup_cc_clusters" -> Dedup.ccClustersOracleSql,
     "dedup_cluster_stats" -> Dedup.clusterStatsOracleSql,
+    "q_grouping_sets" ->
+      """WITH g AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+        |  FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus)))
+        |SELECT COALESCE(o_orderpriority, '(all)') AS priority,
+        |  COALESCE(o_orderstatus, '(all)') AS status, n_orders, total_price
+        |FROM g ORDER BY priority, status""".stripMargin,
+    "q_asof_tolerance" ->
+      """WITH u AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        |  FROM events),
+        |p AS (SELECT user_id,
+        |  (last_click_ts IS NOT NULL AND
+        |   epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(last_click_ts AS TIMESTAMP)) <= 600000000) AS matched,
+        |  CASE WHEN last_click_ts IS NOT NULL AND
+        |    epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(last_click_ts AS TIMESTAMP)) <= 600000000
+        |    THEN epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(last_click_ts AS TIMESTAMP)) END AS gap_us
+        |  FROM u WHERE event_type = 'purchase')
+        |SELECT user_id, count(*) AS n_purchases,
+        |  CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  max(gap_us) AS max_matched_gap_us
+        |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
     "text_quality_filter" ->
       s"""WITH $toksCte,
          |m AS (SELECT doc_id, len(toks) AS ntoks,

@@ -140,6 +140,26 @@ object Relational {
           / sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))).as("avg_finished_price"))
       .orderBy(col("o_orderpriority"))
 
+  /** §2.2#118 — explicit GROUPING SETS (the generalization rollup and
+    * cube are sugar for): independent subtotal planes over order
+    * priority and order status in ONE scan + one partial-agg shuffle,
+    * instead of a UNION of two aggregations reading the fact twice.
+    * Null group markers are coalesced to a sentinel so cross-engine
+    * null-ordering differences can't touch the compare.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus"))),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        dollars(sum(cents(col("o_totalprice"))), 100.0).as("total_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("priority"), col("status"))
+
   /** Hierarchical rollup region→nation over customer balances.
     * GROUPING() disambiguates the subtotal rows exactly as the DuckDB
     * oracle does.

@@ -38,6 +38,36 @@ object Temporal {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** §2.2#117 — as-of join with a match tolerance: a prior click only
+    * counts if it happened within the last 10 minutes (the finance
+    * "asof ... tolerance" semantic — stale matches become misses).
+    * Same single-shuffle carry-forward shape as [[qAsofJoin]]; the
+    * tolerance is a residual predicate on the carried value, and the
+    * per-user summary keeps the output bounded.
+    */
+  def qAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val TolUs = 10L * 60 * 1000000
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("last_click_ts",
+        last(when(col("event_type") === "click", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        (col("last_click_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("last_click_ts")) <= TolUs).as("matched"),
+        when(col("last_click_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("last_click_ts")) <= TolUs,
+          unix_micros(col("ts")) - unix_micros(col("last_click_ts"))).as("gap_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("matched"), 1L).otherwise(0L)).as("n_matched"),
+        max(col("gap_us")).as("max_matched_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** §2.2#46 — range join, bucketed: for every error event, how many
     * same-user events landed in the preceding 5 minutes. A naive
     * range join is a per-key cartesian; instead both sides key on
