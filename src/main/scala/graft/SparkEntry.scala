@@ -141,6 +141,7 @@ object SparkEntry {
     "stream_retry_queue" -> (StreamWatcher.streamRetryQueueQuery(_, _)),
     "stream_change_feed" -> (StreamWatcher.streamChangeFeedQuery(_, _)),
     "stream_interval_join" -> (StreamWatcher.streamIntervalJoinQuery(_, _)),
+    "stream_dedup" -> (StreamWatcher.streamDedupQuery(_, _)),
     // §2.8 sources/sinks
     "fs_inventory" -> (graft.syncer.FsInventory.fsInventoryQuery(_, _)),
     "io_partitioned_inventory" -> (Io.ioPartitionedInventory(_, _)),
@@ -1215,6 +1216,9 @@ object SparkEntry {
          |       toks[i + 3] || ' ' || toks[i + 4])) AS span FROM t)
          |SELECT span, count(*) AS n_docs_span FROM s GROUP BY span
          |ORDER BY n_docs_span DESC, span LIMIT 10""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_interval_join" ->
       """WITH p AS (SELECT user_id, event_id AS purchase_id,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS p_us FROM events WHERE event_type = 'purchase'),

@@ -182,6 +182,27 @@ object StreamWatcher {
     replayToBatch(changeFeed(eventStream(spark, dir)), "append")
       .orderBy(col("row_key"), col("generation"))
 
+  /** Streaming exact dedup within the watermark: the self-unioned
+    * event stream (every record delivered twice — the at-least-once
+    * redelivery model) collapses back to distinct events before the
+    * per-type accounting. This is the ingest-side dedup every
+    * pipeline needs in front of append-only sinks; state is bounded
+    * by the watermark horizon.
+    */
+  def dedupStream(stream: DataFrame): DataFrame =
+    stream.union(stream)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** §2.7#119 oracle surface: replayed double-delivery dedup must
+    * equal the plain per-type counts.
+    */
+  def streamDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    replayToBatch(dedupStream(eventStream(spark, dir)), "complete")
+      .orderBy(col("event_type"))
+
   /** Stream-stream interval join: every purchase matched to the
     * clicks of the same user within the preceding 30 minutes. Both
     * sides watermarked so the state store can expire rows — the

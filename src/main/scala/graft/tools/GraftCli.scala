@@ -32,7 +32,7 @@ object GraftCli {
   /** Minimal flat-JSON parse ("key": "value" / "key": 123) — enough
     * for the reference-shaped config file without a JSON dependency.
     */
-  private[tools] def parseConfig(text: String): Map[String, String] = {
+  private[graft] def parseConfig(text: String): Map[String, String] = {
     val kv = "\"([^\"]+)\"\\s*:\\s*(?:\"([^\"]*)\"|([-0-9.]+))".r
     kv.findAllMatchIn(text).map { m =>
       m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))

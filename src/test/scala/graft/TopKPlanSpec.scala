@@ -50,6 +50,23 @@ class TopKPlanSpec extends GraftSpec {
     assert(top2 === Set(1L, 2L))
   }
 
+  test("unpartitioned (global) window top-k is left to the window plan — no rewrite, no crash") {
+    import org.apache.spark.sql.expressions.Window
+    TopK.ensureRegistered(spark)
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val before = classic.experimental.extraOptimizations
+    try {
+      classic.experimental.extraOptimizations = before :+ graft.plans.RewriteWindowTopK
+      val w = Window.orderBy(col("revenue").desc, col("p_partkey"))
+      val global = revenue.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn")
+      // ClusteredDistribution(Nil) is rejected by Spark — the rule
+      // must skip the empty-partition shape entirely
+      assert(global.count() === 3)
+      assert(!global.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    } finally classic.experimental.extraOptimizations = before
+  }
+
   test("RewriteWindowTopK turns the naive window-filter-drop pattern into the heap operator") {
     import org.apache.spark.sql.expressions.Window
     TopK.ensureRegistered(spark)
