@@ -115,6 +115,7 @@ object SparkEntry {
     "ann_recall_at_k" -> (Ann.annRecallAtK(_, _)),
     "ann_ivf_topk" -> (Ann.annIvfTopk(_, _)),
     "ann_ivf_multiprobe" -> (Ann.annIvfMultiprobe(_, _)),
+    "ann_rh_bucket" -> (Ann.annRhBucketStats(_, _)),
     "ann_label_separation" -> (Ann.annLabelSeparation(_, _)),
     "vec_argmax" -> (Ann.vecArgmax(_, _)),
     // §2.5 text
@@ -1152,6 +1153,7 @@ object SparkEntry {
     "kmeans" -> Ann.kmeansOracleSql,
     "dedup_cc_clusters" -> Dedup.ccClustersOracleSql,
     "dedup_cluster_stats" -> Dedup.clusterStatsOracleSql,
+    "ann_rh_bucket" -> Ann.rhBucketOracleSql,
     "q_grouping_sets" ->
       """WITH g AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price

@@ -402,6 +402,43 @@ object Ann {
     * in tests): p pseudo-random hyperplanes derived from md5(seed,
     * plane, dim) so the code is deterministic without Math.random.
     */
+  /** §2.4#120 oracle surface of the production LSH path: bucket
+    * occupancy of the seeded random-hyperplane codes (how evenly the
+    * 2^p buckets split the corpus — the load-balance readout that
+    * decides whether p is big enough before a bucketed join).
+    */
+  def annRhBucketStats(spark: SparkSession, dir: String): DataFrame =
+    randomHyperplaneBucket(spark, dir, planes = 8)
+      .groupBy(col("rh_bucket")).agg(count(lit(1)).as("n_vectors"))
+      .orderBy(col("rh_bucket"))
+
+  /** DuckDB oracle for [[annRhBucketStats]] — the identical
+    * md5-seeded hyperplane components rebuilt in SQL (hex→int via
+    * digit arithmetic; /2^24 and −0.5 are exact, so the only float
+    * work is the dot product itself).
+    */
+  def rhBucketOracleSql: String = {
+    def hexDigit(pos: Int): String =
+      s"(CASE WHEN substr(h, $pos, 1) BETWEEN '0' AND '9' " +
+        s"THEN ascii(substr(h, $pos, 1)) - 48 ELSE ascii(substr(h, $pos, 1)) - 87 END)"
+    val hex6 = (1 to 6).zip(Seq(1048576, 65536, 4096, 256, 16, 1))
+      .map { case (pos, mul) => s"${hexDigit(pos)} * $mul" }.mkString(" +\n    ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ph AS (SELECT p, d, md5('plane' || CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)) AS h
+       |  FROM (SELECT unnest(range(0, 8)) AS p) CROSS JOIN (SELECT unnest(range(1, 65)) AS d)),
+       |pd AS (SELECT p, d,
+       |  ($hex6) / 16777216.0 - 0.5 AS w
+       |  FROM ph),
+       |comp AS (SELECT vec_id, generate_subscripts(v, 1) AS d, unnest(v) AS x FROM e),
+       |proj AS (SELECT vec_id, p, sum(x * w) AS proj
+       |  FROM comp JOIN pd ON comp.d = pd.d GROUP BY vec_id, p),
+       |b AS (SELECT vec_id,
+       |  string_agg(CASE WHEN proj > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS rh_bucket
+       |  FROM proj GROUP BY vec_id)
+       |SELECT rh_bucket, count(*) AS n_vectors FROM b
+       |GROUP BY rh_bucket ORDER BY rh_bucket""".stripMargin
+  }
+
   def randomHyperplaneBucket(spark: SparkSession, dir: String, planes: Int = 8): DataFrame = {
     val e = embeddings(spark, dir)
     val bucketBits = (0 until planes).map { p =>
