@@ -116,6 +116,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (Ann.annIvfTopk(_, _)),
     "ann_ivf_multiprobe" -> (Ann.annIvfMultiprobe(_, _)),
     "ann_rh_bucket" -> (Ann.annRhBucketStats(_, _)),
+    "ann_dim_truncation" -> ((s, d) => Ann.annDimTruncation(s, d)),
     "ann_label_separation" -> (Ann.annLabelSeparation(_, _)),
     "vec_argmax" -> (Ann.vecArgmax(_, _)),
     // §2.5 text
@@ -1154,6 +1155,24 @@ object SparkEntry {
     "dedup_cc_clusters" -> Dedup.ccClustersOracleSql,
     "dedup_cluster_stats" -> Dedup.clusterStatsOracleSql,
     "ann_rh_bucket" -> Ann.rhBucketOracleSql,
+    "ann_dim_truncation" ->
+      s"""WITH $embCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, v[1:16] AS qt FROM e WHERE vec_id < 5),
+         |c AS (SELECT vec_id, v, v[1:16] AS vt FROM e WHERE vec_id >= 5),
+         |ex AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY round(list_cosine_similarity(qv, v), 4) DESC, vec_id) AS rn
+         |  FROM c CROSS JOIN q) WHERE rn <= 5),
+         |tr AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY round(list_cosine_similarity(qt, vt), 4) DESC, vec_id) AS rn
+         |  FROM c CROSS JOIN q) WHERE rn <= 5),
+         |hits AS (SELECT tr.q_id, count(*) AS n_hits FROM tr
+         |  JOIN ex ON tr.q_id = ex.q_id AND tr.vec_id = ex.vec_id GROUP BY tr.q_id)
+         |SELECT q.q_id AS q_id, COALESCE(n_hits, 0) AS n_hits,
+         |  COALESCE(n_hits, 0) / 5 AS recall_at_5
+         |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN hits ON q.q_id = hits.q_id
+         |ORDER BY q.q_id""".stripMargin,
     "q_grouping_sets" ->
       """WITH g AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price

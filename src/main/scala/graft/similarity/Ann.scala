@@ -315,6 +315,39 @@ object Ann {
       .orderBy(col("q_id"))
   }
 
+  /** §2.4#121 — dimension-truncation quality (matryoshka-style): how
+    * much of the exact top-5 survives when search runs on only the
+    * first 16 of 64 components — the evaluation behind "cheap
+    * low-dim pre-stage, full-dim re-rank" designs (4× less distance
+    * math and memory traffic in the first stage at 100 TB). Same
+    * bounded-rank shapes as [[annRecallAtK]].
+    */
+  def annDimTruncation(spark: SparkSession, dir: String, dims: Int = 16): DataFrame = {
+    val e = embeddings(spark, dir)
+    val full = e.filter(col("vec_id") >= 5)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        slice(col("v"), 1, dims).as("qt"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    def top5(scored: DataFrame): DataFrame = scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val exact = top5(full.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine_sim(col("qv"), col("v")), 4).as("cos")))
+    val trunc = top5(full.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine_sim(col("qt"), slice(col("v"), 1, dims)), 4).as("cos")))
+    val hits = trunc.join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left_outer")
+      .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) / lit(5)).as("recall_at_5"))
+      .orderBy(col("q_id"))
+  }
+
   /** One Lloyd iteration: assign every vector to its nearest centroid
     * (broadcast argmax, cosine) and recompute centroids as component
     * means of their members. Input/output centroid tables are
