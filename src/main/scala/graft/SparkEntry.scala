@@ -132,6 +132,10 @@ object SparkEntry {
     "text_quality_filter" -> (TextAnalysis.textQualityFilter(_, _)),
     "text_repetition" -> (TextAnalysis.textRepetition(_, _)),
     "text_common_spans" -> (TextAnalysis.textCommonSpans(_, _)),
+    "text_pack_chunks" -> ((s, d) => graft.text.CorpusOps.textPackChunks(s, d)),
+    "text_contamination" -> ((s, d) => graft.text.CorpusOps.textContamination(s, d)),
+    "corpus_mixture" -> (graft.text.CorpusOps.corpusMixture(_, _)),
+    "dedup_url_norm" -> (graft.text.CorpusOps.dedupUrlNorm(_, _)),
     // §2.6 multimodal
     "mm_ingest" -> (Media.mmIngest(_, _)),
     "mm_features" -> (Media.mmFeatures(_, _)),
@@ -487,6 +491,57 @@ object SparkEntry {
          |SELECT CAST(length(tok) AS BIGINT) AS tok_len, count(*) AS n_tokens
          |FROM (SELECT unnest(toks) AS tok FROM t)
          |GROUP BY 1 ORDER BY tok_len""".stripMargin,
+    "text_pack_chunks" ->
+      """WITH t AS (SELECT doc_id, lang, doc_id % 8 AS shard,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_tokens FROM documents),
+        |p AS (SELECT lang, shard, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |  FROM t)
+        |SELECT lang, shard, doc_id, n_tokens, start_off,
+        |  start_off // 512 AS seq_first,
+        |  (start_off + n_tokens - 1) // 512 AS seq_last,
+        |  (start_off + n_tokens - 1) // 512 - start_off // 512 + 1 AS n_seqs_spanned
+        |FROM p ORDER BY lang, shard, doc_id""".stripMargin,
+    "text_contamination" ->
+      s"""WITH $toksCte,
+         |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 6, 1)),
+         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+         |       toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) AS spans
+         |  FROM t),
+         |b AS (SELECT DISTINCT unnest(spans) AS span FROM s WHERE doc_id % 97 = 0),
+         |c AS (SELECT doc_id, spans FROM s WHERE doc_id % 97 <> 0),
+         |h AS (SELECT cs.doc_id, count(*) AS n_contam_spans
+         |      FROM (SELECT doc_id, unnest(spans) AS span FROM c) cs
+         |      JOIN b USING (span) GROUP BY cs.doc_id)
+         |SELECT c.doc_id, CAST(len(c.spans) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(h.n_contam_spans, 0) AS BIGINT) AS n_contam_spans,
+         |  coalesce(h.n_contam_spans, 0) > 0 AS contaminated
+         |FROM c LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "corpus_mixture" ->
+      """WITH t AS (SELECT lang, source,
+        |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_toks FROM documents),
+        |cells AS (SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM t GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total, count(*) AS n_cells FROM cells)
+        |SELECT lang, source, n_docs, n_tokens,
+        |  (1000000 * n_docs) // n_total AS share_ppm,
+        |  (1000000 * n_total) // (n_cells * n_docs) AS weight_ppm
+        |FROM cells, tot ORDER BY lang, source""".stripMargin,
+    "dedup_url_norm" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 4 = 0 THEN 'http://' ELSE 'HTTPS://' END) ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+        |  source || '.example.com/docs/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed'
+        |        WHEN doc_id % 3 = 1 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS url
+        |  FROM documents),
+        |n AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |  lower(url), '^https?://', ''), '^www\.', ''), '[?#].*$', ''), '/$', '') AS norm_url
+        |  FROM u)
+        |SELECT norm_url, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_having" ->
       """SELECT l_partkey, count(*) AS n_lines, sum(l_quantity) AS total_qty
         |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 40

@@ -1,0 +1,135 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus-pipeline operators (SURVEY.md §2.5/§2.3 additions): the
+  * dataset-preparation steps a pretraining pipeline runs after
+  * filtering/dedup — sequence packing, benchmark-contamination
+  * checks, domain-mixture weighting, and URL canonicalization.
+  *
+  * Everything is integer/boolean arithmetic end-to-end (no float
+  * rounding anywhere), so the DuckDB oracle compare is bit-exact by
+  * construction.
+  */
+object CorpusOps {
+
+  /** Tokens per document, shared tokenizer with TextAnalysis. */
+  private def toks = TextAnalysis.tokensCol(col("text"))
+
+  /** §2.5#122 — concat-and-chunk sequence packing: the standard
+    * pretraining layout (concatenate documents in deterministic
+    * order, slice into fixed `seqLen`-token training sequences).
+    * Documents are packed independently per (lang, shard) stream —
+    * shard is a deterministic doc_id bucket, so parallelism scales
+    * with `nShards` and no stream ever needs a global order. Each doc
+    * gets its token start offset (running sum via a ROWS window) and
+    * the first/last sequence index it lands in; a doc straddling a
+    * boundary spans >1 sequence. One shuffle on the (lang, shard)
+    * key; at 100 TB the packing never materializes the concatenated
+    * stream — offsets are enough for the downstream tensor writer.
+    */
+  def textPackChunks(spark: SparkSession, dir: String,
+      seqLen: Int = 512, nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("lang"), (col("doc_id") % nShards).as("shard"),
+        col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .withColumn("start_off", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_first", expr(s"start_off div $seqLen"))
+      .withColumn("seq_last", expr(s"(start_off + n_tokens - 1) div $seqLen"))
+      .withColumn("n_seqs_spanned", col("seq_last") - col("seq_first") + 1)
+      .orderBy(col("lang"), col("shard"), col("doc_id"))
+  }
+
+  /** §2.5#123 — benchmark-contamination check: flag corpus documents
+    * sharing any 8-token span with a held-out "benchmark" set (the
+    * deterministic doc_id % 97 slice stands in for an eval suite).
+    * The benchmark span set is tiny and distinct → broadcast; corpus
+    * docs contribute their distinct spans once (array_distinct before
+    * explode), so the probe is linear in corpus tokens and the only
+    * shuffle is the per-doc hit count. This is the n-gram-overlap
+    * decontamination step (GPT-3/Gopher style) every training set
+    * needs before eval.
+    */
+  def textContamination(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val spans = array_distinct(transform(
+      TextAnalysis.idxSeq(size(col("toks")) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(col("toks"), i + o)): _*)))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), spans.as("spans"))
+    val benchSpans = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("spans")).as("span")).distinct()
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val hits = corpus.select(col("doc_id"), explode(col("spans")).as("span"))
+      .join(broadcast(benchSpans), "span")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contam_spans"))
+    corpus.select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_contam_spans"), lit(0L)).as("n_contam_spans"))
+      .withColumn("contaminated", col("n_contam_spans") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2.5#124 — domain-mixture sampling weights: per (lang, source)
+    * cell, the up/down-sampling weight that moves the realized
+    * mixture to a uniform target over cells. Weights are exact
+    * integer parts-per-million ((1e6 · total) div (cells · cell
+    * size)) — float division rounds differently across engines, ppm
+    * floor-division cannot. Two bounded aggregations plus a broadcast
+    * of the 1-row totals; nothing here grows with corpus size except
+    * the first partial-agg scan.
+    */
+  def corpusMixture(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), size(toks).cast("long").as("n_toks"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val totals = cells.agg(sum(col("n_docs")).as("n_total"),
+      count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(totals))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        expr("(1000000 * n_docs) div n_total").as("share_ppm"),
+        expr("(1000000 * n_total) div (n_cells * n_docs)").as("weight_ppm"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** The deterministic URL each document would carry in a crawled
+    * corpus (derived from source + doc_id, same convention as the
+    * sync domain's event-derived inventory): protocol, WWW-prefix,
+    * query-string, fragment, and trailing-slash variants all appear
+    * so normalization has real work to do.
+    */
+  def urlCol: org.apache.spark.sql.Column =
+    concat(
+      when(col("doc_id") % 4 === 0, lit("http://")).otherwise(lit("HTTPS://")),
+      when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".example.com/docs/"),
+      (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 3 === 0, lit("?utm_source=feed"))
+        .when(col("doc_id") % 3 === 1, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("#top")).otherwise(lit("")))
+
+  /** §2.3#125 — URL canonicalization dedup: normalize each document's
+    * URL (case-fold, strip scheme/www/query/fragment/trailing slash)
+    * and collapse to canonical clusters — the crawl-frontier dedup
+    * every web corpus applies before content dedup. Narrow codegen
+    * normalization, one hash shuffle on the canonical key.
+    */
+  def dedupUrlNorm(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      lower(urlCol), "^https?://", ""), "^www\\.", ""), "[?#].*$", ""), "/$", "")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), norm.as("norm_url"))
+      .groupBy(col("norm_url"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
+      .orderBy(col("norm_url"))
+  }
+}

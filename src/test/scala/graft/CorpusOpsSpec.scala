@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.CorpusOps
+import graft.sources.Tables
+
+class CorpusOpsSpec extends GraftSpec {
+
+  test("pack chunks: offsets are a gapless token-exact packing per stream") {
+    val r = CorpusOps.textPackChunks(spark, sf).cache()
+    // first doc of every (lang, shard) stream starts at offset 0
+    val firsts = r.groupBy(col("lang"), col("shard"))
+      .agg(min(col("start_off")).as("first_off")).collect()
+    firsts.foreach(row => assert(row.getAs[Long]("first_off") === 0L))
+    // offsets are cumulative: start + n_tokens of the last doc equals
+    // the stream's total token count, and every doc spans >= 1 seq
+    val totals = r.groupBy(col("lang"), col("shard"))
+      .agg(max(col("start_off") + col("n_tokens")).as("end_off"),
+        sum(col("n_tokens")).as("tok_sum"),
+        max(col("seq_last")).as("last_seq")).collect()
+    totals.foreach { row =>
+      assert(row.getAs[Long]("end_off") === row.getAs[Long]("tok_sum"))
+      // last sequence index is exactly ceil(total/512) - 1
+      assert(row.getAs[Long]("last_seq") === (row.getAs[Long]("tok_sum") - 1) / 512)
+    }
+    assert(r.filter(col("n_seqs_spanned") < 1).isEmpty)
+    r.unpersist()
+  }
+
+  test("contamination: benchmark docs are excluded and flags match counts") {
+    val r = CorpusOps.textContamination(spark, sf).cache()
+    assert(r.filter(col("doc_id") % 97 === 0).isEmpty)
+    assert(r.filter(col("contaminated") =!= (col("n_contam_spans") > 0)).isEmpty)
+    assert(r.filter(col("n_contam_spans") > col("n_spans")).isEmpty)
+    val total = Tables.documents(spark, sf).filter(col("doc_id") % 97 =!= 0).count()
+    assert(r.count() === total)
+    r.unpersist()
+  }
+
+  test("mixture: shares sum to ~1e6 ppm and weights invert the realized share") {
+    val rows = CorpusOps.corpusMixture(spark, sf).collect()
+    val shareSum = rows.map(_.getAs[Long]("share_ppm")).sum
+    // floor division loses < 1 ppm per cell
+    assert(shareSum <= 1000000L && shareSum > 1000000L - rows.length)
+    rows.foreach { row =>
+      val w = row.getAs[Long]("weight_ppm")
+      assert(w > 0L)
+      // weight * cells * cell_share ~ 1e6 (up to floor loss)
+      val back = w * rows.length * row.getAs[Long]("n_docs")
+      val nTotal = rows.map(_.getAs[Long]("n_docs")).sum
+      assert(back <= 1000000L * nTotal)
+      assert(back > (1000000L - w) * nTotal - w * rows.length)
+    }
+  }
+
+  test("url dedup: canonical clusters partition the corpus and keys are normalized") {
+    val r = CorpusOps.dedupUrlNorm(spark, sf).cache()
+    val total = Tables.documents(spark, sf).count()
+    assert(r.agg(sum(col("n_docs"))).first().getLong(0) === total)
+    r.collect().foreach { row =>
+      val u = row.getAs[String]("norm_url")
+      assert(u == u.toLowerCase)
+      assert(!u.contains("?") && !u.contains("#") && !u.startsWith("www.") &&
+        !u.startsWith("http") && !u.endsWith("/"))
+    }
+    r.unpersist()
+  }
+}
