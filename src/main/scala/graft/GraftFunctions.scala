@@ -73,6 +73,22 @@ object GraftFunctions {
     "graft_jaccard_sorted" -> (exprs => {
       requireArity("graft_jaccard_sorted", exprs, 2); JaccardSorted(exprs(0), exprs(1))
     }),
+    // Explicit bloom-prefilter surface: Spark ships these expressions
+    // for its own runtime-filter rewrite but does not register them in
+    // the public function registry; exposing them lets a pipeline
+    // build the classic semi-join prefilter by hand (build a bloom
+    // over the small side's join keys, prune the fact scan BEFORE the
+    // shuffle, then join exactly — false positives are removed by the
+    // join, so results are exact while shuffle input shrinks by the
+    // filter's selectivity).
+    "graft_bloom_agg" -> (exprs => {
+      requireArity("graft_bloom_agg", exprs, 1)
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(exprs(0))
+    }),
+    "graft_bloom_contains" -> (exprs => {
+      requireArity("graft_bloom_contains", exprs, 2)
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))
+    }),
   )
 
   def register(spark: SparkSession): Unit =

@@ -161,6 +161,10 @@ object SparkEntry {
     "kmeans" -> (Ann.kmeansQuery(_, _)),
     "dedup_cc_clusters" -> (Dedup.dedupCcClusters(_, _)),
     "dedup_cluster_stats" -> (Dedup.dedupClusterStats(_, _)),
+    "graph_degree_hist" -> (graft.graph.GraphOps.graphDegreeHist(_, _)),
+    "graph_triangles" -> (graft.graph.GraphOps.graphTriangles(_, _)),
+    "q_bloom_prefilter" -> (graft.analytics.RuntimeFilters.qBloomPrefilter(_, _)),
+    "stream_session_window" -> (StreamWatcher.streamSessionWindowQuery(_, _)),
   )
 
   // ---- oracle SQL ----
@@ -224,6 +228,27 @@ object SparkEntry {
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start, event_type,
       |  count(*) AS n_events, round(sum(value), 2) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Shared by `q_session_window` (batch) and `stream_session_window`
+    * (replayed streaming state): 30-min-gap sessions per user via the
+    * portable lag→cumsum definition.
+    */
+  private val sessionWindowSql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged),
+      |per_sess AS (SELECT user_id, session_id, count(*) AS n_events FROM sess GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
+      |  CAST(max(n_events) AS BIGINT) AS max_session_events
+      |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the driver's weaker
@@ -767,22 +792,16 @@ object SparkEntry {
         |SELECT event_type, max_by(user_id, m) AS top_value_user,
         |  min_by(user_id, m) AS bottom_value_user, count(*) AS n_events
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q_session_window" ->
-      """WITH flagged AS (
-        |  SELECT user_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) >= 1800000000
-        |         THEN 1 ELSE 0 END AS is_new
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (
-        |  SELECT user_id,
-        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM flagged),
-        |per_sess AS (SELECT user_id, session_id, count(*) AS n_events FROM sess GROUP BY 1, 2)
-        |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
-        |  CAST(max(n_events) AS BIGINT) AS max_session_events
-        |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "graph_degree_hist" -> graft.graph.GraphOps.degreeHistOracleSql,
+    "graph_triangles" -> graft.graph.GraphOps.trianglesOracleSql,
+    "q_bloom_prefilter" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "stream_session_window" -> sessionWindowSql,
+    "q_session_window" -> sessionWindowSql,
     "q_correlated_agg" ->
       """WITH w AS (SELECT o_orderpriority, o_totalprice,
         |  avg(o_totalprice) OVER (PARTITION BY o_custkey) AS cust_avg FROM orders)

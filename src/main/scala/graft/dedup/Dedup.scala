@@ -191,10 +191,11 @@ object Dedup {
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("cluster_size"))
 
-  /** Shared CTE chain for the CC oracles: md5 band construction →
-    * candidate pairs → undirected edges → transitive closure.
+  /** Shared CTE body: md5 band construction → candidate pairs (the
+    * SQL twin of [[minhashCandidatePairs]]). Used by the CC oracles
+    * here and the candidate-graph oracles in `graft.graph.GraphOps`.
     */
-  private def ccOracleCtes: String = {
+  def candOracleBody: String = {
     val sigExprs = (0 until MinhashK).map { k =>
       s"list_aggregate(list_transform(sh, x -> md5('$k|' || x)), 'min') AS sig$k"
     }.mkString(",\n  ")
@@ -202,7 +203,7 @@ object Dedup {
       val cat = (0 until 3).map(r => s"sig${3 * b + r}").mkString(" || ")
       s"SELECT doc_id, CAST($b AS BIGINT) AS band_idx, md5($cat) AS band_hash FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH RECURSIVE t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+    s"""t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
        |s AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
        |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS sh FROM t),
        |sig AS (SELECT doc_id,
@@ -211,14 +212,21 @@ object Dedup {
        |bands AS ($bandSelects),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
-       |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-       |          UNION SELECT doc_b AS src, doc_a AS dst FROM cand),
-       |reach AS (SELECT src AS doc_id, src AS r FROM edges
-       |          UNION
-       |          SELECT e.src AS doc_id, reach.r AS r
-       |          FROM edges e JOIN reach ON e.dst = reach.doc_id)""".stripMargin
+       |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  /** Shared CTE chain for the CC oracles: candidate pairs →
+    * undirected edges → transitive closure.
+    */
+  private def ccOracleCtes: String =
+    "WITH RECURSIVE " + candOracleBody +
+      """,
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        |          UNION SELECT doc_b AS src, doc_a AS dst FROM cand),
+        |reach AS (SELECT src AS doc_id, src AS r FROM edges
+        |          UNION
+        |          SELECT e.src AS doc_id, reach.r AS r
+        |          FROM edges e JOIN reach ON e.dst = reach.doc_id)""".stripMargin
 
   /** DuckDB oracle for [[dedupCcClusters]]: same md5 band
     * construction, then min-reachable-id via a recursive

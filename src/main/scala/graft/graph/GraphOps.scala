@@ -1,0 +1,72 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Candidate-graph analytics (SURVEY.md §2.3 additions): the near-dup
+  * candidate pairs form a graph whose shape a dedup pipeline monitors
+  * — degree distribution (is any doc a hub that will blow up
+  * verification?) and triangle count (how clique-like are the
+  * clusters?). Both stay distributed: degree is one explode + two
+  * bounded aggregations; triangles use the ordered-edge join (each
+  * triangle counted exactly once at its smallest vertex), never an
+  * all-pairs pass. LSH band width bounds bucket sizes and therefore
+  * node degree, which is what keeps the e1⋈e2 wedge join from
+  * exploding at 100 TB.
+  */
+object GraphOps {
+
+  private def pairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidatePairs(spark, dir)
+
+  /** §2.3#128 — degree histogram of the candidate graph. */
+  def graphDegreeHist(spark: SparkSession, dir: String): DataFrame =
+    pairs(spark, dir)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("degree"))
+
+  /** §2.3#129 — global graph profile: nodes, edges, triangles. The
+    * triangle pass joins ordered edges (doc_a < doc_b everywhere):
+    * wedges e1=(a,b), e2=(b,c) close iff (a,c) is an edge.
+    */
+  def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = pairs(spark, dir).cache()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .join(e.as("e3"),
+        col("e3.doc_a") === col("e1.doc_a") && col("e3.doc_b") === col("e2.doc_b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = e.select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .agg(countDistinct(col("d")).as("n_nodes"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    nodes.crossJoin(edges).crossJoin(tri)
+  }
+
+  /** DuckDB oracle for [[graphDegreeHist]]. */
+  def degreeHistOracleSql: String =
+    "WITH " + Dedup.candOracleBody +
+      """,
+        |deg AS (SELECT doc_id, count(*) AS degree FROM (
+        |  SELECT doc_a AS doc_id FROM cand
+        |  UNION ALL SELECT doc_b AS doc_id FROM cand)
+        |  GROUP BY doc_id)
+        |SELECT degree, count(*) AS n_nodes FROM deg
+        |GROUP BY degree ORDER BY degree""".stripMargin
+
+  /** DuckDB oracle for [[graphTriangles]]. */
+  def trianglesOracleSql: String =
+    "WITH " + Dedup.candOracleBody +
+      """,
+        |tri AS (SELECT count(*) AS n_triangles FROM cand e1
+        |  JOIN cand e2 ON e1.doc_b = e2.doc_a
+        |  JOIN cand e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+        |nn AS (SELECT count(DISTINCT doc_id) AS n_nodes FROM (
+        |  SELECT doc_a AS doc_id FROM cand
+        |  UNION ALL SELECT doc_b AS doc_id FROM cand)),
+        |ne AS (SELECT count(*) AS n_edges FROM cand)
+        |SELECT nn.n_nodes, ne.n_edges, tri.n_triangles FROM nn, ne, tri""".stripMargin
+}

@@ -182,6 +182,31 @@ object StreamWatcher {
     replayToBatch(changeFeed(eventStream(spark, dir)), "append")
       .orderBy(col("row_key"), col("generation"))
 
+  /** Watermarked streaming sessionization: the engine's session-state
+    * path (gap-merged `session_window` windows, state bounded by the
+    * watermark horizon) — the streaming twin of
+    * `Relational.qSessionWindow`. Per-user session windows merge as
+    * late events arrive; on a bounded source the converged session
+    * set must equal the batch definition.
+    */
+  def sessionWindowStream(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+
+  /** §2.7#127 oracle surface: replayed streaming sessions, rolled up
+    * per user exactly like the batch operator.
+    */
+  def streamSessionWindowQuery(spark: SparkSession, dir: String): DataFrame =
+    replayToBatch(sessionWindowStream(eventStream(spark, dir)), "complete")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+
   /** Streaming exact dedup within the watermark: the self-unioned
     * event stream (every record delivered twice — the at-least-once
     * redelivery model) collapses back to distinct events before the

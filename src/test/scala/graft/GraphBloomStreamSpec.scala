@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.{Relational, RuntimeFilters}
+import graft.graph.GraphOps
+import graft.streaming.StreamWatcher
+
+class GraphBloomStreamSpec extends GraftSpec {
+
+  test("degree histogram accounts for every candidate-graph node") {
+    val pairs = graft.dedup.Dedup.minhashCandidatePairs(spark, sf).cache()
+    val nNodes = pairs.select(col("doc_a")).union(pairs.select(col("doc_b")))
+      .distinct().count()
+    val hist = GraphOps.graphDegreeHist(spark, sf)
+    val histTotal = hist.agg(sum(col("n_nodes"))).first().getLong(0)
+    assert(histTotal === nNodes)
+    pairs.unpersist()
+  }
+
+  test("triangle profile is consistent with the edge list") {
+    val row = GraphOps.graphTriangles(spark, sf).first()
+    val nEdges = row.getAs[Long]("n_edges")
+    val nNodes = row.getAs[Long]("n_nodes")
+    val nTris = row.getAs[Long]("n_triangles")
+    assert(nEdges >= 0 && nTris >= 0)
+    // every edge touches 2 nodes; a graph with E edges has >= roughly
+    // (1+sqrt(1+8E))/2 nodes and triangles need at least 3 edges
+    if (nTris > 0) assert(nEdges >= 3 && nNodes >= 3)
+  }
+
+  test("bloom prefilter is invisible in the join result") {
+    val withBloom = RuntimeFilters.qBloomPrefilter(spark, sf).collect()
+    val plain = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("l_returnflag")).collect()
+    assert(withBloom.map(_.toSeq).toSeq === plain.map(_.toSeq).toSeq)
+  }
+
+  test("bloom prefilter plan actually contains the might_contain prune") {
+    val df = RuntimeFilters.qBloomPrefilter(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+      s"no bloom prefilter in plan:\n$plan")
+  }
+
+  test("streaming session windows converge to the batch session definition") {
+    val streamed = StreamWatcher.streamSessionWindowQuery(spark, sf).collect()
+    val batch = Relational.qSessionWindow(spark, sf).collect()
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+}
