@@ -117,6 +117,8 @@ object SparkEntry {
     "ann_ivf_multiprobe" -> (Ann.annIvfMultiprobe(_, _)),
     "ann_rh_bucket" -> (Ann.annRhBucketStats(_, _)),
     "ann_dim_truncation" -> ((s, d) => Ann.annDimTruncation(s, d)),
+    "ann_pq_codes" -> (graft.similarity.Pq.annPqCodes(_, _)),
+    "ann_pq_adc" -> (graft.similarity.Pq.annPqAdc(_, _)),
     "ann_label_separation" -> (Ann.annLabelSeparation(_, _)),
     "vec_argmax" -> (Ann.vecArgmax(_, _)),
     // §2.5 text
@@ -792,6 +794,8 @@ object SparkEntry {
         |SELECT event_type, max_by(user_id, m) AS top_value_user,
         |  min_by(user_id, m) AS bottom_value_user, count(*) AS n_events
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ann_pq_codes" -> graft.similarity.Pq.pqCodesOracleSql,
+    "ann_pq_adc" -> graft.similarity.Pq.pqAdcOracleSql,
     "graph_degree_hist" -> graft.graph.GraphOps.degreeHistOracleSql,
     "graph_triangles" -> graft.graph.GraphOps.trianglesOracleSql,
     "q_bloom_prefilter" ->

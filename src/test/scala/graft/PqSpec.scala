@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Pq
+
+class PqSpec extends GraftSpec {
+
+  test("pq codes are in [0, K) and codebook members reconstruct exactly") {
+    val r = Pq.annPqCodes(spark, sf).cache()
+    (0 until Pq.M).foreach { mi =>
+      assert(r.filter(col(s"code_$mi") < 0 || col(s"code_$mi") >= Pq.K).isEmpty)
+    }
+    assert(r.filter(col("err_u") < 0).isEmpty)
+    // the K codebook-source vectors quantize to themselves: zero error
+    assert(r.filter(col("vec_id") < Pq.K && col("err_u") =!= 0L).isEmpty)
+    r.unpersist()
+  }
+
+  test("adc recall is bounded by top_k and covers every probe") {
+    val r = Pq.annPqAdc(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val m = row.getAs[Long]("n_matched")
+      assert(m >= 0L && m <= row.getAs[Long]("top_k"))
+    }
+  }
+}
