@@ -175,15 +175,38 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     val cps = text.codePoints().toArray
     val n = cps.length - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    // UTF-8-encode once and record each code point's byte offset, so
+    // every k-gram hashes a slice of the shared buffer — the naive
+    // form allocates two strings per k-gram, which dominates the
+    // whole operator's runtime on a large corpus
+    val bytes = text.getBytes(StandardCharsets.UTF_8)
+    val offsets = new Array[Int](cps.length + 1)
+    var ci = 0
+    var boff = 0
+    while (ci < cps.length) {
+      val cp = cps(ci)
+      boff += (if (cp < 0x80) 1 else if (cp < 0x800) 2
+               else if (cp < 0x10000) 3 else 4)
+      ci += 1
+      offsets(ci) = boff
+    }
     val md = Digests.threadMd5.get()
-    val hashes = new Array[String](n)
+    // raw 16-byte digests; unsigned byte order == hex-string order,
+    // so compares are digest compares and hex is only rendered for
+    // the selected minima at the end
+    val hashes = new Array[Array[Byte]](n)
     var i = 0
     while (i < n) {
-      hashes(i) = new String(Digests.md5Hex(md,
-        new String(cps, i, k).getBytes(StandardCharsets.UTF_8)))
+      md.reset()
+      md.update(bytes, offsets(i), offsets(i + k) - offsets(i))
+      hashes(i) = md.digest()
       i += 1
     }
-    val selected = new java.util.TreeSet[String]()
+    val cmp = new java.util.Comparator[Array[Byte]] {
+      def compare(a: Array[Byte], b: Array[Byte]): Int =
+        java.util.Arrays.compareUnsigned(a, b)
+    }
+    val selected = new java.util.TreeSet[Array[Byte]](cmp)
     if (n < w) {
       // fewer k-grams than the window width: no complete window, no
       // fingerprints (matches the portable sequence(1, m-w+1) form)
@@ -192,7 +215,8 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
       val deque = new java.util.ArrayDeque[Int]()
       var j = 0
       while (j < n) {
-        while (!deque.isEmpty && hashes(deque.peekLast()).compareTo(hashes(j)) >= 0)
+        while (!deque.isEmpty &&
+            cmp.compare(hashes(deque.peekLast()), hashes(j)) >= 0)
           deque.pollLast()
         deque.addLast(j)
         if (deque.peekFirst() <= j - w) deque.pollFirst()
@@ -203,7 +227,18 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     val out = new Array[Any](selected.size)
     val it = selected.iterator()
     var o = 0
-    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    while (it.hasNext) {
+      val d = it.next()
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = Digests.HexChars((d(b) >> 4) & 0xf)
+        hex(2 * b + 1) = Digests.HexChars(d(b) & 0xf)
+        b += 1
+      }
+      out(o) = UTF8String.fromString(new String(hex))
+      o += 1
+    }
     new GenericArrayData(out)
   }
 

@@ -148,8 +148,20 @@ object StreamWatcher {
   def replayToBatch(ds: Dataset[_], mode: String): DataFrame = {
     val spark = ds.sparkSession
     val name = s"graft_replay_${replaySeq.incrementAndGet()}"
-    val q = ds.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    // Stateful replays pay per-partition state-store overhead on
+    // every micro-batch (the HDFS-backed provider writes a delta file
+    // per store per batch); a bounded replay over local test data
+    // doesn't need 32 stores, so pin the stream's state partitioning
+    // to 8 for the replay and restore the session setting after. On a
+    // cluster this knob is sized by key cardinality/throughput, not
+    // left at the batch shuffle width; results are partition-count
+    // independent either way.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = ds.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
