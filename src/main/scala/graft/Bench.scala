@@ -22,10 +22,26 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // warmup: codegen + parquet footer reads off the clock
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // isolate queries from each other: a long stateful neighbor must
+    // not bill its cache blocks / pending-GC broadcast state to the
+    // queries after it (BENCH_r03's per-query numbers were inflated
+    // 5-10x by exactly this). Runs OUTSIDE the per-query timer.
+    def settle(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
+    // SPARK_GRAFT_ONLY=a,b,c reruns a subset in the identical harness
+    // (noise diagnosis: a single's time should match its suite time)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // best-of-2 per query: steady-state timing, resistant to the
     // one-off JIT/IO noise a single pass picks up
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
+        settle()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

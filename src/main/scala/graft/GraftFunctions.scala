@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{CosineSimilarity, JaccardSorted, MinHashSigs, SimHash32}
+import graft.functions.{CosineSimilarity, JaccardSorted, MinHashSigs, NGramSpanHashes, SimHash32}
 
 /** SQL-surface registration for the native expressions, so
   * `spark.sql("SELECT graft_cosine(a, b) ...")` works alongside the
@@ -88,6 +88,10 @@ object GraftFunctions {
     "graft_bloom_contains" -> (exprs => {
       requireArity("graft_bloom_contains", exprs, 2)
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))
+    }),
+    "graft_ngram_spans" -> (exprs => {
+      requireArity("graft_ngram_spans", exprs, 2)
+      NGramSpanHashes(exprs(0), foldableInt("graft_ngram_spans", "n", exprs(1)))
     }),
   )
 

@@ -533,8 +533,8 @@ object SparkEntry {
     "text_contamination" ->
       s"""WITH $toksCte,
          |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 6, 1)),
-         |  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
-         |       toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) AS spans
+         |  i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+         |       toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS spans
          |  FROM t),
          |b AS (SELECT DISTINCT unnest(spans) AS span FROM s WHERE doc_id % 97 = 0),
          |c AS (SELECT doc_id, spans FROM s WHERE doc_id % 97 <> 0),

@@ -43,7 +43,7 @@ object RuntimeFilters {
     Tables.lineitem(spark, dir).createOrReplaceTempView(factV)
     // the bloom rides in as a scalar subquery (BloomFilterMightContain
     // requires a constant or scalar-subquery bloom side)
-    spark.sql(
+    val df = spark.sql(
       s"""SELECT l_returnflag, count(*) AS n_lines,
          |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
          |FROM $factV l JOIN $dimV o ON l.l_orderkey = o.o_orderkey
@@ -51,5 +51,11 @@ object RuntimeFilters {
          |    (SELECT graft_bloom_agg(xxhash64(o_orderkey)) FROM $dimV),
          |    xxhash64(l.l_orderkey))
          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    // spark.sql analyzes eagerly — the views are resolved into the
+    // plan above, so dropping them immediately keeps the catalog from
+    // accumulating one pair per invocation in a long-lived session
+    spark.catalog.dropTempView(dimV)
+    spark.catalog.dropTempView(factV)
+    df
   }
 }

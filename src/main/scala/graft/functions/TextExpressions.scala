@@ -190,6 +190,12 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
       ci += 1
       offsets(ci) = boff
     }
+    // the per-code-point widths above assume well-formed UTF-16 input:
+    // UTF8String.toString cannot yield lone surrogates, but getBytes
+    // would encode one as a single '?' byte and silently desync every
+    // later offset — fail loudly rather than hash misaligned slices
+    require(boff == bytes.length,
+      s"UTF-8 offset table desync: computed $boff, encoded ${bytes.length}")
     val md = Digests.threadMd5.get()
     // raw 16-byte digests; unsigned byte order == hex-string order,
     // so compares are digest compares and hex is only rendered for
@@ -245,9 +251,71 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Distinct md5 hashes of all n-token spans of a token array (tokens
+  * joined by a single space, as the contamination oracle's
+  * `md5(toks[i] || ' ' || …)` does). One pass per row: token bytes
+  * are fetched once and each span hashes slices of a shared buffer —
+  * the portable form (transform + element_at over the raw tokenizer
+  * expression, then array_distinct) re-ran split() per element_at
+  * once Spark's infer-filter-from-generate inlined it below the
+  * projection (~750 tokenizations/doc). Hashing also shrinks the
+  * exploded probe rows to fixed 32-char keys before the
+  * contamination join's shuffle/broadcast.
+  */
+case class NGramSpanHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private val Space: Byte = ' '.toByte
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val tb = new Array[Array[Byte]](m)
+    var t = 0
+    while (t < m) { tb(t) = toks.getUTF8String(t).getBytes; t += 1 }
+    val md = Digests.threadMd5.get()
+    // insertion-ordered distinct: order never reaches the output (the
+    // operator explodes/counts spans), but determinism is free
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= m - n) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(Space)
+        md.update(tb(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = Digests.HexChars((d(b) >> 4) & 0xf)
+        hex(2 * b + 1) = Digests.HexChars(d(b) & 0xf)
+        b += 1
+      }
+      seen.add(new String(hex))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = UTF8String.fromString(it.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextFunctions {
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     Shim.toColumn(WinnowFingerprints(Shim.toExpression(text), k, w))
+
+  def ngram_span_hashes(tokens: Column, n: Int): Column =
+    Shim.toColumn(NGramSpanHashes(Shim.toExpression(tokens), n))
 
   def simhash32(tokens: Column): Column =
     Shim.toColumn(SimHash32(Shim.toExpression(tokens)))

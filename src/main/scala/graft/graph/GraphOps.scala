@@ -34,7 +34,11 @@ object GraphOps {
     * wedges e1=(a,b), e2=(b,c) close iff (a,c) is an edge.
     */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = pairs(spark, dir).cache()
+    // localCheckpoint (eager) instead of cache(): the pair set is
+    // materialized once for its three consumers, and the blocks are
+    // released by the ContextCleaner when the plan is GC'd — a
+    // .cache() here leaked CacheManager entries on every invocation
+    val e = pairs(spark, dir).localCheckpoint()
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
       .join(e.as("e3"),

@@ -146,23 +146,25 @@ object StreamWatcher {
     * batch twin.
     */
   def replayToBatch(ds: Dataset[_], mode: String): DataFrame = {
-    val spark = ds.sparkSession
-    val name = s"graft_replay_${replaySeq.incrementAndGet()}"
     // Stateful replays pay per-partition state-store overhead on
     // every micro-batch (the HDFS-backed provider writes a delta file
     // per store per batch); a bounded replay over local test data
     // doesn't need 32 stores, so pin the stream's state partitioning
-    // to 8 for the replay and restore the session setting after. On a
-    // cluster this knob is sized by key cardinality/throughput, not
-    // left at the batch shuffle width; results are partition-count
-    // independent either way.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = ds.writeStream.outputMode(mode).format("memory").queryName(name).start()
-      try q.processAllAvailable() finally q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+    // to 8 — on an ISOLATED session clone (shared SparkContext,
+    // private SQL conf), so a query planned concurrently on the
+    // caller's session never sees the override. On a cluster this
+    // knob is sized by key cardinality/throughput; results are
+    // partition-count independent either way.
+    val replaySession = ds.sparkSession.newSession()
+    replaySession.conf.set("spark.sql.shuffle.partitions", "8")
+    val name = s"graft_replay_${replaySeq.incrementAndGet()}"
+    // rebind the already-analyzed plan (function/table resolution
+    // happened on the caller's session) onto the clone
+    val rebound = org.apache.spark.sql.graftshim.Shim.ofRows(
+      replaySession, org.apache.spark.sql.graftshim.Shim.analyzedPlan(ds.toDF()))
+    val q = rebound.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    replaySession.table(name)
   }
 
   /** §2.7#43 oracle surface: watermarked hourly windowed aggregation

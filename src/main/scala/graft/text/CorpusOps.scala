@@ -56,14 +56,20 @@ object CorpusOps {
     * shuffle is the per-doc hit count. This is the n-gram-overlap
     * decontamination step (GPT-3/Gopher style) every training set
     * needs before eval.
+    *
+    * Spans are distinct md5 hashes via the fused native
+    * [[graft.functions.NGramSpanHashes]] — one tokenize+hash pass per
+    * document (the portable transform/element_at form re-ran the
+    * tokenizer per span element once the inferred `size(spans) > 0`
+    * filter inlined it: ~750 tokenizations/doc, 75 s at sf0.1), and
+    * the exploded probe keys are fixed-width 32-char hashes instead
+    * of 8-token strings, shrinking the broadcast and the hit-count
+    * shuffle. The oracle mirrors md5 on the same span text.
     */
   def textContamination(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
-    val spans = array_distinct(transform(
-      TextAnalysis.idxSeq(size(col("toks")) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(o => element_at(col("toks"), i + o)): _*)))
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), spans.as("spans"))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.ngram_span_hashes(toks, n).as("spans"))
     val benchSpans = docs.filter(col("doc_id") % 97 === 0)
       .select(explode(col("spans")).as("span")).distinct()
     val corpus = docs.filter(col("doc_id") % 97 =!= 0)

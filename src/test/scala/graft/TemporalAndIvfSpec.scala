@@ -71,7 +71,13 @@ class TemporalAndIvfSpec extends GraftSpec {
     // exercised structurally: applying the extensions object must not
     // throw and must enumerate every builder name
     val names = GraftFunctions.builders.map(_._1)
-    assert(names === Seq("graft_cosine", "graft_simhash32", "graft_minhash", "graft_jaccard_sorted"))
+    // the four core text/vector builders must always be present; newer
+    // builders (bloom prefilter, span hashes, ...) extend the list —
+    // assert subset, not exact equality, so registration growth does
+    // not silently invalidate this bootstrap check
+    val core = Set("graft_cosine", "graft_simhash32", "graft_minhash", "graft_jaccard_sorted")
+    assert(core.subsetOf(names.toSet))
+    assert(names.distinct === names)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 }
