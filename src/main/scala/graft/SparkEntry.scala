@@ -152,6 +152,7 @@ object SparkEntry {
     "stream_dedup" -> (StreamWatcher.streamDedupQuery(_, _)),
     // §2.8 sources/sinks
     "fs_inventory" -> (graft.syncer.FsInventory.fsInventoryQuery(_, _)),
+    "sync_watch_service" -> (graft.streaming.WatchService.watchServiceQuery(_, _)),
     "io_partitioned_inventory" -> (Io.ioPartitionedInventory(_, _)),
     "io_csv_json" -> (Io.ioCsvJson(_, _)),
     "io_bucketed_join" -> (Io.ioBucketedJoin(_, _)),
@@ -1189,6 +1190,11 @@ object SparkEntry {
       s"""WITH $invCte
          |SELECT path, cf, node_id, shard_id, generation, is_temp, size_bytes
          |FROM inv WHERE generation <= 1500 ORDER BY generation""".stripMargin,
+    "sync_watch_service" ->
+      s"""WITH $invCte
+         |SELECT path, cf, node_id, shard_id, generation, size_bytes
+         |FROM inv WHERE generation <= 1500 AND NOT is_temp
+         |ORDER BY generation""".stripMargin,
     "io_partitioned_inventory" ->
       s"""WITH $invCte, $durCte
          |SELECT snap_date, cf, count(*) AS n_files,

@@ -27,7 +27,16 @@ import org.apache.spark.sql.functions._
   * deployment appends one manifest per snapshot instead; the restore
   * and prune paths are identical either way.
   */
-sealed trait Target { def objectsPath: String; def manifestsPath: String }
+sealed trait Target {
+  def objectsPath: String
+  def manifestsPath: String
+  /** Per-batch manifests appended by the watch daemon. */
+  final def watchManifestsPath: String =
+    objectsPath.stripSuffix("/objects") + "/watch_manifests"
+  /** Streaming checkpoint for the watch daemon (restart = resume). */
+  final def watchCheckpointPath: String =
+    objectsPath.stripSuffix("/objects") + "/checkpoints/watch"
+}
 
 object Target {
   final case class DirectoryTarget(root: String) extends Target {

@@ -116,10 +116,14 @@ object FsInventory {
     */
   private val treeBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def fsInventoryQuery(spark: SparkSession, dir: String): DataFrame = {
-    // one tree per corpus per JVM — the tree is an input fixture, not
-    // part of the measured query
-    val rootStr = treeBuilt.computeIfAbsent(dir, d => {
+  /** Materialize (once per corpus per JVM) the bounded model
+    * inventory as a real directory tree and return its root — the
+    * shared fixture behind `fs_inventory` and the watch-service
+    * oracle. The tree is an input fixture, not part of any measured
+    * query.
+    */
+  def oracleTree(spark: SparkSession, dir: String): String =
+    treeBuilt.computeIfAbsent(dir, d => {
       val root = new Path(
         "/tmp/graft_fsinv_oracle_" + Integer.toHexString(d.hashCode))
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -134,6 +138,9 @@ object FsInventory {
       }
       root.toString
     })
+
+  def fsInventoryQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rootStr = oracleTree(spark, dir)
     inventory(spark, rootStr)
       .select(col("path"), col("cf"), col("node_id"), col("shard_id"),
         col("generation"), col("is_temp"), col("size_bytes"))

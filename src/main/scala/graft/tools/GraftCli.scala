@@ -76,6 +76,24 @@ object GraftCli {
           val plan = BackupPipeline.prunePlan(spark, req("target"), cutoff)
           println(s"prunable before $cutoff: ${plan.count()} files")
           plan.show(20, truncate = false)
+        case "watch" =>
+          // the reference daemon: catch up on everything already on
+          // disk (first micro-batch over a fresh checkpoint IS the
+          // initial full backup), then keep watching for new files
+          val data = req("data")
+          val targetUrl = req("target")
+          val ckpt = opts.get("checkpoint")
+          if (opts.get("once").contains("true")) {
+            graft.streaming.WatchService.runOnce(spark, data, targetUrl, ckpt)
+            val m = graft.streaming.WatchService.manifest(spark, targetUrl)
+            println(s"watch pass complete: ${m.count()} files in manifest")
+          } else {
+            val interval = opts.getOrElse("interval", "10 seconds")
+            val q = graft.streaming.WatchService.start(spark, data, targetUrl,
+              org.apache.spark.sql.streaming.Trigger.ProcessingTime(interval), ckpt)
+            println(s"watching $data -> $targetUrl every $interval (ctrl-c to stop)")
+            q.awaitTermination()
+          }
         case "query" =>
           val name = req("name")
           graft.SparkEntry.queries.get(name) match {
@@ -92,8 +110,9 @@ object GraftCli {
   }
 
   private def usage(): Unit = System.err.println(
-    """usage: GraftCli <backup|restore|prune|query|list> [--config <json>]
+    """usage: GraftCli <backup|watch|restore|prune|query|list> [--config <json>]
       |  backup  --data <dir> --target <directory://...|objectstore://bucket>
+      |  watch   --data <dir> --target <url> [--interval '10 seconds'] [--once true]
       |  restore --target <url> [--as-of YYYY-MM-DD]
       |  prune   --target <url> [--cutoff YYYY-MM-DD]
       |  query   --data <dir> --name <registry-key>""".stripMargin)
