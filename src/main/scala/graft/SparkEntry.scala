@@ -153,6 +153,8 @@ object SparkEntry {
     // §2.8 sources/sinks
     "fs_inventory" -> (graft.syncer.FsInventory.fsInventoryQuery(_, _)),
     "sync_watch_service" -> (graft.streaming.WatchService.watchServiceQuery(_, _)),
+    "cass_lww_read" -> (graft.sources.cass.CassandraLikeStore.cassLwwRead(_, _)),
+    "cass_token_scan" -> (graft.sources.cass.CassandraLikeStore.cassTokenScan(_, _)),
     "io_partitioned_inventory" -> (Io.ioPartitionedInventory(_, _)),
     "io_csv_json" -> (Io.ioCsvJson(_, _)),
     "io_bucketed_join" -> (Io.ioBucketedJoin(_, _)),
@@ -1195,6 +1197,21 @@ object SparkEntry {
          |SELECT path, cf, node_id, shard_id, generation, size_bytes
          |FROM inv WHERE generation <= 1500 AND NOT is_temp
          |ORDER BY generation""".stripMargin,
+    "cass_lww_read" ->
+      """WITH cells AS (SELECT CAST(user_id % 50 AS BIGINT) AS row_key, value,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS write_us, event_id AS generation,
+        |  (event_type = 'error') AS tombstone FROM events)
+        |SELECT row_key, value AS latest_value, write_us, generation FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY row_key
+        |    ORDER BY write_us DESC, generation DESC) AS rn FROM cells)
+        |WHERE rn = 1 AND NOT tombstone ORDER BY row_key""".stripMargin,
+    "cass_token_scan" ->
+      """WITH cells AS (SELECT CAST(user_id % 50 AS BIGINT) AS row_key,
+        |  event_id AS generation, (event_type = 'error') AS tombstone FROM events)
+        |SELECT row_key, count(*) AS n_cells, max(generation) AS max_generation,
+        |  CAST(sum(CASE WHEN tombstone THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones
+        |FROM cells WHERE row_key BETWEEN 10 AND 19
+        |GROUP BY row_key ORDER BY row_key""".stripMargin,
     "io_partitioned_inventory" ->
       s"""WITH $invCte, $durCte
          |SELECT snap_date, cf, count(*) AS n_files,

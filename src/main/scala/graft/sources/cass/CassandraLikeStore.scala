@@ -1,0 +1,122 @@
+package graft.sources.cass
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The table-store seam: everything in the engine that reads or
+  * writes "a Cassandra table" goes through this trait, so the storage
+  * backend is swappable without touching any operator. Two bindings:
+  *
+  *   - [[CassandraLikeStore]] — the in-repo binding over the
+  *     `graft-cass` DataSource V2 format (generational SSTables of
+  *     cell writes, LWW merge-on-read);
+  *   - on a real cluster, a binding over the Spark Cassandra
+  *     connector (`format("org.apache.spark.sql.cassandra")` with the
+  *     same keyspace/table options) drops in here — the reference's
+  *     declared approach ("Spark DataFrame + Cassandra connector for
+  *     read/write sync") with zero operator changes.
+  */
+trait TableStore {
+  /** Raw cell writes, every generation — the compaction-input view. */
+  def readRaw(spark: SparkSession, keyspace: String, table: String): DataFrame
+  /** The live row view: last-write-wins, tombstones dropped. */
+  def read(spark: SparkSession, keyspace: String, table: String): DataFrame
+  /** Append one generation of cell writes. */
+  def append(df: DataFrame, keyspace: String, table: String): Unit
+}
+
+final class CassandraLikeStore(root: String) extends TableStore {
+  private def path(keyspace: String, table: String) = s"$root/$keyspace/$table"
+
+  override def readRaw(spark: SparkSession, keyspace: String, table: String): DataFrame =
+    spark.read.format("graft-cass")
+      .option("path", path(keyspace, table)).load()
+
+  override def read(spark: SparkSession, keyspace: String, table: String): DataFrame =
+    CassandraLikeStore.lwwMerge(readRaw(spark, keyspace, table))
+
+  /** Range-cluster on the partition key before the append so each
+    * task's SSTable covers a disjoint key range — that is what makes
+    * the filename key ranges selective for later pruned scans (the
+    * same reason Cassandra nodes own token ranges).
+    */
+  override def append(df: DataFrame, keyspace: String, table: String): Unit =
+    df.select(col("row_key"), col("write_us"), col("generation"),
+        col("tombstone"), col("value"))
+      .repartitionByRange(8, col("row_key"))
+      .write.format("graft-cass").mode("append")
+      .option("path", path(keyspace, table)).save()
+}
+
+object CassandraLikeStore {
+
+  /** Cassandra's read-path semantic over raw cells: newest write per
+    * key wins (ordered by write timestamp then generation), keys
+    * whose newest write is a tombstone disappear. One shuffle on the
+    * row key.
+    */
+  def lwwMerge(cells: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("row_key"))
+      .orderBy(col("write_us").desc, col("generation").desc)
+    cells.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && !col("tombstone"))
+      .select(col("row_key"), col("value").as("latest_value"),
+        col("write_us"), col("generation"))
+  }
+
+  /** The events table as cell writes — the shared fixture derivation
+    * (same as the CDC change feed / batch LWW merge).
+    */
+  def cellsFromEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.events(spark, dir).select(
+      (col("user_id") % 50).cast("long").as("row_key"),
+      unix_micros(col("ts")).as("write_us"),
+      col("event_id").as("generation"),
+      (col("event_type") === "error").as("tombstone"),
+      col("value"))
+
+  // one store per corpus per JVM — the store build (two appends, so
+  // the LWW read spans multiple SSTable generations) is the fixture;
+  // the measured queries are the connector reads
+  private val stores = new java.util.concurrent.ConcurrentHashMap[String, CassandraLikeStore]()
+
+  def eventStore(spark: SparkSession, dir: String): CassandraLikeStore =
+    stores.computeIfAbsent(dir, d => {
+      val root = "/tmp/graft_cass_store_" + Integer.toHexString(d.hashCode)
+      val rootPath = new Path(root)
+      rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(rootPath, true)
+      val store = new CassandraLikeStore(root)
+      val cells = cellsFromEvents(spark, d)
+      // two generational flushes — the merged read must see both
+      store.append(cells.filter(col("generation") % 2 === 0), "ks1", "cells")
+      store.append(cells.filter(col("generation") % 2 === 1), "ks1", "cells")
+      store
+    })
+
+  /** §2 beyond-survey oracle surface: the LWW-merged live view read
+    * back THROUGH the connector must equal the merge computed
+    * directly from `events` (which is exactly what the oracle SQL
+    * does) — proving the sink wrote every cell and the source read
+    * them all back.
+    */
+  def cassLwwRead(spark: SparkSession, dir: String): DataFrame =
+    eventStore(spark, dir).read(spark, "ks1", "cells")
+      .orderBy(col("row_key"))
+
+  /** §2 beyond-survey oracle surface: a partition-key-restricted scan
+    * (`row_key` band) through the connector — the pushed predicate
+    * prunes SSTables by filename key range and re-checks rows in the
+    * reader; the spec pins both behaviors in the plan.
+    */
+  def cassTokenScan(spark: SparkSession, dir: String): DataFrame =
+    eventStore(spark, dir).readRaw(spark, "ks1", "cells")
+      .filter(col("row_key").between(10, 19))
+      .groupBy(col("row_key"))
+      .agg(count(lit(1)).as("n_cells"),
+        max(col("generation")).as("max_generation"),
+        sum(when(col("tombstone"), 1L).otherwise(0L)).as("n_tombstones"))
+      .orderBy(col("row_key"))
+}
