@@ -47,6 +47,7 @@ object SparkEntry {
     "sync_generation_gaps" -> (SyncOps.syncGenerationGaps(_, _)),
     "sync_restore_delta" -> ((s, d) => SyncOps.syncRestoreDelta(s, d)),
     "sync_replication_audit" -> (SyncOps.syncReplicationAudit(_, _)),
+    "sync_restore_resume" -> (BackupPipeline.syncRestoreResume(_, _)),
     // §2.2 relational core
     "q1_agg" -> (Relational.q1Agg(_, _)),
     "q3_topn_join" -> (Relational.q3TopnJoin(_, _)),
@@ -155,6 +156,7 @@ object SparkEntry {
     "sync_watch_service" -> (graft.streaming.WatchService.watchServiceQuery(_, _)),
     "cass_lww_read" -> (graft.sources.cass.CassandraLikeStore.cassLwwRead(_, _)),
     "cass_token_scan" -> (graft.sources.cass.CassandraLikeStore.cassTokenScan(_, _)),
+    "cass_compact" -> (graft.sources.cass.CassandraLikeStore.cassCompact(_, _)),
     "io_partitioned_inventory" -> (Io.ioPartitionedInventory(_, _)),
     "io_csv_json" -> (Io.ioCsvJson(_, _)),
     "io_bucketed_join" -> (Io.ioBucketedJoin(_, _)),
@@ -286,6 +288,19 @@ object SparkEntry {
     // the storage-backed pipeline restore must equal the analytical
     // restore — the exact same oracle checks both
     "backup_pipeline" -> restoreSetSql,
+    // resume: the fixture fetched the first floor(n/2) files of the
+    // restore set in path order; the remainder is everything after
+    "sync_restore_resume" ->
+      s"""WITH $invCte, $durCte,
+         |rs AS (SELECT cf, node_id, shard_id, generation, path, size_bytes FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cf, node_id, shard_id
+         |                               ORDER BY generation DESC) AS rn
+         |  FROM dur WHERE snap_date <= DATE '2024-01-15') WHERE rn = 1),
+         |r AS (SELECT *, row_number() OVER (ORDER BY path) AS pos,
+         |             count(*) OVER () AS cnt FROM rs)
+         |SELECT cf, node_id, shard_id, generation, path, size_bytes FROM r
+         |WHERE pos > cnt // 2
+         |ORDER BY cf, node_id, shard_id""".stripMargin,
     "sync_prune" ->
       s"""WITH $invCte, $durCte, $liveCte
          |SELECT cf, count(*) AS n_prunable,
@@ -1198,6 +1213,16 @@ object SparkEntry {
          |FROM inv WHERE generation <= 1500 AND NOT is_temp
          |ORDER BY generation""".stripMargin,
     "cass_lww_read" ->
+      """WITH cells AS (SELECT CAST(user_id % 50 AS BIGINT) AS row_key, value,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS write_us, event_id AS generation,
+        |  (event_type = 'error') AS tombstone FROM events)
+        |SELECT row_key, value AS latest_value, write_us, generation FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY row_key
+        |    ORDER BY write_us DESC, generation DESC) AS rn FROM cells)
+        |WHERE rn = 1 AND NOT tombstone ORDER BY row_key""".stripMargin,
+    // compaction is a physical rewrite, not a semantic change: the
+    // compacted table's merged read equals the original merge
+    "cass_compact" ->
       """WITH cells AS (SELECT CAST(user_id % 50 AS BIGINT) AS row_key, value,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS write_us, event_id AS generation,
         |  (event_type = 'error') AS tombstone FROM events)

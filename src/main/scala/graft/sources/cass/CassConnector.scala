@@ -249,7 +249,7 @@ class CassWriterFactory(path: String, writeCols: Array[String])
     new DataWriter[InternalRow] {
       // incoming rows arrive in the logical write schema's column
       // order; map them back to the canonical cell order
-      private val idx = CassTableDef.schema.fieldNames.map(writeCols.indexOf)
+      private val idx = CassTableDef.schema.fieldNames.map(n => writeCols.indexOf(n))
       require(idx.forall(_ >= 0),
         s"graft-cass append requires all cell columns; got ${writeCols.mkString(",")}")
       private val tmpPath = new Path(path,
@@ -265,6 +265,17 @@ class CassWriterFactory(path: String, writeCols: Array[String])
           fs.mkdirs(tmpPath.getParent)
           out = new java.io.BufferedWriter(
             new java.io.OutputStreamWriter(fs.create(tmpPath, true), "UTF-8"))
+        }
+        // the cell format has no null token: fail loudly rather than
+        // silently writing 0 for a null cell (which would corrupt the
+        // LWW merge downstream)
+        var i = 0
+        while (i < idx.length) {
+          if (rec.isNullAt(idx(i)))
+            throw new IllegalArgumentException(
+              s"graft-cass append: null in required cell column " +
+                s"'${CassTableDef.schema.fieldNames(i)}' (all cells are non-null)")
+          i += 1
         }
         val key = rec.getLong(idx(0))
         minKey = math.min(minKey, key); maxKey = math.max(maxKey, key)

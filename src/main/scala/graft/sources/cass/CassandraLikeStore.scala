@@ -1,6 +1,5 @@
 package graft.sources.cass
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -41,11 +40,21 @@ final class CassandraLikeStore(root: String) extends TableStore {
     * task's SSTable covers a disjoint key range — that is what makes
     * the filename key ranges selective for later pruned scans (the
     * same reason Cassandra nodes own token ranges).
+    *
+    * `flushTasks` controls how many SSTables one append (memtable
+    * flush) produces; it defaults to the cluster's parallelism so a
+    * 1000-core cluster flushes 1000-way, and small fixtures can pin
+    * it low for stable key ranges.
     */
   override def append(df: DataFrame, keyspace: String, table: String): Unit =
+    append(df, keyspace, table,
+      df.sparkSession.sparkContext.defaultParallelism)
+
+  def append(df: DataFrame, keyspace: String, table: String,
+      flushTasks: Int): Unit =
     df.select(col("row_key"), col("write_us"), col("generation"),
         col("tombstone"), col("value"))
-      .repartitionByRange(8, col("row_key"))
+      .repartitionByRange(flushTasks, col("row_key"))
       .write.format("graft-cass").mode("append")
       .option("path", path(keyspace, table)).save()
 }
@@ -84,15 +93,17 @@ object CassandraLikeStore {
 
   def eventStore(spark: SparkSession, dir: String): CassandraLikeStore =
     stores.computeIfAbsent(dir, d => {
-      val root = "/tmp/graft_cass_store_" + Integer.toHexString(d.hashCode)
-      val rootPath = new Path(root)
-      rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(rootPath, true)
+      // per-process root: two JVMs on the same corpus (bench + test)
+      // must not delete each other's live store, and distinct corpora
+      // must never collide (hashCode isn't injective)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cass_store_").toString
       val store = new CassandraLikeStore(root)
       val cells = cellsFromEvents(spark, d)
-      // two generational flushes — the merged read must see both
-      store.append(cells.filter(col("generation") % 2 === 0), "ks1", "cells")
-      store.append(cells.filter(col("generation") % 2 === 1), "ks1", "cells")
+      // two generational flushes — the merged read must see both;
+      // 8 flush tasks keeps the fixture's filename key ranges stable
+      store.append(cells.filter(col("generation") % 2 === 0), "ks1", "cells", 8)
+      store.append(cells.filter(col("generation") % 2 === 1), "ks1", "cells", 8)
       store
     })
 
@@ -105,6 +116,41 @@ object CassandraLikeStore {
   def cassLwwRead(spark: SparkSession, dir: String): DataFrame =
     eventStore(spark, dir).read(spark, "ks1", "cells")
       .orderBy(col("row_key"))
+
+  /** Compaction executed THROUGH the connector (§2.8#137): read every
+    * raw cell generation, apply the LWW merge (Cassandra's compaction
+    * IS its read-path merge made durable), and write the survivors
+    * back as one compacted generation in a fresh table. Semantic
+    * invariant: the compacted table's merged read equals the
+    * original's. Physical effect: N generational SSTables collapse to
+    * `flushTasks` range-disjoint ones, and tombstone-shadowed rows
+    * physically disappear (grace-expired tombstone GC).
+    *
+    * Scale shape: one shuffle on the row key (the merge window), then
+    * a range-clustered rewrite — the same cost profile as a major
+    * compaction streaming one node's token range.
+    */
+  def compact(spark: SparkSession, store: CassandraLikeStore,
+      keyspace: String, from: String, to: String, flushTasks: Int): Unit =
+    store.append(
+      store.read(spark, keyspace, from).select(
+        col("row_key"), col("write_us"), col("generation"),
+        lit(false).as("tombstone"), col("latest_value").as("value")),
+      keyspace, to, flushTasks)
+
+  private val compacted = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** §2.8#137 oracle surface: the merged read of the COMPACTED table
+    * must equal the merge of the original raw cells (which is what
+    * the shared oracle SQL computes from `events`) — round-tripping
+    * merge → sink → source → merge through the connector.
+    */
+  def cassCompact(spark: SparkSession, dir: String): DataFrame = {
+    val store = eventStore(spark, dir)
+    if (compacted.add(dir))
+      compact(spark, store, "ks1", "cells", "cells_compacted", 8)
+    store.read(spark, "ks1", "cells_compacted").orderBy(col("row_key"))
+  }
 
   /** §2 beyond-survey oracle surface: a partition-key-restricted scan
     * (`row_key` band) through the connector — the pushed predicate

@@ -35,14 +35,34 @@ import graft.syncer.Target
   */
 object WatchService {
 
-  /** Metadata-only arrival stream over a live directory tree. */
-  def arrivalStream(spark: SparkSession, dataDir: String): DataFrame =
+  /** Metadata-only arrival stream over a live directory tree.
+    *
+    * A year-long daemon must bound both sides of the file-source
+    * bookkeeping, or the checkpoint's seen-files log and each
+    * micro-batch's directory listing grow without limit:
+    *
+    *   - `maxFileAge` caps the seen-files map: files older than the
+    *     age are assumed already processed and aged out of the log
+    *     (Spark's file-source default is 7 days; SSTables are
+    *     immutable-once-written, so any age comfortably above the
+    *     compaction cadence is safe).
+    *   - `cleanSource=archive|delete` (with `sourceArchiveDir`)
+    *     removes processed files from the listing itself — the option
+    *     for setups where the watch dir is a staging area rather than
+    *     the live Cassandra data dir (never `delete` on a live dir).
+    *
+    * Extra entries in `options` pass straight through (e.g.
+    * `maxFilesPerTrigger` to bound batch size after a long outage).
+    */
+  def arrivalStream(spark: SparkSession, dataDir: String,
+      options: Map[String, String] = Map.empty): DataFrame =
     spark.readStream.format("binaryFile")
       // binaryFile's schema is fixed; streaming sources require it
       // stated up front (no inference against a live directory)
       .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
       .option("pathGlobFilter", "*-Data.db")
       .option("recursiveFileLookup", "true")
+      .options(options)
       .load(dataDir)
       .select(col("path"), col("length"), col("modificationTime"))
 
@@ -60,7 +80,7 @@ object WatchService {
     import spark.implicits._
     val rootAbs = new Path(dataDir).toUri.getPath.stripSuffix("/")
     val objectsPath = target.objectsPath
-    val results = batch.select(col("path"), col("length")).as[(String, Long)]
+    val copied = batch.select(col("path"), col("length")).as[(String, Long)]
       .mapPartitions { it =>
         // Configuration is not serializable; rebuild per task like
         // any Hadoop-backed scan does
@@ -88,6 +108,12 @@ object WatchService {
       }
       .toDF("path", "size_bytes", "status")
       .withColumn("batch_id", lit(batchId))
+    // the copy is a side effect inside mapPartitions: run it exactly
+    // once by collecting the (tiny, metadata-only) result set, then
+    // both the manifest write and the returned rows reuse it
+    val rows = copied.collect()
+    val results = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), copied.schema)
     results.write.mode("append").json(target.watchManifestsPath)
     results
   }
@@ -98,9 +124,10 @@ object WatchService {
     * makes restarts incremental.
     */
   def start(spark: SparkSession, dataDir: String, targetUrl: String,
-      trigger: Trigger, checkpoint: Option[String] = None): StreamingQuery = {
+      trigger: Trigger, checkpoint: Option[String] = None,
+      sourceOptions: Map[String, String] = Map.empty): StreamingQuery = {
     val target = Target.parse(targetUrl)
-    durableArrivals(arrivalStream(spark, dataDir))
+    durableArrivals(arrivalStream(spark, dataDir, sourceOptions))
       .writeStream
       .option("checkpointLocation",
         checkpoint.getOrElse(target.watchCheckpointPath))
@@ -141,10 +168,9 @@ object WatchService {
   def watchServiceQuery(spark: SparkSession, dir: String): DataFrame = {
     val targetUrl = watched.computeIfAbsent(dir, d => {
       val tree = graft.syncer.FsInventory.oracleTree(spark, d)
-      val root = "/tmp/graft_watch_oracle_" + Integer.toHexString(d.hashCode)
-      val rootPath = new Path(root)
-      rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(rootPath, true)
+      // per-process root: no cross-JVM clobbering, no hashCode collisions
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_watch_oracle_").toString
       val url = s"directory://$root"
       runOnce(spark, tree, url)
       url

@@ -36,6 +36,12 @@ sealed trait Target {
   /** Streaming checkpoint for the watch daemon (restart = resume). */
   final def watchCheckpointPath: String =
     objectsPath.stripSuffix("/objects") + "/checkpoints/watch"
+  /** Per-file restore progress ledger (the reference's
+    * `restoremanifest.json`, `bin/cassandra-syncer-restore:28`, made
+    * durable and incremental).
+    */
+  final def restoreLedgerPath: String =
+    objectsPath.stripSuffix("/objects") + "/restore_ledger"
 }
 
 object Target {
@@ -148,6 +154,110 @@ object BackupPipeline {
     val url = "directory:///tmp/graft_backup_oracle"
     backup(spark, dir, url)
     restoreSet(spark, url, "2024-01-15")
+      .orderBy(col("cf"), col("node_id"), col("shard_id"))
+  }
+
+  // ---- restore resume (the reference's restoremanifest.json) ----
+  //
+  // `bin/cassandra-syncer-restore:28` saves the picked manifest
+  // locally before queueing downloads, but a crashed run re-fetches
+  // everything. Here the marker is durable AND per-file: every
+  // fetched file is appended to a ledger under the target, so a
+  // re-run of the same restore computes the remainder with one
+  // anti-join and fetches only that. At 100 TB this is the difference
+  // between resuming hour 47 of a restore and restarting it.
+
+  /** Files already fetched by previous restore passes (empty before
+    * the first pass — a fresh restore's remainder is the full set).
+    */
+  def restoreLedger(spark: SparkSession, target: Target): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "path STRING, size_bytes BIGINT, dest STRING")
+    val p = new org.apache.hadoop.fs.Path(target.restoreLedgerPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).json(target.restoreLedgerPath)
+  }
+
+  /** The files a resumed restore still has to fetch: the as-of
+    * restore set minus the ledger (one broadcast-able anti-join —
+    * the ledger is tiny next to the object table).
+    */
+  def restoreRemainder(spark: SparkSession, targetUrl: String, asOf: String): DataFrame =
+    restoreSet(spark, targetUrl, asOf)
+      .join(restoreLedger(spark, Target.parse(targetUrl)).select(col("path")),
+        Seq("path"), "left_anti")
+      .select(col("cf"), col("node_id"), col("shard_id"),
+        col("generation"), col("path"), col("size_bytes"))
+
+  /** One bounded restore pass: fetch up to `maxFiles` of the
+    * remainder (in path order — deterministic, so an interrupted run
+    * and its oracle agree on WHICH files landed), materialize each
+    * under `destDir`, and append the fetched set to the ledger.
+    * Returns the files fetched by THIS pass; a re-run after
+    * completion fetches nothing.
+    *
+    * The modeled object table stores inventory rows, not file bytes,
+    * so materialization writes a size-faithful placeholder — the
+    * distributed fetch/ledger plumbing (the part that matters for
+    * resume semantics) is real.
+    */
+  def runRestorePass(spark: SparkSession, targetUrl: String, asOf: String,
+      destDir: String, maxFiles: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val target = Target.parse(targetUrl)
+    val todo0 = restoreRemainder(spark, targetUrl, asOf)
+    val todo = maxFiles.fold(todo0)(n => todo0.orderBy(col("path")).limit(n))
+    val fetched = todo.select(col("path"), col("size_bytes")).as[(String, Long)]
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val buf = new Array[Byte](8192)
+        it.map { case (rel, len) =>
+          val dst = new org.apache.hadoop.fs.Path(destDir, rel)
+          val fs = dst.getFileSystem(conf)
+          val out = fs.create(dst, true)
+          var left = len
+          while (left > 0) {
+            val w = math.min(left, buf.length.toLong).toInt
+            out.write(buf, 0, w); left -= w
+          }
+          out.close()
+          (rel, len)
+        }
+      }.toDF("path", "size_bytes")
+    // the fetch is a side effect: run it exactly once, then reuse the
+    // (metadata-only) results for both the ledger append and the return
+    val rows = fetched.collect()
+    val once = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), fetched.schema)
+      .withColumn("dest", lit(destDir))
+    once.write.mode("append").json(target.restoreLedgerPath)
+    once
+  }
+
+  private val resumeTargets = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** §2.1 oracle surface `sync_restore_resume`: back up, run a HALF
+    * restore (interrupted after floor(n/2) files, path order), then
+    * the measured query is the remainder a resumed run would fetch —
+    * read back through the real ledger. The oracle recomputes the
+    * same split analytically (row_number over path vs count/2).
+    */
+  def syncRestoreResume(spark: SparkSession, dir: String): DataFrame = {
+    val url = resumeTargets.computeIfAbsent(dir, d => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_restore_resume_").toString
+      val u = s"directory://$root"
+      backup(spark, d, u)
+      val n = restoreSet(spark, u, "2024-01-15").count().toInt
+      val dest = java.nio.file.Files
+        .createTempDirectory("graft_restore_dest_").toString
+      runRestorePass(spark, u, "2024-01-15", dest, Some(n / 2))
+      u
+    })
+    restoreRemainder(spark, url, "2024-01-15")
       .orderBy(col("cf"), col("node_id"), col("shard_id"))
   }
 

@@ -68,9 +68,23 @@ object GraftCli {
             s"manifests=${target.manifestsPath}")
         case "restore" =>
           val asOf = opts.getOrElse("as-of", "2024-01-15")
-          val rs = BackupPipeline.restoreSet(spark, req("target"), asOf)
-          println(s"restore set as of $asOf: ${rs.count()} files")
-          rs.show(20, truncate = false)
+          opts.get("dest") match {
+            case Some(dest) =>
+              // resumable fetch: progress lands in the target's
+              // restore ledger, so a re-run (after a crash or a
+              // bounded --max-files pass) fetches only the remainder
+              val maxFiles = opts.get("max-files").map(_.toInt)
+              val fetched = BackupPipeline.runRestorePass(
+                spark, req("target"), asOf, dest, maxFiles)
+              val left = BackupPipeline.restoreRemainder(
+                spark, req("target"), asOf).count()
+              println(s"restore pass as of $asOf: fetched ${fetched.count()} " +
+                s"files to $dest, $left remaining")
+            case None =>
+              val rs = BackupPipeline.restoreSet(spark, req("target"), asOf)
+              println(s"restore set as of $asOf: ${rs.count()} files")
+              rs.show(20, truncate = false)
+          }
         case "prune" =>
           val cutoff = opts.getOrElse("cutoff", "2024-01-20")
           val plan = BackupPipeline.prunePlan(spark, req("target"), cutoff)
@@ -113,7 +127,7 @@ object GraftCli {
     """usage: GraftCli <backup|watch|restore|prune|query|list> [--config <json>]
       |  backup  --data <dir> --target <directory://...|objectstore://bucket>
       |  watch   --data <dir> --target <url> [--interval '10 seconds'] [--once true]
-      |  restore --target <url> [--as-of YYYY-MM-DD]
+      |  restore --target <url> [--as-of YYYY-MM-DD] [--dest <dir> [--max-files N]]
       |  prune   --target <url> [--cutoff YYYY-MM-DD]
       |  query   --data <dir> --name <registry-key>""".stripMargin)
 }

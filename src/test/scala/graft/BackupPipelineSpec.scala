@@ -64,6 +64,36 @@ class BackupPipelineSpec extends GraftSpec {
     }
   }
 
+  test("restore resume: interrupted pass records progress, re-run fetches only the remainder") {
+    val root = Files.createTempDirectory("graft-restore-resume").toString
+    val url = s"directory://$root"
+    BackupPipeline.backup(spark, sf, url)
+    val dest = Files.createTempDirectory("graft-restore-dest").toString
+    val full = BackupPipeline.restoreSet(spark, url, "2024-01-15")
+    val n = full.count().toInt
+    assert(n > 3, "fixture too small to split")
+    // pass 1: interrupted after floor(n/2) files
+    val first = BackupPipeline.runRestorePass(spark, url, "2024-01-15", dest, Some(n / 2))
+    assert(first.count() === (n / 2).toLong)
+    // ledger recorded exactly the fetched files, bytes landed at dest
+    val ledger = BackupPipeline.restoreLedger(spark, Target.parse(url))
+    assert(ledger.count() === (n / 2).toLong)
+    val sample = first.collect().head
+    val f = new java.io.File(dest, sample.getAs[String]("path"))
+    assert(f.exists() && f.length() === sample.getAs[Long]("size_bytes"))
+    // remainder = full minus fetched (disjoint, together the full set)
+    val remainder = BackupPipeline.restoreRemainder(spark, url, "2024-01-15")
+    assert(remainder.count() === (n - n / 2).toLong)
+    assert(remainder.join(first.select(col("path")), Seq("path"), "left_semi").count() === 0)
+    // pass 2 (resume): fetches exactly the remainder, then nothing is left
+    val second = BackupPipeline.runRestorePass(spark, url, "2024-01-15", dest)
+    assert(second.count() === (n - n / 2).toLong)
+    assert(BackupPipeline.restoreRemainder(spark, url, "2024-01-15").count() === 0)
+    // pass 3: a completed restore re-run is a no-op
+    val third = BackupPipeline.runRestorePass(spark, url, "2024-01-15", dest)
+    assert(third.count() === 0)
+  }
+
   test("prune plan from storage never touches the live set and matches cutoff") {
     val plan = BackupPipeline.prunePlan(spark, targetUrl, "2024-01-20").cache()
     val live = SyncOps.syncLiveSet(spark, sf).select(col("path"))

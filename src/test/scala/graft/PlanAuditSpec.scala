@@ -45,7 +45,8 @@ class PlanAuditSpec extends GraftSpec {
       "ann_lsh_topk" -> Ann.annLshTopk(spark, sf),
       "ann_ivf_topk" -> Ann.annIvfTopk(spark, sf),
       "q_window_topn" -> Windows.qWindowTopn(spark, sf),
-      "text_ngram_stats" -> TextAnalysis.textNgramStats(spark, sf))
+      "text_ngram_stats" -> TextAnalysis.textNgramStats(spark, sf),
+      "ann_pq_adc" -> graft.similarity.Pq.annPqAdc(spark, sf))
     audited.foreach { case (name, df) =>
       val plan = planOf(df)
       assert(plan.contains("WindowGroupLimit"),

@@ -81,6 +81,24 @@ class WatchServiceSpec extends GraftSpec {
       s"binaryFile content column must be pruned from the watch scan: $readSchema")
   }
 
+  test("watch source options pass through (maxFilesPerTrigger bounds each micro-batch)") {
+    // the same seam carries maxFileAge/cleanSource — the knobs that
+    // bound the seen-files log and the directory listing for a
+    // year-long daemon (see arrivalStream's scaladoc); pinning one
+    // option end-to-end pins the pass-through for all of them
+    val (data, url) = freshDirs("opts")
+    mkFile(data, "ks1/click/node1/na-40-Data.db", 10)
+    mkFile(data, "ks1/click/node1/na-41-Data.db", 10)
+    val q = WatchService.start(spark, data, url,
+      org.apache.spark.sql.streaming.Trigger.AvailableNow(), None,
+      Map("maxFilesPerTrigger" -> "1"))
+    try q.awaitTermination() finally q.stop()
+    val m = WatchService.manifest(spark, url)
+    assert(m.count() === 2)
+    assert(m.select(col("batch_id")).distinct().count() === 2,
+      "with maxFilesPerTrigger=1, the two files must land in separate batches")
+  }
+
   test("sync_watch_service oracle surface equals the durable model inventory") {
     val got = WatchService.watchServiceQuery(spark, sf)
     val expected = graft.syncer.FileInventory.durable(spark, sf)
