@@ -158,12 +158,33 @@ object StreamWatcher {
     val replaySession = ds.sparkSession.newSession()
     replaySession.conf.set("spark.sql.shuffle.partitions", "8")
     val name = s"graft_replay_${replaySeq.incrementAndGet()}"
+    // A bounded replay has no durability requirement — its checkpoint
+    // (offset log, commit log, and one state delta file per store per
+    // micro-batch, each fsynced) is thrown away at the end. Put it on
+    // a RAM-backed fs when one exists instead of paying ext4 fsyncs;
+    // the PRODUCTION path (WatchService) keeps its caller-specified
+    // durable checkpoint — this shortcut is replay-only.
+    val ckBase = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    }
+    val ckDir = java.nio.file.Files.createTempDirectory(ckBase, "graft-replay-ck-")
     // rebind the already-analyzed plan (function/table resolution
     // happened on the caller's session) onto the clone
     val rebound = org.apache.spark.sql.graftshim.Shim.ofRows(
       replaySession, org.apache.spark.sql.graftshim.Shim.analyzedPlan(ds.toDF()))
-    val q = rebound.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    val q = rebound.writeStream.outputMode(mode).format("memory")
+      .option("checkpointLocation", ckDir.toString).queryName(name).start()
+    try { q.processAllAvailable() } finally {
+      q.stop()
+      // best-effort recursive cleanup of the throwaway checkpoint
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(ckDir).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Exception => () }
+    }
     replaySession.table(name)
   }
 
