@@ -68,6 +68,7 @@ object SparkEntry {
     "q_join_skew_salt" -> (Relational.qJoinSkewSalt(_, _)),
     "q_cube" -> (Relational.qCube(_, _)),
     "q_sample_hash" -> (Relational.qSampleHash(_, _)),
+    "q_sample_stratified" -> (Relational.qSampleStratified(_, _)),
     "q_set_ops" -> (Relational.qSetOps(_, _)),
     "q_scalar_subquery" -> (Relational.qScalarSubquery(_, _)),
     "q_histogram" -> (Relational.qHistogram(_, _)),
@@ -135,6 +136,8 @@ object SparkEntry {
     "text_quality_filter" -> (TextAnalysis.textQualityFilter(_, _)),
     "text_repetition" -> (TextAnalysis.textRepetition(_, _)),
     "text_common_spans" -> (TextAnalysis.textCommonSpans(_, _)),
+    "text_pii_mask" -> (TextAnalysis.textPiiMask(_, _)),
+    "text_freq_tokens" -> (TextAnalysis.textFreqTokens(_, _)),
     "text_pack_chunks" -> ((s, d) => graft.text.CorpusOps.textPackChunks(s, d)),
     "text_contamination" -> ((s, d) => graft.text.CorpusOps.textContamination(s, d)),
     "corpus_mixture" -> (graft.text.CorpusOps.corpusMixture(_, _)),
@@ -143,6 +146,8 @@ object SparkEntry {
     "mm_ingest" -> (Media.mmIngest(_, _)),
     "mm_features" -> (Media.mmFeatures(_, _)),
     "mm_resize_frames" -> (Media.mmResizeFrames(_, _)),
+    "mm_phash" -> (Media.mmPhash(_, _)),
+    "mm_phash_dedup" -> (Media.mmPhashDedup(_, _)),
     // §2.7 streaming (bounded replay into a memory sink)
     "stream_windowed_agg" -> (StreamWatcher.streamWindowedAggQuery(_, _)),
     "stream_file_watch" -> (StreamWatcher.streamFileWatchQuery(_, _)),
@@ -160,6 +165,7 @@ object SparkEntry {
     "io_partitioned_inventory" -> (Io.ioPartitionedInventory(_, _)),
     "io_csv_json" -> (Io.ioCsvJson(_, _)),
     "io_bucketed_join" -> (Io.ioBucketedJoin(_, _)),
+    "io_orc_roundtrip" -> (Io.ioOrcRoundtrip(_, _)),
     // end-to-end pipeline + custom-operator/typed surfaces
     "backup_pipeline" -> (BackupPipeline.backupPipelineQuery(_, _)),
     "topk_per_group" -> (TopK.topkPerGroupQuery(_, _)),
@@ -860,6 +866,12 @@ object SparkEntry {
         |FROM lineitem
         |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT l_returnflag, count(*) AS n_sampled, sum(l_quantity) AS sum_qty
+        |FROM (SELECT *, substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 2) AS h
+        |      FROM lineitem)
+        |WHERE CASE l_returnflag WHEN 'A' THEN h < '1a' WHEN 'N' THEN h < '05' ELSE h < '0d' END
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_set_ops" ->
       """SELECT custkey FROM (
         |  (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -1128,6 +1140,28 @@ object SparkEntry {
          |SELECT lang, word, tf, df, tfidf, rnk FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, word) AS BIGINT) AS rnk
          |  FROM scored) WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+    "mm_phash" ->
+      """WITH b AS (SELECT doc_id, list_transform(string_split(text,''), x -> ascii(x)) AS by,
+        |             length(text) AS n FROM documents),
+        |m AS (SELECT doc_id, list_transform(range(0,33),
+        |        i -> list_avg(by[(i*n)//33 + 1 : ((i+1)*n)//33])) AS av FROM b)
+        |SELECT doc_id, CAST(list_sum(list_transform(range(0,32),
+        |    i -> CASE WHEN av[i+1] > av[i+2] THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS phash
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "mm_phash_dedup" ->
+      """WITH b AS (SELECT doc_id, list_transform(string_split(text,''), x -> ascii(x)) AS by,
+        |             length(text) AS n FROM documents),
+        |m AS (SELECT doc_id, list_transform(range(0,33),
+        |        i -> list_avg(by[(i*n)//33 + 1 : ((i+1)*n)//33])) AS av FROM b),
+        |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(0,32),
+        |        i -> CASE WHEN av[i+1] > av[i+2] THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS phash FROM m),
+        |bk AS (SELECT doc_id, phash, j, (phash >> CAST(8*j AS INT)) & 255 AS band
+        |       FROM (SELECT doc_id, phash, unnest(range(0,4)) AS j FROM h))
+        |SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.phash, b2.phash)) AS BIGINT) AS hamming
+        |FROM bk a JOIN bk b2 ON a.j = b2.j AND a.band = b2.band AND a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.phash, b2.phash)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
     "mm_features" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -1256,6 +1290,12 @@ object SparkEntry {
          |  CAST(sum(size_bytes) AS BIGINT) AS synced_bytes
          |FROM dur JOIN tgt ON dur.path = tgt.path
          |GROUP BY cf ORDER BY cf""".stripMargin,
+    "io_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_price,
+        |  max(o_orderdate) AS last_date
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "topk_per_group" ->
       s"""WITH $lpCte
          |SELECT l_returnflag, l_orderkey, l_linenumber, price_c FROM (
@@ -1341,6 +1381,25 @@ object SparkEntry {
          |    AND ((lenc - nspace) / ntoks >= 2.0 AND (lenc - nspace) / ntoks <= 12.0)
          |    AND (symbols / lenc <= 0.25) AND (stophits >= 1)) AS passes
          |FROM m ORDER BY doc_id""".stripMargin,
+    "text_pii_mask" ->
+      """WITH aug AS (SELECT doc_id,
+        |  'contact user' || CAST(doc_id AS VARCHAR) || '@example.com ref ' ||
+        |  lpad(CAST(doc_id * 7919 + 13 AS VARCHAR), 8, '0') || ' ' || text AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '[0-9]{4,}')) AS BIGINT) AS n_long_numbers,
+        |  md5(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{4,}', '<NUM>', 'g')) AS masked_digest
+        |FROM aug ORDER BY doc_id""".stripMargin,
+    "text_freq_tokens" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT lang, unnest(toks) AS token FROM t),
+         |c AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY lang, token)
+         |SELECT lang, token, cnt, rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS BIGINT) AS rnk
+         |  FROM c) WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
     "text_repetition" ->
       s"""WITH $toksCte,
          |g AS (SELECT doc_id,

@@ -331,6 +331,31 @@ object Relational {
         sum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** §2.2 — stratified deterministic sampling: a different hash
+    * threshold per stratum (return flag), so rare classes keep a
+    * higher fraction than dominant ones — the class-balancing sampler
+    * a training-data pipeline runs ahead of an expensive stage. Same
+    * md5-prefix device as [[qSampleHash]]: one narrow scan, no
+    * shuffle before the aggregate, reproducible across engines and
+    * runs (no RNG state), and at 100 TB the filter evaluates inside
+    * the scan.
+    */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(concat(col("l_orderkey").cast("string"), lit("-"),
+      col("l_linenumber").cast("string"))), 1, 2)
+    // per-stratum keep-fractions as hex-prefix thresholds:
+    // A ≈ 10% ("1a"/256), N ≈ 2% ("05"/256), R ≈ 5% ("0d"/256)
+    val keep = when(col("l_returnflag") === "A", h < "1a")
+      .when(col("l_returnflag") === "N", h < "05")
+      .otherwise(h < "0d")
+    Tables.lineitem(spark, dir)
+      .filter(keep)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** §2.2#56 — set operations: building-segment customers who placed
     * a big order but never a finished one (INTERSECT then EXCEPT,
     * explicit order).

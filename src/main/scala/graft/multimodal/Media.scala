@@ -273,4 +273,43 @@ object Media {
     }
     (sum, hist.toSeq)
   }
+
+  /** §2.6 — perceptual hash of every media payload: one narrow
+    * codegen-adjacent pass per blob through the native
+    * [[graft.functions.DHash32]] gradient kernel (no shuffle, no
+    * collect — the 100 TB path is scan → hash → write).
+    */
+  def mmPhash(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.MediaFunctions.dhash32(col("media")).as("phash"))
+      .orderBy(col("doc_id"))
+
+  /** §2.6 — perceptual near-dup pairs: the multimodal twin of
+    * [[graft.dedup.Dedup.dedupSimhash]]. Each 32-bit dHash is cut
+    * into 4 8-bit LSH bands; candidate pairs share at least one band
+    * (equi-join on (band index, band value) — never all-pairs), and
+    * survive when full Hamming distance ≤ 3. Band width trades
+    * recall for candidate volume; at 100 TB the band join shuffles
+    * on band value and stays linear in candidates.
+    */
+  def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = mediaTable(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.MediaFunctions.dhash32(col("media")).as("phash"))
+    val banded = hashed.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("j"))
+      .withColumn("band", expr("shiftright(phash, cast(j * 8 as int)) & 255"))
+    val a = banded.select(col("j"), col("band"), col("doc_id").as("a_id"),
+      col("phash").as("a_hash"))
+    val b = banded.select(col("j"), col("band"), col("doc_id").as("b_id"),
+      col("phash").as("b_hash"))
+    a.join(b, Seq("j", "band"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .orderBy(col("a_id"), col("b_id"))
+  }
 }

@@ -127,4 +127,26 @@ object Io {
       .agg(count(lit(1)).as("n_synced"), sum(col("size_bytes")).as("synced_bytes"))
       .orderBy(col("cf"))
   }
+
+  /** §2.8 — ORC interchange: the orders table written to ORC
+    * partitioned by status, read back through the partition-pruned
+    * columnar scan (the o_orderstatus filter prunes directories, the
+    * two-column projection prunes stripes), and aggregated — values,
+    * DATE types, and the pruning path must survive the third
+    * interchange format alongside CSV/JSON ([[ioCsvJson]]).
+    */
+  def ioOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = "/tmp/graft_io_orc"
+    Tables.orders(spark, dir)
+      .write.mode("overwrite").partitionBy("o_orderstatus").orc(path)
+    spark.read.orc(path)
+      .filter(col("o_orderstatus") =!= "P")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.analytics.Money.dollars(
+          sum(graft.analytics.Money.cents(col("o_totalprice"))), 100.0).as("total_price"),
+        max(col("o_orderdate")).as("last_date"))
+      .orderBy(col("o_orderstatus"))
+  }
 }

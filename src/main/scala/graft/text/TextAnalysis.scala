@@ -153,6 +153,53 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.5 — heavy hitters per language via the mergeable Misra–Gries
+    * sketch ([[graft.functions.FreqItemsAgg]]): top-5 tokens per lang
+    * from a bounded O(capacity) buffer with map-side combine — the
+    * 100 TB answer to "most frequent tokens" when the full vocabulary
+    * doesn't fit a groupBy. Capacity 64 exceeds this corpus's
+    * vocabulary, so the sketch is in its exact regime and the oracle
+    * compares true counts.
+    */
+  def textFreqTokens(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokensCol(col("text"))).as("token"))
+    val sketched = toks.groupBy(col("lang"))
+      .agg(graft.functions.FreqItemsAggFunctions.freq_items_sketch(col("token"), 64).as("sketch"))
+      .select(col("lang"), explode(col("sketch")).as(Seq("token", "cnt")))
+    val rnk = row_number().over(
+      Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("token")))
+    sketched.withColumn("rnk", rnk.cast("long")).filter(col("rnk") <= 5)
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  /** §2.5 — PII masking: the scrub pass a training-data pipeline runs
+    * before anything ships — email addresses and long digit runs
+    * replaced by typed placeholder tokens, with per-document match
+    * accounting. The synthetic corpus carries no PII, so a
+    * deterministic header (an address and an 8-digit id derived from
+    * doc_id) is prepended on BOTH the engine and oracle sides, making
+    * the regex path real while keeping the compare exact. One narrow
+    * codegen pass (regexp_count + regexp_replace), no shuffle; at
+    * 100 TB this runs inside the scan like every other row filter.
+    */
+  def textPiiMask(spark: SparkSession, dir: String): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val numPat = "[0-9]{4,}"
+    val aug = concat(lit("contact user"), col("doc_id").cast("string"),
+      lit("@example.com ref "),
+      lpad((col("doc_id") * 7919 + 13).cast("string"), 8, "0"),
+      lit(" "), col("text"))
+    val masked = regexp_replace(regexp_replace(aug, emailPat, "<EMAIL>"),
+      numPat, "<NUM>")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(aug, lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count(aug, lit(numPat)).cast("long").as("n_long_numbers"),
+        md5(masked).as("masked_digest"))
+      .orderBy(col("doc_id"))
+  }
+
   /** §2.5#110 — repetition diagnostic: duplicate-n-gram ratios per
     * document (1 − distinct/total for 2-grams and 3-grams) — the
     * Gopher repetition signal that catches looping/boilerplate text.

@@ -7,6 +7,23 @@ import graft.sources.Tables
 
 class RelationalSpec extends GraftSpec {
 
+  test("stratified sample keeps per-stratum fractions near their targets, deterministically") {
+    val totals = Tables.lineitem(spark, sf).groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Relational.qSampleStratified(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = Map("A" -> 26.0 / 256, "N" -> 5.0 / 256, "R" -> 13.0 / 256)
+    sampled.foreach { case (flag, n) =>
+      val frac = n.toDouble / totals(flag)
+      assert(math.abs(frac - target(flag)) < 0.6 * target(flag),
+        s"stratum $flag sampled fraction $frac vs target ${target(flag)}")
+    }
+    // md5 thresholding has no RNG state: two runs agree exactly
+    val again = Relational.qSampleStratified(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === sampled)
+  }
+
   test("q1 produces the flag x status groups with exact count totals") {
     val r = Relational.q1Agg(spark, sf).collect()
     assert(r.nonEmpty)

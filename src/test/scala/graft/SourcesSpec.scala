@@ -9,6 +9,21 @@ import graft.syncer.FileInventory
 
 class SourcesSpec extends GraftSpec {
 
+  test("orc roundtrip preserves counts, money, and timestamps vs the parquet source") {
+    val got = Io.ioOrcRoundtrip(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.get(3).toString)).toSeq
+    val exp = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") =!= "P")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        graft.analytics.Money.dollars(
+          sum(graft.analytics.Money.cents(col("o_totalprice"))), 100.0).as("t"),
+        max(col("o_orderdate")).as("d"))
+      .orderBy(col("o_orderstatus"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.get(3).toString)).toSeq
+    assert(got === exp)
+  }
+
   test("partitioned inventory round-trips and prunes partitions on snap_date") {
     val dir = Files.createTempDirectory("graft-inv").toString
     val inv = FileInventory.inventory(spark, sf)

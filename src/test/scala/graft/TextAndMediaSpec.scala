@@ -85,4 +85,57 @@ class TextAndMediaSpec extends GraftSpec {
       assert(fs.forall(_.getAs[Array[Byte]]("frame").nonEmpty))
     }
   }
+
+  test("pii mask: injected email and id are detected and scrubbed from every doc") {
+    val r = TextAnalysis.textPiiMask(spark, sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_emails") >= 1L)
+      assert(row.getAs[Long]("n_long_numbers") >= 1L)
+      assert(row.getAs[String]("masked_digest").matches("[0-9a-f]{32}"))
+    }
+    // the masked text still differs per doc (the corpus text survives)
+    assert(r.map(_.getAs[String]("masked_digest")).distinct.length > 1)
+  }
+
+  test("freq tokens sketch in its exact regime matches the exact groupBy") {
+    val got = TextAnalysis.textFreqTokens(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val exact = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"), explode(TextAnalysis.tokensCol(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token")).count()
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("count").desc, col("token"))).cast("long"))
+      .filter(col("rnk") <= 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.sorted.toSeq === exact.sorted.toSeq)
+  }
+
+  test("dhash32: monotone ramps hash to all-zeros/all-ones; short payloads to 0") {
+    import spark.implicits._
+    val up = Array.tabulate[Byte](66)(i => i.toByte)
+    val down = Array.tabulate[Byte](66)(i => (200 - i).toByte)
+    val short = Array[Byte](1, 2, 3)
+    val r = Seq((1L, up), (2L, down), (3L, short)).toDF("id", "payload")
+      .select(col("id"), graft.functions.MediaFunctions.dhash32(col("payload")).as("h"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) === 0L)            // rising means: no falling gradient bit
+    assert(r(2L) === 0xFFFFFFFFL)   // falling means: every gradient bit set
+    assert(r(3L) === 0L)            // < 33 bytes: no meaningful gradient
+  }
+
+  test("phash dedup pairs are deduped, ordered, and genuinely within the hamming radius") {
+    val hashes = Media.mmPhash(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Media.mmPhashDedup(spark, sf).collect()
+    val seen = scala.collection.mutable.Set.empty[(Long, Long)]
+    pairs.foreach { p =>
+      val (a, b, h) = (p.getLong(0), p.getLong(1), p.getLong(2))
+      assert(a < b)
+      assert(seen.add((a, b)), s"duplicate pair ($a,$b)")
+      assert(h === java.lang.Long.bitCount(hashes(a) ^ hashes(b)).toLong)
+      assert(h <= 3L)
+    }
+  }
 }
