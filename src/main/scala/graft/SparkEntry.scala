@@ -92,6 +92,8 @@ object SparkEntry {
     "q_zscore_outliers" -> (EventAnalytics.qZscoreOutliers(_, _)),
     "q_retention_cohort" -> (EventAnalytics.qRetentionCohort(_, _)),
     "q_funnel" -> (EventAnalytics.qFunnel(_, _)),
+    "q_transition_matrix" -> (EventAnalytics.qTransitionMatrix(_, _)),
+    "q_ewma" -> (EventAnalytics.qEwma(_, _)),
     "q_dow_profile" -> (EventAnalytics.qDowProfile(_, _)),
     "q_correlation" -> (EventAnalytics.qCorrelation(_, _)),
     "q_having" -> (Relational.qHaving(_, _)),
@@ -123,6 +125,8 @@ object SparkEntry {
     "ann_pq_adc" -> (graft.similarity.Pq.annPqAdc(_, _)),
     "ann_label_separation" -> (Ann.annLabelSeparation(_, _)),
     "vec_argmax" -> (Ann.vecArgmax(_, _)),
+    "vec_gram_matrix" -> (Ann.vecGramMatrix(_, _)),
+    "vec_pca_project" -> (Ann.vecPcaProject(_, _)),
     // §2.5 text
     "text_tokens" -> (TextAnalysis.textTokens(_, _)),
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
@@ -132,6 +136,7 @@ object SparkEntry {
     "text_tfidf" -> (TextAnalysis.textTfidf(_, _)),
     "text_winnowing" -> ((s, d) => TextAnalysis.textWinnowing(s, d)),
     "text_bigram_model" -> (TextAnalysis.textBigramModel(_, _)),
+    "text_zipf_fit" -> (TextAnalysis.textZipfFit(_, _)),
     "text_token_len_hist" -> (TextAnalysis.textTokenLenHist(_, _)),
     "text_quality_filter" -> (TextAnalysis.textQualityFilter(_, _)),
     "text_repetition" -> (TextAnalysis.textRepetition(_, _)),
@@ -166,6 +171,7 @@ object SparkEntry {
     "io_csv_json" -> (Io.ioCsvJson(_, _)),
     "io_bucketed_join" -> (Io.ioBucketedJoin(_, _)),
     "io_orc_roundtrip" -> (Io.ioOrcRoundtrip(_, _)),
+    "io_schema_evolution" -> (Io.ioSchemaEvolution(_, _)),
     // end-to-end pipeline + custom-operator/typed surfaces
     "backup_pipeline" -> (BackupPipeline.backupPipelineQuery(_, _)),
     "topk_per_group" -> (TopK.topkPerGroupQuery(_, _)),
@@ -176,6 +182,7 @@ object SparkEntry {
     "dedup_cluster_stats" -> (Dedup.dedupClusterStats(_, _)),
     "graph_degree_hist" -> (graft.graph.GraphOps.graphDegreeHist(_, _)),
     "graph_triangles" -> (graft.graph.GraphOps.graphTriangles(_, _)),
+    "graph_pagerank" -> ((s, d) => graft.graph.GraphOps.graphPagerank(s, d)),
     "q_bloom_prefilter" -> (graft.analytics.RuntimeFilters.qBloomPrefilter(_, _)),
     "stream_session_window" -> (StreamWatcher.streamSessionWindowQuery(_, _)),
   )
@@ -262,6 +269,40 @@ object SparkEntry {
       |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
       |  CAST(max(n_events) AS BIGINT) AS max_session_events
       |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** `vec_pca_project` oracle: the same deterministic 10-step power
+    * iteration the Spark side runs on the driver, unrolled into
+    * chained CTEs (one matrix-multiply + normalize pair per step) so
+    * DuckDB computes the identical function of the Gram matrix.
+    */
+  private val pcaProjectSql: String = {
+    val iters = 10
+    val sb = new StringBuilder
+    // every CTE is MATERIALIZED: the chain references each level
+    // several times, and plain (inlined) CTEs would re-expand the
+    // whole prefix per reference — exponential in the iteration count
+    sb ++= """WITH e AS MATERIALIZED (SELECT vec_id, label, embedding FROM embeddings),
+             |comp AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+             |  CAST(unnest(embedding) AS DOUBLE) AS x FROM e),
+             |g AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS g
+             |  FROM comp a JOIN comp b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+             |v0 AS MATERIALIZED (SELECT t.i AS i, 1.0 / sqrt(64.0) AS v FROM range(64) t(i))""".stripMargin
+    for (k <- 1 to iters) {
+      sb ++= s""",
+                |w$k AS MATERIALIZED (SELECT g.i AS i, sum(g.g * v${k - 1}.v) AS w
+                |  FROM g JOIN v${k - 1} ON g.j = v${k - 1}.i GROUP BY 1),
+                |v$k AS MATERIALIZED (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM w$k) AS v FROM w$k)""".stripMargin
+    }
+    sb ++= s""",
+              |sgn AS (SELECT CASE WHEN (SELECT v FROM v$iters ORDER BY abs(v) DESC, i ASC LIMIT 1) < 0
+              |  THEN -1.0 ELSE 1.0 END AS s),
+              |p AS (SELECT comp.vec_id, sum(comp.x * v$iters.v) AS raw
+              |  FROM comp JOIN v$iters ON comp.i = v$iters.i GROUP BY 1)
+              |SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+              |  round((SELECT s FROM sgn) * p.raw, 4) + 0.0 AS pc1
+              |FROM p JOIN e USING (vec_id) ORDER BY vec_id""".stripMargin
+    sb.toString
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get the driver's weaker
@@ -537,6 +578,38 @@ object SparkEntry {
       """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS qty_price_corr,
         |  count(*) AS n_lines
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_transition_matrix" ->
+      """WITH t AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n_trans,
+        |  round(CAST(count(*) AS DOUBLE)
+        |    / sum(count(*)) OVER (PARTITION BY prev_type), 4) AS p_trans
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_ewma" ->
+      """WITH t AS (SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  round(sum((CASE WHEN rn = 1 THEN pow(0.8, n - 1)
+        |    ELSE 0.2 * pow(0.8, n - rn) END) * value), 4) + 0.0 AS ewma_value,
+        |  round(avg(value), 4) + 0.0 AS mean_value
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "vec_gram_matrix" ->
+      """WITH comp AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+        |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+        |SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+        |  round(sum(a.x * b.x), 4) + 0.0 AS g
+        |FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "vec_pca_project" -> pcaProjectSql,
+    "io_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END AS o_orderstatus,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_price
+        |FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "text_token_len_hist" ->
       s"""WITH $toksCte
          |SELECT CAST(length(tok) AS BIGINT) AS tok_len, count(*) AS n_tokens
@@ -822,6 +895,19 @@ object SparkEntry {
     "ann_pq_adc" -> graft.similarity.Pq.pqAdcOracleSql,
     "graph_degree_hist" -> graft.graph.GraphOps.degreeHistOracleSql,
     "graph_triangles" -> graft.graph.GraphOps.trianglesOracleSql,
+    "graph_pagerank" -> graft.graph.GraphOps.pagerankOracleSql(),
+    "text_zipf_fit" ->
+      """WITH tok AS (SELECT lang,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),
+        |tf AS (SELECT lang, token, count(*) AS freq FROM tok GROUP BY 1, 2),
+        |rk AS (SELECT lang, token, freq,
+        |  row_number() OVER (PARTITION BY lang ORDER BY freq DESC, token) AS rnk FROM tf),
+        |f AS (SELECT lang, ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+        |  FROM rk WHERE rnk <= 200)
+        |SELECT lang, count(*) AS n_fit,
+        |  round((CAST(count(*) AS DOUBLE) * sum(x * y) - sum(x) * sum(y))
+        |    / (CAST(count(*) AS DOUBLE) * sum(x * x) - sum(x) * sum(x)), 4) + 0.0 AS zipf_slope
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bloom_prefilter" ->
       """SELECT l_returnflag, count(*) AS n_lines,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty

@@ -89,6 +89,58 @@ object EventAnalytics {
         count(lit(1)).as("n_lines"))
       .orderBy(col("l_returnflag"))
 
+  /** §2.2#144 — session transition matrix: first-order Markov
+    * transition counts and probabilities between consecutive event
+    * types per user (ordered by ts, event_id tiebreak). One window
+    * pass partitioned by user, then a bounded |types|² rollup — the
+    * standard journey-analysis shape; at 100 TB the per-user window
+    * and the transition groupBy are the only shuffles and the output
+    * stays 25 rows.
+    */
+  def qTransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = org.apache.spark.sql.expressions.Window.partitionBy(col("prev_type"))
+    trans
+      .withColumn("p_trans",
+        round(col("n_trans").cast("double") / sum(col("n_trans")).over(totals), 4))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** §2.2#145 — exponentially weighted moving average per user
+    * (α = 0.2): the recursive EWMA unrolled into its closed-form
+    * geometric weighting over the per-user row number, so the whole
+    * computation is one window pass plus one aggregation on the same
+    * key (a single shuffle — the window partitioning is reused by the
+    * groupBy). Weights decay past double precision after ~160 events,
+    * so accumulation-order noise is bounded and the rounded output is
+    * engine-stable.
+    */
+  def qEwma(spark: SparkSession, dir: String): DataFrame = {
+    val alpha = 0.2
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("wt",
+        when(col("rn") === 1, pow(lit(1 - alpha), col("n") - 1))
+          .otherwise(lit(alpha) * pow(lit(1 - alpha), col("n") - col("rn"))))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (round(sum(col("wt") * col("value")), 4) + lit(0.0)).as("ewma_value"),
+        (round(avg(col("value")), 4) + lit(0.0)).as("mean_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** §2.2#86 — ordered funnel view→click→purchase: each stage's
     * earliest qualifying timestamp feeds the next stage's predicate
     * (strictly sequenced, not mere co-occurrence). Three

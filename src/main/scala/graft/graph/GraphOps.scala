@@ -50,6 +50,67 @@ object GraphOps {
     nodes.crossJoin(edges).crossJoin(tri)
   }
 
+  /** §2.3#149 — PageRank over the undirected candidate graph: five
+    * fixed damped iterations (d = 0.85) of the pregel-style
+    * message-passing layout — each step joins ranks to the edge list
+    * on the source key and re-aggregates on the destination, so one
+    * iteration is exactly two shuffles on node id and nothing is ever
+    * driver-resident except the node count (a scalar). Lineage is cut
+    * per step with an eager localCheckpoint exactly like the
+    * connected-components loop. Fixed iteration count keeps the
+    * result a deterministic function the SQL oracle replays unrolled.
+    */
+  def graphPagerank(spark: SparkSession, dir: String, iters: Int = 5,
+      damp: Double = 0.85): DataFrame = {
+    val p = pairs(spark, dir)
+    val e = p.select(col("doc_a").as("s"), col("doc_b").as("t"))
+      .union(p.select(col("doc_b").as("s"), col("doc_a").as("t")))
+      .localCheckpoint()
+    val deg = e.groupBy(col("s")).agg(count(lit(1)).as("d"))
+    val n = deg.count() // scalar node count, the only driver-side value
+    var r = deg.select(col("s").as("node"), lit(1.0 / n).as("r"))
+    var it = 0
+    while (it < iters) {
+      r = e.join(r, e("s") === r("node"))
+        .join(deg, "s")
+        .groupBy(col("t"))
+        .agg(sum(col("r") / col("d")).as("contrib"))
+        .select(col("t").as("node"),
+          (lit((1 - damp) / n) + lit(damp) * col("contrib")).as("r"))
+        .localCheckpoint()
+      it += 1
+    }
+    r.select(col("node").as("doc_id"),
+        (round(col("r"), 6) + lit(0.0)).as("pagerank"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[graphPagerank]]: the same five damped
+    * iterations unrolled, every CTE MATERIALIZED (multiply-referenced
+    * plain CTEs re-inline their whole prefix per reference).
+    */
+  def pagerankOracleSql(iters: Int = 5): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH " + Dedup.candOracleBody
+    sb ++= """,
+             |ed AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM cand
+             |  UNION ALL SELECT doc_b AS s, doc_a AS t FROM cand),
+             |deg AS MATERIALIZED (SELECT s, CAST(count(*) AS DOUBLE) AS d FROM ed GROUP BY 1),
+             |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+             |r0 AS MATERIALIZED (SELECT s AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg)""".stripMargin
+    for (k <- 1 to iters) {
+      sb ++= s""",
+                |r$k AS MATERIALIZED (SELECT ed.t AS node,
+                |  0.15 / (SELECT n FROM nn) + 0.85 * sum(r${k - 1}.r / deg.d) AS r
+                |  FROM ed JOIN r${k - 1} ON ed.s = r${k - 1}.node
+                |  JOIN deg ON ed.s = deg.s GROUP BY 1)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT node AS doc_id, round(r, 6) + 0.0 AS pagerank
+              |FROM r$iters ORDER BY doc_id""".stripMargin
+    sb.toString
+  }
+
   /** DuckDB oracle for [[graphDegreeHist]]. */
   def degreeHistOracleSql: String =
     "WITH " + Dedup.candOracleBody +

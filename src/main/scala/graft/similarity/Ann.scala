@@ -472,6 +472,68 @@ object Ann {
        |GROUP BY rh_bucket ORDER BY rh_bucket""".stripMargin
   }
 
+  /** §2.4#147 — one-pass Gram (scatter) matrix of the embedding
+    * corpus via the mergeable [[graft.functions.GramMatrixAgg]]
+    * buffer: each partition reduces its rows to a d(d+1)/2 double
+    * array (map-side combine), one merge produces the d×d summary —
+    * the covariance/PCA input computed without ever shuffling more
+    * than O(d²) bytes. The explode-and-self-join alternative this
+    * replaces would shuffle n·d² rows (at 100 TB, ~quadrillions).
+    */
+  def vecGramMatrix(spark: SparkSession, dir: String): DataFrame =
+    Tables.rebalanced(Tables.embeddings(spark, dir))
+      .agg(graft.functions.GramMatrixAggFunctions.gram_matrix(col("embedding"), 64).as("cells"))
+      .select(explode(col("cells")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"),
+        (round(col("c.g"), 4) + lit(0.0)).as("g"))
+      .orderBy(col("i"), col("j"))
+
+  /** §2.4#148 — first-principal-component projection: the Gram matrix
+    * from [[vecGramMatrix]]'s aggregate is a bounded d×d driver-side
+    * object (2080 doubles — a model parameter, not data, same
+    * precedent as the IVF probe ids), power-iterated 10 steps from a
+    * fixed deterministic start, sign-fixed on the largest-|component|
+    * axis, then broadcast back as a literal for a narrow one-pass
+    * projection. The oracle replays the identical 10 unrolled
+    * iterations in SQL, so the comparison is of a deterministic
+    * function, not of eigensolver internals.
+    */
+  def vecPcaProject(spark: SparkSession, dir: String): DataFrame = {
+    val d = 64
+    val iters = 10
+    val cells = Tables.rebalanced(Tables.embeddings(spark, dir))
+      .agg(graft.functions.GramMatrixAggFunctions.gram_matrix(col("embedding"), d).as("cells"))
+      .select(explode(col("cells")).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.g"))
+      .collect() // bounded: d(d+1)/2 = 2080 cells, parameter-sized
+    val g = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt; val v = r.getDouble(2)
+      g(i)(j) = v; g(j)(i) = v
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += g(i)(j) * v(j); j += 1 }
+        s
+      }
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+      it += 1
+    }
+    val kmax = v.indices.maxBy(i => math.abs(v(i)))
+    val sgn = if (v(kmax) < 0) -1.0 else 1.0
+    val vlit = typedLit(v.map(_ * sgn).toSeq)
+    Tables.rebalanced(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        (round(aggregate(
+          zip_with(toDouble(col("embedding")), vlit, (x, wt) => x * wt),
+          lit(0.0), (acc, x) => acc + x), 4) + lit(0.0)).as("pc1"))
+      .orderBy(col("vec_id"))
+  }
+
   def randomHyperplaneBucket(spark: SparkSession, dir: String, planes: Int = 8): DataFrame = {
     val e = embeddings(spark, dir)
     val bucketBits = (0 until planes).map { p =>

@@ -149,4 +149,33 @@ object Io {
         max(col("o_orderdate")).as("last_date"))
       .orderBy(col("o_orderstatus"))
   }
+
+  /** §2.8#146 — schema evolution across parquet generations: an old
+    * generation written without a column, a new generation with it,
+    * read back as one logical table via `mergeSchema` (the footer
+    * union Spark otherwise skips for speed — at 100 TB schema merge
+    * is a metadata-only operation over file footers, not a data
+    * pass). Old-generation rows surface the added column as NULL;
+    * the aggregate proves both generations land in one scan with the
+    * union schema.
+    */
+  def ioSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = "/tmp/graft_io_evo"
+    val orders = Tables.orders(spark, dir)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$root/gen1")
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$root/gen2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/gen1", s"$root/gen2")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.analytics.Money.dollars(
+          sum(graft.analytics.Money.cents(col("o_totalprice"))), 100.0).as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first)
+  }
 }

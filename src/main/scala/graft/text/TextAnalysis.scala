@@ -250,6 +250,34 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"))
       .orderBy(col("tok_len"))
 
+  /** §2.5#150 — Zipf fit per language: least-squares slope of
+    * log-frequency over log-rank across the top 200 tokens — the
+    * corpus-health diagnostic (natural text tracks slope ≈ −1;
+    * templated/synthetic text deviates). One token-count shuffle,
+    * a per-language top-200 rank cut (WindowGroupLimit regime), and
+    * a closed-form regression on the bounded fit set — no iterative
+    * solver, nothing driver-side.
+    */
+  def textZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.rebalanced(Tables.documents(spark, dir))
+      .select(col("lang"), explode(tokensCol(col("text"))).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("freq").desc, col("token"))
+    val fit = tf.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 200)
+      .select(col("lang"), log(col("rnk").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    fit.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_fit"),
+        ((count(lit(1)).cast("double") * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))) /
+          (count(lit(1)).cast("double") * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))))
+          .as("raw_slope"))
+      .select(col("lang"), col("n_fit"),
+        (round(col("raw_slope"), 4) + lit(0.0)).as("zipf_slope"))
+      .orderBy(col("lang"))
+  }
+
   /** §2.5#96 — bigram language model: P(w2 | w1) for well-supported
     * bigrams, top-3 per language by conditional probability. Two
     * partial-agg shuffles (bigram counts, prefix counts) joined on
