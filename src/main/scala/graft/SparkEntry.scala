@@ -87,6 +87,11 @@ object SparkEntry {
     "q_rank_family" -> (Windows.qRankFamily(_, _)),
     "q_moving_window" -> (Windows.qMovingWindow(_, _)),
     "q_window_first_last" -> (Windows.qWindowFirstLast(_, _)),
+    "q_window_time_range" -> (Windows.qWindowTimeRange(_, _)),
+    "q_unpivot" -> (Relational.qUnpivot(_, _)),
+    "q_weighted_median" -> (Relational.qWeightedMedian(_, _)),
+    "q_gaps_islands" -> (EventAnalytics.qGapsIslands(_, _)),
+    "q_running_distinct" -> (EventAnalytics.qRunningDistinct(_, _)),
     "q_growth_rate" -> (EventAnalytics.qGrowthRate(_, _)),
     "q_upsert_merge" -> (Relational.qUpsertMerge(_, _)),
     "q_zscore_outliers" -> (EventAnalytics.qZscoreOutliers(_, _)),
@@ -597,6 +602,67 @@ object SparkEntry {
         |    ELSE 0.2 * pow(0.8, n - rn) END) * value), 4) + 0.0 AS ewma_value,
         |  round(avg(value), 4) + 0.0 AS mean_value
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_unpivot" ->
+      """WITH u AS (
+        |  SELECT l_returnflag, 'qty_c' AS measure,
+        |         CAST(round(l_quantity * 100) AS BIGINT) AS cents FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'price_c',
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'disc_c',
+        |         CAST(round(l_discount * 100) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'tax_c',
+        |         CAST(round(l_tax * 100) AS BIGINT) FROM lineitem)
+        |SELECT l_returnflag, measure, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS total_c
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_weighted_median" ->
+      """WITH r AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS w,
+        |    l_orderkey, l_linenumber FROM lineitem),
+        |c AS (SELECT l_returnflag, qty_c,
+        |    sum(w) OVER (PARTITION BY l_returnflag
+        |      ORDER BY qty_c, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tot_w
+        |  FROM r)
+        |SELECT l_returnflag, CAST(min(qty_c) AS BIGINT) AS wmedian_qty_c,
+        |  CAST(max(tot_w) AS BIGINT) AS tot_weight_c
+        |FROM c WHERE cum_w * 2 >= tot_w
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_gaps_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM d),
+        |i AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(max(len) AS BIGINT) AS max_streak,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_running_distinct" ->
+      """WITH f AS (SELECT user_id,
+        |    min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS day
+        |  FROM events GROUP BY 1),
+        |nf AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1),
+        |d AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    count(DISTINCT user_id) AS n_active FROM events GROUP BY 1)
+        |SELECT d.day AS day, n_active,
+        |  CAST(coalesce(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct_users
+        |FROM d LEFT JOIN nf ON d.day = nf.day ORDER BY day""".stripMargin,
+    "q_window_time_range" ->
+      """WITH t AS (SELECT user_id, event_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    CAST(round(value * 10000) AS BIGINT) AS value_e4
+        |  FROM events WHERE user_id <= 20)
+        |SELECT user_id, event_id, ts_us, value_e4,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(value_e4) OVER w AS BIGINT) AS sum_1h_e4
+        |FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "vec_gram_matrix" ->
       """WITH comp AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
         |  CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)

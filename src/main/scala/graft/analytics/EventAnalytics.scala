@@ -161,4 +161,53 @@ object EventAnalytics {
         sum(when(col("c_ts").isNotNull, 1L).otherwise(0L)).as("n_clicked_after_view"),
         sum(when(col("p_ts").isNotNull, 1L).otherwise(0L)).as("n_purchased_after_click"))
   }
+
+  /** §2.2#152 — gaps-and-islands: maximal runs of consecutive active
+    * days per user via the classic day − row_number grouping key.
+    * Input is pre-shrunk to distinct (user, day) pairs (a partial-agg
+    * distinct), so the window sorts |users|×|days| rows, not raw
+    * events; everything shuffles once on user_id and the rollup
+    * reuses that partitioning.
+    */
+  def qGapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"), max(col("len")).as("max_streak"),
+        sum(col("len")).as("n_active_days"))
+      .orderBy(col("user_id"))
+  }
+
+  /** §2.2#153 — running distinct-user count per day. COUNT(DISTINCT)
+    * over a running window is unsupported (and unscalable — it would
+    * re-scan the frame per row); the equivalent formulation
+    * aggregates each user's first-seen day (one shuffle on user_id,
+    * partial-agg min) and takes a running sum of the per-day new-user
+    * counts. The final window is over the bounded day axis — a few
+    * hundred rows at any data scale.
+    */
+  def qRunningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long")
+    val newPerDay = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(min(day).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+    val daily = Tables.events(spark, dir)
+      .select(day.as("day"), col("user_id"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("n_active"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    daily.join(newPerDay, Seq("day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_distinct_users", sum(col("n_new")).over(w))
+      .orderBy(col("day"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -614,5 +615,49 @@ object Relational {
       .agg(dollars(sum(netE4), 10000.0).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("o_orderstatus"))
+  }
+
+  /** §2.2#150 — unpivot (wide → long): the four lineitem money/qty
+    * measures melt into (measure, cents) rows via the native
+    * `Dataset.unpivot` (Catalyst `Unpivot` node — a narrow 4×
+    * row-expansion, no shuffle), then a bounded |flags|×|measures|
+    * rollup. All measures are exact integer hundredths so the sums
+    * are order-independent at any parallelism.
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        cents(col("l_quantity")).as("qty_c"),
+        priceC.as("price_c"), discC.as("disc_c"), taxC.as("tax_c"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty_c"), col("price_c"), col("disc_c"), col("tax_c")),
+        "measure", "cents")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_c"))
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  /** §2.2#151 — weighted median: the smallest quantity whose
+    * cumulative extended-price weight reaches half the group total.
+    * One running-sum window per return flag plus a whole-partition
+    * total over the same exchange; the crossing row is found by
+    * filter + min, never a per-group collect. Group keys here are
+    * bounded (3 flags); for unbounded keys the t-digest path is the
+    * scale answer, same tradeoff as [[Quantiles.exact]].
+    */
+  def qWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), cents(col("l_quantity")).as("qty_c"),
+        priceC.as("w"), col("l_orderkey"), col("l_linenumber"))
+    val run = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("qty_c"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.partitionBy(col("l_returnflag"))
+    rows.withColumn("cum_w", sum(col("w")).over(run))
+      .withColumn("tot_w", sum(col("w")).over(whole))
+      .filter(col("cum_w") * 2 >= col("tot_w"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("qty_c")).as("wmedian_qty_c"), max(col("tot_w")).as("tot_weight_c"))
+      .orderBy(col("l_returnflag"))
   }
 }

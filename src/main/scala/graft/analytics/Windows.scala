@@ -146,4 +146,25 @@ object Windows {
         round(sum(col("session_value")), 2).as("total_value"))
       .orderBy(col("user_id"))
   }
+
+  /** §2.2#154 — time-RANGE window frame: per-event trailing 1-hour
+    * count and value sum per user, RANGE over epoch microseconds (not
+    * ROWS — event spacing is irregular, and RANGE peers make the
+    * result independent of tie order). Values are summed as exact e4
+    * integers so the sliding sums are order-independent. One window
+    * shuffle on user_id; output bounded by the user filter for the
+    * verify dump, plan shape identical at any scale.
+    */
+  def qWindowTimeRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000 + 1, 0)
+    Tables.events(spark, dir)
+      .filter(col("user_id") <= 20)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("value") * 10000).cast("long").as("value_e4"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h_e4", sum(col("value_e4")).over(w))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
 }

@@ -65,4 +65,39 @@ class EventOpsSpec extends GraftSpec {
     assert(nullRow.head.getLong(1) === orders.filter(col("o_orderkey") % 2 === 0).count())
     assert(rows.map(_.getLong(1)).sum === orders.count())
   }
+
+  test("gaps-islands: island days reconstruct each user's distinct active days; streaks are consistent") {
+    val rows = EventAnalytics.qGapsIslands(spark, sf).collect()
+    val expected = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getLong(0)).toSet === expected.keySet)
+    rows.foreach { r =>
+      val (u, nIslands, maxStreak, nDays) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nDays === expected(u), s"user $u day total")
+      assert(maxStreak >= 1 && maxStreak <= nDays)
+      assert(nIslands >= 1 && nIslands <= nDays)
+      // islands partition the days: max streak can't exceed days - (islands - 1)
+      assert(maxStreak <= nDays - (nIslands - 1))
+    }
+  }
+
+  test("running distinct: final cumulative count equals total distinct users, monotone non-decreasing") {
+    val rows = EventAnalytics.qRunningDistinct(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalUsers = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.last._4 === totalUsers)
+    assert(rows.map(_._3).sum === totalUsers) // every user is new exactly once
+    rows.sliding(2).foreach { pair =>
+      val (a, b) = (pair(0), pair(1))
+      assert(b._4 >= a._4, s"cumulative dipped at day ${b._1}")
+    }
+    rows.foreach { case (d, nActive, nNew, cum) =>
+      assert(nNew <= nActive, s"day $d: more new users than active")
+      assert(nActive <= cum, s"day $d: actives exceed cumulative distinct")
+    }
+  }
 }

@@ -74,6 +74,44 @@ class RelationalSpec extends GraftSpec {
     }
   }
 
+  test("unpivot: every measure column keeps its full row count and exact total") {
+    val li = Tables.lineitem(spark, sf)
+    val nLines = li.count()
+    val rows = Relational.qUnpivot(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum === nLines * 4) // 4 measures × every line
+    val qtyTotal = rows.filter(_.getString(1) == "qty_c").map(_.getLong(3)).sum
+    val expectedQty = li.agg(sum(round(col("l_quantity") * 100).cast("long"))).head.getLong(0)
+    assert(qtyTotal === expectedQty)
+  }
+
+  test("weighted median: at least half the weight sits on each side of the chosen value") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("qty_c"),
+        round(col("l_extendedprice") * 100).cast("long").as("w"))
+    Relational.qWeightedMedian(spark, sf).collect().foreach { r =>
+      val (flag, med, tot) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val below = li.filter(col("l_returnflag") === flag && col("qty_c") <= med)
+        .agg(sum(col("w"))).head.getLong(0)
+      val above = li.filter(col("l_returnflag") === flag && col("qty_c") >= med)
+        .agg(sum(col("w"))).head.getLong(0)
+      assert(below * 2 >= tot, s"$flag: weight below median too small")
+      assert(above * 2 >= tot, s"$flag: weight above median too small")
+    }
+  }
+
+  test("time-range window frame: every trailing 1h count matches a self-join recount") {
+    val out = graft.analytics.Windows.qWindowTimeRange(spark, sf)
+    val ev = Tables.events(spark, sf).filter(col("user_id") <= 20)
+      .select(col("user_id").as("u"), unix_micros(col("ts")).as("us"))
+    val recount = out.join(ev, out("user_id") === col("u") &&
+        col("us") >= out("ts_us") - (3600L * 1000000 - 1) && col("us") <= out("ts_us"))
+      .groupBy(out("user_id"), out("event_id"), out("n_1h"))
+      .agg(count(lit(1)).as("recount"))
+      .filter(col("n_1h") =!= col("recount"))
+    assert(recount.count() === 0)
+  }
+
   test("typed Aggregator matches the untyped aggregation") {
     import spark.implicits._
     import graft.analytics.{EventRow, TypedAggs}
