@@ -92,6 +92,10 @@ object SparkEntry {
     "q_weighted_median" -> (Relational.qWeightedMedian(_, _)),
     "q_gaps_islands" -> (EventAnalytics.qGapsIslands(_, _)),
     "q_running_distinct" -> (EventAnalytics.qRunningDistinct(_, _)),
+    "q_calendar_densify" -> (EventAnalytics.qCalendarDensify(_, _)),
+    "q_type_user_overlap" -> (EventAnalytics.qTypeUserOverlap(_, _)),
+    "q_moments" -> (Relational.qMoments(_, _)),
+    "q_percent_of_total" -> (Relational.qPercentOfTotal(_, _)),
     "q_growth_rate" -> (EventAnalytics.qGrowthRate(_, _)),
     "q_upsert_merge" -> (Relational.qUpsertMerge(_, _)),
     "q_zscore_outliers" -> (EventAnalytics.qZscoreOutliers(_, _)),
@@ -652,6 +656,65 @@ object SparkEntry {
         |  CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY d.day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct_users
         |FROM d LEFT JOIN nf ON d.day = nf.day ORDER BY day""".stripMargin,
+    "q_calendar_densify" ->
+      """WITH ev AS (SELECT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events WHERE user_id <= 20),
+        |spine AS (SELECT user_id, unnest(generate_series(first_day, last_day)) AS day
+        |  FROM (SELECT user_id, min(day) AS first_day, max(day) AS last_day
+        |        FROM ev GROUP BY 1)),
+        |active AS (SELECT DISTINCT user_id, day FROM ev)
+        |SELECT s.user_id AS user_id, s.day AS day
+        |FROM spine s LEFT JOIN active a
+        |  ON s.user_id = a.user_id AND s.day = a.day
+        |WHERE a.user_id IS NULL
+        |ORDER BY user_id, day""".stripMargin,
+    "q_type_user_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |tot AS (SELECT event_type, count(*) AS n_users FROM tu GROUP BY 1),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM tu a JOIN tu b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both,
+        |  ta.n_users AS n_a, tb.n_users AS n_b,
+        |  round(CAST(n_both AS DOUBLE) / (ta.n_users + tb.n_users - n_both), 4)
+        |    AS jaccard
+        |FROM pairs
+        |JOIN tot ta ON ta.event_type = type_a
+        |JOIN tot tb ON tb.event_type = type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q_moments" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(q) AS BIGINT) AS s1, CAST(sum(q*q) AS BIGINT) AS s2,
+        |    CAST(sum(q*q*q) AS BIGINT) AS s3, CAST(sum(q*q*q*q) AS BIGINT) AS s4
+        |  FROM (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS q
+        |        FROM lineitem) GROUP BY 1),
+        |m AS (SELECT l_returnflag, n, s1/CAST(n AS DOUBLE) AS mean,
+        |    s2/CAST(n AS DOUBLE) - pow(s1/CAST(n AS DOUBLE), 2) AS m2,
+        |    s3/CAST(n AS DOUBLE) - 3*(s1/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE))
+        |      + 2*pow(s1/CAST(n AS DOUBLE), 3) AS m3,
+        |    s4/CAST(n AS DOUBLE) - 4*(s1/CAST(n AS DOUBLE))*(s3/CAST(n AS DOUBLE))
+        |      + 6*pow(s1/CAST(n AS DOUBLE), 2)*(s2/CAST(n AS DOUBLE))
+        |      - 3*pow(s1/CAST(n AS DOUBLE), 4) AS m4
+        |  FROM a)
+        |SELECT l_returnflag, n, round(mean, 4) + 0.0 AS mean_qty,
+        |  round(m3 / pow(m2, 1.5), 4) + 0.0 AS skewness,
+        |  round(m4 / (m2 * m2) - 3, 4) + 0.0 AS excess_kurtosis
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_percent_of_total" ->
+      """WITH r AS (SELECT n_name,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1)
+        |SELECT n_name, CAST(rev_e4 AS DOUBLE) / 10000.0 AS revenue,
+        |  round(CAST(rev_e4 AS DOUBLE) * 100 /
+        |    CAST(sum(rev_e4) OVER () AS DOUBLE), 4) AS pct_share
+        |FROM r ORDER BY n_name""".stripMargin,
     "q_window_time_range" ->
       """WITH t AS (SELECT user_id, event_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,

@@ -186,6 +186,51 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** §2.2#155 — calendar densification: explode each user's
+    * first..last activity span into a full day spine (`sequence` —
+    * a narrow generator, no shuffle) and anti-join the observed
+    * days to surface the gaps. The spine size is bounded by the
+    * calendar, not the event volume, so the expansion is
+    * |users|×|days| regardless of data scale.
+    */
+  def qCalendarDensify(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long")
+    val ev = Tables.events(spark, dir).filter(col("user_id") <= 20)
+    val spine = ev.groupBy(col("user_id"))
+      .agg(min(day).as("first_day"), max(day).as("last_day"))
+      .select(col("user_id"),
+        explode(sequence(col("first_day"), col("last_day"))).as("day"))
+    val active = ev.select(col("user_id"), day.as("day")).distinct()
+    spine.join(active, Seq("user_id", "day"), "left_anti")
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** §2.2#156 — set-similarity between groups: Jaccard overlap of
+    * user sets across event-type pairs. Never materializes a set —
+    * distinct (type, user) pairs self-join on user_id (the
+    * equi-join key), so the work is proportional to co-occurrence,
+    * and per-type totals broadcast onto the bounded |types|² output.
+    */
+  def qTypeUserOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val tu = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val totals = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+    val both = tu.as("a").join(tu.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(totals.withColumnRenamed("event_type", "type_a")
+        .withColumnRenamed("n_users", "n_a")), Seq("type_a"))
+      .join(broadcast(totals.withColumnRenamed("event_type", "type_b")
+        .withColumnRenamed("n_users", "n_b")), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"), col("n_b"),
+        round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")), 4).as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** §2.2#153 — running distinct-user count per day. COUNT(DISTINCT)
     * over a running window is unsupported (and unscalable — it would
     * re-scan the frame per row); the equivalent formulation

@@ -637,6 +637,54 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_c"))
       .orderBy(col("l_returnflag"), col("measure"))
 
+  /** §2.2#157 — higher-order moments: per-flag skewness (g1) and
+    * excess kurtosis (g2) derived from exact integer power sums
+    * s1..s4 over whole-unit quantities, so the partial aggregation is
+    * order-independent and both engines compute the identical IEEE
+    * doubles from the identical integers. s4 ≤ 50⁴·n keeps BIGINT
+    * headroom to ~10¹² rows; past that the same shape runs on
+    * DECIMAL(38,0) sums.
+    */
+  def qMoments(spark: SparkSession, dir: String): DataFrame = {
+    val q = round(col("l_quantity")).cast("long")
+    val agg = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), q.as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"),
+        sum(col("q") * col("q") * col("q")).as("s3"),
+        sum(col("q") * col("q") * col("q") * col("q")).as("s4"))
+    val n = col("n").cast("double")
+    val mean = col("s1") / n
+    val m2 = col("s2") / n - mean * mean
+    val m3 = col("s3") / n - lit(3) * mean * col("s2") / n + lit(2) * mean * mean * mean
+    val m4 = col("s4") / n - lit(4) * mean * col("s3") / n +
+      lit(6) * mean * mean * col("s2") / n - lit(3) * mean * mean * mean * mean
+    agg.select(col("l_returnflag"), col("n"),
+        round(mean, 4).as("mean_qty"),
+        round(m3 / pow(m2, 1.5), 4).as("skewness"),
+        round(m4 / (m2 * m2) - lit(3), 4).as("excess_kurtosis"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** §2.2#158 — ratio-to-report: each nation's share of global
+    * revenue. Exact integer partial sums shuffle once on the bounded
+    * nation key; the global total is a window over those ≤25 rows,
+    * one IEEE division per row at the end.
+    */
+  def qPercentOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(netE4).as("rev_e4"))
+    rev.withColumn("pct_share",
+        round(col("rev_e4").cast("double") * 100 /
+          sum(col("rev_e4")).over(Window.partitionBy()).cast("double"), 4))
+      .select(col("n_name"), dollars(col("rev_e4"), 10000.0).as("revenue"), col("pct_share"))
+      .orderBy(col("n_name"))
+  }
+
   /** §2.2#151 — weighted median: the smallest quantity whose
     * cumulative extended-price weight reaches half the group total.
     * One running-sum window per return flag plus a whole-partition

@@ -84,6 +84,30 @@ class EventOpsSpec extends GraftSpec {
     }
   }
 
+  test("calendar densify: missing days + active days = span days per user") {
+    val missing = EventAnalytics.qCalendarDensify(spark, sf).collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.length.toLong }
+    val spans = Tables.events(spark, sf).filter(col("user_id") <= 20)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy(col("user_id"))
+      .agg((datediff(max(col("d")), min(col("d"))) + 1).cast("long").as("span"),
+        countDistinct(col("d")).as("active"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    spans.foreach { case (u, span, active) =>
+      assert(missing.getOrElse(u, 0L) === span - active, s"user $u")
+    }
+  }
+
+  test("type-user overlap: jaccard consistent with counts, n_both bounded by set sizes") {
+    val rows = EventAnalytics.qTypeUserOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nBoth, nA, nB, j) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(nBoth <= math.min(nA, nB))
+      assert(math.abs(j - nBoth.toDouble / (nA + nB - nBoth)) < 1e-4)
+    }
+  }
+
   test("running distinct: final cumulative count equals total distinct users, monotone non-decreasing") {
     val rows = EventAnalytics.qRunningDistinct(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -112,6 +112,26 @@ class RelationalSpec extends GraftSpec {
     assert(recount.count() === 0)
   }
 
+  test("moments from integer power sums match Spark's builtin skewness/kurtosis") {
+    val builtin = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), round(col("l_quantity")).cast("long").as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(skewness(col("q").cast("double")).as("sk"),
+        kurtosis(col("q").cast("double")).as("ku"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    Relational.qMoments(spark, sf).collect().foreach { r =>
+      val (sk, ku) = builtin(r.getString(0))
+      assert(math.abs(r.getDouble(3) - sk) < 1e-3, s"${r.getString(0)} skewness")
+      assert(math.abs(r.getDouble(4) - ku) < 1e-3, s"${r.getString(0)} kurtosis")
+    }
+  }
+
+  test("percent of total: shares sum to 100") {
+    val rows = Relational.qPercentOfTotal(spark, sf).collect()
+    assert(rows.length > 1)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 100.0) < 0.01)
+  }
+
   test("typed Aggregator matches the untyped aggregation") {
     import spark.implicits._
     import graft.analytics.{EventRow, TypedAggs}
