@@ -96,6 +96,9 @@ object SparkEntry {
     "q_type_user_overlap" -> (EventAnalytics.qTypeUserOverlap(_, _)),
     "q_moments" -> (Relational.qMoments(_, _)),
     "q_percent_of_total" -> (Relational.qPercentOfTotal(_, _)),
+    "q_fuzzy_join" -> (Relational.qFuzzyJoin(_, _)),
+    "q_chi_square" -> (EventAnalytics.qChiSquare(_, _)),
+    "q_user_entropy" -> (EventAnalytics.qUserEntropy(_, _)),
     "q_growth_rate" -> (EventAnalytics.qGrowthRate(_, _)),
     "q_upsert_merge" -> (Relational.qUpsertMerge(_, _)),
     "q_zscore_outliers" -> (EventAnalytics.qZscoreOutliers(_, _)),
@@ -715,6 +718,40 @@ object SparkEntry {
         |  round(CAST(rev_e4 AS DOUBLE) * 100 /
         |    CAST(sum(rev_e4) OVER () AS DOUBLE), 4) AS pct_share
         |FROM r ORDER BY n_name""".stripMargin,
+    "q_fuzzy_join" ->
+      """WITH names AS (SELECT p_name AS name, count(*) AS n_parts,
+        |    split_part(p_name, ' ', 1) AS blk
+        |  FROM part GROUP BY 1)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  a.n_parts AS n_a, b.n_parts AS n_b,
+        |  round(jaro_winkler_similarity(a.name, b.name), 4) AS jw
+        |FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+        |WHERE round(jaro_winkler_similarity(a.name, b.name), 4) >= 0.88
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q_chi_square" ->
+      """WITH obs AS (SELECT event_type,
+        |    CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7
+        |      AS BIGINT) AS dow, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS row_n FROM obs GROUP BY 1),
+        |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS col_n FROM obs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs)
+        |SELECT obs.event_type AS event_type, CAST(sum(o) AS BIGINT) AS n_events,
+        |  round(sum((o - CAST(row_n AS DOUBLE) * col_n / n)
+        |    * (o - CAST(row_n AS DOUBLE) * col_n / n)
+        |    / (CAST(row_n AS DOUBLE) * col_n / n)), 4) AS chi2_contrib
+        |FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_user_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1)
+        |SELECT c.user_id AS user_id, max(n) AS n_events,
+        |  count(*) AS n_types,
+        |  round(-sum((CAST(c AS DOUBLE) / n) * log2(CAST(c AS DOUBLE) / n)), 4)
+        |    + 0.0 AS entropy_bits
+        |FROM c JOIN t ON c.user_id = t.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_window_time_range" ->
       """WITH t AS (SELECT user_id, event_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,

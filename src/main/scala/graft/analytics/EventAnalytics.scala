@@ -231,6 +231,53 @@ object EventAnalytics {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** §2.2#160 — chi-square independence test of event type vs
+    * day-of-week: observed counts from one partial-agg pass, expected
+    * counts from broadcast row/column marginals, per-type χ²
+    * contributions on the bounded |types|×7 contingency table. All
+    * inputs are exact integer counts so both engines derive identical
+    * doubles.
+    */
+  def qChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val dow = ((datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) + 3) % 7)
+      .cast("long")
+    val obs = Tables.events(spark, dir)
+      .select(col("event_type"), dow.as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = obs.groupBy(col("event_type")).agg(sum(col("o")).as("row_n"))
+    val colTot = obs.groupBy(col("dow")).agg(sum(col("o")).as("col_n"))
+    val n = obs.agg(sum(col("o")).as("n"))
+    obs.join(broadcast(rowTot), Seq("event_type"))
+      .join(broadcast(colTot), Seq("dow"))
+      .crossJoin(broadcast(n))
+      .withColumn("exp", col("row_n").cast("double") * col("col_n") / col("n"))
+      .withColumn("contrib",
+        (col("o") - col("exp")) * (col("o") - col("exp")) / col("exp"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("o")).as("n_events"), round(sum(col("contrib")), 4).as("chi2_contrib"))
+      .orderBy(col("event_type"))
+  }
+
+  /** §2.2#161 — Shannon entropy of each user's event-type mix
+    * (bits): a behavioral-diversity score from exact integer counts,
+    * two aggregations on the same user key (exchange reuse), log2
+    * applied once per bounded (user, type) row.
+    */
+  def qUserEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("user_id")).agg(sum(col("c")).as("n"))
+    counts.join(totals, Seq("user_id"))
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        (round(-sum(col("p") * log2(col("p"))), 4) + lit(0.0)).as("entropy_bits"))
+      .orderBy(col("user_id"))
+  }
+
   /** §2.2#153 — running distinct-user count per day. COUNT(DISTINCT)
     * over a running window is unsupported (and unscalable — it would
     * re-scan the frame per row); the equivalent formulation

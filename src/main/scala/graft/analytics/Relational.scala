@@ -685,23 +685,49 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** §2.2#159 — fuzzy self-join (record linkage): near-identical
+    * part names by Jaro-Winkler similarity. The scale shape is
+    * dedupe-then-block: distinct names first (the expensive pairwise
+    * metric runs once per distinct pair, not per row pair), blocked
+    * on the first name token so candidate generation is an equi-join
+    * — never an all-pairs crossJoin. The metric itself is the native
+    * [[graft.functions.JaroWinkler]] expression.
+    */
+  def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.JaroWinkler.jaro_winkler
+    val names = Tables.part(spark, dir)
+      .select(col("p_name").as("name"))
+      .groupBy(col("name")).agg(count(lit(1)).as("n_parts"))
+      .withColumn("blk", split(col("name"), " ").getItem(0))
+    val a = names.select(col("blk"), col("name").as("name_a"), col("n_parts").as("n_a"))
+    val b = names.select(col("blk"), col("name").as("name_b"), col("n_parts").as("n_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("jw", round(jaro_winkler(col("name_a"), col("name_b")), 4))
+      .filter(col("jw") >= 0.88)
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"), col("jw"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   /** §2.2#151 — weighted median: the smallest quantity whose
     * cumulative extended-price weight reaches half the group total.
-    * One running-sum window per return flag plus a whole-partition
-    * total over the same exchange; the crossing row is found by
-    * filter + min, never a per-group collect. Group keys here are
-    * bounded (3 flags); for unbounded keys the t-digest path is the
-    * scale answer, same tradeoff as [[Quantiles.exact]].
+    * Weights are pre-aggregated per (flag, value) — a scalable
+    * partial-agg shuffle that shrinks the window input from row
+    * count to value cardinality (≤ |flags|×|distinct qty|, ~150
+    * rows at any data scale) — then one running-sum window finds the
+    * crossing value. The mid-run crossing of the ungrouped
+    * formulation lands on the same value: cumulative weight at a
+    * value's full run bounds every prefix of that run.
     */
   def qWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
-    val rows = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), cents(col("l_quantity")).as("qty_c"),
-        priceC.as("w"), col("l_orderkey"), col("l_linenumber"))
-    val run = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("qty_c"), col("l_orderkey"), col("l_linenumber"))
+    val grouped = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), cents(col("l_quantity")).as("qty_c"), priceC.as("w"))
+      .groupBy(col("l_returnflag"), col("qty_c"))
+      .agg(sum(col("w")).as("w"))
+    val run = Window.partitionBy(col("l_returnflag")).orderBy(col("qty_c"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val whole = Window.partitionBy(col("l_returnflag"))
-    rows.withColumn("cum_w", sum(col("w")).over(run))
+    grouped.withColumn("cum_w", sum(col("w")).over(run))
       .withColumn("tot_w", sum(col("w")).over(whole))
       .filter(col("cum_w") * 2 >= col("tot_w"))
       .groupBy(col("l_returnflag"))

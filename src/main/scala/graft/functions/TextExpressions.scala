@@ -310,6 +310,59 @@ case class NGramSpanHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Fused repetition-diagnostic kernel: bigram/trigram totals and
+  * exact distinct counts in ONE pass over the token array — replaces
+  * two HOF `transform` + `array_distinct` pipelines that materialized
+  * every n-gram twice through interpreted lambdas (the same fix shape
+  * as [[NGramSpanHashes]] for the contamination scan). Distinctness
+  * is computed on the real n-gram strings (a per-row hash set), so
+  * results are bit-identical to the portable formulation and the
+  * DuckDB oracle — no hash-collision caveat.
+  */
+case class NGramDupStats(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n2", LongType, nullable = false),
+    StructField("d2", LongType, nullable = false),
+    StructField("n3", LongType, nullable = false),
+    StructField("d3", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = arr.getUTF8String(i).toString
+      i += 1
+    }
+    val set2 = new java.util.HashSet[String]()
+    val set3 = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    var n2 = 0L
+    var n3 = 0L
+    i = 0
+    while (i + 1 < n) {
+      sb.setLength(0)
+      sb.append(toks(i)).append(' ').append(toks(i + 1))
+      set2.add(sb.toString)
+      n2 += 1
+      if (i + 2 < n) {
+        sb.append(' ').append(toks(i + 2))
+        set3.add(sb.toString)
+        n3 += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      n2, set2.size.toLong, n3, set3.size.toLong)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     Shim.toColumn(WinnowFingerprints(Shim.toExpression(text), k, w))
@@ -325,4 +378,7 @@ object TextFunctions {
 
   def jaccard_sorted(a: Column, b: Column): Column =
     Shim.toColumn(JaccardSorted(Shim.toExpression(a), Shim.toExpression(b)))
+
+  def ngram_dup_stats(tokens: Column): Column =
+    Shim.toColumn(NGramDupStats(Shim.toExpression(tokens)))
 }

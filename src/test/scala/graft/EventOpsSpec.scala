@@ -108,6 +108,22 @@ class EventOpsSpec extends GraftSpec {
     }
   }
 
+  test("chi-square: contributions non-negative, event counts account for every event") {
+    val rows = EventAnalytics.qChiSquare(spark, sf).collect()
+    assert(rows.forall(_.getDouble(2) >= 0.0))
+    assert(rows.map(_.getLong(1)).sum === Tables.events(spark, sf).count())
+  }
+
+  test("user entropy: bounded by log2 of the type count, zero iff single-type") {
+    EventAnalytics.qUserEntropy(spark, sf).collect().foreach { r =>
+      val (u, nTypes, h) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(h >= 0.0, s"user $u negative entropy")
+      assert(h <= math.log(nTypes.toDouble) / math.log(2) + 1e-4,
+        s"user $u entropy $h exceeds log2($nTypes)")
+      if (nTypes == 1) assert(h === 0.0)
+    }
+  }
+
   test("running distinct: final cumulative count equals total distinct users, monotone non-decreasing") {
     val rows = EventAnalytics.qRunningDistinct(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -59,4 +59,29 @@ class NativeTextExprSpec extends GraftSpec {
     assert(joined.filter(col("fps_n") =!= col("fps_p")).count() === 0)
     assert(joined.count() === 500)
   }
+
+  test("jaro-winkler: known values, threshold gating, edge cases, symmetry") {
+    import graft.functions.JaroWinkler.similarity
+    assert(math.abs(similarity("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(similarity("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(similarity("dwayne", "duane") - 0.8400000000000001) < 1e-12)
+    // below the 0.7 boost threshold the prefix must NOT boost
+    assert(math.abs(similarity("ab", "az") - 2.0 / 3) < 1e-12)
+    assert(similarity("", "") === 1.0)
+    assert(similarity("abc", "") === 0.0)
+    assert(similarity("same", "same") === 1.0)
+    assert(similarity("az", "by") === 0.0)
+    val pairs = Seq(("lavender", "lavendar"), ("widget", "gizmo"), ("spring", "string"))
+    pairs.foreach { case (a, b) =>
+      assert(similarity(a, b) === similarity(b, a), s"asymmetric on ($a, $b)")
+    }
+  }
+
+  test("fuzzy join only emits pairs above threshold, never a name with itself") {
+    val rows = graft.analytics.Relational.qFuzzyJoin(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getDouble(4) >= 0.88)
+    }
+  }
 }
