@@ -173,6 +173,8 @@ object SparkEntry {
     "stream_change_feed" -> (StreamWatcher.streamChangeFeedQuery(_, _)),
     "stream_interval_join" -> (StreamWatcher.streamIntervalJoinQuery(_, _)),
     "stream_dedup" -> (StreamWatcher.streamDedupQuery(_, _)),
+    "stream_append_windows" -> (StreamWatcher.streamAppendWindowsQuery(_, _)),
+    "stream_late_drop" -> (StreamWatcher.streamLateDropQuery(_, _)),
     // §2.8 sources/sinks
     "fs_inventory" -> (graft.syncer.FsInventory.fsInventoryQuery(_, _)),
     "sync_watch_service" -> (graft.streaming.WatchService.watchServiceQuery(_, _)),
@@ -718,6 +720,26 @@ object SparkEntry {
         |  round(CAST(rev_e4 AS DOUBLE) * 100 /
         |    CAST(sum(rev_e4) OVER () AS DOUBLE), 4) AS pct_share
         |FROM r ORDER BY n_name""".stripMargin,
+    "stream_append_windows" ->
+      """WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events),
+        |w AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+        |    event_type, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour_start, event_type, n_events FROM w, mx
+        |WHERE hour_start + INTERVAL 2 HOUR <= m
+        |ORDER BY 1, 2""".stripMargin,
+    "stream_late_drop" ->
+      """WITH r AS (SELECT ts, event_type, event_id,
+        |    row_number() OVER (ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER () AS n FROM events),
+        |acc AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM r WHERE rn * 3 > n),
+        |mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events)
+        |SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n_events
+        |FROM acc, mx
+        |WHERE date_trunc('hour', ts) + INTERVAL 2 HOUR <= m
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_fuzzy_join" ->
       """WITH names AS (SELECT p_name AS name, count(*) AS n_parts,
         |    split_part(p_name, ' ', 1) AS blk

@@ -291,6 +291,85 @@ object StreamWatcher {
     replayToBatch(intervalJoinStream(spark, dir), "append")
       .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
 
+  /** Append-mode hourly windows: a window row is emitted exactly once,
+    * when the watermark passes its end (the sink-friendly mode for
+    * append-only stores — no in-place updates downstream). On a
+    * bounded replay the emitted set is precisely the windows whose
+    * end ≤ max(ts) − the 1-hour delay; the trailing unfinalized
+    * windows are withheld. That withholding IS the semantic under
+    * test — the oracle applies the same cutoff arithmetically.
+    */
+  def appendWindowsStream(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("win.start").as("hour_start"), col("event_type"), col("n_events"))
+
+  /** §2.7 oracle surface: append-mode finalized-window emission. */
+  def streamAppendWindowsQuery(spark: SparkSession, dir: String): DataFrame =
+    replayToBatch(appendWindowsStream(eventStream(spark, dir)), "append")
+      .orderBy(col("hour_start"), col("event_type"))
+
+  private val lateFixtureLock = new Object
+
+  /** Deterministic out-of-order arrival fixture: the events table
+    * split into time terciles (by row_number over (ts, event_id) —
+    * arithmetic both engines replicate exactly), written as three
+    * single-file generations arriving middle → newest → OLDEST, so
+    * the last batch is ~20 days behind the watermark when it
+    * arrives. Built once per JVM per source dir.
+    */
+  private def lateArrivalDir(spark: SparkSession, dir: String): String = {
+    val base = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_late_${ProcessHandle.current().pid()}_${Integer.toHexString(dir.hashCode)}")
+    lateFixtureLock.synchronized {
+      if (!java.nio.file.Files.isDirectory(base)) {
+        import scala.jdk.CollectionConverters._
+        val tmp = java.nio.file.Files.createTempDirectory("graft_late_build_")
+        val n = graft.sources.Tables.events(spark, dir).count()
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("event_id"))
+        val bucketed = graft.sources.Tables.events(spark, dir)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("bucket",
+            when(col("rn") * 3 <= n, 1).when(col("rn") * 3 <= n * 2, 2).otherwise(3))
+        java.nio.file.Files.createDirectories(base)
+        // arrival order: middle tercile, newest tercile, oldest (late)
+        Seq(2, 3, 1).zipWithIndex.foreach { case (b, i) =>
+          val part = tmp.resolve(s"b$b")
+          bucketed.filter(col("bucket") === b).drop("rn", "bucket")
+            .coalesce(1).write.parquet(part.toString)
+          val pf = java.nio.file.Files.list(part).iterator().asScala
+            .find(_.toString.endsWith(".parquet")).get
+          val dest = base.resolve(s"arrival_$i.parquet")
+          java.nio.file.Files.move(pf, dest)
+          // widely spaced mtimes pin the file-source processing order
+          dest.toFile.setLastModified(60000L * (i + 1))
+        }
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    base.toString
+  }
+
+  /** §2.7 oracle surface: watermark late-row dropping. The oldest
+    * tercile arrives AFTER the watermark has advanced past it
+    * (maxFilesPerTrigger=1 → one generation per micro-batch), so
+    * every one of its rows lands in an already-finalized window and
+    * is dropped; windows wholly inside it are never emitted at all.
+    * The oracle replays the same tercile arithmetic and cutoff.
+    */
+  def streamLateDropQuery(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = lateArrivalDir(spark, dir)
+    val schema = spark.read.parquet(fixture).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(fixture)
+    replayToBatch(appendWindowsStream(stream), "append")
+      .orderBy(col("hour_start"), col("event_type"))
+  }
+
   /** Streaming upload plan: new arrivals (non-temp) mapped to their
     * inventory entries — the continuous version of
     * `SyncOps.syncDiffUpload`'s source side.

@@ -122,4 +122,43 @@ class StreamingSpec extends GraftSpec {
       assert(streamed > 0)
     } finally q.stop()
   }
+
+  test("append-mode windows: only watermark-finalized windows emit, counts match batch") {
+    import org.apache.spark.sql.functions.{date_trunc, max => fmax}
+    val out = StreamWatcher.streamAppendWindowsQuery(spark, sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val ev = graft.sources.Tables.events(spark, sf)
+    val maxTs = ev.agg(fmax(col("ts"))).head.getTimestamp(0).getTime
+    // every emitted window end (start + 1h) is at least 1h behind max ts
+    rows.foreach { r =>
+      assert(r.getTimestamp(0).getTime + 2 * 3600 * 1000 <= maxTs)
+    }
+    // emitted counts equal batch counts for those windows
+    val batch = ev.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .count().collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) === batch((r.getTimestamp(0), r.getString(1))))
+    }
+  }
+
+  test("late drop: the out-of-order oldest tercile is dropped, newer terciles kept intact") {
+    val late = StreamWatcher.streamLateDropQuery(spark, sf).collect()
+    val inOrder = StreamWatcher.streamAppendWindowsQuery(spark, sf).collect()
+    val lateTotal = late.map(_.getLong(2)).sum
+    val inOrderTotal = inOrder.map(_.getLong(2)).sum
+    // the dropped tercile is roughly a third of the finalized rows
+    assert(lateTotal < inOrderTotal)
+    assert(lateTotal.toDouble / inOrderTotal > 0.5 &&
+      lateTotal.toDouble / inOrderTotal < 0.8,
+      s"kept $lateTotal of $inOrderTotal")
+    // windows that survive have identical counts to the in-order run
+    val inMap = inOrder.map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val lateHours = late.map(_.getTimestamp(0)).distinct.sorted((a: java.sql.Timestamp, b: java.sql.Timestamp) => a.compareTo(b))
+    // every kept window that is fully inside the newer terciles matches
+    val keptExact = late.count(r => inMap.get((r.getTimestamp(0), r.getString(1))).contains(r.getLong(2)))
+    assert(keptExact.toDouble / late.length > 0.95, s"$keptExact of ${late.length} windows intact")
+    assert(lateHours.nonEmpty)
+  }
 }
