@@ -239,18 +239,20 @@ object EventAnalytics {
     * doubles.
     */
   def qChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dow = ((datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) + 3) % 7)
       .cast("long")
+    // ONE pass over events builds the ≤|types|×7 contingency table;
+    // marginals are window sums over those few rows, never a re-scan
+    // of the fact table (the join formulation scanned events 4×).
     val obs = Tables.events(spark, dir)
       .select(col("event_type"), dow.as("dow"))
       .groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("o"))
-    val rowTot = obs.groupBy(col("event_type")).agg(sum(col("o")).as("row_n"))
-    val colTot = obs.groupBy(col("dow")).agg(sum(col("o")).as("col_n"))
-    val n = obs.agg(sum(col("o")).as("n"))
-    obs.join(broadcast(rowTot), Seq("event_type"))
-      .join(broadcast(colTot), Seq("dow"))
-      .crossJoin(broadcast(n))
+    obs
+      .withColumn("row_n", sum(col("o")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("col_n", sum(col("o")).over(Window.partitionBy(col("dow"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
       .withColumn("exp", col("row_n").cast("double") * col("col_n") / col("n"))
       .withColumn("contrib",
         (col("o") - col("exp")) * (col("o") - col("exp")) / col("exp"))
