@@ -99,6 +99,9 @@ object SparkEntry {
     "q_fuzzy_join" -> (Relational.qFuzzyJoin(_, _)),
     "q_chi_square" -> (EventAnalytics.qChiSquare(_, _)),
     "q_user_entropy" -> (EventAnalytics.qUserEntropy(_, _)),
+    "q_event_pattern" -> (EventAnalytics.qEventPattern(_, _)),
+    "q_hll_setops" -> (Relational.qHllSetops(_, _)),
+    "sync_table_checksum" -> (SyncOps.syncTableChecksum(_, _)),
     "q_growth_rate" -> (EventAnalytics.qGrowthRate(_, _)),
     "q_upsert_merge" -> (Relational.qUpsertMerge(_, _)),
     "q_zscore_outliers" -> (EventAnalytics.qZscoreOutliers(_, _)),
@@ -740,6 +743,83 @@ object SparkEntry {
         |FROM acc, mx
         |WHERE date_trunc('hour', ts) + INTERVAL 2 HOUR <= m
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_event_pattern" ->
+      """WITH t AS (SELECT user_id, ts, event_type,
+        |    lead(event_type, 1) OVER w AS nxt1,
+        |    lead(event_type, 2) OVER w AS nxt2
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, count(*) AS n_matches,
+        |  CAST(min(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) AS first_match_us
+        |FROM t
+        |WHERE event_type = 'view' AND nxt1 = 'click' AND nxt2 = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sync_table_checksum" ->
+      s"""WITH $invCte, $durCte
+         |SELECT cf, count(*) AS n_files,
+         |  bit_xor(CAST('0x' || substr(md5(path || '|' ||
+         |    CAST(generation AS VARCHAR) || '|' ||
+         |    CAST(size_bytes AS VARCHAR)), 1, 15) AS BIGINT)) AS content_sig,
+         |  CAST(sum(size_bytes) AS BIGINT) AS bytes
+         |FROM dur GROUP BY cf ORDER BY cf""".stripMargin,
+    "q_hll_setops" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM du),
+        |d AS (SELECT event_type, hx,
+        |  (CASE WHEN substr(hx, 1, 1) BETWEEN '0' AND '9'
+        |     THEN ascii(substr(hx, 1, 1)) - 48 ELSE ascii(substr(hx, 1, 1)) - 87 END) * 16 +
+        |  (CASE WHEN substr(hx, 2, 1) BETWEEN '0' AND '9'
+        |     THEN ascii(substr(hx, 2, 1)) - 48 ELSE ascii(substr(hx, 2, 1)) - 87 END) AS byte0,
+        |  length(regexp_extract(substr(hx, 3), '^0*')) AS zh
+        |  FROM h),
+        |z AS (SELECT event_type, byte0 % 64 AS bucket, zh, substr(hx, 3 + zh, 1) AS fd FROM d),
+        |rh AS (SELECT event_type, bucket,
+        |  LEAST(4 * zh + (CASE WHEN dv >= 8 THEN 0 WHEN dv >= 4 THEN 1
+        |                       WHEN dv >= 2 THEN 2 ELSE 3 END) + 1, 30) AS rho
+        |  FROM (SELECT *, CASE WHEN fd = '' THEN 0
+        |                       WHEN fd BETWEEN '0' AND '9' THEN ascii(fd) - 48
+        |                       ELSE ascii(fd) - 87 END AS dv FROM z)),
+        |reg AS (SELECT event_type, bucket, max(rho) AS r FROM rh GROUP BY 1, 2),
+        |grid AS (SELECT event_type, b AS bucket FROM (SELECT DISTINCT event_type FROM events)
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
+        |fullr AS (SELECT grid.event_type AS event_type, grid.bucket AS bucket,
+        |    COALESCE(reg.r, 0) AS r
+        |  FROM grid LEFT JOIN reg ON grid.event_type = reg.event_type
+        |    AND grid.bucket = reg.bucket),
+        |agg AS (SELECT event_type,
+        |  CAST(sum(CAST(pow(2, 30 - r) AS BIGINT)) AS BIGINT) AS s_int,
+        |  CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+        |  FROM fullr GROUP BY 1),
+        |est AS (SELECT event_type,
+        |  CASE WHEN 0.709 * 4096.0 * 1073741824.0 / s_int <= 160.0 AND v_zero > 0
+        |       THEN 64.0 * ln(64.0 / v_zero)
+        |       ELSE 0.709 * 4096.0 * 1073741824.0 / s_int END AS e
+        |  FROM agg),
+        |up AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    GREATEST(a.r, b.r) AS r
+        |  FROM fullr a JOIN fullr b ON a.bucket = b.bucket
+        |    AND a.event_type < b.event_type),
+        |uagg AS (SELECT type_a, type_b,
+        |  CAST(sum(CAST(pow(2, 30 - r) AS BIGINT)) AS BIGINT) AS s_int,
+        |  CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+        |  FROM up GROUP BY 1, 2),
+        |uest AS (SELECT type_a, type_b,
+        |  CASE WHEN 0.709 * 4096.0 * 1073741824.0 / s_int <= 160.0 AND v_zero > 0
+        |       THEN 64.0 * ln(64.0 / v_zero)
+        |       ELSE 0.709 * 4096.0 * 1073741824.0 / s_int END AS eu
+        |  FROM uagg),
+        |ix AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    count(*) AS n_exact_intersect
+        |  FROM du x JOIN du y ON x.user_id = y.user_id
+        |    AND x.event_type < y.event_type GROUP BY 1, 2)
+        |SELECT u.type_a AS type_a, u.type_b AS type_b,
+        |  CAST(COALESCE(n_exact_intersect, 0) AS BIGINT) AS n_exact_intersect,
+        |  round(eu, 2) AS hll_union_est,
+        |  round(ea.e + eb.e - eu, 2) AS hll_intersect_est
+        |FROM uest u
+        |JOIN est ea ON ea.event_type = u.type_a
+        |JOIN est eb ON eb.event_type = u.type_b
+        |LEFT JOIN ix ON ix.type_a = u.type_a AND ix.type_b = u.type_b
+        |ORDER BY 1, 2""".stripMargin,
     "q_fuzzy_join" ->
       """WITH names AS (SELECT p_name AS name, count(*) AS n_parts,
         |    split_part(p_name, ' ', 1) AS blk

@@ -186,6 +186,27 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** §2.2#164 — ordered sequence-pattern match (MATCH_RECOGNIZE-lite):
+    * strictly consecutive view→click→purchase runs per user via two
+    * leads over one per-user window pass — no joins, no state beyond
+    * the 2-row lookahead, unlike the funnel operator which allows
+    * intervening events.
+    */
+  def qEventPattern(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nxt1", lead(col("event_type"), 1).over(w))
+      .withColumn("nxt2", lead(col("event_type"), 2).over(w))
+      .filter(col("event_type") === "view" &&
+        col("nxt1") === "click" && col("nxt2") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(unix_micros(col("ts"))).as("first_match_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** §2.2#155 — calendar densification: explode each user's
     * first..last activity span into a full day spine (`sequence` —
     * a narrow generator, no shuffle) and anti-join the observed

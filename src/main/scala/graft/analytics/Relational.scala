@@ -273,6 +273,53 @@ object Relational {
         col("hll.reg_digest").as("reg_digest"))
       .orderBy(col("event_type"))
 
+  /** §2.2#166 — HLL sketch algebra: union/intersection distinct-user
+    * estimates across event-type pairs from the RAW registers
+    * ([[graft.functions.HllRegsAgg]]). The fact table is scanned
+    * ONCE to build one 64-byte sketch per type; unions are
+    * element-wise register max (`zip_with`+`greatest`) over the
+    * bounded |types|² pairs and intersections follow by
+    * inclusion-exclusion — the whole algebra is a post-pass on
+    * sketches, which is what makes cross-segment overlap questions
+    * O(segments) instead of O(data) at 100 TB. Exact intersection
+    * counts ride along for error reference.
+    */
+  def qHllSetops(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HllAggFunctions.hll_registers
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
+    val regs = ev.groupBy(col("event_type"))
+      .agg(hll_registers(col("user_id").cast("string")).as("regs"))
+    def est(regsCol: String): Column = {
+      val sInt = expr(
+        s"aggregate($regsCol, CAST(0 AS BIGINT), (acc, r) -> acc + CAST(pow(2, 30 - r) AS BIGINT))")
+      val vZero = expr(
+        s"aggregate($regsCol, CAST(0 AS BIGINT), (acc, r) -> acc + (CASE WHEN r = 0 THEN 1 ELSE 0 END))")
+      val raw = lit(0.709 * 4096.0 * 1073741824.0) / sInt.cast("double")
+      when(raw <= 160.0 && vZero > 0,
+        lit(64.0) * log(lit(64.0) / vZero.cast("double"))).otherwise(raw)
+    }
+    val a = regs.select(col("event_type").as("type_a"), col("regs").as("ra"))
+    val b = regs.select(col("event_type").as("type_b"), col("regs").as("rb"))
+    val du = ev.distinct()
+    val exactBoth = du.as("x").join(du.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+        col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_exact_intersect"))
+    a.crossJoin(broadcast(b))
+      .filter(col("type_a") < col("type_b"))
+      .withColumn("ru", zip_with(col("ra"), col("rb"), (x, y) => greatest(x, y)))
+      .withColumn("est_a", est("ra"))
+      .withColumn("est_b", est("rb"))
+      .withColumn("est_u", est("ru"))
+      .join(exactBoth, Seq("type_a", "type_b"), "left")
+      .select(col("type_a"), col("type_b"),
+        coalesce(col("n_exact_intersect"), lit(0L)).as("n_exact_intersect"),
+        round(col("est_u"), 2).as("hll_union_est"),
+        round(col("est_a") + col("est_b") - col("est_u"), 2).as("hll_intersect_est"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** Batch twin of the streaming windowed aggregation (SURVEY §2.7):
     * hourly tumbling windows per event type.
     */

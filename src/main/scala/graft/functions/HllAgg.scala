@@ -109,9 +109,59 @@ case class HllAgg(
     copy(child = cs.head)
 }
 
+/** The same deterministic HLL, evaluating to the RAW 64-register
+  * array instead of the finished estimate — the mergeable-sketch
+  * face: registers from different groups/partitions/days combine by
+  * element-wise max (set union) without touching the raw data again,
+  * which is what makes sketch algebra (union/intersection estimates
+  * across segments) an O(segments) post-pass at 100 TB. Update and
+  * merge logic is [[HllAgg]]'s, byte for byte.
+  */
+case class HllRegsAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  private val inner = HllAgg(child)
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Byte] =
+    inner.createAggregationBuffer()
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] =
+    inner.update(buf, input)
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    inner.merge(a, b)
+
+  override def eval(buf: Array[Byte]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      buf.map(_.toInt))
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllRegsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllRegsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs.head)
+}
+
 object HllAggFunctions {
   /** Column API: HLL sketch over a STRING column (cast beforehand). */
   def hll_sketch(values: Column): Column =
     Shim.toColumn(HllAgg(Shim.toExpression(values))
+      .toAggregateExpression(isDistinct = false))
+
+  /** Column API: raw HLL registers (array<int>, length 64). */
+  def hll_registers(values: Column): Column =
+    Shim.toColumn(HllRegsAgg(Shim.toExpression(values))
       .toAggregateExpression(isDistinct = false))
 }

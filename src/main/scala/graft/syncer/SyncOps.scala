@@ -351,4 +351,26 @@ object SyncOps {
         max(col("attempts")).as("max_attempts"),
         count(lit(1)).as("n_files"))
       .orderBy(col("cf"))
+
+  /** §2.1#165 — order-independent table checksum per cf: XOR of
+    * per-row content hashes (path|generation|size). XOR is
+    * commutative, associative, and overflow-free, so the signature is
+    * identical at any partitioning/parallelism and never widens past
+    * 64 bits — the drift-detection primitive a source↔replica sync
+    * runs on both sides to find divergent column families without
+    * shipping data (the distributed analogue of the reference's
+    * per-file SHA comparison).
+    */
+  def syncTableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val rowHash = conv(substring(md5(concat_ws("|",
+      col("path"), col("generation"), col("size_bytes"))), 1, 15), 16, 10)
+      .cast("long")
+    FileInventory.durable(spark, dir)
+      .withColumn("rh", rowHash)
+      .groupBy(col("cf"))
+      .agg(count(lit(1)).as("n_files"),
+        expr("bit_xor(rh)").as("content_sig"),
+        sum(col("size_bytes")).as("bytes"))
+      .orderBy(col("cf"))
+  }
 }

@@ -108,6 +108,42 @@ class EventOpsSpec extends GraftSpec {
     }
   }
 
+  test("event pattern: matches verified by brute force per user") {
+    val got = EventAnalytics.qEventPattern(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .groupBy(_.getLong(0))
+    val expected = byUser.flatMap { case (u, rows) =>
+      val types = rows.sortBy(r => (r.getTimestamp(1).getTime, r.getLong(2)))
+        .map(_.getString(3))
+      val n = types.sliding(3).count(w => w.length == 3 &&
+        w(0) == "view" && w(1) == "click" && w(2) == "purchase")
+      if (n > 0) Some(u -> n.toLong) else None
+    }
+    assert(got === expected)
+  }
+
+  test("hll set ops: union dominates each side, bounded by sum; estimates near exact") {
+    val rows = graft.analytics.Relational.qHllSetops(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perType = graft.analytics.Relational.qDistinctHllSketch(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val exactByType = Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (nIx, estU) = (r.getLong(2), r.getDouble(3))
+      assert(estU >= math.max(perType(a), perType(b)) - 1e-9, s"($a,$b) union below max side")
+      assert(estU <= perType(a) + perType(b) + 1e-9, s"($a,$b) union above sum")
+      val exactU = exactByType(a) + exactByType(b) - nIx
+      assert(math.abs(estU - exactU) / exactU < 0.35,
+        s"($a,$b) union est $estU vs exact $exactU")
+    }
+  }
+
   test("chi-square: contributions non-negative, event counts account for every event") {
     val rows = EventAnalytics.qChiSquare(spark, sf).collect()
     assert(rows.forall(_.getDouble(2) >= 0.0))

@@ -55,4 +55,29 @@ class SyncOpsSpec extends GraftSpec {
       assert(r.getAs[Long]("n_temp") + r.getAs[Long]("n_durable") === r.getAs[Long]("n_total"))
     }
   }
+
+  test("table checksum: partition-order independent and sensitive to any row change") {
+    import org.apache.spark.sql.functions._
+    val base = SyncOps.syncTableChecksum(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // checksum over a reshuffled copy of the same inventory is identical
+    val inv = graft.syncer.FileInventory.durable(spark, sf)
+    val rehashed = inv.repartition(17, col("generation"))
+      .withColumn("rh", conv(substring(md5(concat_ws("|",
+        col("path"), col("generation"), col("size_bytes"))), 1, 15), 16, 10).cast("long"))
+      .groupBy(col("cf"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(rh)").as("sig"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(base === rehashed)
+    // dropping one row flips that cf's signature
+    val victim = inv.orderBy(col("path")).limit(1).collect().head
+    val vPath = victim.getAs[String]("path")
+    val vCf = victim.getAs[String]("cf")
+    val without = inv.filter(col("path") =!= vPath)
+      .withColumn("rh", conv(substring(md5(concat_ws("|",
+        col("path"), col("generation"), col("size_bytes"))), 1, 15), 16, 10).cast("long"))
+      .groupBy(col("cf")).agg(expr("bit_xor(rh)").as("sig"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(without(vCf) !== base(vCf)._2)
+  }
 }
