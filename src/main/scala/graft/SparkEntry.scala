@@ -101,6 +101,7 @@ object SparkEntry {
     "q_user_entropy" -> (EventAnalytics.qUserEntropy(_, _)),
     "q_event_pattern" -> (EventAnalytics.qEventPattern(_, _)),
     "q_hll_setops" -> (Relational.qHllSetops(_, _)),
+    "q_profile_table" -> (Relational.qProfileTable(_, _)),
     "sync_table_checksum" -> (SyncOps.syncTableChecksum(_, _)),
     "q_growth_rate" -> (EventAnalytics.qGrowthRate(_, _)),
     "q_upsert_merge" -> (Relational.qUpsertMerge(_, _)),
@@ -743,6 +744,42 @@ object SparkEntry {
         |FROM acc, mx
         |WHERE date_trunc('hour', ts) + INTERVAL 2 HOUR <= m
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_profile_table" ->
+      """WITH b AS (SELECT *,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderpriority END AS o_prio_null
+        |  FROM orders)
+        |SELECT 'o_orderkey' AS col_name,
+        |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS DOUBLE) AS min_num, CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM b
+        |UNION ALL SELECT 'o_custkey',
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE), NULL, NULL FROM b
+        |UNION ALL SELECT 'o_totalprice',
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_totalprice),
+        |  min(o_totalprice), max(o_totalprice), NULL, NULL FROM b
+        |UNION ALL SELECT 'o_orderstatus',
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderstatus),
+        |  NULL, NULL, min(o_orderstatus), max(o_orderstatus) FROM b
+        |UNION ALL SELECT 'o_orderpriority',
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_orderpriority),
+        |  NULL, NULL, min(o_orderpriority), max(o_orderpriority) FROM b
+        |UNION ALL SELECT 'o_prio_null',
+        |  CAST(sum(CASE WHEN o_prio_null IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT o_prio_null),
+        |  NULL, NULL, min(o_prio_null), max(o_prio_null) FROM b
+        |UNION ALL SELECT 'o_orderdate',
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT CAST(CAST(o_orderdate AS DATE) AS VARCHAR)),
+        |  NULL, NULL,
+        |  min(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)),
+        |  max(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) FROM b
+        |ORDER BY col_name""".stripMargin,
     "q_event_pattern" ->
       """WITH t AS (SELECT user_id, ts, event_type,
         |    lead(event_type, 1) OVER w AS nxt1,

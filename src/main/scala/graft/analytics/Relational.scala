@@ -273,6 +273,54 @@ object Relational {
         col("hll.reg_digest").as("reg_digest"))
       .orderBy(col("event_type"))
 
+  /** §2.2#167 — table profiler: per-column null counts, exact
+    * distinct cardinality, and typed min/max over orders in ONE
+    * aggregation pass (multiple COUNT DISTINCT → one Expand, no
+    * per-column scans). Numeric bounds stay numeric and date/string
+    * bounds stay strings — cross-engine double→string formatting is
+    * never relied on. A nullable derived column keeps the null path
+    * honest on a null-free table. At 100 TB the exact distincts
+    * become HLL sketches (see q_distinct_hll_sketch); the one-pass
+    * long-format shape is unchanged.
+    */
+  def qProfileTable(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .withColumn("o_prio_null",
+        when(col("o_orderkey") % 7 === 0, lit(null: String))
+          .otherwise(col("o_orderpriority")))
+    // (name, numeric min/max expr or null, string min/max expr or null)
+    val numCols = Seq(
+      "o_orderkey" -> col("o_orderkey").cast("double"),
+      "o_custkey" -> col("o_custkey").cast("double"),
+      "o_totalprice" -> col("o_totalprice"))
+    val strCols = Seq(
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_orderpriority" -> col("o_orderpriority"),
+      "o_prio_null" -> col("o_prio_null"),
+      "o_orderdate" -> to_date(col("o_orderdate")).cast("string"))
+    val all = numCols.map { case (n, c) => (n, c, true) } ++
+      strCols.map { case (n, c) => (n, c, false) }
+    val aggs = all.flatMap { case (n, c, _) => Seq(
+      sum(when(c.isNull, 1L).otherwise(0L)).as(s"${n}__nulls"),
+      countDistinct(c).as(s"${n}__nd"),
+      min(c).as(s"${n}__min"),
+      max(c).as(s"${n}__max"))
+    }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val rows = all.map { case (n, _, isNum) =>
+      struct(lit(n).as("col_name"),
+        col(s"${n}__nulls").as("n_nulls"),
+        col(s"${n}__nd").as("n_distinct"),
+        (if (isNum) col(s"${n}__min") else lit(null: String).cast("double")).as("min_num"),
+        (if (isNum) col(s"${n}__max") else lit(null: String).cast("double")).as("max_num"),
+        (if (isNum) lit(null: String) else col(s"${n}__min")).as("min_str"),
+        (if (isNum) lit(null: String) else col(s"${n}__max")).as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
   /** §2.2#166 — HLL sketch algebra: union/intersection distinct-user
     * estimates across event-type pairs from the RAW registers
     * ([[graft.functions.HllRegsAgg]]). The fact table is scanned

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.Shim
 import org.apache.spark.sql.types.{DataType, DoubleType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -16,9 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * `jaro_winkler_similarity` uses, which is what the Verify oracle
   * compares against. One allocation-light pass per row (two boolean
   * scratch arrays sized to the inputs), no per-char closures.
+  * `doGenCode` emits a direct kernel call, so a filter or projection
+  * using it stays inside whole-stage codegen instead of falling back
+  * to interpreted per-row evaluation.
   */
 case class JaroWinkler(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
+  extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -26,6 +29,13 @@ case class JaroWinkler(left: Expression, right: Expression)
     JaroWinkler.similarity(
       l.asInstanceOf[UTF8String].toString,
       r.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("jwKernel", JaroWinkler,
+      "graft.functions.JaroWinkler$")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $kernel.similarity($a.toString(), $b.toString());")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinkler =

@@ -320,7 +320,7 @@ case class NGramSpanHashes(child: Expression, n: Int)
   * DuckDB oracle — no hash-collision caveat.
   */
 case class NGramDupStats(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n2", LongType, nullable = false),
@@ -328,8 +328,29 @@ case class NGramDupStats(child: Expression)
     StructField("n3", LongType, nullable = false),
     StructField("d3", LongType, nullable = false)))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    NGramDupStats.stats(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val kernel = ctx.addReferenceObj("dupKernel", NGramDupStats,
+      "graft.functions.NGramDupStats$")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $kernel.stats($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NGramDupStats {
+  /** One pass over the token array: bigram/trigram totals and exact
+    * distinct counts (real strings in a per-row hash set — no
+    * hash-collision caveat vs the oracle).
+    */
+  def stats(arr: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     val n = arr.numElements()
     val toks = new Array[String](n)
     var i = 0
@@ -358,9 +379,6 @@ case class NGramDupStats(child: Expression)
     org.apache.spark.sql.catalyst.InternalRow(
       n2, set2.size.toLong, n3, set3.size.toLong)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }
 
 object TextFunctions {

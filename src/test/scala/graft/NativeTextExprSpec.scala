@@ -77,6 +77,21 @@ class NativeTextExprSpec extends GraftSpec {
     }
   }
 
+  test("jaro-winkler and dup-stats generate compilable whole-stage code (no interpreted fallback)") {
+    // fallback=false turns any janino failure into a hard error, so a
+    // pass means doGenCode produced genuinely compilable code and the
+    // kernels stayed inside whole-stage codegen
+    val strict = spark.newSession()
+    strict.conf.set("spark.sql.codegen.fallback", "false")
+    strict.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val repStrict = graft.text.TextAnalysis.textRepetition(strict, sf).collect()
+    val repBase = graft.text.TextAnalysis.textRepetition(spark, sf).collect()
+    assert(repStrict.toSeq === repBase.toSeq)
+    val fjStrict = graft.analytics.Relational.qFuzzyJoin(strict, sf).collect()
+    val fjBase = graft.analytics.Relational.qFuzzyJoin(spark, sf).collect()
+    assert(fjStrict.toSeq === fjBase.toSeq)
+  }
+
   test("fuzzy join only emits pairs above threshold, never a name with itself") {
     val rows = graft.analytics.Relational.qFuzzyJoin(spark, sf).collect()
     rows.foreach { r =>

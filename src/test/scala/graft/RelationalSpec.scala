@@ -132,6 +132,21 @@ class RelationalSpec extends GraftSpec {
     assert(math.abs(rows.map(_.getDouble(2)).sum - 100.0) < 0.01)
   }
 
+  test("table profiler: null counts, distincts, and bounds check out against direct queries") {
+    val prof = Relational.qProfileTable(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val orders = Tables.orders(spark, sf)
+    val n = orders.count()
+    assert(prof("o_orderkey").getLong(1) === 0L)
+    assert(prof("o_orderkey").getLong(2) === n) // pk is unique
+    assert(prof("o_prio_null").getLong(1) ===
+      orders.filter(col("o_orderkey") % 7 === 0).count())
+    assert(prof("o_orderstatus").getLong(2) ===
+      orders.select(col("o_orderstatus")).distinct().count())
+    assert(prof("o_totalprice").getDouble(3) <= prof("o_totalprice").getDouble(4))
+    assert(prof("o_orderdate").getString(5) <= prof("o_orderdate").getString(6))
+  }
+
   test("typed Aggregator matches the untyped aggregation") {
     import spark.implicits._
     import graft.analytics.{EventRow, TypedAggs}
