@@ -201,6 +201,7 @@ object SparkEntry {
     "graph_degree_hist" -> (graft.graph.GraphOps.graphDegreeHist(_, _)),
     "graph_triangles" -> (graft.graph.GraphOps.graphTriangles(_, _)),
     "graph_pagerank" -> ((s, d) => graft.graph.GraphOps.graphPagerank(s, d)),
+    "graph_bfs_layers" -> ((s, d) => graft.graph.GraphOps.graphBfsLayers(s, d)),
     "q_bloom_prefilter" -> (graft.analytics.RuntimeFilters.qBloomPrefilter(_, _)),
     "stream_session_window" -> (StreamWatcher.streamSessionWindowQuery(_, _)),
   )
@@ -1201,6 +1202,7 @@ object SparkEntry {
     "graph_degree_hist" -> graft.graph.GraphOps.degreeHistOracleSql,
     "graph_triangles" -> graft.graph.GraphOps.trianglesOracleSql,
     "graph_pagerank" -> graft.graph.GraphOps.pagerankOracleSql(),
+    "graph_bfs_layers" -> graft.graph.GraphOps.bfsOracleSql(),
     "text_zipf_fit" ->
       """WITH tok AS (SELECT lang,
         |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),

@@ -122,6 +122,65 @@ object GraphOps {
         |SELECT degree, count(*) AS n_nodes FROM deg
         |GROUP BY degree ORDER BY degree""".stripMargin
 
+  /** §2.3#168 — multi-source BFS layers: frontier expansion from the
+    * deterministic seed set (node % 29 == 0) over the candidate
+    * graph, k fixed rounds. Each round is ONE equi-join of the
+    * current frontier to the edge list plus an anti-join against the
+    * visited set — the textbook distributed BFS where work per round
+    * is proportional to the frontier, never the whole graph; lineage
+    * is cut per round like the pagerank/CC loops. Output is the
+    * bounded per-level node count (reachability profile).
+    */
+  def graphBfsLayers(spark: SparkSession, dir: String, iters: Int = 4): DataFrame = {
+    val p = pairs(spark, dir)
+    val e = p.select(col("doc_a").as("s"), col("doc_b").as("t"))
+      .union(p.select(col("doc_b").as("s"), col("doc_a").as("t")))
+      .localCheckpoint()
+    var visited = e.select(col("s").as("node")).distinct()
+      .filter(col("node") % 29 === 0)
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    var frontier = visited
+    var it = 0
+    while (it < iters) {
+      val next = e.join(frontier.select(col("node").as("f")), col("s") === col("f"))
+        .select(col("t").as("node")).distinct()
+        .join(visited.select(col("node").as("seen")),
+          col("node") === col("seen"), "left_anti")
+        .select(col("node"), lit(it + 1L).as("dist"))
+        .localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next
+      it += 1
+    }
+    visited.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("dist"))
+  }
+
+  /** DuckDB oracle for [[graphBfsLayers]] — the same rounds unrolled. */
+  def bfsOracleSql(iters: Int = 4): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH " + Dedup.candOracleBody
+    sb ++= """,
+             |ed AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM cand
+             |  UNION ALL SELECT doc_b AS s, doc_a AS t FROM cand),
+             |v0 AS MATERIALIZED (SELECT DISTINCT s AS node, CAST(0 AS BIGINT) AS dist
+             |  FROM ed WHERE s % 29 = 0),
+             |f0 AS MATERIALIZED (SELECT node FROM v0)""".stripMargin
+    for (k <- 1 to iters) {
+      sb ++= s""",
+                |f$k AS MATERIALIZED (SELECT DISTINCT ed.t AS node
+                |  FROM ed JOIN f${k - 1} ON ed.s = f${k - 1}.node
+                |  WHERE ed.t NOT IN (SELECT node FROM v${k - 1})),
+                |v$k AS MATERIALIZED (SELECT node, dist FROM v${k - 1}
+                |  UNION ALL SELECT node, CAST($k AS BIGINT) AS dist FROM f$k)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT dist, count(*) AS n_nodes FROM v$iters
+              |GROUP BY dist ORDER BY dist""".stripMargin
+    sb.toString
+  }
+
   /** DuckDB oracle for [[graphTriangles]]. */
   def trianglesOracleSql: String =
     "WITH " + Dedup.candOracleBody +

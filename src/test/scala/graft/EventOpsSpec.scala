@@ -38,6 +38,18 @@ class EventOpsSpec extends GraftSpec {
     }
   }
 
+  test("bfs layers: level 0 is exactly the seed set, levels are disjoint and positive") {
+    val rows = graft.graph.GraphOps.graphBfsLayers(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) > 0))
+    val dists = rows.map(_.getLong(0))
+    assert(dists.toSet === (0L until dists.length).toSet) // contiguous levels
+    val p = graft.dedup.Dedup.minhashCandidatePairs(spark, sf)
+    val seeds = p.select(explode(array(col("doc_a"), col("doc_b"))).as("n"))
+      .distinct().filter(col("n") % 29 === 0).count()
+    assert(rows.find(_.getLong(0) == 0L).map(_.getLong(1)).contains(seeds))
+  }
+
   test("pagerank: mass is conserved (ranks sum to 1), all ranks positive") {
     val rows = graft.graph.GraphOps.graphPagerank(spark, sf).collect()
     assert(rows.nonEmpty)
