@@ -288,7 +288,6 @@ object Relational {
       .withColumn("o_prio_null",
         when(col("o_orderkey") % 7 === 0, lit(null: String))
           .otherwise(col("o_orderpriority")))
-    // (name, numeric min/max expr or null, string min/max expr or null)
     val numCols = Seq(
       "o_orderkey" -> col("o_orderkey").cast("double"),
       "o_custkey" -> col("o_custkey").cast("double"),
@@ -298,26 +297,28 @@ object Relational {
       "o_orderpriority" -> col("o_orderpriority"),
       "o_prio_null" -> col("o_prio_null"),
       "o_orderdate" -> to_date(col("o_orderdate")).cast("string"))
-    val all = numCols.map { case (n, c) => (n, c, true) } ++
-      strCols.map { case (n, c) => (n, c, false) }
-    val aggs = all.flatMap { case (n, c, _) => Seq(
-      sum(when(c.isNull, 1L).otherwise(0L)).as(s"${n}__nulls"),
-      countDistinct(c).as(s"${n}__nd"),
-      min(c).as(s"${n}__min"),
-      max(c).as(s"${n}__max"))
+    // melt → (col_name, value) → two-level aggregate: the first level
+    // partial-aggs on (col, value) so distinct counting, null counts,
+    // and bounds all come out of ONE shuffled pass per type branch —
+    // the naive 7×COUNT(DISTINCT) single-agg form planned an Expand
+    // that ran 4× slower than the whole rest of the profile
+    def profile[T](cols: Seq[(String, Column)], isNum: Boolean): DataFrame = {
+      val melted = base.select(explode(array(cols.map { case (n, c) =>
+        struct(lit(n).as("c"), c.as("v"))
+      }: _*)).as("p")).select(col("p.c").as("col_name"), col("p.v").as("v"))
+      melted.groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("col_name"))
+        .agg(sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+          sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_distinct"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .select(col("col_name"), col("n_nulls"), col("n_distinct"),
+          (if (isNum) col("mn") else lit(null: String).cast("double")).as("min_num"),
+          (if (isNum) col("mx") else lit(null: String).cast("double")).as("max_num"),
+          (if (isNum) lit(null: String) else col("mn")).as("min_str"),
+          (if (isNum) lit(null: String) else col("mx")).as("max_str"))
     }
-    val one = base.agg(aggs.head, aggs.tail: _*)
-    val rows = all.map { case (n, _, isNum) =>
-      struct(lit(n).as("col_name"),
-        col(s"${n}__nulls").as("n_nulls"),
-        col(s"${n}__nd").as("n_distinct"),
-        (if (isNum) col(s"${n}__min") else lit(null: String).cast("double")).as("min_num"),
-        (if (isNum) col(s"${n}__max") else lit(null: String).cast("double")).as("max_num"),
-        (if (isNum) lit(null: String) else col(s"${n}__min")).as("min_str"),
-        (if (isNum) lit(null: String) else col(s"${n}__max")).as("max_str"))
-    }
-    one.select(explode(array(rows: _*)).as("p"))
-      .select(col("p.*"))
+    profile(numCols, isNum = true)
+      .unionByName(profile(strCols, isNum = false))
       .orderBy(col("col_name"))
   }
 
