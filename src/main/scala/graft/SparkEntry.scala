@@ -126,6 +126,9 @@ object SparkEntry {
     "dedup_embedding_cos" -> ((s, d) => Ann.dedupEmbeddingCos(s, d)),
     "dedup_minhash_by_lang" -> (Dedup.dedupMinhashByLang(_, _)),
     "dedup_pipeline_verified" -> ((s, d) => Dedup.dedupPipelineVerified(s, d)),
+    "dedup_quality_survivors" -> (Dedup.dedupQualitySurvivors(_, _)),
+    "dedup_containment" -> (Dedup.dedupContainment(_, _)),
+    "ann_knn_classify" -> (Ann.annKnnClassify(_, _)),
     // §2.4 similarity
     "ann_bruteforce_topk" -> (Ann.annBruteforceTopk(_, _)),
     "ann_lsh_topk" -> (Ann.annLshTopk(_, _)),
@@ -1713,6 +1716,28 @@ object SparkEntry {
     "kmeans" -> Ann.kmeansOracleSql,
     "dedup_cc_clusters" -> Dedup.ccClustersOracleSql,
     "dedup_cluster_stats" -> Dedup.clusterStatsOracleSql,
+    "dedup_quality_survivors" -> Dedup.qualitySurvivorsOracleSql,
+    "dedup_containment" -> Dedup.containmentOracleSql,
+    "ann_knn_classify" ->
+      s"""WITH $embCte,
+         |q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv FROM e WHERE vec_id < 20),
+         |c AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 20),
+         |s AS (SELECT q_id, true_label, c.vec_id, c.label,
+         |  round(list_cosine_similarity(qv, v), 4) AS cos FROM c CROSS JOIN q),
+         |nn AS (SELECT * FROM (SELECT *,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+         |  FROM s) WHERE rnk <= 5),
+         |v AS (SELECT q_id, true_label, label, count(*) AS n_votes
+         |  FROM nn GROUP BY 1, 2, 3),
+         |p AS (SELECT q_id, true_label, label AS pred_label FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY n_votes DESC, label) AS vr FROM v) WHERE vr = 1)
+         |SELECT true_label, count(*) AS n_probes,
+         |  CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  round(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 4) AS accuracy
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_rh_bucket" -> Ann.rhBucketOracleSql,
     "ann_dim_truncation" ->
       s"""WITH $embCte,

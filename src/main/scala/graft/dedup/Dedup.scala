@@ -422,4 +422,88 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** §2.3#169 — quality-aware survivor selection: within each
+    * near-dup cluster keep the HIGHEST-quality document, not the
+    * smallest id — the policy real corpus dedup uses (drop the
+    * boilerplate-ridden copy, keep the clean one). Composition of
+    * the CC clusters and the quality score: one join plus a
+    * rank-1-per-cluster window over cluster-sized partitions.
+    */
+  def dedupQualitySurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupCcClusters(spark, dir)
+    val quality = graft.text.TextAnalysis.textQuality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rnk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(when(col("rnk") === 1, col("doc_id"))).as("survivor_doc"),
+        max(col("quality_score")).as("survivor_quality"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** DuckDB oracle for [[dedupQualitySurvivors]]. */
+  def qualitySurvivorsOracleSql: String =
+    ccOracleCtes + """,
+      |lab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+      |tq AS (SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE) AS ntoks,
+      |  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |    x -> x = 'the' OR x = 'a')) AS DOUBLE) AS stophits
+      |  FROM documents),
+      |q AS (SELECT doc_id,
+      |  round((1.0 - stophits / ntoks) * least(1.0, ntoks / 50.0), 4) AS quality_score
+      |  FROM tq),
+      |rk AS (SELECT lab.doc_id AS doc_id, cluster_id, quality_score,
+      |  row_number() OVER (PARTITION BY cluster_id
+      |    ORDER BY quality_score DESC, lab.doc_id) AS rnk
+      |  FROM lab JOIN q ON lab.doc_id = q.doc_id)
+      |SELECT cluster_id, count(*) AS cluster_size,
+      |  CAST(min(CASE WHEN rnk = 1 THEN doc_id END) AS BIGINT) AS survivor_doc,
+      |  max(quality_score) AS survivor_quality
+      |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** §2.3#170 — asymmetric containment on the LSH candidates:
+    * |A∩B| / min(|A|,|B|) over exact distinct shingle sets — the
+    * sub-document-duplication signal Jaccard misses (a doc fully
+    * embedded in a larger one has low Jaccard but containment 1).
+    * The set intersection runs ONLY on candidate pairs, never
+    * all-pairs.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.rebalanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), array_sort(array_distinct(shinglesOf(col("toks")))).as("sh"))
+    minhashCandidatePairs(spark, dir)
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(col("sha")).cast("long").as("n_a"),
+        size(col("shb")).cast("long").as("n_b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_common"))
+      .withColumn("containment",
+        when(least(col("n_a"), col("n_b")) > 0,
+          round(col("n_common").cast("double") / least(col("n_a"), col("n_b")), 4))
+          .otherwise(lit(1.0)))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB oracle for [[dedupContainment]]. */
+  def containmentOracleSql: String =
+    "WITH " + candOracleBody + """,
+      |sets AS (SELECT doc_id, list_sort(list_distinct(sh)) AS shs FROM s)
+      |SELECT doc_a, doc_b,
+      |  CAST(len(a.shs) AS BIGINT) AS n_a,
+      |  CAST(len(b.shs) AS BIGINT) AS n_b,
+      |  CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS n_common,
+      |  CASE WHEN least(len(a.shs), len(b.shs)) > 0
+      |       THEN round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+      |                  / least(len(a.shs), len(b.shs)), 4)
+      |       ELSE 1.0 END AS containment
+      |FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+      |JOIN sets b ON cand.doc_b = b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

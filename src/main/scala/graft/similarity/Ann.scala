@@ -42,6 +42,37 @@ object Ann {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** §2.4#171 — k-NN classification eval: each probe vector takes
+    * the majority label of its 5 nearest corpus neighbors (cosine,
+    * ties → smaller label), scored against its true label per class.
+    * The standard embedding-quality eval; same broadcast-probe +
+    * per-partition top-k shape as [[annBruteforceTopk]], plus a
+    * bounded vote rollup.
+    */
+  def annKnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    val probes = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"), col("v").as("qv"))
+    val corpus = e.filter(col("vec_id") >= 20)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val nn = corpus.join(broadcast(probes))
+      .select(col("q_id"), col("true_label"), col("vec_id"), col("label"),
+        round(cosine_sim(col("qv"), col("v")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+    val votes = nn.groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wv = Window.partitionBy(col("q_id")).orderBy(col("n_votes").desc, col("label"))
+    votes.withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
+      .select(col("q_id"), col("true_label"), col("label").as("pred_label"))
+      .groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy",
+        round(col("n_correct").cast("double") / col("n_probes"), 4))
+      .orderBy(col("true_label"))
+  }
+
   /** Sign-bucket code over the first three components — the
     * deterministic (axis-aligned hyperplane) LSH used by the oracle-
     * checked path. Production variant with seeded random hyperplanes:

@@ -105,4 +105,37 @@ class DedupSpec extends GraftSpec {
     // docs 0,1,2,4 form one near-dup family → same cluster, rooted at 0
     assert(Set(0L, 1L, 2L, 4L).flatMap(clusters.get).forall(_ === 0L))
   }
+
+  test("quality survivors: one survivor per cluster, and it has the cluster's max quality") {
+    import org.apache.spark.sql.functions._
+    val surv = Dedup.dedupQualitySurvivors(spark, sf).collect()
+    assert(surv.nonEmpty)
+    val quality = graft.text.TextAnalysis.textQuality(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(7)).toMap
+    val clusters = Dedup.dedupCcClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    surv.foreach { r =>
+      val (cid, size, sdoc, squal) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val members = byCluster(cid)
+      assert(members.length.toLong === size)
+      assert(members.contains(sdoc))
+      assert(math.abs(members.map(quality).max - squal) < 1e-9)
+      assert(math.abs(quality(sdoc) - squal) < 1e-9)
+    }
+  }
+
+  test("containment dominates jaccard on every candidate pair and is 1 for self-contained sets") {
+    val rows = Dedup.dedupContainment(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nA, nB, nC, cont) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(nC <= math.min(nA, nB))
+      val jaccard = nC.toDouble / (nA + nB - nC)
+      assert(cont >= jaccard - 1e-9, "containment must dominate jaccard")
+      if (nC == math.min(nA, nB)) assert(cont === 1.0)
+    }
+  }
 }
