@@ -155,6 +155,9 @@ object SparkEntry {
     "text_tfidf" -> (TextAnalysis.textTfidf(_, _)),
     "text_winnowing" -> ((s, d) => TextAnalysis.textWinnowing(s, d)),
     "text_bigram_model" -> (TextAnalysis.textBigramModel(_, _)),
+    "text_perplexity" -> (TextAnalysis.textPerplexity(_, _)),
+    "q_acf" -> (EventAnalytics.qAcf(_, _)),
+    "q_benford" -> (Relational.qBenford(_, _)),
     "text_zipf_fit" -> (TextAnalysis.textZipfFit(_, _)),
     "text_token_len_hist" -> (TextAnalysis.textTokenLenHist(_, _)),
     "text_quality_filter" -> (TextAnalysis.textQualityFilter(_, _)),
@@ -545,6 +548,50 @@ object SparkEntry {
          |      ORDER BY round(CAST(c_bg AS DOUBLE) / c_w1, 4) DESC, bgc.w1, w2) AS BIGINT) AS rnk
          |  FROM bgc JOIN pc ON bgc.lang = pc.lang AND bgc.w1 = pc.w1
          |  WHERE c_bg >= 20) WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin,
+    "text_perplexity" ->
+      s"""WITH $toksCte,
+         |bg AS (SELECT doc_id, lang,
+         |  unnest(list_transform(range(1, len(toks)),
+         |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+         |  FROM t),
+         |pairs AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bg),
+         |bgc AS (SELECT lang, w1, w2, count(*) AS c_bg FROM pairs GROUP BY 1, 2, 3),
+         |pc AS (SELECT lang, w1, count(*) AS c_w1 FROM pairs GROUP BY 1, 2)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(avg(-ln(CAST(c_bg AS DOUBLE) / c_w1)), 4) + 0.0 AS avg_nll
+         |FROM pairs
+         |JOIN bgc ON pairs.lang = bgc.lang AND pairs.w1 = bgc.w1 AND pairs.w2 = bgc.w2
+         |JOIN pc ON pairs.lang = pc.lang AND pairs.w1 = pc.w1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_acf" ->
+      """WITH daily AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1),
+        |lagged AS (SELECT n,
+        |  lag(n, 1) OVER w AS lag1, lag(n, 2) OVER w AS lag2,
+        |  lag(n, 3) OVER w AS lag3, lag(n, 4) OVER w AS lag4,
+        |  lag(n, 5) OVER w AS lag5, lag(n, 6) OVER w AS lag6,
+        |  lag(n, 7) OVER w AS lag7
+        |  FROM daily WINDOW w AS (ORDER BY day))
+        |SELECT CAST(1 AS BIGINT) AS lag_days, round(corr(n, lag1), 4) + 0.0 AS acf,
+        |  count(lag1) AS n_days FROM lagged
+        |UNION ALL SELECT 2, round(corr(n, lag2), 4) + 0.0, count(lag2) FROM lagged
+        |UNION ALL SELECT 3, round(corr(n, lag3), 4) + 0.0, count(lag3) FROM lagged
+        |UNION ALL SELECT 4, round(corr(n, lag4), 4) + 0.0, count(lag4) FROM lagged
+        |UNION ALL SELECT 5, round(corr(n, lag5), 4) + 0.0, count(lag5) FROM lagged
+        |UNION ALL SELECT 6, round(corr(n, lag6), 4) + 0.0, count(lag6) FROM lagged
+        |UNION ALL SELECT 7, round(corr(n, lag7), 4) + 0.0, count(lag7) FROM lagged
+        |ORDER BY lag_days""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, count(*) AS n,
+        |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 4) AS p_observed,
+        |  round(log10(1.0 + 1.0 / digit), 4) AS p_benford
+        |  FROM d GROUP BY digit)
+        |SELECT digit, n, p_observed, p_benford,
+        |  round(abs(p_observed - p_benford), 4) AS abs_delta
+        |FROM c ORDER BY digit""".stripMargin,
     "q_median_abs_dev" ->
       """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
         |  FROM events GROUP BY event_type),

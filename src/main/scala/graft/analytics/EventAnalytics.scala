@@ -186,6 +186,36 @@ object EventAnalytics {
       .orderBy(col("user_id"))
   }
 
+  /** §2.2#173 — autocorrelation function of the daily event count at
+    * lags 1..7: the seasonality diagnostic (a weekly cycle shows as a
+    * lag-7 peak). One partial-agg shrink to the bounded day axis,
+    * then 7 lag columns over a ≤|days|-row window and one Pearson
+    * corr per lag (both engines share the sample-corr definition;
+    * rounded past accumulation noise like q_correlation).
+    */
+  def qAcf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val lags = (1 to 7).foldLeft(daily) { (df, l) =>
+      df.withColumn(s"lag$l", lag(col("n"), l).over(w))
+    }
+    val acfRows = (1 to 7).map { l =>
+      struct(lit(l.toLong).as("lag_days"),
+        col(s"corr$l").as("acf"), col(s"cnt$l").as("n_days"))
+    }
+    val aggs = (1 to 7).flatMap { l => Seq(
+      (round(corr(col("n"), col(s"lag$l")), 4) + lit(0.0)).as(s"corr$l"),
+      count(col(s"lag$l")).as(s"cnt$l"))
+    }
+    lags.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(acfRows: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("lag_days"))
+  }
+
   /** §2.2#164 — ordered sequence-pattern match (MATCH_RECOGNIZE-lite):
     * strictly consecutive view→click→purchase runs per user via two
     * leads over one per-user window pass — no joins, no state beyond

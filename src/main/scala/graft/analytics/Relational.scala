@@ -273,6 +273,27 @@ object Relational {
         col("hll.reg_digest").as("reg_digest"))
       .orderBy(col("event_type"))
 
+  /** §2.2#174 — Benford first-digit test over order totals: observed
+    * leading-digit frequencies vs Benford's log10(1+1/d) expectation —
+    * the classic fabricated-data / quality screen. First digits come
+    * from exact integer cents (never double→string formatting), one
+    * partial-agg pass, 9 output rows.
+    */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val fd = substring(cents(col("o_totalprice")).cast("string"), 1, 1).cast("long")
+    val counts = Tables.orders(spark, dir)
+      .select(fd.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = Window.partitionBy()
+    counts
+      .withColumn("p_observed",
+        round(col("n").cast("double") / sum(col("n")).over(tot), 4))
+      .withColumn("p_benford",
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 4))
+      .withColumn("abs_delta", round(abs(col("p_observed") - col("p_benford")), 4))
+      .orderBy(col("digit"))
+  }
+
   /** §2.2#167 — table profiler: per-column null counts, exact
     * distinct cardinality, and typed min/max over orders in ONE
     * aggregation pass (multiple COUNT DISTINCT → one Expand, no

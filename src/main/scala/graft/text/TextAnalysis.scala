@@ -285,6 +285,37 @@ object TextAnalysis {
     * partial-agg shuffles (bigram counts, prefix counts) joined on
     * the bounded (lang, word) key.
     */
+  /** §2.5#172 — perplexity-proxy quality score: each document's mean
+    * negative log-likelihood under the corpus-wide per-language
+    * bigram model (c(w1,w2)/c(w1)). The looping/templated text a
+    * perplexity filter flags scores low; rare-construction text
+    * scores high. Every doc bigram exists in the corpus model, so
+    * the estimate needs no smoothing and stays a pure function of
+    * the corpus. Shapes: two partial-agg count tables joined back on
+    * the bigram key — the model is never driver-resident.
+    */
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docBg = Tables.rebalanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        explode(transform(idxSeq(size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgCounts = docBg.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bg"))
+    val prefixCounts = docBg.groupBy(col("lang"), col("w1"))
+      .agg(count(lit(1)).as("c_w1"))
+    docBg
+      .join(bgCounts, Seq("lang", "w1", "w2"))
+      .join(prefixCounts, Seq("lang", "w1"))
+      .select(col("doc_id"), (-log(col("c_bg").cast("double") / col("c_w1"))).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (round(avg(col("nll")), 4) + lit(0.0)).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   def textBigramModel(spark: SparkSession, dir: String): DataFrame = {
     val toksDocs = Tables.rebalanced(Tables.documents(spark, dir))
       .select(col("lang"), tokensCol(col("text")).as("toks"))

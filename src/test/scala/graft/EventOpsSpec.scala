@@ -38,6 +38,42 @@ class EventOpsSpec extends GraftSpec {
     }
   }
 
+  test("acf: bounded in [-1,1], counts shrink with lag") {
+    val rows = EventAnalytics.qAcf(spark, sf).collect()
+    assert(rows.length === 7)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1)) <= 1.0 + 1e-9)
+    }
+    val counts = rows.sortBy(_.getLong(0)).map(_.getLong(2))
+    counts.sliding(2).foreach { p => assert(p(1) === p(0) - 1) }
+  }
+
+  test("benford: observed probabilities sum to 1, expectation sums to ~1, digits 1-9") {
+    val rows = graft.analytics.Relational.qBenford(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((1L to 9L).toSet))
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 0.01)
+    val benfordSum = rows.map(_.getDouble(3)).sum
+    assert(rows.length < 9 || math.abs(benfordSum - 1.0) < 0.01)
+    assert(rows.map(_.getLong(1)).sum === Tables.orders(spark, sf).count())
+  }
+
+  test("perplexity proxy: non-negative, and repeated-text docs score lower than average") {
+    val rows = graft.text.TextAnalysis.textPerplexity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0, s"doc ${r.getLong(0)} negative nll"))
+    // docs with high duplicate-bigram ratio (looping text) should sit
+    // below the corpus mean nll: their bigrams are locally frequent
+    val rep = graft.text.TextAnalysis.textRepetition(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val nll = rows.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val mean = nll.values.sum / nll.size
+    val loopy = rep.filter(_._2 > 0.5).keys.filter(nll.contains)
+    if (loopy.nonEmpty) {
+      val loopyMean = loopy.map(nll).sum / loopy.size
+      assert(loopyMean < mean, s"loopy docs mean $loopyMean !< corpus mean $mean")
+    }
+  }
+
   test("bfs layers: level 0 is exactly the seed set, levels are disjoint and positive") {
     val rows = graft.graph.GraphOps.graphBfsLayers(spark, sf).collect()
     assert(rows.nonEmpty)
