@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     e.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
+    e.injectOptimizerRule(_ => graft.plans.JaroWinklerLengthPrune)
   }
 }
 

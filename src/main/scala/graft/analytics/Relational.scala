@@ -812,6 +812,7 @@ object Relational {
     */
   def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.JaroWinkler.jaro_winkler
+    graft.plans.FuzzyPrefilter.ensureRegistered(spark)
     val names = Tables.part(spark, dir)
       .select(col("p_name").as("name"))
       .groupBy(col("name")).agg(count(lit(1)).as("n_parts"))

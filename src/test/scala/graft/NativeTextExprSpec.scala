@@ -92,6 +92,34 @@ class NativeTextExprSpec extends GraftSpec {
     assert(fjStrict.toSeq === fjBase.toSeq)
   }
 
+  test("length-prune rule injects the derived guard and preserves results exactly") {
+    import graft.analytics.Relational
+    // session WITHOUT the rule: baseline results
+    val plain = spark.newSession()
+    plain.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val baseline = {
+      // build the same query without ensureRegistered by inlining the shape
+      import graft.functions.JaroWinkler.jaro_winkler
+      val names = graft.sources.Tables.part(plain, sf)
+        .select(col("p_name").as("name"))
+        .groupBy(col("name")).agg(count(lit(1)).as("n_parts"))
+        .withColumn("blk", split(col("name"), " ").getItem(0))
+      val a = names.select(col("blk"), col("name").as("name_a"), col("n_parts").as("n_a"))
+      val b = names.select(col("blk"), col("name").as("name_b"), col("n_parts").as("n_b"))
+      a.join(b, Seq("blk")).filter(col("name_a") < col("name_b"))
+        .withColumn("jw", round(jaro_winkler(col("name_a"), col("name_b")), 4))
+        .filter(col("jw") >= 0.88)
+        .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"), col("jw"))
+        .orderBy(col("name_a"), col("name_b")).collect()
+    }
+    val withRule = Relational.qFuzzyJoin(spark, sf)
+    assert(withRule.collect().toSeq === baseline.toSeq)
+    // the derived guard (least/greatest of lengths) must be in the optimized plan
+    val opt = withRule.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(opt.contains("least(length") || opt.contains("least(char_length"),
+      s"derived length guard missing from plan:\n$opt")
+  }
+
   test("fuzzy join only emits pairs above threshold, never a name with itself") {
     val rows = graft.analytics.Relational.qFuzzyJoin(spark, sf).collect()
     rows.foreach { r =>
