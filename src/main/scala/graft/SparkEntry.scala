@@ -185,6 +185,7 @@ object SparkEntry {
     "stream_dedup" -> (StreamWatcher.streamDedupQuery(_, _)),
     "stream_append_windows" -> (StreamWatcher.streamAppendWindowsQuery(_, _)),
     "stream_late_drop" -> (StreamWatcher.streamLateDropQuery(_, _)),
+    "stream_fb_upsert" -> (StreamWatcher.streamForeachBatchUpsert(_, _)),
     // §2.8 sources/sinks
     "fs_inventory" -> (graft.syncer.FsInventory.fsInventoryQuery(_, _)),
     "sync_watch_service" -> (graft.streaming.WatchService.watchServiceQuery(_, _)),
@@ -775,6 +776,14 @@ object SparkEntry {
         |  round(CAST(rev_e4 AS DOUBLE) * 100 /
         |    CAST(sum(rev_e4) OVER () AS DOUBLE), 4) AS pct_share
         |FROM r ORDER BY n_name""".stripMargin,
+    "stream_fb_upsert" ->
+      """WITH c AS (SELECT user_id % 50 AS row_key,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS write_us,
+        |    event_id AS generation, value FROM events)
+        |SELECT row_key, write_us, generation, round(value, 4) AS value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY row_key
+        |    ORDER BY write_us DESC, generation DESC) AS rn FROM c)
+        |WHERE rn = 1 ORDER BY row_key""".stripMargin,
     "stream_append_windows" ->
       """WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events),
         |w AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,

@@ -370,6 +370,56 @@ object StreamWatcher {
       .orderBy(col("hour_start"), col("event_type"))
   }
 
+  /** §2.7 — foreachBatch idempotent upsert sink: each micro-batch
+    * LWW-merges its cell writes into a versioned parquet store
+    * (read latest snapshot → union → max-struct per key → write
+    * snapshot v{batchId}) — the exactly-once keyed-merge sink
+    * pattern for stores without transactional MERGE. Because the
+    * merge is a per-key max over (write_us, generation), the final
+    * state is independent of batch boundaries AND arrival order, so
+    * replaying the out-of-order tercile fixture must converge to the
+    * plain batch LWW result — which is exactly what the oracle
+    * computes.
+    */
+  def streamForeachBatchUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = lateArrivalDir(spark, dir)
+    val schema = spark.read.parquet(fixture).schema
+    val storeRoot = java.nio.file.Files
+      .createTempDirectory("graft_fb_store_").toString
+    val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+
+    val cells = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(fixture)
+      .select((col("user_id") % 50).cast("long").as("row_key"),
+        unix_micros(col("ts")).as("write_us"),
+        col("event_id").as("generation"),
+        col("value"))
+
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-fb-ck-")
+    val q = cells.writeStream
+      .option("checkpointLocation", ckDir.toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val prev = Option(latest.get()).map(s.read.parquet(_))
+        val all = prev.map(_.unionByName(batch.toDF())).getOrElse(batch.toDF())
+        val merged = all
+          .groupBy(col("row_key"))
+          .agg(max(struct(col("write_us"), col("generation"), col("value"))).as("m"))
+          .select(col("row_key"), col("m.write_us").as("write_us"),
+            col("m.generation").as("generation"), col("m.value").as("value"))
+        val vDir = s"$storeRoot/v$batchId"
+        merged.write.mode("overwrite").parquet(vDir)
+        latest.set(vDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(latest.get())
+      .select(col("row_key"), col("write_us"), col("generation"),
+        round(col("value"), 4).as("value"))
+      .orderBy(col("row_key"))
+  }
+
   /** Streaming upload plan: new arrivals (non-temp) mapped to their
     * inventory entries — the continuous version of
     * `SyncOps.syncDiffUpload`'s source side.

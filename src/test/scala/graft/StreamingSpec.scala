@@ -143,6 +143,22 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("foreachBatch upsert converges to the batch LWW state despite out-of-order batches") {
+    import org.apache.spark.sql.expressions.Window
+    val got = StreamWatcher.streamForeachBatchUpsert(spark, sf).collect()
+    val w = Window.partitionBy(col("row_key"))
+      .orderBy(col("write_us").desc, col("generation").desc)
+    val expected = graft.sources.Tables.events(spark, sf)
+      .select((col("user_id") % 50).cast("long").as("row_key"),
+        unix_micros(col("ts")).as("write_us"),
+        col("event_id").as("generation"), col("value"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("row_key"), col("write_us"), col("generation"),
+        round(col("value"), 4).as("value"))
+      .orderBy(col("row_key")).collect()
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("late drop: the out-of-order oldest tercile is dropped, newer terciles kept intact") {
     val late = StreamWatcher.streamLateDropQuery(spark, sf).collect()
     val inOrder = StreamWatcher.streamAppendWindowsQuery(spark, sf).collect()
