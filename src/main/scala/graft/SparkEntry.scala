@@ -197,6 +197,7 @@ object SparkEntry {
     "io_bucketed_join" -> (Io.ioBucketedJoin(_, _)),
     "io_orc_roundtrip" -> (Io.ioOrcRoundtrip(_, _)),
     "io_schema_evolution" -> (Io.ioSchemaEvolution(_, _)),
+    "io_compact_small_files" -> (Io.ioCompactSmallFiles(_, _)),
     // end-to-end pipeline + custom-operator/typed surfaces
     "backup_pipeline" -> (BackupPipeline.backupPipelineQuery(_, _)),
     "topk_per_group" -> (TopK.topkPerGroupQuery(_, _)),
@@ -549,6 +550,16 @@ object SparkEntry {
          |      ORDER BY round(CAST(c_bg AS DOUBLE) / c_w1, 4) DESC, bgc.w1, w2) AS BIGINT) AS rnk
          |  FROM bgc JOIN pc ON bgc.lang = pc.lang AND bgc.w1 = pc.w1
          |  WHERE c_bg >= 20) WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin,
+    "io_compact_small_files" ->
+      """WITH s AS (SELECT count(*) AS n_rows,
+        |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS total_qty_c,
+        |    count(DISTINCT l_orderkey) AS n_orders
+        |  FROM lineitem)
+        |SELECT 'compacted' AS phase, CAST(4 AS BIGINT) AS n_files,
+        |  n_rows, total_qty_c, n_orders FROM s
+        |UNION ALL
+        |SELECT 'fragmented', CAST(64 AS BIGINT), n_rows, total_qty_c, n_orders FROM s
+        |ORDER BY phase""".stripMargin,
     "text_perplexity" ->
       s"""WITH $toksCte,
          |bg AS (SELECT doc_id, lang,

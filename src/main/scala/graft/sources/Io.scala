@@ -178,4 +178,35 @@ object Io {
           sum(graft.analytics.Money.cents(col("o_totalprice"))), 100.0).as("total_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first)
   }
+
+  /** §2.8#176 — small-file compaction: a store fragmented into 64
+    * shards (the streaming-ingest failure mode — every micro-batch ×
+    * partition leaves a file; at 100 TB the NameNode/listing cost
+    * and per-file open overhead dominate scans) is rewritten into 4
+    * right-sized files. The rewrite is a plain repartition→write —
+    * on a cluster the target count comes from bytes/128 MB, here a
+    * fixture constant. Output proves BOTH layouts hold identical
+    * content and pins the real on-disk file counts before/after.
+    */
+  def ioCompactSmallFiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = "/tmp/graft_io_compact"
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.analytics.Money.cents(col("l_quantity")).as("qty_c"))
+    li.repartition(64).write.mode("overwrite").parquet(s"$root/fragmented")
+    spark.read.parquet(s"$root/fragmented")
+      .repartition(4).write.mode("overwrite").parquet(s"$root/compacted")
+    def files(p: String): Long =
+      new java.io.File(p).listFiles((_, n) => n.endsWith(".parquet")).length.toLong
+    def profile(phase: String, p: String): DataFrame =
+      spark.read.parquet(p)
+        .agg(count(lit(1)).as("n_rows"), sum(col("qty_c")).as("total_qty_c"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .select(lit(phase).as("phase"), lit(files(p)).as("n_files"),
+          col("n_rows"), col("total_qty_c"), col("n_orders"))
+    profile("compacted", s"$root/compacted")
+      .unionByName(profile("fragmented", s"$root/fragmented"))
+      .orderBy(col("phase"))
+  }
 }

@@ -68,4 +68,13 @@ class SourcesSpec extends GraftSpec {
       assert(joined.count() === graft.sources.Tables.lineitem(spark, sf).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("compaction preserves every row and actually shrinks the file count") {
+    val rows = graft.sources.Io.ioCompactSmallFiles(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows("fragmented")._1 > rows("compacted")._1)
+    assert(rows("compacted")._1 === 4L)
+    assert(rows("fragmented")._2 === rows("compacted")._2) // row counts equal
+    assert(rows("fragmented")._3 === rows("compacted")._3) // content sums equal
+  }
 }
