@@ -150,6 +150,8 @@ object SparkEntry {
     "text_tokens" -> (TextAnalysis.textTokens(_, _)),
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
     "text_langid" -> (TextAnalysis.textLangid(_, _)),
+    "text_langid_confusion" -> (TextAnalysis.textLangidConfusion(_, _)),
+    "vec_label_outliers" -> (Ann.vecLabelOutliers(_, _)),
     "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
     "text_ngram_stats" -> (TextAnalysis.textNgramStats(_, _)),
     "text_tfidf" -> (TextAnalysis.textTfidf(_, _)),
@@ -1578,6 +1580,41 @@ object SparkEntry {
          |       WHEN de_hits >= greatest(es_hits, fr_hits) THEN 'de'
          |       WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS predicted_lang
          |FROM h ORDER BY doc_id""".stripMargin,
+    "text_langid_confusion" ->
+      s"""WITH $toksCte,
+         |h AS (SELECT doc_id, lang,
+         |  CAST(len(list_filter(toks, x -> x='the' OR x='a' OR x='of' OR x='and' OR x='is')) AS BIGINT) AS en_hits,
+         |  CAST(len(list_filter(toks, x -> x='der' OR x='die' OR x='das' OR x='und' OR x='ist')) AS BIGINT) AS de_hits,
+         |  CAST(len(list_filter(toks, x -> x='el' OR x='la' OR x='los' OR x='y' OR x='es')) AS BIGINT) AS es_hits,
+         |  CAST(len(list_filter(toks, x -> x='le' OR x='la' OR x='les' OR x='et' OR x='est')) AS BIGINT) AS fr_hits
+         |  FROM t),
+         |p AS (SELECT lang,
+         |  CASE WHEN greatest(en_hits, de_hits, es_hits, fr_hits) = 0 THEN 'und'
+         |       WHEN en_hits >= greatest(de_hits, es_hits, fr_hits) THEN 'en'
+         |       WHEN de_hits >= greatest(es_hits, fr_hits) THEN 'de'
+         |       WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS predicted_lang
+         |  FROM h)
+         |SELECT lang, predicted_lang, count(*) AS n_docs,
+         |  round(CAST(count(*) AS DOUBLE)
+         |    / sum(count(*)) OVER (PARTITION BY lang), 4) AS share_of_true
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "vec_label_outliers" ->
+      s"""WITH $embCte,
+         |comp AS (SELECT label AS c_id, pos - 1 AS pos, x
+         |         FROM (SELECT label, unnest(v) AS x,
+         |               generate_subscripts(v, 1) AS pos FROM e)),
+         |cent AS (SELECT c_id, list(cx ORDER BY pos) AS cv FROM (
+         |  SELECT c_id, pos, avg(x) AS cx FROM comp GROUP BY c_id, pos) GROUP BY c_id),
+         |s AS (SELECT label, vec_id,
+         |  round(list_cosine_similarity(v, cv), 4) AS cos
+         |  FROM e JOIN cent ON e.label = cent.c_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY label
+         |  ORDER BY cos, vec_id) AS rnk FROM s)
+         |SELECT label, count(*) AS n_vecs,
+         |  round(avg(cos), 4) + 0.0 AS mean_cos,
+         |  CAST(min(CASE WHEN rnk = 1 THEN vec_id END) AS BIGINT) AS outlier_vec,
+         |  min(cos) AS outlier_cos
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id, fingerprint,
         |  CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS cluster_size

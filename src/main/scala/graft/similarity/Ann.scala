@@ -149,6 +149,28 @@ object Ann {
     * posexplode + partial agg, shared by the assignment query and the
     * index build.
     */
+  /** §2.4#178 — within-label outliers: each vector's cosine to its
+    * OWN label centroid; per label the mean cohesion and the worst
+    * outlier. The mislabeled-example / cluster-quality screen an
+    * embedding pipeline runs after labeling. Same broadcast-centroid
+    * shape as the IVF assign, one extra bounded rollup.
+    */
+  def vecLabelOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    val cents = centroidsOf(e).withColumnRenamed("c_id", "label")
+    val w = Window.partitionBy(col("label")).orderBy(col("cos"), col("vec_id"))
+    e.join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        round(cosine_sim(col("v"), col("cv")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (round(avg(col("cos")), 4) + lit(0.0)).as("mean_cos"),
+        min(when(col("rnk") === 1, col("vec_id"))).as("outlier_vec"),
+        min(col("cos")).as("outlier_cos"))
+      .orderBy(col("label"))
+  }
+
   private def centroidsOf(e: DataFrame): DataFrame = e
     .select(col("label").as("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
     .groupBy(col("c_id"), col("pos")).agg(avg(col("x")).as("cx"))

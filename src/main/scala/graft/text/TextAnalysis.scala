@@ -89,6 +89,21 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.5#177 — language-ID confusion matrix: predicted vs true
+    * language with per-true-language shares — the eval readout that
+    * tells a pipeline which languages its classifier is silently
+    * mislabeling. Bounded |langs|² rollup over the langid pass.
+    */
+  def textLangidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val byTrue = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    textLangid(spark, dir)
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_of_true",
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(byTrue), 4))
+      .orderBy(col("lang"), col("predicted_lang"))
+  }
+
   /** §2.5#39 — document fingerprint: digest of the
     * alphanumeric-normalized text (case/punct/whitespace-insensitive
     * identity), plus the size of each fingerprint's duplicate

@@ -38,6 +38,22 @@ class EventOpsSpec extends GraftSpec {
     }
   }
 
+  test("langid confusion: shares sum to 1 per true language, doc counts total the corpus") {
+    val rows = graft.text.TextAnalysis.textLangidConfusion(spark, sf).collect()
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      assert(math.abs(g.map(_.getDouble(3)).sum - 1.0) < 0.01)
+    }
+    val total = rows.map(_.getLong(2)).sum
+    assert(total === graft.sources.Tables.documents(spark, sf).count())
+  }
+
+  test("label outliers: outlier cos is the per-label minimum, mean dominates it") {
+    graft.similarity.Ann.vecLabelOutliers(spark, sf).collect().foreach { r =>
+      assert(r.getDouble(2) >= r.getDouble(4), "mean must be >= min")
+      assert(r.getDouble(4) >= -1.0 && r.getDouble(2) <= 1.0)
+    }
+  }
+
   test("acf: bounded in [-1,1], counts shrink with lag") {
     val rows = EventAnalytics.qAcf(spark, sf).collect()
     assert(rows.length === 7)
