@@ -152,6 +152,8 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.textLangid(_, _)),
     "text_langid_confusion" -> (TextAnalysis.textLangidConfusion(_, _)),
     "vec_label_outliers" -> (Ann.vecLabelOutliers(_, _)),
+    "text_line_dedup" -> (TextAnalysis.textLineDedup(_, _)),
+    "q_incremental_reagg" -> (Relational.qIncrementalReagg(_, _)),
     "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
     "text_ngram_stats" -> (TextAnalysis.textNgramStats(_, _)),
     "text_tfidf" -> (TextAnalysis.textTfidf(_, _)),
@@ -1580,6 +1582,23 @@ object SparkEntry {
          |       WHEN de_hits >= greatest(es_hits, fr_hits) THEN 'de'
          |       WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS predicted_lang
          |FROM h ORDER BY doc_id""".stripMargin,
+    "text_line_dedup" ->
+      """WITH segs AS (SELECT doc_id, md5(seg) AS seg_hash FROM (
+        |    SELECT doc_id, trim(lower(unnest(string_split(text, '.')))) AS seg
+        |    FROM documents) WHERE length(seg) > 0),
+        |freq AS (SELECT seg_hash, count(*) AS n_docs_with FROM (
+        |    SELECT DISTINCT doc_id, seg_hash FROM segs) GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_segments,
+        |  CAST(sum(CASE WHEN n_docs_with >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boilerplate,
+        |  round(CAST(count(*) - sum(CASE WHEN n_docs_with >= 3 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 4) AS keep_ratio
+        |FROM segs JOIN freq USING (seg_hash)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_incremental_reagg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_langid_confusion" ->
       s"""WITH $toksCte,
          |h AS (SELECT doc_id, lang,

@@ -273,6 +273,30 @@ object Relational {
         col("hll.reg_digest").as("reg_digest"))
       .orderBy(col("event_type"))
 
+  /** §2.2#180 — incremental re-aggregation (materialized-view
+    * maintenance): yesterday's stored partial aggregates merge with
+    * today's delta by summing partials — no rescan of history. Sums
+    * and counts are decomposable; the oracle computes the DIRECT
+    * full aggregation, so the pass proves partial+delta ≡ direct.
+    * The pattern that turns a daily 100 TB re-aggregation into a
+    * delta-sized one.
+    */
+  def qIncrementalReagg(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long")
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), day.as("day"),
+        round(col("value") * 10000).cast("long").as("value_e4"))
+    val cutoff = 19730L // 2024-01-18: splits the 30-day window
+    def partial(df: DataFrame): DataFrame = df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value_e4")).as("sum_e4"))
+    val stored = partial(ev.filter(col("day") < cutoff))
+    val delta = partial(ev.filter(col("day") >= cutoff))
+    stored.unionByName(delta)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_events"), sum(col("sum_e4")).as("sum_value_e4"))
+      .orderBy(col("event_type"))
+  }
+
   /** §2.2#174 — Benford first-digit test over order totals: observed
     * leading-digit frequencies vs Benford's log10(1+1/d) expectation —
     * the classic fabricated-data / quality screen. First digits come

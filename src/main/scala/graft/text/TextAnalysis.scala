@@ -89,6 +89,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.5#179 — line-level dedup accounting (the C4 cleaning rule:
+    * drop any sentence/line that occurs in ≥ 3 documents). Segments
+    * are period-split, normalized, and hashed; global segment
+    * frequencies come from one distinct+groupBy pass keyed on the
+    * segment hash, broadcast back is avoided by re-joining on the
+    * hash (the frequency table is corpus-wide at 100 TB). Output is
+    * the per-document kept/dropped accounting a cleaning pipeline
+    * reports.
+    */
+  def textLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.rebalanced(Tables.documents(spark, dir))
+      .select(col("doc_id"),
+        explode(split(col("text"), "\\.")).as("seg"))
+      .select(col("doc_id"), trim(lower(col("seg"))).as("seg"))
+      .filter(length(col("seg")) > 0)
+      .select(col("doc_id"), md5(col("seg")).as("seg_hash"))
+    val freq = segs.select(col("doc_id"), col("seg_hash")).distinct()
+      .groupBy(col("seg_hash")).agg(count(lit(1)).as("n_docs_with"))
+    segs.join(freq, Seq("seg_hash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("n_docs_with") >= 3, 1L).otherwise(0L)).as("n_boilerplate"))
+      .withColumn("keep_ratio",
+        round((col("n_segments") - col("n_boilerplate")).cast("double") /
+          col("n_segments"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   /** §2.5#177 — language-ID confusion matrix: predicted vs true
     * language with per-true-language shares — the eval readout that
     * tells a pipeline which languages its classifier is silently

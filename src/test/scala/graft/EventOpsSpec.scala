@@ -38,6 +38,25 @@ class EventOpsSpec extends GraftSpec {
     }
   }
 
+  test("line dedup: keep ratio consistent with counts, boilerplate bounded by segments") {
+    graft.text.TextAnalysis.textLineDedup(spark, sf).collect().foreach { r =>
+      val (nSeg, nBp, keep) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nBp <= nSeg)
+      assert(math.abs(keep - (nSeg - nBp).toDouble / nSeg) < 1e-4)
+    }
+  }
+
+  test("incremental reagg: partial+delta merge equals the direct aggregation") {
+    val merged = graft.analytics.Relational.qIncrementalReagg(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val direct = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 10000).cast("long")).as("s"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(merged === direct)
+  }
+
   test("langid confusion: shares sum to 1 per true language, doc counts total the corpus") {
     val rows = graft.text.TextAnalysis.textLangidConfusion(spark, sf).collect()
     rows.groupBy(_.getString(0)).values.foreach { g =>
