@@ -154,6 +154,8 @@ object SparkEntry {
     "vec_label_outliers" -> (Ann.vecLabelOutliers(_, _)),
     "text_line_dedup" -> (TextAnalysis.textLineDedup(_, _)),
     "q_incremental_reagg" -> (Relational.qIncrementalReagg(_, _)),
+    "q_decile_report" -> (Relational.qDecileReport(_, _)),
+    "sync_quota_forecast" -> (SyncOps.syncQuotaForecast(_, _)),
     "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
     "text_ngram_stats" -> (TextAnalysis.textNgramStats(_, _)),
     "text_tfidf" -> (TextAnalysis.textTfidf(_, _)),
@@ -1599,6 +1601,41 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_decile_report" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT rev_c,
+        |    CAST(ntile(10) OVER (ORDER BY rev_c DESC, o_custkey) AS BIGINT) AS decile
+        |  FROM pc),
+        |g AS (SELECT decile, count(*) AS n_customers,
+        |    CAST(sum(rev_c) AS BIGINT) AS decile_rev_c FROM d GROUP BY 1)
+        |SELECT decile, n_customers, decile_rev_c,
+        |  round(CAST(decile_rev_c AS DOUBLE) / sum(decile_rev_c) OVER (), 4)
+        |    AS rev_share
+        |FROM g ORDER BY decile""".stripMargin,
+    "sync_quota_forecast" ->
+      s"""WITH $invCte, $durCte,
+         |daily AS (SELECT cf,
+         |    date_diff('day', DATE '1970-01-01', snap_date) AS day,
+         |    CAST(sum(size_bytes) AS BIGINT) AS bytes
+         |  FROM dur GROUP BY 1, 2),
+         |cum AS (SELECT cf, day, CAST(sum(bytes) OVER (PARTITION BY cf ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_bytes
+         |  FROM daily),
+         |fit AS (SELECT cf, count(*) AS n,
+         |    CAST(sum(day) AS BIGINT) AS sx, CAST(sum(cum_bytes) AS BIGINT) AS sy,
+         |    CAST(sum(day * day) AS BIGINT) AS sxx,
+         |    CAST(sum(day * cum_bytes) AS BIGINT) AS sxy,
+         |    CAST(max(cum_bytes) AS BIGINT) AS cum_last
+         |  FROM cum GROUP BY 1)
+         |SELECT cf, n AS n_days, cum_last,
+         |  round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 4) AS daily_rate_bytes,
+         |  round(CAST(cum_last AS DOUBLE)
+         |    / ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |       / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)), 4) AS days_to_double
+         |FROM fit ORDER BY cf""".stripMargin,
     "text_langid_confusion" ->
       s"""WITH $toksCte,
          |h AS (SELECT doc_id, lang,

@@ -273,6 +273,31 @@ object Relational {
         col("hll.reg_digest").as("reg_digest"))
       .orderBy(col("event_type"))
 
+  /** §2.2#181 — decile concentration report: customers ranked into
+    * revenue deciles, each decile's share of total revenue — the
+    * "top 10% drives X%" deliverable. Per-customer partials shuffle
+    * once; the ntile window runs over the customer aggregate (not
+    * raw facts), and the decile rollup is 10 rows. The global ntile
+    * serializes the customer axis through one task — correct here;
+    * at an unbounded customer count the scale path computes decile
+    * BOUNDARIES via approx quantiles and joins them back instead.
+    */
+  def qDecileReport(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+    val w = Window.orderBy(col("rev_c").desc, col("o_custkey"))
+    val tot = Window.partitionBy()
+    perCust
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("rev_c")).as("decile_rev_c"))
+      .withColumn("rev_share",
+        round(col("decile_rev_c").cast("double") /
+          sum(col("decile_rev_c")).over(tot), 4))
+      .orderBy(col("decile"))
+  }
+
   /** §2.2#180 — incremental re-aggregation (materialized-view
     * maintenance): yesterday's stored partial aggregates merge with
     * today's delta by summing partials — no rescan of history. Sums

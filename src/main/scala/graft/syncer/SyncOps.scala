@@ -352,6 +352,36 @@ object SyncOps {
         count(lit(1)).as("n_files"))
       .orderBy(col("cf"))
 
+  /** §2.1#182 — capacity forecast per cf: OLS growth rate of
+    * cumulative stored bytes over the snapshot days, and the
+    * days-to-double readout a capacity planner watches. All
+    * regression inputs are exact integer sums (day, cumulative
+    * bytes), so both engines derive identical doubles; the fit is
+    * per-cf over the bounded day axis.
+    */
+  def syncQuotaForecast(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = FileInventory.durable(spark, dir)
+      .groupBy(col("cf"),
+        datediff(col("snap_date"), lit("1970-01-01").cast("date")).cast("long").as("day"))
+      .agg(sum(col("size_bytes")).as("bytes"))
+    val run = Window.partitionBy(col("cf")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.withColumn("cum_bytes", sum(col("bytes")).over(run))
+    val fit = cum.groupBy(col("cf")).agg(
+      count(lit(1)).as("n"), sum(col("day")).as("sx"), sum(col("cum_bytes")).as("sy"),
+      sum(col("day") * col("day")).as("sxx"),
+      sum(col("day") * col("cum_bytes")).as("sxy"),
+      max(col("cum_bytes")).as("cum_last"))
+    val n = col("n").cast("double")
+    val slope = (n * col("sxy") - col("sx").cast("double") * col("sy")) /
+      (n * col("sxx") - col("sx").cast("double") * col("sx"))
+    fit.select(col("cf"), col("n").as("n_days"), col("cum_last"),
+        round(slope, 4).as("daily_rate_bytes"),
+        round(col("cum_last").cast("double") / slope, 4).as("days_to_double"))
+      .orderBy(col("cf"))
+  }
+
   /** §2.1#165 — order-independent table checksum per cf: XOR of
     * per-row content hashes (path|generation|size). XOR is
     * commutative, associative, and overflow-free, so the signature is

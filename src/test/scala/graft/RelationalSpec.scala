@@ -147,6 +147,26 @@ class RelationalSpec extends GraftSpec {
     assert(prof("o_orderdate").getString(5) <= prof("o_orderdate").getString(6))
   }
 
+  test("decile report: shares sum to 1, monotone non-increasing revenue per decile") {
+    val rows = Relational.qDecileReport(spark, sf).collect()
+    assert(rows.length === 10)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 0.01)
+    val revs = rows.sortBy(_.getLong(0)).map(_.getLong(2))
+    revs.sliding(2).foreach { p =>
+      assert(p(0) >= p(1), "deciles must be ordered by revenue")
+    }
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.orders(spark, sf).select(col("o_custkey")).distinct().count())
+  }
+
+  test("quota forecast: positive growth rate and days-to-double within the observed span") {
+    graft.syncer.SyncOps.syncQuotaForecast(spark, sf).collect().foreach { r =>
+      val (nDays, rate, dtd) = (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      assert(rate > 0.0, s"cf ${r.getString(0)}: non-positive growth")
+      assert(dtd > 0.0 && dtd < nDays * 3, s"cf ${r.getString(0)}: implausible days-to-double $dtd")
+    }
+  }
+
   test("typed Aggregator matches the untyped aggregation") {
     import spark.implicits._
     import graft.analytics.{EventRow, TypedAggs}
