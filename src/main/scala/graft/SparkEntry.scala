@@ -180,6 +180,7 @@ object SparkEntry {
     "mm_features" -> (Media.mmFeatures(_, _)),
     "mm_resize_frames" -> (Media.mmResizeFrames(_, _)),
     "mm_phash" -> (Media.mmPhash(_, _)),
+    "mm_payload_dedup" -> (Media.mmPayloadDedup(_, _)),
     "mm_phash_dedup" -> (Media.mmPhashDedup(_, _)),
     // §2.7 streaming (bounded replay into a memory sink)
     "stream_windowed_agg" -> (StreamWatcher.streamWindowedAggQuery(_, _)),
@@ -1733,6 +1734,16 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
         |  md5(list_aggregate(list_sort(fps), 'string_agg', '')) AS fp_digest
         |FROM fps ORDER BY doc_id""".stripMargin,
+    "mm_payload_dedup" ->
+      """SELECT md5(text) AS digest, count(*) AS n_copies,
+        |  CAST(min(doc_id) AS BIGINT) AS survivor_doc,
+        |  CAST(max(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+        |  count(DISTINCT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |        WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |        ELSE 'video/mp4' END) AS n_mimes,
+        |  CAST((count(*) - 1) * max(octet_length(encode(text))) AS BIGINT)
+        |    AS wasted_bytes
+        |FROM documents GROUP BY 1 ORDER BY survivor_doc""".stripMargin,
     "mm_ingest" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -53,6 +53,26 @@ object Media {
         col("meta.height").as("height"))
       .orderBy(col("doc_id"))
 
+  /** §2.6#183 — exact payload dedup over the binary column: one
+    * digest shuffle with map-side combine (the media twin of
+    * dedup_exact), plus the cross-container signal — identical bytes
+    * ingested under DIFFERENT mime types (n_mimes > 1), the
+    * "same asset, different wrapper" case a storage dedup must
+    * catch — and the wasted-bytes readout.
+    */
+  def mmPayloadDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"), md5(col("media")).as("digest"),
+        length(col("media")).cast("long").as("n_bytes"),
+        col("meta.mime").as("mime"))
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("survivor_doc"),
+        max(col("n_bytes")).as("n_bytes"),
+        countDistinct(col("mime")).as("n_mimes"),
+        ((count(lit(1)) - 1) * max(col("n_bytes"))).as("wasted_bytes"))
+      .orderBy(col("survivor_doc"))
+
   /** Oracle-checked surface of the feature pipeline: doc_id, byte
     * length, and the stub checksum, computed through the real
     * distributed path (binary column → batched mapPartitions kernel →

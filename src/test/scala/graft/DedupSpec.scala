@@ -106,6 +106,21 @@ class DedupSpec extends GraftSpec {
     assert(Set(0L, 1L, 2L, 4L).flatMap(clusters.get).forall(_ === 0L))
   }
 
+  test("payload dedup: identical bytes collapse across mime containers, wasted bytes counted") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.multimodal.Media.mmPayloadDedup(spark, dupDir).collect()
+    // docs 0 and 1 share the exact payload (byte-identical text);
+    // doc_id 0 → image/png, doc_id 1 → audio/wav: a cross-mime dup
+    val dup = rows.filter(_.getLong(2) == 0L).head
+    assert(dup.getLong(1) === 2L, "docs 0 and 1 must collapse")
+    assert(dup.getLong(4) === 2L, "cross-mime duplicate must be visible")
+    assert(dup.getLong(5) === dup.getLong(3), "one redundant copy's bytes wasted")
+    // case-dup (doc 4) does NOT collapse at byte level
+    assert(rows.exists(r => r.getLong(2) == 4L && r.getLong(1) == 1L))
+    // unique payloads waste nothing
+    rows.filter(_.getLong(1) == 1L).foreach(r => assert(r.getLong(5) === 0L))
+  }
+
   test("quality survivors: one survivor per cluster, and it has the cluster's max quality") {
     import org.apache.spark.sql.functions._
     val surv = Dedup.dedupQualitySurvivors(spark, sf).collect()
