@@ -193,6 +193,7 @@ object SparkEntry {
     "stream_append_windows" -> (StreamWatcher.streamAppendWindowsQuery(_, _)),
     "stream_late_drop" -> (StreamWatcher.streamLateDropQuery(_, _)),
     "stream_fb_upsert" -> (StreamWatcher.streamForeachBatchUpsert(_, _)),
+    "stream_incremental_batch" -> (StreamWatcher.streamIncrementalBatch(_, _)),
     // §2.8 sources/sinks
     "fs_inventory" -> (graft.syncer.FsInventory.fsInventoryQuery(_, _)),
     "sync_watch_service" -> (graft.streaming.WatchService.watchServiceQuery(_, _)),
@@ -794,6 +795,10 @@ object SparkEntry {
         |  round(CAST(rev_e4 AS DOUBLE) * 100 /
         |    CAST(sum(rev_e4) OVER () AS DOUBLE), 4) AS pct_share
         |FROM r ORDER BY n_name""".stripMargin,
+    "stream_incremental_batch" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_fb_upsert" ->
       """WITH c AS (SELECT user_id % 50 AS row_key,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS write_us,

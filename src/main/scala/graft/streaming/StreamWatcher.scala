@@ -420,6 +420,44 @@ object StreamWatcher {
       .orderBy(col("row_key"))
   }
 
+  /** §2.7 — incremental batch (Trigger.AvailableNow): the scheduled
+    * nightly-job pattern. Each invocation drains exactly the files
+    * that appeared since the last run (the checkpoint's seen-files
+    * log is the cursor) and stops. Here: run 1 sees one generation,
+    * two more land, run 2 processes ONLY those — every row lands in
+    * the parquet sink exactly once, so the final aggregate equals the
+    * all-data batch answer, which is what the oracle computes.
+    */
+  def streamIncrementalBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = lateArrivalDir(spark, dir) // 3 single-file generations
+    val schema = spark.read.parquet(src).schema
+    val work = java.nio.file.Files.createTempDirectory("graft-inc-src-")
+    val ck = java.nio.file.Files.createTempDirectory("graft-inc-ck-")
+    val sink = java.nio.file.Files.createTempDirectory("graft-inc-out-").toString
+
+    def land(gen: Int): Unit =
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(src, s"arrival_$gen.parquet"),
+        work.resolve(s"arrival_$gen.parquet"))
+    def drainOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(work.toString)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 10000).cast("long").as("value_e4"))
+        .writeStream.trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ck.toString)
+        .start()
+      q.awaitTermination()
+    }
+    land(0); drainOnce()          // nightly run 1: one generation
+    land(1); land(2); drainOnce() // nightly run 2: only the new ones
+    spark.read.parquet(sink)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value_e4")).as("sum_value_e4"))
+      .orderBy(col("event_type"))
+  }
+
   /** Streaming upload plan: new arrivals (non-temp) mapped to their
     * inventory entries — the continuous version of
     * `SyncOps.syncDiffUpload`'s source side.

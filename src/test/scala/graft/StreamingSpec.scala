@@ -143,6 +143,41 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("incremental batch: each AvailableNow run drains exactly the new files, no dups") {
+    import org.apache.spark.sql.streaming.Trigger
+    // same sequence as the operator, instrumented between runs
+    val ev = graft.sources.Tables.events(spark, sf)
+    val total = ev.count()
+    val work = java.nio.file.Files.createTempDirectory("graft-inc-spec-src-")
+    val ck = java.nio.file.Files.createTempDirectory("graft-inc-spec-ck-")
+    val sink = java.nio.file.Files.createTempDirectory("graft-inc-spec-out-").toString
+    val thirds = ev.orderBy(col("ts"), col("event_id")).collect().grouped(
+      math.ceil(total / 3.0).toInt).toSeq
+    import spark.implicits._
+    def land(i: Int): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(thirds(i).toSeq), ev.schema)
+        .coalesce(1).write.parquet(work.resolve(s"g$i").toString + ".d")
+    val schema = ev.schema
+    def drain(): Long = {
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(work.toString + "/*.d")
+        .select(col("event_id"))
+        .writeStream.trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", sink)
+        .option("checkpointLocation", ck.toString).start()
+      q.awaitTermination()
+      spark.read.parquet(sink).count()
+    }
+    land(0)
+    val after1 = drain()
+    assert(after1 === thirds(0).length.toLong)
+    land(1); land(2)
+    val after2 = drain()
+    assert(after2 === total)
+    // exactly-once: every event id appears exactly once in the sink
+    assert(spark.read.parquet(sink).select(col("event_id")).distinct().count() === total)
+  }
+
   test("foreachBatch upsert converges to the batch LWW state despite out-of-order batches") {
     import org.apache.spark.sql.expressions.Window
     val got = StreamWatcher.streamForeachBatchUpsert(spark, sf).collect()
