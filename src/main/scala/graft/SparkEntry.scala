@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{EventAnalytics, Relational, Temporal, TypedAggs, Windows}
+import graft.analytics.{EventAnalytics, Frontier, Relational, Temporal, TypedAggs, Windows}
 import graft.dedup.Dedup
 import graft.multimodal.Media
 import graft.plans.TopK
@@ -206,6 +206,9 @@ object SparkEntry {
     "io_orc_roundtrip" -> (Io.ioOrcRoundtrip(_, _)),
     "io_schema_evolution" -> (Io.ioSchemaEvolution(_, _)),
     "io_compact_small_files" -> (Io.ioCompactSmallFiles(_, _)),
+    "io_zorder_layout" -> (graft.sources.ZOrder.ioZorderLayout(_, _)),
+    "q_skyline" -> (Frontier.qSkyline(_, _)),
+    "q_max_concurrency" -> (Frontier.qMaxConcurrency(_, _)),
     // end-to-end pipeline + custom-operator/typed surfaces
     "backup_pipeline" -> (BackupPipeline.backupPipelineQuery(_, _)),
     "topk_per_group" -> (TopK.topkPerGroupQuery(_, _)),
@@ -1862,6 +1865,45 @@ object SparkEntry {
          |  CAST(sum(size_bytes) AS BIGINT) AS synced_bytes
          |FROM dur JOIN tgt ON dur.path = tgt.path
          |GROUP BY cf ORDER BY cf""".stripMargin,
+    "io_zorder_layout" ->
+      s"""WITH b AS (SELECT max(l_partkey) AS max_p, max(l_suppkey) AS max_s
+         |  FROM lineitem),
+         |c AS (SELECT (l_partkey * 256) // (max_p + 1) AS x8,
+         |             (l_suppkey * 256) // (max_s + 1) AS y8
+         |  FROM lineitem, b),
+         |z AS (SELECT x8, y8, ${graft.sources.ZOrder.morton8Sql("x8", "y8")} AS z
+         |  FROM c)
+         |SELECT z // 1024 AS zbucket, count(*) AS n,
+         |  min(x8) AS min_x, max(x8) AS max_x,
+         |  min(y8) AS min_y, max(y8) AS max_y
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_skyline" ->
+      """WITH p AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_c,
+        |    count(*) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT spend_c, n_orders, count(*) AS n_customers,
+        |    min(o_custkey) AS min_custkey FROM p GROUP BY 1, 2),
+        |s AS (SELECT *, max(n_orders) OVER (ORDER BY spend_c DESC, n_orders DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax FROM d)
+        |SELECT spend_c, n_orders, n_customers, min_custkey
+        |FROM s WHERE runmax IS NULL OR n_orders > runmax
+        |ORDER BY spend_c DESC""".stripMargin,
+    "q_max_concurrency" ->
+      """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        |  FROM events),
+        |d AS (SELECT event_type, us AS t, 1 AS delta FROM e
+        |  UNION ALL SELECT event_type, us + 300000000, -1 FROM e),
+        |r AS (SELECT event_type, t, sum(delta) OVER (PARTITION BY event_type
+        |    ORDER BY t, delta
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM d),
+        |p AS (SELECT event_type, CAST(max(conc) AS BIGINT) AS peak_concurrency
+        |  FROM r GROUP BY 1)
+        |SELECT r.event_type AS event_type, peak_concurrency,
+        |  CAST(min(t) AS BIGINT) AS first_peak_us
+        |FROM r JOIN p ON r.event_type = p.event_type
+        |  AND r.conc = p.peak_concurrency
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "io_orc_roundtrip" ->
       """SELECT o_orderstatus, count(*) AS n_orders,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_price,
