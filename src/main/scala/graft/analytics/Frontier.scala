@@ -47,9 +47,13 @@ object Frontier {
       .agg(
         sum(round(col("o_totalprice") * 100).cast("long")).as("spend_c"),
         count(lit(1)).as("n_orders"))
-    // collapse duplicate points so dominance is strict by construction
+    // collapse duplicate points so dominance is strict by construction;
+    // persisted because bounds/bucket/threshold/survivor branches all
+    // reuse it — one scan of orders, not four (the point set is
+    // customer-cardinality, orders of magnitude below the input)
     val d = pts.groupBy(col("spend_c"), col("n_orders"))
       .agg(count(lit(1)).as("n_customers"), min(col("o_custkey")).as("min_custkey"))
+      .persist()
     val bounds = d.agg(min(col("spend_c")).as("lo"), max(col("spend_c")).as("hi"))
     val bucketed = d.crossJoin(broadcast(bounds))
       .withColumn("b",
@@ -93,32 +97,40 @@ object Frontier {
     * per-type max rather than a whole-partition window.
     */
   def qMaxConcurrency(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+    // one scan: each event explodes into its (+1 at start, −1 at end)
+    // sweep deltas (vs a unionAll of two scans of the source)
+    val deltas = Tables.events(spark, dir)
       .select(col("event_type"), unix_micros(col("ts")).as("us"))
-    val deltas = ev.select(col("event_type"), col("us").as("t"), lit(1L).as("delta"))
-      .unionAll(ev.select(col("event_type"), (col("us") + 300000000L).as("t"),
-        lit(-1L).as("delta")))
+      .select(col("event_type"), explode(array(
+        struct(col("us").as("t"), lit(1L).as("delta")),
+        struct((col("us") + 300000000L).as("t"), lit(-1L).as("delta")))).as("d"))
+      .select(col("event_type"), col("d.t").as("t"), col("d.delta").as("delta"))
       .withColumn("day", expr("t div 86400000000"))
     val wDay = Window.partitionBy(col("event_type"), col("day"))
       .orderBy(col("t"), col("delta"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wCarry = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = deltas.groupBy(col("event_type"), col("day"))
+    // within-day running sums, plus the per-day carry totals. Catalyst
+    // prunes the (unused) window out of the carry branch and partial-
+    // aggregates BELOW its exchange, so the carry side costs a second
+    // 2-column scan but ships only |type×day| rows through its
+    // shuffle — cheaper at scale than sharing the full-width delta
+    // exchange between both consumers
+    val withRun = deltas.withColumn("run", sum(col("delta")).over(wDay))
+    val carry = withRun.groupBy(col("event_type"), col("day"))
       .agg(sum(col("delta")).as("dtot"))
       .withColumn("carry", coalesce(sum(col("dtot")).over(wCarry), lit(0L)))
       .select(col("event_type"), col("day"), col("carry"))
-    val conc = deltas
-      .withColumn("run", sum(col("delta")).over(wDay))
-      .join(broadcast(carry), Seq("event_type", "day"))
+    // peak + first instant in ONE aggregate: max of (conc, −t) struct
+    // is lexicographic, so ties on peak resolve to the earliest time —
+    // no join-back against a second evaluation of the sweep
+    withRun.join(broadcast(carry), Seq("event_type", "day"))
       .withColumn("conc", col("run") + col("carry"))
-    val peaks = conc.groupBy(col("event_type"))
-      .agg(max(col("conc")).as("peak_concurrency"))
-    conc.as("c").join(broadcast(peaks.as("p")),
-        col("c.event_type") === col("p.event_type") &&
-          col("c.conc") === col("p.peak_concurrency"))
-      .groupBy(col("c.event_type").as("event_type"), col("p.peak_concurrency").as("peak_concurrency"))
-      .agg(min(col("c.t")).as("first_peak_us"))
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("conc"), (-col("t")).as("neg_t"))).as("m"))
+      .select(col("event_type"), col("m.conc").as("peak_concurrency"),
+        (-col("m.neg_t")).as("first_peak_us"))
       .orderBy(col("event_type"))
   }
 }

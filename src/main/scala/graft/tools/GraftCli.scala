@@ -115,6 +115,18 @@ object GraftCli {
             case None =>
               System.err.println(s"unknown query '$name' — try `list`"); sys.exit(2)
           }
+        case "explain" =>
+          val name = req("name")
+          graft.SparkEntry.queries.get(name) match {
+            case Some(fn) =>
+              val df = fn(spark, req("data"))
+              // run once so AQE finalizes the real plan (reused
+              // exchanges, runtime join strategies), then print it
+              df.write.format("noop").mode("overwrite").save()
+              println(df.queryExecution.executedPlan.toString)
+            case None =>
+              System.err.println(s"unknown query '$name' — try `list`"); sys.exit(2)
+          }
         case "list" =>
           graft.SparkEntry.queries.keys.toSeq.sorted.foreach(println)
         case other =>
@@ -124,7 +136,7 @@ object GraftCli {
   }
 
   private def usage(): Unit = System.err.println(
-    """usage: GraftCli <backup|watch|restore|prune|query|list> [--config <json>]
+    """usage: GraftCli <backup|watch|restore|prune|query|explain|list> [--config <json>]
       |  backup  --data <dir> --target <directory://...|objectstore://bucket>
       |  watch   --data <dir> --target <url> [--interval '10 seconds'] [--once true]
       |  restore --target <url> [--as-of YYYY-MM-DD] [--dest <dir> [--max-files N]]
