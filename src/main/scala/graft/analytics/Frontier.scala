@@ -54,6 +54,15 @@ object Frontier {
     val d = pts.groupBy(col("spend_c"), col("n_orders"))
       .agg(count(lit(1)).as("n_customers"), min(col("o_custkey")).as("min_custkey"))
       .persist()
+    paretoFrontier(d)
+  }
+
+  /** Frontier kernel over a deduped point frame with long columns
+    * `spend_c` (x, maximised) and `n_orders` (y, maximised); extra
+    * columns ride along. Exposed separately so the bucket-prune logic
+    * is property-testable on arbitrary point sets.
+    */
+  def paretoFrontier(d: DataFrame): DataFrame = {
     val bounds = d.agg(min(col("spend_c")).as("lo"), max(col("spend_c")).as("hi"))
     val bucketed = d.crossJoin(broadcast(bounds))
       .withColumn("b",

@@ -37,6 +37,30 @@ class FrontierZOrderSpec extends GraftSpec {
       "orders strictly increase as spend decreases on a frontier")
   }
 
+  test("paretoFrontier matches brute force on 50 random point sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    (1 to 50).foreach { trial =>
+      val n = 1 + rnd.nextInt(120)
+      // small coordinate ranges force heavy duplicate collapse and
+      // degenerate shapes (all-same-x, all-same-point, single bucket)
+      val xr = 1 + rnd.nextInt(if (trial % 5 == 0) 3 else 1000)
+      val yr = 1 + rnd.nextInt(if (trial % 7 == 0) 2 else 50)
+      val pts = (0 until n).map(i =>
+        (rnd.nextInt(xr).toLong, rnd.nextInt(yr).toLong, i.toLong))
+      val d = pts.toDF("spend_c", "n_orders", "k")
+        .groupBy("spend_c", "n_orders")
+        .agg(count(lit(1)).as("n_customers"), min(col("k")).as("min_custkey"))
+      val got = Frontier.paretoFrontier(d).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dp = pts.map(p => (p._1, p._2)).toSet
+      val brute = dp.filter { case (x, y) =>
+        !dp.exists { case (qx, qy) => qx >= x && qy >= y && (qx > x || qy > y) }
+      }
+      assert(got === brute, s"trial $trial (n=$n xr=$xr yr=$yr)")
+    }
+  }
+
   test("q_max_concurrency matches a single-partition global sweep") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
