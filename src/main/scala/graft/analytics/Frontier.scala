@@ -105,11 +105,19 @@ object Frontier {
     * The peak row is recovered with a broadcast join against the
     * per-type max rather than a whole-partition window.
     */
-  def qMaxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+  def qMaxConcurrency(spark: SparkSession, dir: String): DataFrame =
+    sweepPeaks(Tables.events(spark, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us")))
+
+  /** Sweep kernel over an (event_type, us) frame — separated so the
+    * day-carry stitching is testable on synthetic boundary-straddling
+    * inputs (intervals opened just before midnight must count into
+    * the next day's concurrency via the carry, not the local sum).
+    */
+  def sweepPeaks(ev: DataFrame): DataFrame = {
     // one scan: each event explodes into its (+1 at start, −1 at end)
     // sweep deltas (vs a unionAll of two scans of the source)
-    val deltas = Tables.events(spark, dir)
-      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val deltas = ev
       .select(col("event_type"), explode(array(
         struct(col("us").as("t"), lit(1L).as("delta")),
         struct((col("us") + 300000000L).as("t"), lit(-1L).as("delta")))).as("d"))

@@ -82,6 +82,23 @@ class FrontierZOrderSpec extends GraftSpec {
     assert(got.values.forall(_._1 >= 1L))
   }
 
+  test("sweep day-carry counts intervals opened before midnight into the next day") {
+    import spark.implicits._
+    val day = 86400000000L // us
+    // 3 intervals open at 23:58 (still open after midnight), 2 more
+    // open at 00:01 next day: peak = 5 just after 00:01, carried
+    // across the partition boundary. A second type checks isolation.
+    val ev = Seq(
+      ("a", day - 120000000L), ("a", day - 110000000L), ("a", day - 100000000L),
+      ("a", day + 60000000L), ("a", day + 70000000L),
+      ("b", 1000L)
+    ).toDF("event_type", "us")
+    val got = Frontier.sweepPeaks(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("a") === ((5L, day + 70000000L)))
+    assert(got("b") === ((1L, 1000L)))
+  }
+
   test("z-order layout prunes on BOTH dimensions; linear sort only on one") {
     val out = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
     val zDir = s"$out/z"
