@@ -59,6 +59,7 @@ object SparkEntry {
     "q_rollup" -> (Relational.qRollup(_, _)),
     "q_grouping_sets" -> (Relational.qGroupingSets(_, _)),
     "q_asof_tolerance" -> (Temporal.qAsofTolerance(_, _)),
+    "q_scd2_history" -> (Temporal.qScd2History(_, _)),
     "q_pivot" -> (Relational.qPivot(_, _)),
     "q_percentiles" -> (Relational.qPercentiles(_, _)),
     "q_percentiles_approx" -> (Relational.qPercentilesApprox(_, _)),
@@ -103,6 +104,7 @@ object SparkEntry {
     "q_hll_setops" -> (Relational.qHllSetops(_, _)),
     "q_profile_table" -> (Relational.qProfileTable(_, _)),
     "sync_table_checksum" -> (SyncOps.syncTableChecksum(_, _)),
+    "sync_merkle_diff" -> (SyncOps.syncMerkleDiff(_, _)),
     "q_growth_rate" -> (EventAnalytics.qGrowthRate(_, _)),
     "q_upsert_merge" -> (Relational.qUpsertMerge(_, _)),
     "q_zscore_outliers" -> (EventAnalytics.qZscoreOutliers(_, _)),
@@ -110,6 +112,7 @@ object SparkEntry {
     "q_funnel" -> (EventAnalytics.qFunnel(_, _)),
     "q_transition_matrix" -> (EventAnalytics.qTransitionMatrix(_, _)),
     "q_ewma" -> (EventAnalytics.qEwma(_, _)),
+    "q_time_weighted_avg" -> (EventAnalytics.qTimeWeightedAvg(_, _)),
     "q_dow_profile" -> (EventAnalytics.qDowProfile(_, _)),
     "q_correlation" -> (EventAnalytics.qCorrelation(_, _)),
     "q_having" -> (Relational.qHaving(_, _)),
@@ -159,6 +162,8 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
     "text_ngram_stats" -> (TextAnalysis.textNgramStats(_, _)),
     "text_tfidf" -> (TextAnalysis.textTfidf(_, _)),
+    "text_bm25" -> (TextAnalysis.textBm25(_, _)),
+    "text_pmi" -> (TextAnalysis.textPmi(_, _)),
     "text_winnowing" -> ((s, d) => TextAnalysis.textWinnowing(s, d)),
     "text_bigram_model" -> (TextAnalysis.textBigramModel(_, _)),
     "text_perplexity" -> (TextAnalysis.textPerplexity(_, _)),
@@ -174,6 +179,7 @@ object SparkEntry {
     "text_pack_chunks" -> ((s, d) => graft.text.CorpusOps.textPackChunks(s, d)),
     "text_contamination" -> ((s, d) => graft.text.CorpusOps.textContamination(s, d)),
     "corpus_mixture" -> (graft.text.CorpusOps.corpusMixture(_, _)),
+    "corpus_dsir_select" -> (graft.text.CorpusOps.corpusDsirSelect(_, _)),
     "dedup_url_norm" -> (graft.text.CorpusOps.dedupUrlNorm(_, _)),
     // §2.6 multimodal
     "mm_ingest" -> (Media.mmIngest(_, _)),
@@ -689,6 +695,21 @@ object SparkEntry {
         |    ELSE 0.2 * pow(0.8, n - rn) END) * value), 4) + 0.0 AS ewma_value,
         |  round(avg(value), 4) + 0.0 AS mean_value
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_time_weighted_avg" ->
+      """WITH t AS (SELECT event_type, event_id,
+        |    CAST(round(value * 1000) AS BIGINT) AS v_milli,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |      PARTITION BY event_type ORDER BY ts, event_id) -
+        |      epoch_us(CAST(ts AS TIMESTAMP)) AS dt_us
+        |  FROM events),
+        |g AS (SELECT event_type, count(*) AS n_intervals,
+        |    CAST(sum(dt_us) AS BIGINT) AS total_us,
+        |    sum(CAST(v_milli AS HUGEINT) * dt_us) AS swv
+        |  FROM t WHERE dt_us IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_intervals, total_us,
+        |  round(CAST(swv AS DOUBLE) / total_us / 1000.0, 6) AS twa_value
+        |FROM g ORDER BY event_type""".stripMargin,
     "q_unpivot" ->
       """WITH u AS (
         |  SELECT l_returnflag, 'qty_c' AS measure,
@@ -884,6 +905,37 @@ object SparkEntry {
          |    CAST(size_bytes AS VARCHAR)), 1, 15) AS BIGINT)) AS content_sig,
          |  CAST(sum(size_bytes) AS BIGINT) AS bytes
          |FROM dur GROUP BY cf ORDER BY cf""".stripMargin,
+    "sync_merkle_diff" ->
+      s"""WITH $invCte, $durCte,
+         |repb AS (SELECT cf, path, generation,
+         |    CASE WHEN generation % 97 = 0 THEN size_bytes + 1
+         |         ELSE size_bytes END AS size_bytes
+         |  FROM dur WHERE generation % 101 <> 0),
+         |la AS (SELECT cf,
+         |    CAST('0x' || substr(md5(path), 1, 15) AS BIGINT) % 64 AS bucket,
+         |    count(*) AS a_files,
+         |    bit_xor(CAST('0x' || substr(md5(path || '|' ||
+         |      CAST(generation AS VARCHAR) || '|' ||
+         |      CAST(size_bytes AS VARCHAR)), 1, 15) AS BIGINT)) AS a_sig,
+         |    CAST(sum(size_bytes) AS BIGINT) AS a_bytes
+         |  FROM dur GROUP BY 1, 2),
+         |lb AS (SELECT cf,
+         |    CAST('0x' || substr(md5(path), 1, 15) AS BIGINT) % 64 AS bucket,
+         |    count(*) AS b_files,
+         |    bit_xor(CAST('0x' || substr(md5(path || '|' ||
+         |      CAST(generation AS VARCHAR) || '|' ||
+         |      CAST(size_bytes AS VARCHAR)), 1, 15) AS BIGINT)) AS b_sig
+         |  FROM repb GROUP BY 1, 2)
+         |SELECT COALESCE(la.cf, lb.cf) AS cf,
+         |  COALESCE(la.bucket, lb.bucket) AS bucket,
+         |  a_files, b_files, a_sig, b_sig, a_bytes,
+         |  CASE WHEN b_sig IS NULL THEN 'missing_in_b'
+         |       WHEN a_sig IS NULL THEN 'missing_in_a'
+         |       ELSE 'hash_diverged' END AS status
+         |FROM la FULL OUTER JOIN lb
+         |  ON la.cf = lb.cf AND la.bucket = lb.bucket
+         |WHERE a_sig IS NULL OR b_sig IS NULL OR a_sig <> b_sig
+         |ORDER BY cf, bucket""".stripMargin,
     "q_hll_setops" ->
       """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
         |h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM du),
@@ -1043,6 +1095,28 @@ object SparkEntry {
         |  (1000000 * n_docs) // n_total AS share_ppm,
         |  (1000000 * n_total) // (n_cells * n_docs) AS weight_ppm
         |FROM cells, tot ORDER BY lang, source""".stripMargin,
+    "corpus_dsir_select" ->
+      s"""WITH $toksCte,
+         |tok0 AS (SELECT doc_id, lang, unnest(toks) AS word FROM t),
+         |tok AS (SELECT doc_id, lang,
+         |    CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) % 256 AS bucket
+         |  FROM tok0),
+         |pdb AS (SELECT doc_id, lang, bucket, count(*) AS c
+         |  FROM tok GROUP BY 1, 2, 3),
+         |rawb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS cr FROM pdb GROUP BY 1),
+         |tgtb AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS ct FROM pdb
+         |  WHERE lang = 'en' GROUP BY 1),
+         |tots AS (SELECT CAST(sum(c) AS BIGINT) AS tr,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS tt
+         |  FROM pdb),
+         |lr AS (SELECT rawb.bucket AS bucket,
+         |    CAST(round(ln(((COALESCE(ct, 0) + 1.0) / (tt + 256.0)) /
+         |      ((cr + 1.0) / (tr + 256.0))) * 1000000.0) AS BIGINT) AS lr_micro
+         |  FROM rawb LEFT JOIN tgtb ON rawb.bucket = tgtb.bucket CROSS JOIN tots)
+         |SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_toks,
+         |  CAST(sum(c * lr_micro) AS BIGINT) AS score_micro
+         |FROM pdb JOIN lr ON pdb.bucket = lr.bucket
+         |GROUP BY 1, 2 ORDER BY score_micro DESC, doc_id LIMIT 50""".stripMargin,
     "dedup_url_norm" ->
       """WITH u AS (SELECT doc_id,
         |  (CASE WHEN doc_id % 4 = 0 THEN 'http://' ELSE 'HTTPS://' END) ||
@@ -1705,6 +1779,47 @@ object SparkEntry {
          |SELECT lang, word, tf, df, tfidf, rnk FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, word) AS BIGINT) AS rnk
          |  FROM scored) WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+    "text_pmi" ->
+      s"""WITH $toksCte,
+         |uni AS (SELECT unnest(toks) AS word FROM t),
+         |uc AS (SELECT word, count(*) AS n FROM uni GROUP BY 1),
+         |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram FROM t),
+         |bc AS (SELECT bigram, count(*) AS n_ab FROM b GROUP BY 1
+         |  HAVING count(*) >= 5),
+         |sp AS (SELECT bigram, n_ab,
+         |    string_split(bigram, ' ')[1] AS wa,
+         |    string_split(bigram, ' ')[2] AS wb FROM bc),
+         |nu AS (SELECT CAST(sum(n) AS BIGINT) AS n_uni FROM uc),
+         |nb AS (SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS n_bi
+         |  FROM t)
+         |SELECT sp.bigram AS bigram, n_ab, a.n AS n_a, b2.n AS n_b,
+         |  round(ln((CAST(n_ab AS DOUBLE) / n_bi) /
+         |    ((CAST(a.n AS DOUBLE) / n_uni) *
+         |     (CAST(b2.n AS DOUBLE) / n_uni))), 6) AS pmi
+         |FROM sp JOIN uc a ON sp.wa = a.word JOIN uc b2 ON sp.wb = b2.word
+         |CROSS JOIN nu CROSS JOIN nb
+         |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin,
+    "text_bm25" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS word FROM t),
+         |pd AS (SELECT word, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM pd GROUP BY 1),
+         |df AS (SELECT word, count(*) AS df FROM pd GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS total_toks FROM dl),
+         |q AS (SELECT word, df FROM df ORDER BY df DESC, word LIMIT 3),
+         |scored AS (SELECT q.word AS word, pd.doc_id AS doc_id, pd.tf AS tf,
+         |    dl.dl AS dl,
+         |    round(ln((n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0) *
+         |      (pd.tf * 2.2 / (pd.tf + 1.2 * (0.25 + 0.75 *
+         |        (dl.dl / (CAST(total_toks AS DOUBLE) / n_docs))))), 6) AS bm25
+         |  FROM pd JOIN q ON pd.word = q.word JOIN dl ON pd.doc_id = dl.doc_id
+         |  CROSS JOIN n CROSS JOIN tot)
+         |SELECT word, doc_id, tf, dl, bm25, rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY word
+         |    ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM scored) WHERE rnk <= 10 ORDER BY word, rnk""".stripMargin,
     "mm_phash" ->
       """WITH b AS (SELECT doc_id, list_transform(string_split(text,''), x -> ascii(x)) AS by,
         |             length(text) AS n FROM documents),
@@ -2000,6 +2115,21 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
         |  max(gap_us) AS max_matched_gap_us
         |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_scd2_history" ->
+      """WITH seq AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |chg AS (SELECT * FROM seq WHERE prev IS NULL OR prev <> o_orderpriority)
+        |SELECT o_custkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  o_orderpriority AS priority,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to,
+        |  (lead(o_orderdate) OVER w IS NULL) AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
     "text_quality_filter" ->
       s"""WITH $toksCte,
          |m AS (SELECT doc_id, len(toks) AS ntoks,

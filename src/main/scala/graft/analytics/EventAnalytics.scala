@@ -355,4 +355,32 @@ object EventAnalytics {
       .withColumn("cum_distinct_users", sum(col("n_new")).over(w))
       .orderBy(col("day"))
   }
+
+  /** §2.2#193 — time-weighted average: each reading weighted by how
+    * long it was "current" (gap to the type's next event), the
+    * metric-rollup semantic for irregularly-sampled gauges. One
+    * shuffle (window on event_type), and the weighted sum runs on
+    * integer milli-value × µs-gap products accumulated in
+    * decimal(38,0) — exact at any row count and partition order, so
+    * the only float op is the final single division. The per-type
+    * output is bounded regardless of scale.
+    */
+  def qTimeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("ts"),
+        round(col("value") * 1000).cast("long").as("v_milli"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("dt_us", lead(col("us"), 1).over(w) - col("us"))
+      .filter(col("dt_us").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt_us")).as("total_us"),
+        sum(col("v_milli").cast("decimal(38,0)") * col("dt_us")).as("swv"))
+      .select(col("event_type"), col("n_intervals"), col("total_us"),
+        round(col("swv").cast("double") / col("total_us") / lit(1000.0), 6)
+          .as("twa_value"))
+      .orderBy(col("event_type"))
+  }
 }

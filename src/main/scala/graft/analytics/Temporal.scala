@@ -98,4 +98,31 @@ object Temporal {
       .select(col("user_id_out").as("user_id"), col("e_id").as("event_id"), col("n_prior_5min"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /** §2.2#189 — type-2 slowly-changing-dimension history build: the
+    * warehouse-standard "attribute timeline" (Kimball SCD2). Each
+    * customer's order-priority changes become versioned validity
+    * intervals `[valid_from, valid_to)` with an open current row.
+    * Shape: lag-compare to keep change rows, then version/lead over
+    * the survivors — both windows share the `o_custkey` partitioning,
+    * so the whole history builds in ONE shuffle regardless of scale,
+    * and a 100 TB fact table never joins: the dimension stays
+    * per-key-local.
+    */
+  def qScd2History(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("version"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
 }

@@ -403,4 +403,51 @@ object SyncOps {
         sum(col("size_bytes")).as("bytes"))
       .orderBy(col("cf"))
   }
+
+  /** §2.1#188 — anti-entropy Merkle-range diff. Cassandra repair
+    * compares per-token-range digests between replicas and streams
+    * only the diverging ranges; the reference gets the same effect
+    * per-file by re-uploading when the SHA comparison fails
+    * (`bin/cassandra-syncer` upload path). Spark-first shape: each
+    * replica hashes its rows into 64 token buckets per cf and folds an
+    * order-independent `bit_xor` digest per bucket — a map-side
+    * combinable aggregate, so at 100 TB each replica reduces locally
+    * to 64×|cf| digest rows and the comparison exchanges digests,
+    * never data. Replica B is a deterministic perturbation of the
+    * durable set (generation % 101 lost, % 97 corrupted by one byte),
+    * giving the repair planner real work at every scale factor.
+    */
+  def syncMerkleDiff(spark: SparkSession, dir: String): DataFrame = {
+    val dur = FileInventory.durable(spark, dir)
+    val replicaB = dur
+      .filter(col("generation") % 101 =!= 0)
+      .withColumn("size_bytes",
+        when(col("generation") % 97 === 0, col("size_bytes") + 1)
+          .otherwise(col("size_bytes")))
+    def leafDigests(df: DataFrame, prefix: String): DataFrame = df
+      .withColumn("bucket",
+        conv(substring(md5(col("path")), 1, 15), 16, 10).cast("long") % 64)
+      .withColumn("rh", conv(substring(md5(concat_ws("|",
+        col("path"), col("generation"), col("size_bytes"))), 1, 15), 16, 10)
+        .cast("long"))
+      .groupBy(col("cf"), col("bucket"))
+      .agg(count(lit(1)).as(s"${prefix}_files"),
+        expr("bit_xor(rh)").as(s"${prefix}_sig"),
+        sum(col("size_bytes")).as(s"${prefix}_bytes"))
+    val a = leafDigests(dur, "a").as("a")
+    val b = leafDigests(replicaB, "b").as("b")
+    a.join(b, col("a.cf") === col("b.cf") && col("a.bucket") === col("b.bucket"),
+        "full_outer")
+      .select(
+        coalesce(col("a.cf"), col("b.cf")).as("cf"),
+        coalesce(col("a.bucket"), col("b.bucket")).as("bucket"),
+        col("a_files"), col("b_files"), col("a_sig"), col("b_sig"),
+        col("a_bytes"),
+        when(col("b_sig").isNull, lit("missing_in_b"))
+          .when(col("a_sig").isNull, lit("missing_in_a"))
+          .otherwise(lit("hash_diverged")).as("status"))
+      .filter(col("a_sig").isNull || col("b_sig").isNull ||
+        col("a_sig") =!= col("b_sig"))
+      .orderBy(col("cf"), col("bucket"))
+  }
 }

@@ -138,4 +138,46 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
       .orderBy(col("norm_url"))
   }
+
+  /** §2.5#192 — DSIR-style data selection (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"):
+    * score every document by how much its hashed-n-gram feature
+    * distribution looks like a target domain vs the raw corpus, then
+    * keep the top of the ranking. Features are unigrams hashed into
+    * 256 buckets (md5 — engine-portable); target = the English
+    * subset, raw = everything; each bucket carries an add-1-smoothed
+    * log-likelihood ratio quantized to integer micro-nats, so the
+    * per-document score is an exact BIGINT dot product —
+    * order-independent under any partitioning, no float-sum drift.
+    * Scale shape: the bucket/ratio table is 256 broadcast rows, the
+    * only wide exchange is the tokenize-count shuffle, and the top-50
+    * cut is TakeOrderedAndProject (never a global sort).
+    */
+  def corpusDsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("word")), 1, 15), 16, 10)
+      .cast("long") % 256
+    val pdb = Tables.rebalanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), explode(toks).as("word"))
+      .withColumn("bucket", bucket)
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val rawB = pdb.groupBy(col("bucket")).agg(sum(col("c")).as("cr"))
+    val tgtB = pdb.filter(col("lang") === "en")
+      .groupBy(col("bucket")).agg(sum(col("c")).as("ct"))
+    val totals = pdb.agg(sum(col("c")).as("tr"),
+      sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tt"))
+    val lr = rawB.join(tgtB, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(log(((col("ct") + lit(1.0)) / (col("tt") + lit(256.0))) /
+          ((col("cr") + lit(1.0)) / (col("tr") + lit(256.0)))) * lit(1000000.0))
+          .cast("long").as("lr_micro"))
+    pdb.join(broadcast(lr), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c")).as("n_toks"),
+        sum(col("c") * col("lr_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(50)
+  }
 }

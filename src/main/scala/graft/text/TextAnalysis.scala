@@ -430,4 +430,77 @@ object TextAnalysis {
       .filter(col("rnk") <= 5)
       .orderBy(col("lang"), col("rnk"))
   }
+
+  /** §2.5#191 — PMI collocation mining: pointwise mutual information
+    * `ln(p(ab) / (p(a)·p(b)))` over adjacent word pairs, min count 5,
+    * global top-20. Two linear explodes (unigrams, bigrams) each
+    * partial-aggregate before their one shuffle; corpus totals and the
+    * unigram side of the probability join are broadcast only if small
+    * — here the unigram counts join back on each bigram's two words,
+    * which at 100 TB is a bounded-vocabulary equi-join, not a data
+    * join. Per-row PMI is a single float expression (order-free).
+    */
+  def textPmi(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.rebalanced(Tables.documents(spark, dir))
+      .select(tokensCol(col("text")).as("toks"))
+    val uni = docs.select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val pairsOf = transform(idxSeq(size(col("toks")) - 1),
+      i => struct(element_at(col("toks"), i).as("wa"),
+        element_at(col("toks"), i + 1).as("wb")))
+    val bi = docs.select(explode(pairsOf).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 5)
+    val nUni = uni.agg(sum(col("n")).as("n_uni"))
+    val nBi = docs.select(sum(greatest(size(col("toks")) - 1, lit(0))).as("n_bi"))
+    val a = uni.select(col("word").as("wa"), col("n").as("n_a"))
+    val b = uni.select(col("word").as("wb"), col("n").as("n_b"))
+    bi.join(a, Seq("wa")).join(b, Seq("wb"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+      .select(concat(col("wa"), lit(" "), col("wb")).as("bigram"),
+        col("n_ab"), col("n_a"), col("n_b"),
+        round(log((col("n_ab").cast("double") / col("n_bi")) /
+          ((col("n_a").cast("double") / col("n_uni")) *
+            (col("n_b").cast("double") / col("n_uni")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(20)
+  }
+
+  /** §2.5#190 — Okapi BM25 retrieval scoring (k1=1.2, b=0.75) for the
+    * three highest-df query terms: top-10 docs per term. Same
+    * single-shuffle (word, doc) aggregate as [[textTfidf]]; doc
+    * length and document frequency both derive from that compact
+    * relation, the query-term set and corpus stats are broadcast
+    * (3 rows / 1 row), and the rank cut is a per-term window — so the
+    * only wide exchange at 100 TB is the tokenize-count shuffle. The
+    * per-row score is one float expression (no float aggregation), so
+    * engine-order independence is free.
+    */
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.rebalanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("word"))
+    val perDoc = tok.groupBy(col("word"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = perDoc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = perDoc.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val tot = dl.agg(sum(col("dl")).as("total_toks"))
+    val qterms = df.orderBy(col("df").desc, col("word")).limit(3)
+    val avgdl = col("total_toks").cast("double") / col("n_docs")
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val norm = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl)))
+    val w = Window.partitionBy(col("word"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    perDoc.join(broadcast(qterms), Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(tot))
+      .select(col("word"), col("doc_id"), col("tf"), col("dl"),
+        round(idf * norm, 6).as("bm25"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .orderBy(col("word"), col("rnk"))
+  }
 }
