@@ -156,18 +156,23 @@ object CorpusOps {
   def corpusDsirSelect(spark: SparkSession, dir: String): DataFrame = {
     val bucket = conv(substring(md5(col("word")), 1, 15), 16, 10)
       .cast("long") % 256
+    // the tokenize-explode shuffle is the only expensive pass: persist
+    // its compact (doc, bucket) aggregate so the ratio estimation and
+    // the scoring join both reuse it instead of re-tokenizing (pdb is
+    // ~|docs|×occupied-buckets rows — tiny next to the token stream)
     val pdb = Tables.rebalanced(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"), explode(toks).as("word"))
       .withColumn("bucket", bucket)
       .groupBy(col("doc_id"), col("lang"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-    val rawB = pdb.groupBy(col("bucket")).agg(sum(col("c")).as("cr"))
-    val tgtB = pdb.filter(col("lang") === "en")
-      .groupBy(col("bucket")).agg(sum(col("c")).as("ct"))
-    val totals = pdb.agg(sum(col("c")).as("tr"),
-      sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("tt"))
-    val lr = rawB.join(tgtB, Seq("bucket"), "left")
-      .na.fill(0L, Seq("ct"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // raw and target bucket counts in ONE pass; corpus totals fold
+    // from the 256-row bucket table, not from another data scan
+    val bstats = pdb.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("cr"),
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"))
+    val totals = bstats.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val lr = bstats
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
         round(log(((col("ct") + lit(1.0)) / (col("tt") + lit(256.0))) /

