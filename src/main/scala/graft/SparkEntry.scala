@@ -105,6 +105,9 @@ object SparkEntry {
     "q_profile_table" -> (Relational.qProfileTable(_, _)),
     "sync_table_checksum" -> (SyncOps.syncTableChecksum(_, _)),
     "sync_merkle_diff" -> (SyncOps.syncMerkleDiff(_, _)),
+    "sync_tombstone_gc" -> ((s, d) => SyncOps.syncTombstoneGc(s, d)),
+    "graph_kcore" -> ((s, d) => graft.graph.GraphOps.graphKcore(s, d)),
+    "q_dp_counts" -> (EventAnalytics.qDpCounts(_, _)),
     "q_growth_rate" -> (EventAnalytics.qGrowthRate(_, _)),
     "q_upsert_merge" -> (Relational.qUpsertMerge(_, _)),
     "q_zscore_outliers" -> (EventAnalytics.qZscoreOutliers(_, _)),
@@ -936,6 +939,35 @@ object SparkEntry {
          |  ON la.cf = lb.cf AND la.bucket = lb.bucket
          |WHERE a_sig IS NULL OR b_sig IS NULL OR a_sig <> b_sig
          |ORDER BY cf, bucket""".stripMargin,
+    "sync_tombstone_gc" ->
+      """WITH cells AS (SELECT CAST(user_id % 50 AS BIGINT) AS row_key,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id AS generation,
+        |    (event_type = 'error') AS tombstone FROM events),
+        |cut AS (SELECT max(ts_us) - 604800000000 AS cutoff_us FROM cells),
+        |m AS (SELECT *, max(CASE WHEN tombstone THEN generation END)
+        |    OVER (PARTITION BY row_key) AS mtg FROM cells),
+        |g AS (SELECT row_key, count(*) AS n_cells,
+        |    CAST(sum(CASE WHEN tombstone THEN 1 ELSE 0 END) AS BIGINT) AS n_tombstones,
+        |    CAST(sum(CASE WHEN mtg IS NOT NULL AND generation < mtg
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_shadowed,
+        |    max(CASE WHEN generation = mtg THEN ts_us END) AS tomb_ts_us
+        |  FROM m GROUP BY 1)
+        |SELECT row_key, n_cells, n_tombstones, n_shadowed,
+        |  (tomb_ts_us IS NOT NULL AND tomb_ts_us < cutoff_us) AS tomb_purged,
+        |  n_cells - n_shadowed - (CASE WHEN tomb_ts_us IS NOT NULL
+        |    AND tomb_ts_us < cutoff_us THEN 1 ELSE 0 END) AS n_after_gc
+        |FROM g CROSS JOIN cut ORDER BY row_key""".stripMargin,
+    "q_dp_counts" ->
+      """WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS n_true FROM events GROUP BY 1, 2),
+        |u AS (SELECT *, ((CAST('0x' || substr(md5(event_type || '|' ||
+        |    CAST(day AS VARCHAR)), 1, 15) AS BIGINT) % 1000000) + 0.5)
+        |    / 1000000.0 AS uu FROM c),
+        |x AS (SELECT *, uu - 0.5 AS xx FROM u)
+        |SELECT event_type, day, n_true,
+        |  round(n_true + 2.0 * ((CASE WHEN xx < 0 THEN 1.0 ELSE -1.0 END) *
+        |    ln(1.0 - 2.0 * abs(xx))), 4) AS n_released
+        |FROM x ORDER BY event_type, day""".stripMargin,
     "q_hll_setops" ->
       """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
         |h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM du),
@@ -1361,6 +1393,7 @@ object SparkEntry {
     "graph_degree_hist" -> graft.graph.GraphOps.degreeHistOracleSql,
     "graph_triangles" -> graft.graph.GraphOps.trianglesOracleSql,
     "graph_pagerank" -> graft.graph.GraphOps.pagerankOracleSql(),
+    "graph_kcore" -> graft.graph.GraphOps.kcoreOracleSql(),
     "graph_bfs_layers" -> graft.graph.GraphOps.bfsOracleSql(),
     "text_zipf_fit" ->
       """WITH tok AS (SELECT lang,

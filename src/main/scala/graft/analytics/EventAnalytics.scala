@@ -365,6 +365,33 @@ object EventAnalytics {
     * the only float op is the final single division. The per-type
     * output is bounded regardless of scale.
     */
+  /** §2.2#196 — differentially-private-style count release: per
+    * (event_type, day) counts plus Laplace(b=2) noise drawn via the
+    * inverse CDF from a uniform that is *deterministically* derived
+    * from the cell key (md5 → [0,1)), so the release is reproducible
+    * and oracle-checkable while exercising the exact DP mechanism
+    * shape (hash→uniform→inverse-CDF is also how a production
+    * pipeline gets per-key stable noise without a stateful RNG).
+    * Pure partial-agg + narrow float expression; no extra shuffle
+    * beyond the count itself.
+    */
+  def qDpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val day = to_date(col("ts"))
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n_true"))
+    val u = ((conv(substring(md5(concat(col("event_type"), lit("|"),
+      col("day").cast("string"))), 1, 15), 16, 10).cast("long") % 1000000)
+      .cast("double") + lit(0.5)) / lit(1000000.0)
+    val x = u - lit(0.5)
+    val noise = when(x < 0, lit(1.0)).otherwise(lit(-1.0)) *
+      log(lit(1.0) - lit(2.0) * abs(x))
+    counts
+      .select(col("event_type"), col("day"), col("n_true"),
+        round(col("n_true") + lit(2.0) * noise, 4).as("n_released"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   def qTimeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))

@@ -181,6 +181,65 @@ object GraphOps {
     sb.toString
   }
 
+  /** §2.3#194 — k-core peeling profile: repeatedly drop nodes of
+    * degree < k and restrict the edge list to survivors, a fixed
+    * number of rounds (the dense-community filter used to pick
+    * high-connectivity dup clusters). Each round is one partial-agg
+    * degree count plus two semi-joins — work shrinks with the
+    * surviving subgraph, nothing driver-resident but two per-round
+    * scalars, lineage cut per round like the CC/PageRank loops. Fixed
+    * rounds keep it a deterministic function the oracle unrolls.
+    */
+  def graphKcore(spark: SparkSession, dir: String, k: Int = 3,
+      rounds: Int = 4): DataFrame = {
+    import spark.implicits._
+    val p = pairs(spark, dir)
+    var edges = p.select(col("doc_a").as("s"), col("doc_b").as("t"))
+      .union(p.select(col("doc_b").as("s"), col("doc_a").as("t")))
+      .localCheckpoint()
+    val profile = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var r = 1
+    while (r <= rounds) {
+      val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("d"))
+        .localCheckpoint()
+      val keep = deg.filter(col("d") >= k).select(col("s").as("node"))
+        .localCheckpoint()
+      val nKeep = keep.count()
+      val nRemoved = deg.count() - nKeep
+      edges = edges
+        .join(keep.select(col("node").as("ks")), col("s") === col("ks"), "left_semi")
+        .join(keep.select(col("node").as("kt")), col("t") === col("kt"), "left_semi")
+        .localCheckpoint()
+      profile += ((r.toLong, nRemoved, nKeep))
+      r += 1
+    }
+    profile.toSeq.toDF("round", "n_removed", "n_remaining")
+  }
+
+  /** DuckDB oracle for [[graphKcore]] — the same peel rounds unrolled. */
+  def kcoreOracleSql(k: Int = 3, rounds: Int = 4): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH " + Dedup.candOracleBody
+    sb ++= """,
+             |ed0 AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM cand
+             |  UNION ALL SELECT doc_b AS s, doc_a AS t FROM cand)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+                |deg$r AS MATERIALIZED (SELECT s, count(*) AS d FROM ed${r - 1} GROUP BY 1),
+                |keep$r AS MATERIALIZED (SELECT s AS node FROM deg$r WHERE d >= $k),
+                |stat$r AS (SELECT CAST($r AS BIGINT) AS round,
+                |  (SELECT count(*) FROM deg$r WHERE d < $k) AS n_removed,
+                |  (SELECT count(*) FROM keep$r) AS n_remaining),
+                |ed$r AS MATERIALIZED (SELECT ed.s AS s, ed.t AS t FROM ed${r - 1} ed
+                |  WHERE ed.s IN (SELECT node FROM keep$r)
+                |    AND ed.t IN (SELECT node FROM keep$r))""".stripMargin
+    }
+    sb ++= "\n|SELECT round, n_removed, n_remaining FROM (".stripMargin
+    sb ++= (1 to rounds).map(r => s"SELECT * FROM stat$r").mkString(" UNION ALL ")
+    sb ++= ") ORDER BY round"
+    sb.toString
+  }
+
   /** DuckDB oracle for [[graphTriangles]]. */
   def trianglesOracleSql: String =
     "WITH " + Dedup.candOracleBody +

@@ -417,6 +417,47 @@ object SyncOps {
     * durable set (generation % 101 lost, % 97 corrupted by one byte),
     * giving the repair planner real work at every scale factor.
     */
+  /** §2.1#195 — tombstone GC (Cassandra `gc_grace_seconds`
+    * compaction semantics) over the LWW cell model of
+    * [[syncLwwMerge]]: cells shadowed by a row's newest tombstone are
+    * dropped, and the tombstone itself is purged once it is older
+    * than the grace window (cutoff = corpus max write time − grace).
+    * One shuffle: the window max and the per-row aggregate share the
+    * `row_key` partitioning; the cutoff is a broadcast scalar, never
+    * a driver round-trip.
+    */
+  def syncTombstoneGc(spark: SparkSession, dir: String,
+      graceDays: Int = 7): DataFrame = {
+    val cells = graft.sources.Tables.events(spark, dir)
+      .select((col("user_id") % 50).cast("long").as("row_key"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").as("generation"),
+        (col("event_type") === "error").as("tombstone"))
+    val cut = cells.agg(
+      (max(col("ts_us")) - lit(graceDays.toLong * 86400L * 1000000L))
+        .as("cutoff_us"))
+    val w = Window.partitionBy(col("row_key"))
+    cells
+      .withColumn("mtg",
+        max(when(col("tombstone"), col("generation"))).over(w))
+      .groupBy(col("row_key"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("tombstone"), 1L).otherwise(0L)).as("n_tombstones"),
+        sum(when(col("mtg").isNotNull && col("generation") < col("mtg"), 1L)
+          .otherwise(0L)).as("n_shadowed"),
+        max(when(col("generation") === col("mtg"), col("ts_us")))
+          .as("tomb_ts_us"))
+      .crossJoin(broadcast(cut))
+      .select(col("row_key"), col("n_cells"), col("n_tombstones"),
+        col("n_shadowed"),
+        (col("tomb_ts_us").isNotNull && col("tomb_ts_us") < col("cutoff_us"))
+          .as("tomb_purged"),
+        (col("n_cells") - col("n_shadowed") -
+          when(col("tomb_ts_us").isNotNull && col("tomb_ts_us") < col("cutoff_us"), 1L)
+            .otherwise(0L)).as("n_after_gc"))
+      .orderBy(col("row_key"))
+  }
+
   def syncMerkleDiff(spark: SparkSession, dir: String): DataFrame = {
     val dur = FileInventory.durable(spark, dir)
     val replicaB = dur

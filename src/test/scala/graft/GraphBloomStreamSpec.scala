@@ -54,4 +54,21 @@ class GraphBloomStreamSpec extends GraftSpec {
     val batch = Relational.qSessionWindow(spark, sf).collect()
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
+
+  test("k-core peel: survivors never grow, and every survivor of a settled round keeps degree >= k") {
+    val prof = GraphOps.graphKcore(spark, sf).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("n_removed"),
+        r.getAs[Long]("n_remaining"))).sortBy(_._1)
+    assert(prof.length === 4)
+    prof.sliding(2).foreach {
+      case Array((_, _, rem1), (_, removed2, rem2)) =>
+        assert(rem2 <= rem1, "survivor count grew between rounds")
+        assert(removed2 >= 0)
+      case _ =>
+    }
+    // if the peel settled (last round removed nothing), the survivor
+    // count is a fixpoint of the degree->=k filter
+    val last = prof.last
+    if (last._2 === 0L) assert(last._3 === prof(prof.length - 2)._3)
+  }
 }

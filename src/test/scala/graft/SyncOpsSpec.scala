@@ -103,4 +103,26 @@ class SyncOpsSpec extends GraftSpec {
     }
     diff.unpersist()
   }
+
+  test("tombstone GC: rows without tombstones are untouched; LWW survivors survive GC") {
+    val gc = SyncOps.syncTombstoneGc(spark, sf).collect()
+      .map(r => r.getAs[Long]("row_key") -> r).toMap
+    assert(gc.nonEmpty)
+    gc.values.foreach { r =>
+      if (r.getAs[Long]("n_tombstones") === 0L) {
+        assert(r.getAs[Long]("n_shadowed") === 0L)
+        assert(!r.getAs[Boolean]("tomb_purged"))
+        assert(r.getAs[Long]("n_after_gc") === r.getAs[Long]("n_cells"))
+      }
+      assert(r.getAs[Long]("n_after_gc") >= 0L)
+      assert(r.getAs[Long]("n_shadowed") + r.getAs[Long]("n_after_gc") <=
+        r.getAs[Long]("n_cells"))
+    }
+    // any row the LWW merge reports live (latest cell is a write, not a
+    // tombstone) must keep at least that cell after GC
+    SyncOps.syncLwwMerge(spark, sf).collect().foreach { lww =>
+      val rk = lww.getAs[Long]("row_key")
+      assert(gc(rk).getAs[Long]("n_after_gc") >= 1L, s"row $rk lost its live cell")
+    }
+  }
 }
