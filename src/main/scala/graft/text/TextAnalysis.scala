@@ -393,9 +393,12 @@ object TextAnalysis {
       .select(col("lang"), col("doc_id"), explode(tokensCol(col("text"))).as("word"))
     // one shuffle over the exploded stream; tf and df both derive
     // from the compact (word, doc) aggregate (doc determines lang, so
-    // (word, doc_id) is unique and df is a plain count)
+    // (word, doc_id) is unique and df is a plain count). Persisted:
+    // it has two consumers, and re-deriving it means re-tokenizing
+    // the whole corpus — the one pass that actually costs at 100 TB.
     val perDoc = tok.groupBy(col("word"), col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = perDoc.groupBy(col("lang"), col("word")).agg(sum(col("c")).as("tf"))
     val df = perDoc.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
@@ -443,17 +446,24 @@ object TextAnalysis {
   def textPmi(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.rebalanced(Tables.documents(spark, dir))
       .select(tokensCol(col("text")).as("toks"))
+    // unigram counts feed three consumers (both sides of the
+    // probability join + the corpus total) and bigram counts two (the
+    // pair set + the pair total): persist both compact aggregates so
+    // the corpus is tokenized exactly twice (once per n-gram order),
+    // never once per consumer
     val uni = docs.select(explode(col("toks")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairsOf = transform(idxSeq(size(col("toks")) - 1),
       i => struct(element_at(col("toks"), i).as("wa"),
         element_at(col("toks"), i + 1).as("wb")))
-    val bi = docs.select(explode(pairsOf).as("p"))
+    val biAll = docs.select(explode(pairsOf).as("p"))
       .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
       .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bi = biAll.filter(col("n_ab") >= 5)
     val nUni = uni.agg(sum(col("n")).as("n_uni"))
-    val nBi = docs.select(sum(greatest(size(col("toks")) - 1, lit(0))).as("n_bi"))
+    val nBi = biAll.agg(sum(col("n_ab")).as("n_bi"))
     val a = uni.select(col("word").as("wa"), col("n").as("n_a"))
     val b = uni.select(col("word").as("wb"), col("n").as("n_b"))
     bi.join(a, Seq("wa")).join(b, Seq("wb"))
@@ -480,8 +490,12 @@ object TextAnalysis {
   def textBm25(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.rebalanced(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("word"))
+    // four consumers (dl, df, the scoring join, corpus totals) hang
+    // off this compact aggregate: persist it so the corpus is
+    // tokenized exactly once
     val perDoc = tok.groupBy(col("word"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = perDoc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = perDoc.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
