@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{EventAnalytics, Frontier, Relational, Temporal, TypedAggs, Windows}
+import graft.analytics.{EventAnalytics, Frontier, Relational, Stats, Temporal, TypedAggs, Windows}
 import graft.dedup.Dedup
 import graft.multimodal.Media
 import graft.plans.TopK
@@ -99,6 +99,10 @@ object SparkEntry {
     "q_percent_of_total" -> (Relational.qPercentOfTotal(_, _)),
     "q_fuzzy_join" -> (Relational.qFuzzyJoin(_, _)),
     "q_chi_square" -> (EventAnalytics.qChiSquare(_, _)),
+    "q_linreg" -> (Stats.qLinreg(_, _)),
+    "q_ks_test" -> (Stats.qKsTest(_, _)),
+    "q_mutual_info" -> (Stats.qMutualInfo(_, _)),
+    "q_cms_estimate" -> (Stats.qCmsEstimate(_, _)),
     "q_user_entropy" -> (EventAnalytics.qUserEntropy(_, _)),
     "q_event_pattern" -> (EventAnalytics.qEventPattern(_, _)),
     "q_hll_setops" -> (Relational.qHllSetops(_, _)),
@@ -1061,6 +1065,71 @@ object SparkEntry {
         |    + 0.0 AS entropy_bits
         |FROM c JOIN t ON c.user_id = t.user_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_linreg" ->
+      """WITH s AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) - 20000
+        |      AS DOUBLE) AS x, value AS y
+        |  FROM events),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM s GROUP BY 1)
+        |SELECT event_type, n AS n_events,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+        |    AS intercept,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+        |FROM a ORDER BY event_type""".stripMargin,
+    "q_ks_test" ->
+      """WITH cells AS (SELECT event_type, value, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |vals AS (SELECT value, CAST(sum(c) AS BIGINT) AS c_all
+        |  FROM cells GROUP BY 1),
+        |grid AS (SELECT t.event_type, v.value, v.c_all, coalesce(c.c, 0) AS c
+        |  FROM vals v CROSS JOIN (SELECT DISTINCT event_type FROM cells) t
+        |  LEFT JOIN cells c ON c.event_type = t.event_type AND c.value = v.value),
+        |cum AS (SELECT event_type, value, c_all,
+        |    CAST(sum(c) OVER w AS BIGINT) AS cum_t,
+        |    CAST(sum(c_all) OVER w AS BIGINT) AS cum_all
+        |  FROM grid WINDOW w AS (PARTITION BY event_type ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT event_type, max(cum_t) AS n_t, max(cum_all) AS n
+        |  FROM cum GROUP BY 1)
+        |SELECT cum.event_type AS event_type, CAST(max(n_t) AS BIGINT) AS n_events,
+        |  round(max(abs(CAST(cum_t AS DOUBLE) / n_t
+        |    - CAST(cum_all - cum_t AS DOUBLE) / (n - n_t))), 4) AS ks_d
+        |FROM cum JOIN tot USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mutual_info" ->
+      """WITH obs AS (SELECT event_type,
+        |    CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7
+        |      AS BIGINT) AS dow, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS row_n FROM obs GROUP BY 1),
+        |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS col_n FROM obs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs)
+        |SELECT obs.event_type AS event_type, CAST(sum(o) AS BIGINT) AS n_events,
+        |  round(sum((CAST(o AS DOUBLE) / n)
+        |    * log2(CAST(o AS DOUBLE) * n
+        |      / (CAST(row_n AS DOUBLE) * col_n))), 4) AS mi_bits
+        |FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cms_estimate" ->
+      """WITH d AS (SELECT * FROM (VALUES
+        |    (0, 1103, 12345), (1, 12289, 67), (2, 331, 999331), (3, 8191, 271))
+        |    AS t(depth, a, b)),
+        |counters AS (SELECT depth,
+        |    ((user_id * a + b) % 2147483647) % 256 AS bucket, count(*) AS c
+        |  FROM events CROSS JOIN d GROUP BY 1, 2),
+        |top AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+        |  FROM events GROUP BY 1 ORDER BY exact_n DESC, user_id LIMIT 20)
+        |SELECT t.user_id AS user_id, t.exact_n AS exact_n,
+        |  CAST(min(c.c) AS BIGINT) AS cms_n
+        |FROM top t CROSS JOIN d
+        |JOIN counters c ON c.depth = d.depth
+        |  AND c.bucket = ((t.user_id * d.a + d.b) % 2147483647) % 256
+        |GROUP BY 1, 2 ORDER BY exact_n DESC, user_id""".stripMargin,
     "q_window_time_range" ->
       """WITH t AS (SELECT user_id, event_id,
         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,

@@ -1,0 +1,155 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Distributed statistics operators (SURVEY.md §2.2) — closed-form
+  * regression, distribution comparison, dependence measures, and a
+  * mergeable count-min sketch. Every shape reduces the fact table to
+  * a compact sufficient-statistic aggregate in ONE partial-agg pass
+  * (map-side combinable), then finishes on the tiny aggregate; none
+  * of them re-scan or sort raw rows, so each survives a 100× scale-up
+  * unchanged.
+  */
+object Stats {
+
+  /** §2.2 `q_linreg` — per-event-type OLS of value on the day index,
+    * closed form from the five sufficient statistics (n, Σx, Σy, Σxy,
+    * Σx², Σy²) collected in one partial-aggregated pass. x is centered
+    * on day 20000 (~2014) so the normal-equation cross terms stay far
+    * inside double's exact-integer range — the naive epoch-day sums
+    * put n·Σx² near 2^55 where engine-dependent summation order would
+    * flip rounded digits.
+    */
+  def qLinreg(spark: SparkSession, dir: String): DataFrame = {
+    val x = (datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) - 20000)
+      .cast("double")
+    val n = col("n").cast("double")
+    val varX = n * col("sxx") - col("sx") * col("sx")
+    val covXY = n * col("sxy") - col("sx") * col("sy")
+    val varY = n * col("syy") - col("sy") * col("sy")
+    Tables.events(spark, dir)
+      .select(col("event_type"), x.as("x"), col("value").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"),
+        col("n").as("n_events"),
+        round(covXY / varX, 4).as("slope"),
+        round((col("sy") - (covXY / varX) * col("sx")) / n, 4).as("intercept"),
+        round((covXY * covXY) / (varX * varY), 4).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
+  /** §2.2 `q_ks_test` — two-sample Kolmogorov–Smirnov distance of
+    * each event type's value distribution against all other types.
+    * The scan collapses to per-(type, value) cells first (values are
+    * cent-quantized in this corpus; a continuous column would be
+    * quantized here the same way), the cell set is densified over the
+    * bounded type dimension, and both empirical CDFs are one window
+    * cumsum over the compact cells — the raw fact rows are never
+    * sorted. D is a max of exact integer-ratio differences, so the
+    * result is bit-deterministic.
+    */
+  def qKsTest(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val types = cells.select(col("event_type")).distinct()
+    val values = cells.groupBy(col("value")).agg(sum(col("c")).as("c_all"))
+    // dense (type × value) grid: |types| is bounded, so this explode
+    // is a constant-factor blowup of the compact cell set, not of the
+    // fact table
+    val grid = values.crossJoin(broadcast(types))
+      .join(cells, Seq("event_type", "value"), "left")
+      .na.fill(0L, Seq("c"))
+    val wCdf = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("cum_t", sum(col("c")).over(wCdf))
+      .withColumn("cum_all", sum(col("c_all")).over(wCdf))
+    val totals = cum.groupBy(col("event_type"))
+      .agg(max(col("cum_t")).as("n_t"), max(col("cum_all")).as("n"))
+    cum.join(broadcast(totals), Seq("event_type"))
+      .select(col("event_type"), col("n_t"),
+        abs(col("cum_t").cast("double") / col("n_t") -
+          (col("cum_all") - col("cum_t")).cast("double") /
+            (col("n") - col("n_t"))).as("d"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_t")).as("n_events"), round(max(col("d")), 4).as("ks_d"))
+      .orderBy(col("event_type"))
+  }
+
+  /** §2.2 `q_mutual_info` — mutual information (bits) between event
+    * type and day-of-week, reported as each type's contribution
+    * p(x)·KL(p(dow|x) ‖ p(dow)) — non-negative by Gibbs' inequality,
+    * summing to I(type; dow). Same shape as `q_chi_square`: ONE pass
+    * builds the ≤|types|×7 contingency table, marginals are window
+    * sums over those few rows.
+    */
+  def qMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val dow = ((datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) + 3) % 7)
+      .cast("long")
+    val obs = Tables.events(spark, dir)
+      .select(col("event_type"), dow.as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    obs
+      .withColumn("row_n", sum(col("o")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("col_n", sum(col("o")).over(Window.partitionBy(col("dow"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("contrib",
+        (col("o").cast("double") / col("n")) *
+          log2(col("o").cast("double") * col("n") /
+            (col("row_n").cast("double") * col("col_n"))))
+      .groupBy(col("event_type"))
+      .agg(sum(col("o")).as("n_events"), round(sum(col("contrib")), 4).as("mi_bits"))
+      .orderBy(col("event_type"))
+  }
+
+  // CMS geometry: d=4 pairwise-independent-ish integer hash rows of
+  // w=256 counters. The (a·k + b) mod p mod w family is chosen over a
+  // digest because it is pure 64-bit integer arithmetic, so the exact
+  // same counters are reproducible in any engine (the oracle mirrors
+  // it verbatim).
+  private val CmsP = 2147483647L
+  private val CmsW = 256
+  private val CmsA = Seq(1103L, 12289L, 331L, 8191L)
+  private val CmsB = Seq(12345L, 67L, 999331L, 271L)
+
+  private def cmsBucket(d: Int, key: org.apache.spark.sql.Column) =
+    ((key * CmsA(d) + CmsB(d)) % CmsP) % CmsW
+
+  /** §2.2 `q_cms_estimate` — count-min sketch over user ids: the
+    * whole fact table folds into a d×w=1024-cell counter table in one
+    * map-side-combinable aggregation (the sketch is a monoid — per-
+    * partition sketches merge by cell-wise +), then the 20 heaviest
+    * users' estimates are min-over-depth lookups against the
+    * broadcast counters. cms_n ≥ exact_n always; equality whenever no
+    * bucket collision. This is the 100 TB heavy-hitter shape: the
+    * shuffle carries 1024 rows no matter the input size.
+    */
+  def qCmsEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val hashes = array((0 until CmsA.length).map(d =>
+      struct(lit(d).as("depth"), cmsBucket(d, col("user_id")).as("bucket"))): _*)
+    val counters = ev.select(explode(hashes).as("h"))
+      .select(col("h.depth").as("depth"), col("h.bucket").as("bucket"))
+      .groupBy(col("depth"), col("bucket")).agg(count(lit(1)).as("c"))
+    val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id")).limit(20)
+    top.select(col("user_id"), col("exact_n"), explode(hashes).as("h"))
+      .select(col("user_id"), col("exact_n"),
+        col("h.depth").as("depth"), col("h.bucket").as("bucket"))
+      .join(broadcast(counters), Seq("depth", "bucket"))
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("c")).as("cms_n"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Stats
+import graft.sources.Tables
+
+/** Mathematical invariants of the distributed-statistics operators
+  * that the value-level DuckDB oracle doesn't express.
+  */
+class StatsSpec extends GraftSpec {
+
+  test("linreg: r2 in [0,1] and the fitted line passes through each type's (x̄, ȳ)") {
+    val rows = Stats.qLinreg(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val r2 = r.getDouble(4)
+      assert(r2 >= 0.0 && r2 <= 1.0, s"${r.getString(0)}: r2=$r2")
+    }
+    // slope·x̄ + intercept ≈ ȳ (the OLS normal equations force this)
+    val means = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(avg(datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) - 20000)
+        .as("mx"), avg(col("value")).as("my"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (mx, my) = means(r.getString(0))
+      val fitted = r.getDouble(2) * mx + r.getDouble(3)
+      assert(math.abs(fitted - my) < 0.01,
+        s"${r.getString(0)}: fitted mean $fitted vs actual $my")
+    }
+  }
+
+  test("ks test: D in [0,1], and identical-sample D would be 0") {
+    val rows = Stats.qKsTest(spark, sf).collect()
+    assert(rows.length >= 2)
+    rows.foreach { r =>
+      val d = r.getDouble(2)
+      assert(d >= 0.0 && d <= 1.0, s"${r.getString(0)}: ks_d=$d")
+    }
+    // n_events per type must account for the whole fact table
+    val total = rows.map(_.getLong(1)).sum
+    assert(total === Tables.events(spark, sf).count())
+  }
+
+  test("mutual info: each per-type contribution is non-negative (Gibbs)") {
+    val rows = Stats.qMutualInfo(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // p(x)·KL(p(dow|x) ‖ p(dow)) ≥ 0; rounding can dip 1 ulp below 0
+      assert(r.getDouble(2) >= -1e-4, s"${r.getString(0)}: mi=${r.getDouble(2)}")
+    }
+  }
+
+  test("cms estimate: never undercounts, and is exact absent collisions") {
+    val rows = Stats.qCmsEstimate(spark, sf).collect()
+    val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(rows.length === math.min(20L, nUsers))
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"user ${r.getLong(0)}: cms ${r.getLong(2)} < exact ${r.getLong(1)}")
+    }
+    // the sketch's total mass per depth equals the event count, so the
+    // mean overestimate is bounded by n/w per collision row
+    val n = Tables.events(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(2) - r.getLong(1) <= n,
+        s"user ${r.getLong(0)}: overestimate exceeds table size")
+    }
+  }
+}
