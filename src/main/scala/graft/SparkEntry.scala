@@ -203,6 +203,7 @@ object SparkEntry {
     "stream_change_feed" -> (StreamWatcher.streamChangeFeedQuery(_, _)),
     "stream_interval_join" -> (StreamWatcher.streamIntervalJoinQuery(_, _)),
     "stream_dedup" -> (StreamWatcher.streamDedupQuery(_, _)),
+    "stream_static_join" -> (StreamWatcher.streamStaticJoinQuery(_, _)),
     "stream_append_windows" -> (StreamWatcher.streamAppendWindowsQuery(_, _)),
     "stream_late_drop" -> (StreamWatcher.streamLateDropQuery(_, _)),
     "stream_fb_upsert" -> (StreamWatcher.streamForeachBatchUpsert(_, _)),
@@ -2293,6 +2294,11 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_type, count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "stream_static_join" ->
+      """SELECT n.n_name AS n_name, count(*) AS n_events,
+        |  round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_interval_join" ->
       """WITH p AS (SELECT user_id, event_id AS purchase_id,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS p_us FROM events WHERE event_type = 'purchase'),

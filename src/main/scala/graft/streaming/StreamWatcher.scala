@@ -291,6 +291,35 @@ object StreamWatcher {
     replayToBatch(intervalJoinStream(spark, dir), "append")
       .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
 
+  /** Stream-static enrichment join: the event stream joined to the
+    * (small, slowly-changing) nation dimension read as a plain batch
+    * table. Spark broadcasts the static side into every micro-batch —
+    * no state store, no watermark, and the dim is re-resolvable per
+    * batch (picking up dim updates between triggers). This is THE
+    * shape for enriching a 100 TB/day stream with reference data; the
+    * stateful alternative (stream-stream join against a dim
+    * changelog) costs a state store for no benefit when the dim fits
+    * in a broadcast.
+    */
+  def staticJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    val nation = broadcast(
+      graft.sources.Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name")))
+    eventStream(spark, dir)
+      .withColumn("n_key", (col("user_id") % 25).cast("int"))
+      .join(nation, col("n_key") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** §2.7 oracle surface: the stream-static join replayed — must
+    * equal the same enrichment computed in batch.
+    */
+  def streamStaticJoinQuery(spark: SparkSession, dir: String): DataFrame =
+    replayToBatch(staticJoinStream(spark, dir), "complete")
+      .orderBy(col("n_name"))
+
   /** Append-mode hourly windows: a window row is emitted exactly once,
     * when the watermark passes its end (the sink-friendly mode for
     * append-only stores — no in-place updates downstream). On a

@@ -212,4 +212,26 @@ class StreamingSpec extends GraftSpec {
     assert(keptExact.toDouble / late.length > 0.95, s"$keptExact of ${late.length} windows intact")
     assert(lateHours.nonEmpty)
   }
+
+  test("stream-static join is stateless and matches the batch enrichment") {
+    val streamed = StreamWatcher.streamStaticJoinQuery(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+    val batch = graft.sources.Tables.events(spark, sf)
+      .withColumn("n_key", (col("user_id") % 25).cast("int"))
+      .join(graft.sources.Tables.nation(spark, sf),
+        col("n_key") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("n_name"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+    assert(streamed.toSeq === batch.toSeq)
+    // the plan must not allocate a state store for the dim join: no
+    // stream-stream join node, the static side arrives broadcast
+    val plan = StreamWatcher.staticJoinStream(spark, sf).queryExecution.analyzed
+    val hasStreamingJoin = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.left.isStreaming && j.right.isStreaming => j
+    }.nonEmpty
+    assert(!hasStreamingJoin, "dim join must be stream-static, not stream-stream")
+  }
 }
