@@ -100,6 +100,10 @@ object SparkEntry {
     "q_fuzzy_join" -> (Relational.qFuzzyJoin(_, _)),
     "q_chi_square" -> (EventAnalytics.qChiSquare(_, _)),
     "q_linreg" -> (Stats.qLinreg(_, _)),
+    "q_decay_score" -> (EventAnalytics.qDecayScore(_, _)),
+    "q_daily_anomaly" -> (EventAnalytics.qDailyAnomaly(_, _)),
+    "sync_token_ring" -> (SyncOps.syncTokenRing(_, _)),
+    "q_copurchase_jaccard" -> (graft.graph.GraphOps.copurchaseJaccard(_, _)),
     "q_ks_test" -> (Stats.qKsTest(_, _)),
     "q_mutual_info" -> (Stats.qMutualInfo(_, _)),
     "q_cms_estimate" -> (Stats.qCmsEstimate(_, _)),
@@ -1465,6 +1469,42 @@ object SparkEntry {
     "graph_pagerank" -> graft.graph.GraphOps.pagerankOracleSql(),
     "graph_kcore" -> graft.graph.GraphOps.kcoreOracleSql(),
     "graph_bfs_layers" -> graft.graph.GraphOps.bfsOracleSql(),
+    "q_copurchase_jaccard" -> graft.graph.GraphOps.copurchaseJaccardOracleSql,
+    "q_decay_score" ->
+      """WITH ref AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS ref_us
+        |  FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value * pow(2.0,
+        |    -CAST(ref_us - epoch_us(CAST(ts AS TIMESTAMP)) AS DOUBLE)
+        |      / (7.0 * 86400e6))), 4) AS decay_score
+        |FROM events CROSS JOIN ref
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_daily_anomaly" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT day,
+        |    CAST((date_diff('day', DATE '1970-01-01', day) + 3) % 7 AS BIGINT)
+        |      AS dow, n_events FROM daily),
+        |s AS (SELECT day, dow, CAST(n_events AS BIGINT) AS n_events,
+        |    avg(n_events) OVER w AS mu, stddev_samp(n_events) OVER w AS sd
+        |  FROM d WINDOW w AS (PARTITION BY dow))
+        |SELECT day, dow, n_events, round((n_events - mu) / sd, 4) AS z,
+        |  abs(round((n_events - mu) / sd, 4)) >= 2.0 AS is_anomaly
+        |FROM s WHERE sd IS NOT NULL AND sd > 0
+        |ORDER BY day""".stripMargin,
+    "sync_token_ring" ->
+      """WITH ring AS (SELECT CAST(n AS BIGINT) AS node,
+        |    ((n * 16 + v) * 2654435761) % 2147483647 AS token
+        |  FROM range(8) t(n), range(16) u(v)),
+        |keys AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    (user_id * 1103515245) % 2147483647 AS kt
+        |  FROM events GROUP BY 1),
+        |owner AS (SELECT k.user_id, k.n_events,
+        |    arg_min(r.node, (r.token - k.kt + 2147483647) % 2147483647) AS node
+        |  FROM keys k CROSS JOIN ring r GROUP BY 1, 2)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events
+        |FROM owner GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_zipf_fit" ->
       """WITH tok AS (SELECT lang,
         |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS token FROM documents),

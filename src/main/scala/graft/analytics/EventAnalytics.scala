@@ -410,4 +410,51 @@ object EventAnalytics {
           .as("twa_value"))
       .orderBy(col("event_type"))
   }
+
+  /** §2.2 `q_decay_score` — recency-weighted user activity: each
+    * event contributes value·2^(−age/7d) against the corpus's newest
+    * timestamp (half-life one week). One scan, one partial agg; the
+    * reference instant is a 1-row broadcast scalar, so the score is a
+    * pure map-side expression ahead of the user rollup — the standard
+    * "hotness" ranking shape for feeds and cache-admission policies.
+    */
+  def qDecayScore(spark: SparkSession, dir: String): DataFrame = {
+    val ref = Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts"))).as("ref_us"))
+    Tables.events(spark, dir)
+      .crossJoin(broadcast(ref))
+      .select(col("user_id"),
+        (col("value") * pow(lit(2.0),
+          -(col("ref_us") - unix_micros(col("ts"))).cast("double")
+            / (7.0 * 86400e6))).as("w"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("w")), 4).as("decay_score"))
+      .orderBy(col("user_id"))
+  }
+
+  /** §2.2 `q_daily_anomaly` — seasonal volume anomaly detection:
+    * daily event counts scored against their day-of-week baseline
+    * (mean/std over the day-count series, not raw events), |z| ≥ 2
+    * flagged. The fact table collapses to one row per day in the
+    * first pass; everything after runs on that bounded series, so the
+    * monitor costs one scan regardless of input size.
+    */
+  def qDailyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow",
+        ((datediff(col("day"), lit("1970-01-01").cast("date")) + 3) % 7)
+          .cast("long"))
+    val w = Window.partitionBy(col("dow"))
+    daily
+      .withColumn("mu", avg(col("n_events")).over(w))
+      .withColumn("sd", stddev_samp(col("n_events")).over(w))
+      .filter(col("sd").isNotNull && col("sd") > 0)
+      .select(col("day"), col("dow"), col("n_events"),
+        round((col("n_events") - col("mu")) / col("sd"), 4).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) >= 2.0)
+      .orderBy(col("day"))
+  }
 }

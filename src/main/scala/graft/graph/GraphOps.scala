@@ -240,6 +240,53 @@ object GraphOps {
     sb.toString
   }
 
+  /** §2.3 `q_copurchase_jaccard` — item-item similarity from the
+    * bipartite order↔part structure: for part pairs co-occurring in
+    * ≥2 orders, the Jaccard of their order sets, top 20. Pair
+    * generation is the per-basket self-join — bounded by basket size
+    * (≤7 lines in this schema), so the blow-up is O(orders·b²), never
+    * all-pairs across the catalog — and the min-support filter prunes
+    * the long random-co-occurrence tail before the degree joins. The
+    * same shape is how market-basket recommenders and co-citation
+    * graphs are built at 100 TB.
+    */
+  def copurchaseJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ord"), col("l_partkey").as("part"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nOrd = li.groupBy(col("part")).agg(count(lit(1)).as("n_ord"))
+    val pairs = li.as("a")
+      .join(li.as("b"),
+        col("a.ord") === col("b.ord") && col("a.part") < col("b.part"))
+      .select(col("a.part").as("pa"), col("b.part").as("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("common"))
+      .filter(col("common") >= 2)
+    val na = nOrd.select(col("part").as("pa"), col("n_ord").as("n_a"))
+    val nb = nOrd.select(col("part").as("pb"), col("n_ord").as("n_b"))
+    pairs.join(na, Seq("pa")).join(nb, Seq("pb"))
+      .select(col("pa"), col("pb"), col("common"), col("n_a"), col("n_b"),
+        round(col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("pa"), col("pb"))
+      .limit(20)
+  }
+
+  /** DuckDB oracle for [[copurchaseJaccard]]. */
+  def copurchaseJaccardOracleSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ord, l_partkey AS part
+      |  FROM lineitem),
+      |n AS (SELECT part, CAST(count(*) AS BIGINT) AS n_ord FROM li GROUP BY 1),
+      |p AS (SELECT a.part AS pa, b.part AS pb, CAST(count(*) AS BIGINT) AS common
+      |  FROM li a JOIN li b ON a.ord = b.ord AND a.part < b.part
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT p.pa AS pa, p.pb AS pb, p.common AS common,
+      |  na.n_ord AS n_a, nb.n_ord AS n_b,
+      |  round(CAST(p.common AS DOUBLE) / (na.n_ord + nb.n_ord - p.common), 4)
+      |    AS jaccard
+      |FROM p JOIN n na ON p.pa = na.part JOIN n nb ON p.pb = nb.part
+      |ORDER BY jaccard DESC, pa, pb LIMIT 20""".stripMargin
+
   /** DuckDB oracle for [[graphTriangles]]. */
   def trianglesOracleSql: String =
     "WITH " + Dedup.candOracleBody +

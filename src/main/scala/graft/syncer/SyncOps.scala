@@ -491,4 +491,51 @@ object SyncOps {
         col("a_sig") =!= col("b_sig"))
       .orderBy(col("cf"), col("bucket"))
   }
+
+  // Token-ring geometry: 8 nodes × 16 vnodes, Knuth-multiplicative
+  // tokens mod the Mersenne prime 2^31−1. The 128 ring tokens are
+  // pairwise distinct (spec-checked), so every key has a unique
+  // owner — min-by over clockwise distance can never tie.
+  private val RingM = 2147483647L
+  private val RingNodes = 8
+  private val RingVnodes = 16
+
+  /** §2.1 `sync_token_ring` — consistent-hash ring placement, the
+    * partition-ownership model of the reference's upstream store
+    * (`/root/reference/bin/cassandra-syncer` ships SSTables whose
+    * keys a token ring distributes across nodes): each key hashes to
+    * a token and is owned by the clockwise-nearest virtual node. The
+    * ring is 128 rows — broadcast — so ownership is a map-side
+    * lookup; the fact table is scanned once, aggregated per key, and
+    * per-node load falls out of a second bounded aggregation. Adding
+    * a node moves only the keys in its new arcs (~1/n of load), which
+    * is the entire point of consistent hashing; the spec pins that
+    * re-placement delta.
+    */
+  /** Per-key ownership under an `nodes`-node ring — the placement
+    * kernel behind [[syncTokenRing]], parameterized so the spec can
+    * pin the consistent-hashing contract: growing the ring by one
+    * node moves keys ONLY onto the new node, never between old ones.
+    */
+  def tokenRingPlacement(spark: SparkSession, dir: String,
+      nodes: Int = RingNodes): DataFrame = {
+    import spark.implicits._
+    val ring = (0 until nodes).flatMap(n => (0 until RingVnodes).map(v =>
+      (n.toLong, ((n * RingVnodes + v) * 2654435761L) % RingM)))
+      .toDF("node", "token")
+    val keys = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .withColumn("kt", (col("user_id") * 1103515245L) % RingM)
+    keys.crossJoin(broadcast(ring))
+      .withColumn("dist", (col("token") - col("kt") + RingM) % RingM)
+      .groupBy(col("user_id"), col("n_events"))
+      .agg(min(struct(col("dist"), col("node"))).as("m"))
+      .select(col("m.node").as("node"), col("user_id"), col("n_events"))
+  }
+
+  def syncTokenRing(spark: SparkSession, dir: String): DataFrame =
+    tokenRingPlacement(spark, dir)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n_events")).as("n_events"))
+      .orderBy(col("node"))
 }

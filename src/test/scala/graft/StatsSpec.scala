@@ -68,4 +68,35 @@ class StatsSpec extends GraftSpec {
         s"user ${r.getLong(0)}: overestimate exceeds table size")
     }
   }
+
+  test("decay score: positive and bounded by the undecayed per-user sum") {
+    val scores = graft.analytics.EventAnalytics.qDecayScore(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2))
+    val plain = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(sum(col("value")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.nonEmpty)
+    scores.foreach { case (u, d) =>
+      assert(d > 0.0 && d <= plain(u) + 1e-6, s"user $u: decay $d vs plain ${plain(u)}")
+    }
+  }
+
+  test("copurchase jaccard: common bounded by each side's order count, jaccard in (0,1]") {
+    val rows = graft.graph.GraphOps.copurchaseJaccard(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (common, na, nb, j) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(common >= 2 && common <= math.min(na, nb))
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
+  test("daily anomaly: one row per day with a defined baseline; flag agrees with z") {
+    val rows = graft.analytics.EventAnalytics.qDailyAnomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getDate(0)).distinct.length === rows.length)
+    rows.foreach { r =>
+      assert(r.getBoolean(4) === (math.abs(r.getDouble(3)) >= 2.0))
+    }
+  }
 }

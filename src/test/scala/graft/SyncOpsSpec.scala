@@ -125,4 +125,27 @@ class SyncOpsSpec extends GraftSpec {
       assert(gc(rk).getAs[Long]("n_after_gc") >= 1L, s"row $rk lost its live cell")
     }
   }
+
+  test("token ring: adding a node moves keys ONLY onto the new node") {
+    val p8 = SyncOps.tokenRingPlacement(spark, sf, 8)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val p9 = SyncOps.tokenRingPlacement(spark, sf, 9)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(p8.keySet === p9.keySet)
+    var moved = 0
+    p8.foreach { case (key, oldNode) =>
+      val newNode = p9(key)
+      if (newNode != oldNode) {
+        assert(newNode === 8L,
+          s"key $key moved $oldNode→$newNode: old→old movement breaks consistent hashing")
+        moved += 1
+      }
+    }
+    // the new node takes roughly 1/9 of the keys (vnode smoothing);
+    // zero movement would mean the new node owns no arc at all
+    assert(moved > 0, "new node took no keys")
+    assert(moved.toDouble / p8.size < 0.35, s"$moved of ${p8.size} keys moved")
+    // vnode smoothing spreads even a tiny key set over most nodes
+    assert(p8.values.toSet.size >= math.min(p8.size, 8) / 2)
+  }
 }
