@@ -101,6 +101,10 @@ object SparkEntry {
     "q_chi_square" -> (EventAnalytics.qChiSquare(_, _)),
     "q_linreg" -> (Stats.qLinreg(_, _)),
     "q_decay_score" -> (EventAnalytics.qDecayScore(_, _)),
+    "q_attribution" -> (EventAnalytics.qAttribution(_, _)),
+    "q_weighted_sample" -> (Stats.qWeightedSample(_, _)),
+    "q_equidepth_hist" -> (Stats.qEquidepthHist(_, _)),
+    "sync_replica_sets" -> (SyncOps.syncReplicaSets(_, _)),
     "q_daily_anomaly" -> (EventAnalytics.qDailyAnomaly(_, _)),
     "sync_token_ring" -> (SyncOps.syncTokenRing(_, _)),
     "q_copurchase_jaccard" -> (graft.graph.GraphOps.copurchaseJaccard(_, _)),
@@ -1492,6 +1496,57 @@ object SparkEntry {
         |  abs(round((n_events - mu) / sd, 4)) >= 2.0 AS is_anomaly
         |FROM s WHERE sd IS NOT NULL AND sd > 0
         |ORDER BY day""".stripMargin,
+    "q_attribution" ->
+      """WITH t AS (SELECT event_type, value,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS channel
+        |  FROM events)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  round(sum(value), 2) AS attributed_value
+        |FROM t WHERE event_type = 'purchase' AND channel IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |       AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, n_chars, round(-ln(u) / n_chars, 10) AS priority
+        |FROM d ORDER BY priority, doc_id LIMIT 30""".stripMargin,
+    "q_equidepth_hist" ->
+      """WITH cells AS (SELECT value, count(*) AS c FROM events GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+        |cum AS (SELECT value, c,
+        |    CAST(sum(c) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum FROM cells)
+        |SELECT (cum * 10 + n - 1) // n AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  min(value) AS lo, max(value) AS hi
+        |FROM cum CROSS JOIN n
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sync_replica_sets" ->
+      """WITH ring AS (SELECT CAST(n AS BIGINT) AS node,
+        |    ((n * 16 + v) * 2654435761) % 2147483647 AS token
+        |  FROM range(8) t(n), range(16) u(v)),
+        |keys AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    (user_id * 1103515245) % 2147483647 AS kt
+        |  FROM events GROUP BY 1),
+        |pn AS (SELECT k.user_id, k.n_events, r.node,
+        |    min((r.token - k.kt + 2147483647) % 2147483647) AS mind
+        |  FROM keys k CROSS JOIN ring r GROUP BY 1, 2, 3),
+        |rk AS (SELECT user_id, n_events, node,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY mind, node) AS rk
+        |  FROM pn)
+        |SELECT node, CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_primary,
+        |  CAST(count(*) AS BIGINT) AS n_replica,
+        |  CAST(sum(CASE WHEN rk = 1 THEN n_events ELSE 0 END) AS BIGINT)
+        |    AS primary_events
+        |FROM rk WHERE rk <= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sync_token_ring" ->
       """WITH ring AS (SELECT CAST(n AS BIGINT) AS node,
         |    ((n * 16 + v) * 2654435761) % 2147483647 AS token

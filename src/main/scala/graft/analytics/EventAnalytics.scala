@@ -411,6 +411,30 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** §2.2 `q_attribution` — last-touch attribution: every purchase
+    * credits the user's most recent preceding non-purchase event (the
+    * "channel"). One window pass per user carries the last-seen
+    * channel forward (ignore-nulls last over the event sequence), so
+    * the attribution is a single shuffle on user_id regardless of
+    * channel cardinality; the rollup after it is bounded by the
+    * channel set.
+    */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("channel",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("channel").isNotNull)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 2).as("attributed_value"))
+      .orderBy(col("channel"))
+  }
+
   /** §2.2 `q_decay_score` — recency-weighted user activity: each
     * event contributes value·2^(−age/7d) against the corpus's newest
     * timestamp (half-life one week). One scan, one partial agg; the

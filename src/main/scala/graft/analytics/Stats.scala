@@ -126,6 +126,51 @@ object Stats {
   private def cmsBucket(d: Int, key: org.apache.spark.sql.Column) =
     ((key * CmsA(d) + CmsB(d)) % CmsP) % CmsW
 
+  /** §2.2 `q_weighted_sample` — deterministic weighted sampling
+    * without replacement (Efraimidis–Spirakis): each document draws a
+    * hash-derived uniform u and is ranked by −ln(u)/w (equivalent to
+    * max u^(1/w)), top 30 kept. Inclusion probability is proportional
+    * to weight (n_chars), the draw is reproducible across runs and
+    * engines (the uniform comes from md5, not an RNG), and the
+    * selection is a TakeOrdered over a narrow map pass — the shape
+    * for sampling a training mixture from a 100 TB corpus without a
+    * global shuffle.
+    */
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = ((conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 1000000).cast("double") + lit(0.5)) / lit(1000000.0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        round(-log(u) / col("n_chars"), 10).as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(30)
+  }
+
+  /** §2.2 `q_equidepth_hist` — exact equi-depth (decile) histogram of
+    * event values: the scan collapses to per-distinct-value cells,
+    * the cumulative count over those cells assigns each distinct
+    * value wholly to the decile its last row falls in (integer
+    * arithmetic, bit-deterministic), and per-bucket bounds/counts
+    * fall out of one bounded aggregation. This is how an optimizer's
+    * column statistics are built: never a global sort of raw rows,
+    * only of the compact cell set.
+    */
+  def qEquidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(spark, dir)
+      .groupBy(col("value")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = Tables.events(spark, dir).agg(count(lit(1)).as("n"))
+    cells.withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(n))
+      // ceil(cum·10/n) in pure integer math: (cum·10 + n − 1) div n
+      .withColumn("bucket", expr("(cum * 10 + n - 1) div n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("c")).as("n_rows"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   /** §2.2 `q_cms_estimate` — count-min sketch over user ids: the
     * whole fact table folds into a d×w=1024-cell counter table in one
     * map-side-combinable aggregation (the sketch is a monoid — per-

@@ -538,4 +538,38 @@ object SyncOps {
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_keys"), sum(col("n_events")).as("n_events"))
       .orderBy(col("node"))
+
+  /** §2.1 `sync_replica_sets` — RF=3 replica placement on the token
+    * ring: a key's replicas are the first three DISTINCT nodes met
+    * walking clockwise from its token. The first vnode of node X a
+    * clockwise walk reaches lies at X's minimum clockwise distance,
+    * so ranking nodes by per-node min distance reproduces the
+    * distinct-node walk exactly — no iterative successor chase. Per
+    * node: primary keys, total replica keys, and primary event load.
+    * Everything after the one fact-table aggregation happens on
+    * |keys|×|nodes| rows with a broadcast 128-row ring.
+    */
+  def syncReplicaSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ring = (0 until RingNodes).flatMap(n => (0 until RingVnodes).map(v =>
+      (n.toLong, ((n * RingVnodes + v) * 2654435761L) % RingM)))
+      .toDF("node", "token")
+    val keys = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .withColumn("kt", (col("user_id") * 1103515245L) % RingM)
+    val perNode = keys.crossJoin(broadcast(ring))
+      .withColumn("dist", (col("token") - col("kt") + RingM) % RingM)
+      .groupBy(col("user_id"), col("n_events"), col("node"))
+      .agg(min(col("dist")).as("mind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("mind"), col("node"))
+    perNode.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy(col("node"))
+      .agg(sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_primary"),
+        count(lit(1)).as("n_replica"),
+        sum(when(col("rk") === 1, col("n_events")).otherwise(0L))
+          .as("primary_events"))
+      .orderBy(col("node"))
+  }
 }

@@ -91,6 +91,38 @@ class StatsSpec extends GraftSpec {
     }
   }
 
+  test("equidepth histogram: buckets partition the table with monotone bounds") {
+    val rows = Stats.qEquidepthHist(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 10L))
+    assert(rows.map(_.getLong(2)).sum === Tables.events(spark, sf).count())
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(4) < b.getDouble(3),
+        s"bucket ${a.getLong(0)} hi ${a.getDouble(4)} overlaps ${b.getDouble(3)}")
+    case _ => ()
+    }
+  }
+
+  test("weighted sample: deterministic, ordered, and biased toward heavy docs") {
+    val a = Stats.qWeightedSample(spark, sf).collect()
+    val b = Stats.qWeightedSample(spark, sf).collect()
+    assert(a.map(_.getLong(0)).toSeq === b.map(_.getLong(0)).toSeq)
+    val prios = a.map(_.getDouble(2))
+    assert(prios.sameElements(prios.sorted))
+    assert(prios.forall(_ > 0.0))
+  }
+
+  test("attribution: purchases credited only to non-purchase channels, none lost mid-stream") {
+    val rows = graft.analytics.EventAnalytics.qAttribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val channels = rows.map(_.getString(0)).toSet
+    assert(!channels.contains("purchase"))
+    val attributed = rows.map(_.getLong(1)).sum
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    // only purchases with no prior event at all go uncredited
+    assert(attributed <= purchases && attributed > purchases / 2)
+  }
+
   test("daily anomaly: one row per day with a defined baseline; flag agrees with z") {
     val rows = graft.analytics.EventAnalytics.qDailyAnomaly(spark, sf).collect()
     assert(rows.nonEmpty)

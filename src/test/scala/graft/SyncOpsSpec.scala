@@ -148,4 +148,22 @@ class SyncOpsSpec extends GraftSpec {
     // vnode smoothing spreads even a tiny key set over most nodes
     assert(p8.values.toSet.size >= math.min(p8.size, 8) / 2)
   }
+
+  test("replica sets: RF=3 accounting is exact and primaries match the ring placement") {
+    val rows = SyncOps.syncReplicaSets(spark, sf).collect()
+    val placement = SyncOps.tokenRingPlacement(spark, sf)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val nKeys = placement.size.toLong
+    assert(rows.map(_.getLong(1)).sum === nKeys)       // every key has ONE primary
+    assert(rows.map(_.getLong(2)).sum === 3 * nKeys)   // ...and exactly 3 replicas
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"node ${r.getLong(0)}: replicas < primaries")
+    }
+    // the rank-1 node per key is the same node the placement kernel picks
+    val primaryByNode = placement.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) === primaryByNode.getOrElse(r.getLong(0), 0L),
+        s"node ${r.getLong(0)} primary count mismatch")
+    }
+  }
 }
