@@ -105,6 +105,11 @@ object SparkEntry {
     "q_weighted_sample" -> (Stats.qWeightedSample(_, _)),
     "q_equidepth_hist" -> (Stats.qEquidepthHist(_, _)),
     "sync_replica_sets" -> (SyncOps.syncReplicaSets(_, _)),
+    "sync_hinted_handoff" -> ((s, d) => SyncOps.syncHintedHandoff(s, d)),
+    "q_dataset_drift" -> (Stats.qDatasetDrift(_, _)),
+    "q_ttest_ab" -> (Stats.qTtestAb(_, _)),
+    "q_gini" -> (Stats.qGini(_, _)),
+    "io_shard_balance" -> (Io.ioShardBalance(_, _)),
     "q_daily_anomaly" -> (EventAnalytics.qDailyAnomaly(_, _)),
     "sync_token_ring" -> (SyncOps.syncTokenRing(_, _)),
     "q_copurchase_jaccard" -> (graft.graph.GraphOps.copurchaseJaccard(_, _)),
@@ -1527,6 +1532,90 @@ object SparkEntry {
         |  min(value) AS lo, max(value) AS hi
         |FROM cum CROSS JOIN n
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sync_hinted_handoff" ->
+      """WITH ring AS (SELECT CAST(n AS BIGINT) AS node,
+        |    ((n * 16 + v) * 2654435761) % 2147483647 AS token
+        |  FROM range(8) t(n), range(16) u(v)),
+        |keys AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    (user_id * 1103515245) % 2147483647 AS kt
+        |  FROM events GROUP BY 1),
+        |pn AS (SELECT k.user_id, k.n_events, r.node,
+        |    min((r.token - k.kt + 2147483647) % 2147483647) AS mind
+        |  FROM keys k CROSS JOIN ring r GROUP BY 1, 2, 3),
+        |rk AS (SELECT user_id, n_events, node,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY mind, node) AS rk
+        |  FROM pn),
+        |rep AS (SELECT * FROM rk WHERE rk <= 3),
+        |aff AS (SELECT user_id, n_events,
+        |    max(CASE WHEN node = 3 THEN 1 ELSE 0 END) AS affected,
+        |    arg_min(node, CASE WHEN node <> 3 THEN rk END) AS live_node
+        |  FROM rep GROUP BY 1, 2)
+        |SELECT live_node AS node, CAST(count(*) AS BIGINT) AS n_hints,
+        |  CAST(sum(n_events) AS BIGINT) AS hinted_events
+        |FROM aff WHERE affected = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dataset_drift" ->
+      """WITH b AS (SELECT (min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |    + max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) + 1) // 2
+        |    AS mid FROM events),
+        |cells AS (SELECT event_type,
+        |    CASE WHEN date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      < (SELECT mid FROM b) THEN 'a' ELSE 'b' END AS half,
+        |    CAST(floor(value / 50) AS BIGINT) AS bin, count(*) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |tot AS (SELECT event_type, half, CAST(sum(c) AS BIGINT) AS n
+        |  FROM cells GROUP BY 1, 2),
+        |p AS (SELECT cells.event_type, cells.half, cells.bin,
+        |    CAST(c AS DOUBLE) / n AS p, n
+        |  FROM cells JOIN tot USING (event_type, half)),
+        |wide AS (SELECT event_type, bin,
+        |    max(CASE WHEN half = 'a' THEN p END) AS pa,
+        |    max(CASE WHEN half = 'a' THEN n END) AS na,
+        |    max(CASE WHEN half = 'b' THEN p END) AS pb,
+        |    max(CASE WHEN half = 'b' THEN n END) AS nb
+        |  FROM p GROUP BY 1, 2)
+        |SELECT event_type, max(na) AS n_a, max(nb) AS n_b,
+        |  round(sum(CASE WHEN pa IS NOT NULL AND pb IS NOT NULL
+        |    THEN (pa - pb) * ln(pa / pb) ELSE 0.0 END), 4) AS psi,
+        |  CAST(sum(CASE WHEN pa IS NULL OR pb IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dropped_bins
+        |FROM wide GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ttest_ab" ->
+      """WITH s AS (SELECT event_type,
+        |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,
+        |    CAST(count(*) AS BIGINT) AS n, sum(value) AS sy,
+        |    sum(value * value) AS syy
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT *, sy / n AS mm,
+        |    (syy - sy * sy / n) / (n - 1) AS v FROM s)
+        |SELECT event_type,
+        |  max(CASE WHEN grp = 'a' THEN n END) AS n_a,
+        |  max(CASE WHEN grp = 'b' THEN n END) AS n_b,
+        |  round(max(CASE WHEN grp = 'a' THEN mm END), 4) AS mean_a,
+        |  round(max(CASE WHEN grp = 'b' THEN mm END), 4) AS mean_b,
+        |  round((max(CASE WHEN grp = 'a' THEN mm END)
+        |      - max(CASE WHEN grp = 'b' THEN mm END))
+        |    / sqrt(max(CASE WHEN grp = 'a' THEN v END)
+        |        / max(CASE WHEN grp = 'a' THEN n END)
+        |      + max(CASE WHEN grp = 'b' THEN v END)
+        |        / max(CASE WHEN grp = 'b' THEN n END)), 4) AS t
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_gini" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS rn FROM c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(x) AS BIGINT) AS total_events,
+        |  round(2.0 * sum(rn * x) / (count(*) * sum(x))
+        |    - CAST(count(*) + 1 AS DOUBLE) / count(*), 4) AS gini
+        |FROM r""".stripMargin,
+    "io_shard_balance" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    (row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 16
+        |      AS shard FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "sync_replica_sets" ->
       """WITH ring AS (SELECT CAST(n AS BIGINT) AS node,
         |    ((n * 16 + v) * 2654435761) % 2147483647 AS token

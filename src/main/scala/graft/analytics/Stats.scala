@@ -126,6 +126,101 @@ object Stats {
   private def cmsBucket(d: Int, key: org.apache.spark.sql.Column) =
     ((key * CmsA(d) + CmsB(d)) % CmsP) % CmsW
 
+  /** §2.2 `q_dataset_drift` — PSI (population stability index) drift
+    * monitor: the event stream is split at its midpoint day, values
+    * are binned to fixed width-50 buckets, and each event type's
+    * before/after distributions are compared with
+    * Σ (p−q)·ln(p/q) over bins present in both halves (exact — no
+    * epsilon smoothing; a bin present in only one half is reported in
+    * the dropped-bin count instead of distorting the sum). The fact
+    * table collapses to (type, half, bin) cells in one pass; PSI > .2
+    * is the conventional "retrain" alarm for a feature pipeline.
+    */
+  def qDatasetDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dayIdx = datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+    val bounds = Tables.events(spark, dir)
+      .agg(min(dayIdx).as("d0"), max(dayIdx).as("d1"))
+      .select(expr("(d0 + d1 + 1) div 2").as("mid"))
+    val cells = Tables.events(spark, dir)
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        when(dayIdx < col("mid"), lit("a")).otherwise(lit("b")).as("half"),
+        floor(col("value") / 50).cast("long").as("bin"))
+      .groupBy(col("event_type"), col("half"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cells.groupBy(col("event_type"), col("half"))
+      .agg(sum(col("c")).as("n"))
+    val wide = cells.join(tot, Seq("event_type", "half"))
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(max(when(col("half") === "a", col("p"))).as("pa"),
+        max(when(col("half") === "a", col("n"))).as("na"),
+        max(when(col("half") === "b", col("p"))).as("pb"),
+        max(when(col("half") === "b", col("n"))).as("nb"))
+    wide.groupBy(col("event_type"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum(when(col("pa").isNotNull && col("pb").isNotNull,
+          (col("pa") - col("pb")) * log(col("pa") / col("pb")))
+          .otherwise(0.0)).as("psi_raw"),
+        sum(when(col("pa").isNull || col("pb").isNull, 1L).otherwise(0L))
+          .as("n_dropped_bins"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("psi_raw"), 4).as("psi"), col("n_dropped_bins"))
+      .orderBy(col("event_type"))
+  }
+
+  /** §2.2 `q_ttest_ab` — Welch two-sample t on event values between
+    * the even-user (A) and odd-user (B) cohorts, per event type: one
+    * sufficient-statistics pass (n, Σy, Σy² per cohort), t =
+    * (m_a−m_b)/√(s²_a/n_a + s²_b/n_b) assembled on the bounded
+    * aggregate. The experiment-analysis shape: no row ever leaves the
+    * map side unaggregated.
+    */
+  def qTtestAb(spark: SparkSession, dir: String): DataFrame = {
+    val g = when(col("user_id") % 2 === 0, lit("a")).otherwise(lit("b"))
+    val cohorts = Tables.events(spark, dir)
+      .select(col("event_type"), g.as("grp"), col("value").as("y"))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("m", col("sy") / col("n"))
+      // unbiased variance from the raw moments
+      .withColumn("v",
+        (col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1))
+    cohorts.groupBy(col("event_type"))
+      .agg(max(when(col("grp") === "a", col("n"))).as("n_a"),
+        max(when(col("grp") === "b", col("n"))).as("n_b"),
+        max(when(col("grp") === "a", col("m"))).as("m_a"),
+        max(when(col("grp") === "b", col("m"))).as("m_b"),
+        max(when(col("grp") === "a", col("v"))).as("v_a"),
+        max(when(col("grp") === "b", col("v"))).as("v_b"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("m_a"), 4).as("mean_a"), round(col("m_b"), 4).as("mean_b"),
+        round((col("m_a") - col("m_b")) /
+          sqrt(col("v_a") / col("n_a") + col("v_b") / col("n_b")), 4).as("t"))
+      .orderBy(col("event_type"))
+  }
+
+  /** §2.2 `q_gini` — Gini coefficient of per-user event-count
+    * concentration via the rank formula G = 2·Σ(r·x)/(n·Σx) −
+    * (n+1)/n: exact on the compact per-user counts (ties contribute
+    * identically under any permutation, so the rank window is
+    * deterministic). One fact-table pass; the window sorts only
+    * |users| rows.
+    */
+  def qGini(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+    val w = Window.orderBy(col("x"), col("user_id"))
+    counts.withColumn("r", row_number().over(w))
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("total_events"),
+        sum(col("r") * col("x")).as("srx"))
+      .select(col("n_users"), col("total_events"),
+        round(lit(2.0) * col("srx") /
+          (col("n_users") * col("total_events")) -
+          (col("n_users") + 1).cast("double") / col("n_users"), 4).as("gini"))
+  }
+
   /** §2.2 `q_weighted_sample` — deterministic weighted sampling
     * without replacement (Efraimidis–Spirakis): each document draws a
     * hash-derived uniform u and is ranked by −ln(u)/w (equivalent to

@@ -188,6 +188,27 @@ object Io {
     * fixture constant. Output proves BOTH layouts hold identical
     * content and pins the real on-disk file counts before/after.
     */
+  /** §2.8 `io_shard_balance` — balanced output-shard planning: items
+    * (documents, sized by n_chars) are ordered by descending size and
+    * dealt round-robin into 16 shards — the classic LPT-flavored
+    * greedy that bounds shard skew by the largest item. This is the
+    * writer-side plan every big sink needs (equal-sized output files
+    * from skewed inputs); the sort runs over item METADATA (id, size),
+    * which is always orders of magnitude smaller than the data it
+    * describes. The spec asserts the achieved balance.
+    */
+  def ioShardBalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("shard", ((row_number().over(w) - 1) % 16).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy(col("shard"))
+  }
+
   def ioCompactSmallFiles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val root = "/tmp/graft_io_compact"

@@ -572,4 +572,39 @@ object SyncOps {
           .as("primary_events"))
       .orderBy(col("node"))
   }
+
+  /** §2.1 `sync_hinted_handoff` — hinted handoff under one down node
+    * (node 3): every key whose RF=3 replica set includes the down
+    * node queues a hint at its first LIVE replica (lowest-ranked
+    * replica ≠ down), to be replayed when the node returns. Same
+    * broadcast-ring + rank-window shape as the replica placement; the
+    * down-node filter and live-minimum are plain aggregations over
+    * the ≤3 replica rows per key.
+    */
+  def syncHintedHandoff(spark: SparkSession, dir: String,
+      downNode: Long = 3L): DataFrame = {
+    import spark.implicits._
+    val ring = (0 until RingNodes).flatMap(n => (0 until RingVnodes).map(v =>
+      (n.toLong, ((n * RingVnodes + v) * 2654435761L) % RingM)))
+      .toDF("node", "token")
+    val keys = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .withColumn("kt", (col("user_id") * 1103515245L) % RingM)
+    val perNode = keys.crossJoin(broadcast(ring))
+      .withColumn("dist", (col("token") - col("kt") + RingM) % RingM)
+      .groupBy(col("user_id"), col("n_events"), col("node"))
+      .agg(min(col("dist")).as("mind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("mind"), col("node"))
+    perNode.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .groupBy(col("user_id"), col("n_events"))
+      .agg(max(when(col("node") === downNode, 1L).otherwise(0L)).as("affected"),
+        min(when(col("node") =!= downNode, struct(col("rk"), col("node"))))
+          .as("live"))
+      .filter(col("affected") === 1L)
+      .groupBy(col("live.node").as("node"))
+      .agg(count(lit(1)).as("n_hints"), sum(col("n_events")).as("hinted_events"))
+      .orderBy(col("node"))
+  }
 }

@@ -123,6 +123,50 @@ class StatsSpec extends GraftSpec {
     assert(attributed <= purchases && attributed > purchases / 2)
   }
 
+  test("dataset drift: PSI is non-negative (every common-bin term is)") {
+    val rows = Stats.qDatasetDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0, s"${r.getString(0)}: psi=${r.getDouble(3)}")
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    }
+  }
+
+  test("welch t-test: cohort sizes account for every event; t is finite") {
+    val rows = Stats.qTtestAb(spark, sf).collect()
+    val totals = Tables.events(spark, sf).groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === totals(r.getString(0)))
+      assert(!r.getDouble(5).isNaN && !r.getDouble(5).isInfinite)
+    }
+  }
+
+  test("gini: in [0,1) and zero for a perfectly uniform distribution") {
+    val row = Stats.qGini(spark, sf).collect().head
+    val g = row.getDouble(2)
+    assert(g >= 0.0 && g < 1.0, s"gini=$g")
+    // uniform fixture: every key exactly once → G = 0
+    import spark.implicits._
+    val uniform = Seq.tabulate(40)(i => (i.toLong, 1L)).toDF("user_id", "x")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("x"), col("user_id"))
+    val g0 = uniform.withColumn("r", row_number().over(w))
+      .agg((lit(2.0) * sum(col("r") * col("x")) /
+        (count(lit(1)) * sum(col("x"))) -
+        (count(lit(1)) + 1).cast("double") / count(lit(1))).as("g"))
+      .collect().head.getDouble(0)
+    assert(math.abs(g0) < 1e-9)
+  }
+
+  test("shard balance: 16 shards cover all docs with bounded byte skew") {
+    val rows = graft.sources.Io.ioShardBalance(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet === (0L until 16L).toSet)
+    assert(rows.map(_.getLong(1)).sum === Tables.documents(spark, sf).count())
+    val sizes = rows.map(_.getLong(2))
+    assert(sizes.max.toDouble / sizes.min < 1.5,
+      s"skew ${sizes.max}/${sizes.min}")
+  }
+
   test("daily anomaly: one row per day with a defined baseline; flag agrees with z") {
     val rows = graft.analytics.EventAnalytics.qDailyAnomaly(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -166,4 +166,14 @@ class SyncOpsSpec extends GraftSpec {
         s"node ${r.getLong(0)} primary count mismatch")
     }
   }
+
+  test("hinted handoff: hints live off the down node and cover exactly its replica keys") {
+    val hints = SyncOps.syncHintedHandoff(spark, sf, downNode = 3L).collect()
+    assert(hints.forall(_.getLong(0) != 3L), "a hint may not be stored on the down node")
+    val affectedKeys = SyncOps.syncReplicaSets(spark, sf)
+      .filter(col("node") === 3L).collect()
+      .headOption.map(_.getLong(2)).getOrElse(0L) // node 3's n_replica
+    assert(hints.map(_.getLong(1)).sum === affectedKeys,
+      s"hints ${hints.map(_.getLong(1)).sum} vs node-3 replica keys $affectedKeys")
+  }
 }
