@@ -109,6 +109,8 @@ object SparkEntry {
     "q_dataset_drift" -> (Stats.qDatasetDrift(_, _)),
     "q_ttest_ab" -> (Stats.qTtestAb(_, _)),
     "q_gini" -> (Stats.qGini(_, _)),
+    "q_survival_curve" -> (Stats.qSurvivalCurve(_, _)),
+    "q_ucb_arms" -> (Stats.qUcbArms(_, _)),
     "io_shard_balance" -> (Io.ioShardBalance(_, _)),
     "q_daily_anomaly" -> (EventAnalytics.qDailyAnomaly(_, _)),
     "sync_token_ring" -> (SyncOps.syncTokenRing(_, _)),
@@ -1609,6 +1611,36 @@ object SparkEntry {
         |  round(2.0 * sum(rn * x) / (count(*) * sum(x))
         |    - CAST(count(*) + 1 AS DOUBLE) / count(*), 4) AS gini
         |FROM r""".stripMargin,
+    "q_survival_curve" ->
+      """WITH u AS (SELECT user_id,
+        |    min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS d0,
+        |    max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))) AS d1,
+        |    min(CASE WHEN event_type = 'error'
+        |      THEN date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) END)
+        |      AS e0
+        |  FROM events GROUP BY 1),
+        |obs AS (SELECT CAST(coalesce(e0 - d0, d1 - d0) AS BIGINT) AS t,
+        |    CASE WHEN e0 IS NOT NULL THEN 1 ELSE 0 END AS churned
+        |  FROM u),
+        |byt AS (SELECT t, CAST(count(*) AS BIGINT) AS n_at,
+        |    CAST(sum(churned) AS BIGINT) AS d FROM obs GROUP BY 1),
+        |risk AS (SELECT *, CAST(sum(n_at) OVER (ORDER BY t DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_risk FROM byt),
+        |haz AS (SELECT *, sum(CAST(d AS DOUBLE) / n_risk) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+        |  FROM risk WHERE d > 0)
+        |SELECT t AS t_days, n_risk, d AS n_churn,
+        |  round(h, 4) AS cum_hazard, round(exp(-h), 4) AS survival
+        |FROM haz ORDER BY t_days""".stripMargin,
+    "q_ucb_arms" ->
+      """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS big_n FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value) / count(*), 4) AS mean_reward,
+        |  round(sum(value) / count(*)
+        |    + sqrt(2.0 * ln(CAST(big_n AS DOUBLE)) / count(*)), 4) AS ucb1
+        |FROM events CROSS JOIN tot
+        |GROUP BY event_type, big_n ORDER BY event_type""".stripMargin,
     "io_shard_balance" ->
       """WITH r AS (SELECT doc_id, n_chars,
         |    (row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1) % 16

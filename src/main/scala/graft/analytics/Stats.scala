@@ -221,6 +221,61 @@ object Stats {
           (col("n_users") + 1).cast("double") / col("n_users"), 4).as("gini"))
   }
 
+  /** §2.2 `q_survival_curve` — time-to-event survival analysis
+    * (Nelson–Aalen): the event is each user's FIRST 'error', measured
+    * in days from their first activity; users who never error are
+    * right-censored at their last observed day. At each event time t:
+    * n_risk = users still under observation at t, d = events at t,
+    * cumulative hazard H(t) = Σ d/n_risk and survival exp(−H) —
+    * chosen over the Kaplan–Meier product because it has no zero-term
+    * edge case and is identical sufficient-statistics work. The fact
+    * table collapses to per-user bounds in one pass, then to a
+    * ≤|days| series; both windows run over that compact series.
+    */
+  def qSurvivalCurve(spark: SparkSession, dir: String): DataFrame = {
+    val dayIdx = datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+    val obs = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(dayIdx).as("d0"), max(dayIdx).as("d1"),
+        min(when(col("event_type") === "error", dayIdx)).as("e0"))
+      .select(
+        coalesce(col("e0") - col("d0"), col("d1") - col("d0"))
+          .cast("long").as("t"),
+        col("e0").isNotNull.cast("long").as("churned"))
+    val byT = obs.groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at"), sum(col("churned")).as("d"))
+    val wRisk = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wHaz = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.withColumn("n_risk", sum(col("n_at")).over(wRisk))
+      .filter(col("d") > 0)
+      .withColumn("h", sum(col("d").cast("double") / col("n_risk")).over(wHaz))
+      .select(col("t").as("t_days"), col("n_risk"), col("d").as("n_churn"),
+        round(col("h"), 4).as("cum_hazard"),
+        round(exp(-col("h")), 4).as("survival"))
+      .orderBy(col("t_days"))
+  }
+
+  /** §2.2 `q_ucb_arms` — UCB1 bandit scores per event-type arm:
+    * mean reward + √(2·ln N / n) exploration bonus, assembled from
+    * one partial-agg pass and a broadcast total. The shape that turns
+    * a 100 TB interaction log into an arm-selection policy nightly.
+    */
+  def qUcbArms(spark: SparkSession, dir: String): DataFrame = {
+    val total = Tables.events(spark, dir).agg(count(lit(1)).as("big_n"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .crossJoin(broadcast(total))
+      .select(col("event_type"), col("n"),
+        round(col("sv") / col("n"), 4).as("mean_reward"),
+        round(col("sv") / col("n") +
+          sqrt(lit(2.0) * log(col("big_n").cast("double")) / col("n")), 4)
+          .as("ucb1"))
+      .orderBy(col("event_type"))
+  }
+
   /** §2.2 `q_weighted_sample` — deterministic weighted sampling
     * without replacement (Efraimidis–Spirakis): each document draws a
     * hash-derived uniform u and is ranked by −ln(u)/w (equivalent to

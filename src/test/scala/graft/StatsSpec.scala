@@ -167,6 +167,35 @@ class StatsSpec extends GraftSpec {
       s"skew ${sizes.max}/${sizes.min}")
   }
 
+  test("survival curve: hazard accumulates, survival decays monotonically, risk set shrinks") {
+    val rows = Stats.qSurvivalCurve(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(0) < b.getLong(0))
+        assert(a.getLong(1) > b.getLong(1), "n_risk must shrink with t")
+        assert(a.getDouble(3) <= b.getDouble(3), "cumulative hazard must not decrease")
+        assert(a.getDouble(4) >= b.getDouble(4), "survival must not increase")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1), "more churns than at-risk users")
+    }
+  }
+
+  test("ucb1: exploration bonus strictly positive, shrinking with pulls") {
+    val rows = Stats.qUcbArms(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val bonuses = rows.map(r => r.getLong(1) -> (r.getDouble(3) - r.getDouble(2)))
+    bonuses.foreach { case (n, bonus) => assert(bonus > 0.0, s"n=$n bonus=$bonus") }
+    // bigger n → smaller bonus (within rounding)
+    bonuses.sortBy(_._1).sliding(2).foreach {
+      case Array((n1, b1), (n2, b2)) if n1 < n2 => assert(b1 >= b2 - 1e-4)
+      case _ => ()
+    }
+  }
+
   test("daily anomaly: one row per day with a defined baseline; flag agrees with z") {
     val rows = graft.analytics.EventAnalytics.qDailyAnomaly(spark, sf).collect()
     assert(rows.nonEmpty)
