@@ -1091,11 +1091,14 @@ object SparkEntry {
         |    sum(x * x) AS sxx, sum(y * y) AS syy
         |  FROM s GROUP BY 1)
         |SELECT event_type, n AS n_events,
-        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
-        |  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
-        |    AS intercept,
-        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+        |  round(CASE WHEN n * sxx - sx * sx > 0
+        |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 4) AS slope,
+        |  round(CASE WHEN n * sxx - sx * sx > 0
+        |    THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+        |    END, 4) AS intercept,
+        |  round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 4) AS r2
         |FROM a ORDER BY event_type""".stripMargin,
     "q_ks_test" ->
       """WITH cells AS (SELECT event_type, value, count(*) AS c
@@ -1116,6 +1119,7 @@ object SparkEntry {
         |  round(max(abs(CAST(cum_t AS DOUBLE) / n_t
         |    - CAST(cum_all - cum_t AS DOUBLE) / (n - n_t))), 4) AS ks_d
         |FROM cum JOIN tot USING (event_type)
+        |WHERE n_t < n
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_mutual_info" ->
       """WITH obs AS (SELECT event_type,
@@ -1601,7 +1605,10 @@ object SparkEntry {
         |        / max(CASE WHEN grp = 'a' THEN n END)
         |      + max(CASE WHEN grp = 'b' THEN v END)
         |        / max(CASE WHEN grp = 'b' THEN n END)), 4) AS t
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM m GROUP BY 1
+        |HAVING max(CASE WHEN grp = 'a' THEN n END) > 1
+        |  AND max(CASE WHEN grp = 'b' THEN n END) > 1
+        |ORDER BY 1""".stripMargin,
     "q_gini" ->
       """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
         |  FROM events GROUP BY 1),

@@ -41,9 +41,14 @@ object Stats {
         sum(col("y") * col("y")).as("syy"))
       .select(col("event_type"),
         col("n").as("n_events"),
-        round(covXY / varX, 4).as("slope"),
-        round((col("sy") - (covXY / varX) * col("sx")) / n, 4).as("intercept"),
-        round((covXY * covXY) / (varX * varY), 4).as("r2"))
+        // a degenerate group (single point, or zero x/y variance) has
+        // no defined fit: emit null rather than an Inf/NaN that would
+        // poison downstream consumers
+        round(when(varX > 0, covXY / varX), 4).as("slope"),
+        round(when(varX > 0,
+          (col("sy") - (covXY / varX) * col("sx")) / n), 4).as("intercept"),
+        round(when(varX > 0 && varY > 0,
+          (covXY * covXY) / (varX * varY)), 4).as("r2"))
       .orderBy(col("event_type"))
   }
 
@@ -77,6 +82,9 @@ object Stats {
     val totals = cum.groupBy(col("event_type"))
       .agg(max(col("cum_t")).as("n_t"), max(col("cum_all")).as("n"))
     cum.join(broadcast(totals), Seq("event_type"))
+      // a type that IS the whole corpus has an empty "rest" sample —
+      // no KS distance is defined for it
+      .filter(col("n_t") < col("n"))
       .select(col("event_type"), col("n_t"),
         abs(col("cum_t").cast("double") / col("n_t") -
           (col("cum_all") - col("cum_t")).cast("double") /
@@ -194,6 +202,9 @@ object Stats {
         max(when(col("grp") === "b", col("m"))).as("m_b"),
         max(when(col("grp") === "a", col("v"))).as("v_a"),
         max(when(col("grp") === "b", col("v"))).as("v_b"))
+      // Welch needs both cohorts, each with a defined variance
+      .filter(col("n_a").isNotNull && col("n_b").isNotNull &&
+        col("n_a") > 1 && col("n_b") > 1)
       .select(col("event_type"), col("n_a"), col("n_b"),
         round(col("m_a"), 4).as("mean_a"), round(col("m_b"), 4).as("mean_b"),
         round((col("m_a") - col("m_b")) /
