@@ -106,6 +106,8 @@ object SparkEntry {
     "q_equidepth_hist" -> (Stats.qEquidepthHist(_, _)),
     "sync_replica_sets" -> (SyncOps.syncReplicaSets(_, _)),
     "sync_hinted_handoff" -> ((s, d) => SyncOps.syncHintedHandoff(s, d)),
+    "cass_secondary_index" -> (SyncOps.cassSecondaryIndex(_, _)),
+    "io_dynamic_overwrite" -> (Io.ioDynamicOverwrite(_, _)),
     "q_dataset_drift" -> (Stats.qDatasetDrift(_, _)),
     "q_ttest_ab" -> (Stats.qTtestAb(_, _)),
     "q_gini" -> (Stats.qGini(_, _)),
@@ -1538,6 +1540,33 @@ object SparkEntry {
         |  min(value) AS lo, max(value) AS hi
         |FROM cum CROSS JOIN n
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cass_secondary_index" ->
+      """WITH cells AS (SELECT CAST(user_id % 50 AS BIGINT) AS row_key, value,
+        |  CAST(ts AS TIMESTAMP) AS write_ts, event_id AS generation,
+        |  (event_type = 'error') AS tombstone FROM events),
+        |lww AS (SELECT row_key, value AS latest_value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY row_key
+        |    ORDER BY write_ts DESC, generation DESC) AS rn FROM cells)
+        |  WHERE rn = 1 AND NOT tombstone)
+        |SELECT CAST(floor(latest_value / 50) AS BIGINT) AS vbucket, row_key,
+        |  round(latest_value, 4) AS latest_value
+        |FROM lww WHERE CAST(floor(latest_value / 50) AS BIGINT) IN (0, 1)
+        |ORDER BY vbucket, row_key""".stripMargin,
+    "io_dynamic_overwrite" ->
+      """WITH base AS (SELECT o_orderpriority AS pri,
+        |    strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS mon,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    round(sum(o_totalprice), 2) AS sum_price
+        |  FROM orders GROUP BY 1, 2),
+        |fix AS (SELECT o_orderpriority AS pri,
+        |    strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS mon,
+        |    CAST(count(*) AS BIGINT) AS n_orders,
+        |    round(sum(o_totalprice), 2) AS sum_price
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 1000
+        |  GROUP BY 1, 2)
+        |SELECT pri, mon, n_orders, sum_price FROM base WHERE pri <> '1-URGENT'
+        |UNION ALL SELECT pri, mon, n_orders, sum_price FROM fix
+        |ORDER BY pri, mon""".stripMargin,
     "sync_hinted_handoff" ->
       """WITH ring AS (SELECT CAST(n AS BIGINT) AS node,
         |    ((n * 16 + v) * 2654435761) % 2147483647 AS token

@@ -209,6 +209,38 @@ object Io {
       .orderBy(col("shard"))
   }
 
+  /** §2.8 `io_dynamic_overwrite` — dynamic partition overwrite: the
+    * corrections batch rewrites ONLY the partitions it contains
+    * (`partitionOverwriteMode=dynamic`), leaving every other
+    * partition's files physically untouched — the idempotent
+    * backfill primitive for a partitioned lake (static overwrite
+    * would truncate the whole table; append would duplicate). Here
+    * the per-(priority, month) rollup is written, then the urgent
+    * partition is re-derived under a stricter filter and overwritten;
+    * the read-back must show corrected urgent rows next to original
+    * everything-else. The spec additionally pins that untouched
+    * partitions keep their exact files.
+    */
+  def ioDynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dynover_").toString
+    def rollup(src: DataFrame): DataFrame = src
+      .groupBy(col("o_orderpriority").as("pri"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+    rollup(Tables.orders(spark, dir))
+      .write.partitionBy("pri").mode("overwrite").parquet(root)
+    rollup(Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 1000))
+      .write.partitionBy("pri").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(root)
+    spark.read.parquet(root)
+      .select(col("pri"), col("mon"), col("n_orders"), col("sum_price"))
+      .orderBy(col("pri"), col("mon"))
+  }
+
   def ioCompactSmallFiles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val root = "/tmp/graft_io_compact"

@@ -305,6 +305,29 @@ object SyncOps {
       .orderBy(col("row_key"))
   }
 
+  /** §2.1 `cass_secondary_index` — secondary-index read path: the 2i
+    * is a materialized projection of the LWW state keyed by the
+    * indexed value's bucket; a probe hits the tiny index first, then
+    * point-reads the base rows it names. At scale the index join is
+    * what turns a full-table value predicate into a bounded
+    * row_key fetch set (the base state is persisted once here, since
+    * both the index build and the fetch derive from it).
+    */
+  def cassSecondaryIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val state = syncLwwMerge(spark, dir)
+      .select(col("row_key"), col("latest_value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val index = state.select(
+      floor(col("latest_value") / 50).cast("long").as("vbucket"), col("row_key"))
+    val probes = Seq(0L, 1L).toDF("vbucket")
+    index.join(broadcast(probes), Seq("vbucket"))
+      .join(state, Seq("row_key"))
+      .select(col("vbucket"), col("row_key"),
+        round(col("latest_value"), 4).as("latest_value"))
+      .orderBy(col("vbucket"), col("row_key"))
+  }
+
   /** §2.1#7 — full-vs-incremental decision per node (reference:
     * `Uploader.isAFullBackupNeeded` checks whether the container
     * exists). A node with zero files in the target bucket needs a

@@ -69,6 +69,50 @@ class SourcesSpec extends GraftSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dynamic overwrite rewrites only the touched partition's files") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_dynover_spec_").toString
+    def rollup(src: org.apache.spark.sql.DataFrame) = src
+      .groupBy(col("o_orderpriority").as("pri"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+    rollup(graft.sources.Tables.orders(spark, sf))
+      .write.partitionBy("pri").mode("overwrite").parquet(root)
+    def filesOf(part: String): Map[String, Long] =
+      Files.list(Paths.get(root, part)).iterator.asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    val lowBefore = filesOf("pri=5-LOW")
+    val urgentBefore = filesOf("pri=1-URGENT")
+    rollup(graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 1000))
+      .write.partitionBy("pri").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").parquet(root)
+    assert(filesOf("pri=5-LOW") === lowBefore, "untouched partition was rewritten")
+    assert(filesOf("pri=1-URGENT").keySet.intersect(urgentBefore.keySet).isEmpty,
+      "touched partition kept its old files")
+    // read-back: urgent corrected, everything else original
+    val back = spark.read.parquet(root)
+    val urgentRows = back.filter(col("pri") === "1-URGENT")
+      .agg(sum(col("n_orders"))).collect().head.getLong(0)
+    val expected = graft.sources.Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 1000)
+      .count()
+    assert(urgentRows === expected)
+  }
+
+  test("secondary index returns exactly the LWW rows in the probed buckets") {
+    val viaIndex = graft.syncer.SyncOps.cassSecondaryIndex(spark, sf).collect()
+    assert(viaIndex.forall(r => r.getLong(0) == 0L || r.getLong(0) == 1L))
+    val direct = graft.syncer.SyncOps.syncLwwMerge(spark, sf)
+      .filter(floor(col("latest_value") / 50) <= 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaIndex.map(_.getLong(1)).toSet === direct)
+  }
+
   test("compaction preserves every row and actually shrinks the file count") {
     val rows = graft.sources.Io.ioCompactSmallFiles(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
