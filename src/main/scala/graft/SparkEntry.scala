@@ -102,6 +102,8 @@ object SparkEntry {
     "q_linreg" -> (Stats.qLinreg(_, _)),
     "q_decay_score" -> (EventAnalytics.qDecayScore(_, _)),
     "q_attribution" -> (EventAnalytics.qAttribution(_, _)),
+    "q_d7_retention" -> (EventAnalytics.qD7Retention(_, _)),
+    "ann_ivf_recall_sweep" -> (Ann.annIvfRecallSweep(_, _)),
     "q_weighted_sample" -> (Stats.qWeightedSample(_, _)),
     "q_equidepth_hist" -> (Stats.qEquidepthHist(_, _)),
     "sync_replica_sets" -> (SyncOps.syncReplicaSets(_, _)),
@@ -1267,6 +1269,58 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN COALESCE(nullif(o_orderstatus, 'O'), 'X') = 'X'
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_d7_retention" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+        |SELECT d0 AS cohort_day, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN a.d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_retained,
+        |  round(CAST(sum(CASE WHEN a.d IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 100, 2) AS pct_retained
+        |FROM f LEFT JOIN a ON f.user_id = a.user_id AND a.d = d0 + 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ann_ivf_recall_sweep" ->
+      s"""WITH $embCte,
+         |comp AS (SELECT label AS c_id, pos - 1 AS pos, x
+         |         FROM (SELECT label, unnest(v) AS x,
+         |               generate_subscripts(v, 1) AS pos FROM e)),
+         |cent AS (SELECT c_id, list(cx ORDER BY pos) AS cv FROM (
+         |  SELECT c_id, pos, avg(x) AS cx FROM comp GROUP BY c_id, pos) GROUP BY c_id),
+         |scored AS (SELECT vec_id, label, c_id,
+         |  round(list_cosine_similarity(v, cv), 4) + 0.0 AS ccos FROM e CROSS JOIN cent),
+         |assign AS (SELECT vec_id, c_id AS assigned_centroid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+         |  FROM scored) WHERE rn = 1),
+         |ea AS (SELECT e.vec_id, v, assigned_centroid FROM e JOIN assign ON e.vec_id = assign.vec_id),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM ea WHERE vec_id < 5),
+         |c AS (SELECT vec_id, v, assigned_centroid FROM ea WHERE vec_id >= 5),
+         |nps AS (SELECT * FROM (VALUES (1), (2), (4)) t(np)),
+         |cranks AS (SELECT q.q_id, cent.c_id,
+         |  row_number() OVER (PARTITION BY q.q_id
+         |    ORDER BY round(list_cosine_similarity(q.qv, cent.cv), 4) DESC, cent.c_id)
+         |    AS rn FROM q CROSS JOIN cent),
+         |probes AS (SELECT np, q_id, c_id FROM cranks CROSS JOIN nps WHERE rn <= np),
+         |s AS (SELECT p.np, p.q_id, c.vec_id,
+         |  round(list_cosine_similarity(q.qv, c.v), 4) AS cos
+         |  FROM c JOIN probes p ON c.assigned_centroid = p.c_id
+         |  JOIN q ON q.q_id = p.q_id),
+         |approx AS (SELECT np, q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY np, q_id
+         |    ORDER BY cos DESC, vec_id) AS rnk FROM s) WHERE rnk <= 5),
+         |exact AS (SELECT q_id, vec_id FROM (
+         |  SELECT q.q_id, c.vec_id,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY round(list_cosine_similarity(q.qv, c.v), 4) DESC, c.vec_id)
+         |      AS rnk FROM q CROSS JOIN c) WHERE rnk <= 5),
+         |hits AS (SELECT np, a.q_id, count(*) AS n_hits FROM approx a
+         |  JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id GROUP BY 1, 2),
+         |grid AS (SELECT np, q_id FROM nps
+         |  CROSS JOIN (SELECT DISTINCT q_id FROM exact))
+         |SELECT CAST(np AS BIGINT) AS nprobe, CAST(count(*) AS BIGINT) AS n_queries,
+         |  round(avg(coalesce(n_hits, 0) / 5.0), 4) AS mean_recall
+         |FROM grid LEFT JOIN hits USING (np, q_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_ivf_topk" ->
       s"""WITH $embCte,
          |comp AS (SELECT label AS c_id, pos - 1 AS pos, x

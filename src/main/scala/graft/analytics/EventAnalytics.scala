@@ -411,6 +411,31 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** §2.2 `q_d7_retention` — D7 rolling retention: of the users first
+    * seen on day d, how many were active exactly on d+7. Two compact
+    * aggregations (per-user first day; distinct active days) joined
+    * on the user key — the exchange is reused — then a bounded cohort
+    * rollup. The growth metric every product dashboard leads with.
+    */
+  def qD7Retention(spark: SparkSession, dir: String): DataFrame = {
+    val day = to_date(col("ts"))
+    val first = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(min(day).as("d0"))
+    val active = Tables.events(spark, dir)
+      .select(col("user_id"), day.as("d")).distinct()
+    val retained = active.select(col("user_id").as("r_user"), col("d").as("d7"))
+    first
+      .join(retained,
+        col("user_id") === col("r_user") &&
+          col("d7") === date_add(col("d0"), 7), "left_outer")
+      .groupBy(col("d0").as("cohort_day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("d7").isNotNull, 1L).otherwise(0L)).as("n_retained"))
+      .withColumn("pct_retained",
+        round(col("n_retained").cast("double") / col("n_users") * 100, 2))
+      .orderBy(col("cohort_day"))
+  }
+
   /** §2.2 `q_attribution` — last-touch attribution: every purchase
     * credits the user's most recent preceding non-purchase event (the
     * "channel"). One window pass per user carries the last-seen

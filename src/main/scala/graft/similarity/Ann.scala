@@ -355,6 +355,43 @@ object Ann {
     * built-in quality evaluation an ANN deployment runs after every
     * index build. Hits = LSH results appearing in the exact top-5.
     */
+  /** §2.4 `ann_ivf_recall_sweep` — the IVF tuning curve: recall@5 vs
+    * nprobe ∈ {1,2,4} against the exact brute-force top-5, one row
+    * per setting. This is the artifact an ANN deployment decides its
+    * probe budget from (recall climbs toward 1.0 as probes admit the
+    * neighbors lost at cell boundaries, cost climbs linearly). All
+    * three sweeps reuse the SAME materialized index — only the probe
+    * admission rank changes — so the sweep costs three bounded probe
+    * joins, not three index builds.
+    */
+  def annIvfRecallSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val idx = ivfBuilt.computeIfAbsent(dir, d => {
+      val p = ivfIndexPathFor(d); buildIvfIndex(spark, d, p); p
+    })
+    val queries = spark.read.parquet(s"$idx/cells")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val exact = annBruteforceTopk(spark, dir).filter(col("rnk") <= 5)
+      .select(col("q_id"), col("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sweeps = Seq(1, 2, 4).map { np =>
+      annIvfProbe(spark, queries, k = 5, nprobe = np, indexPath = idx,
+        corpusFilter = col("vec_id") >= 5)
+        .select(lit(np.toLong).as("nprobe"), col("q_id"), col("vec_id"))
+    }.reduce(_ union _)
+    val hits = sweeps.join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("nprobe"), col("q_id")).agg(count(lit(1)).as("n_hits"))
+    val grid = Seq(1L, 2L, 4L).toDF("nprobe")
+      .crossJoin(exact.select(col("q_id")).distinct())
+    grid.join(hits, Seq("nprobe", "q_id"), "left_outer")
+      .na.fill(0L, Seq("n_hits"))
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("n_hits") / lit(5.0)), 4).as("mean_recall"))
+      .orderBy(col("nprobe"))
+  }
+
   def annRecallAtK(spark: SparkSession, dir: String): DataFrame = {
     val exact = annBruteforceTopk(spark, dir).filter(col("rnk") <= 5)
       .select(col("q_id"), col("vec_id"))

@@ -196,6 +196,26 @@ class StatsSpec extends GraftSpec {
     }
   }
 
+  test("ivf recall sweep: recall is monotone non-decreasing in nprobe") {
+    val rows = graft.similarity.Ann.annIvfRecallSweep(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L))
+    val recalls = rows.map(_.getDouble(2))
+    recalls.foreach(r => assert(r >= 0.0 && r <= 1.0))
+    recalls.sliding(2).foreach {
+      case Array(a, b) => assert(b >= a - 1e-9,
+        s"recall fell from $a to $b as nprobe grew")
+      case _ => ()
+    }
+  }
+
+  test("d7 retention: retained never exceeds cohort size, cohorts cover all users") {
+    val rows = graft.analytics.EventAnalytics.qD7Retention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum === users)
+  }
+
   test("daily anomaly: one row per day with a defined baseline; flag agrees with z") {
     val rows = graft.analytics.EventAnalytics.qDailyAnomaly(spark, sf).collect()
     assert(rows.nonEmpty)
