@@ -152,6 +152,9 @@ object SparkEntry {
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh(_, _)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
     "dedup_simhash" -> (Dedup.dedupSimhash(_, _)),
+    "dedup_threshold_sweep" -> (Dedup.dedupThresholdSweep(_, _)),
+    "text_quality_sweep" -> (TextAnalysis.textQualitySweep(_, _)),
+    "corpus_lang_weights" -> (graft.text.CorpusOps.corpusLangWeights(_, _)),
     "dedup_embedding_cos" -> ((s, d) => Ann.dedupEmbeddingCos(s, d)),
     "dedup_minhash_by_lang" -> (Dedup.dedupMinhashByLang(_, _)),
     "dedup_pipeline_verified" -> ((s, d) => Dedup.dedupPipelineVerified(s, d)),
@@ -1995,6 +1998,53 @@ object SparkEntry {
          |  FROM d a JOIN d b ON a.lang = b.lang AND a.len_band = b.len_band
          |    AND a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_threshold_sweep" ->
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, lang,
+         |  CAST(floor(n_chars / 100) AS BIGINT) AS len_band,
+         |  list_distinct(toks) AS tokset FROM t),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    round(CAST(len(list_filter(a.tokset, x -> list_contains(b.tokset, x))) AS DOUBLE)
+         |      / CAST(len(list_distinct(list_concat(a.tokset, b.tokset))) AS DOUBLE), 4) AS jaccard
+         |  FROM d a JOIN d b ON a.lang = b.lang AND a.len_band = b.len_band
+         |    AND a.doc_id < b.doc_id),
+         |th AS (SELECT * FROM (VALUES (0.5), (0.7), (0.8), (0.9)) t(threshold)),
+         |f AS (SELECT threshold, doc_a, doc_b FROM p CROSS JOIN th
+         |  WHERE jaccard >= threshold),
+         |np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM f GROUP BY 1),
+         |nd AS (SELECT threshold, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_dup_docs
+         |  FROM (SELECT threshold, doc_a AS doc_id FROM f
+         |        UNION ALL SELECT threshold, doc_b FROM f) GROUP BY 1)
+         |SELECT th.threshold AS threshold, coalesce(np.n_pairs, 0) AS n_pairs,
+         |  coalesce(nd.n_dup_docs, 0) AS n_dup_docs
+         |FROM th LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
+         |ORDER BY threshold""".stripMargin,
+    "text_quality_sweep" ->
+      s"""WITH $toksCte,
+         |m AS (SELECT round((1.0 - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE))
+         |    * least(1.0, CAST(len(toks) AS DOUBLE) / 50.0), 4) AS q FROM t),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM m),
+         |th AS (SELECT * FROM (VALUES (0.3), (0.5), (0.7), (0.9)) t(threshold)),
+         |np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pass
+         |  FROM m CROSS JOIN th WHERE q >= threshold GROUP BY 1)
+         |SELECT th.threshold AS threshold, coalesce(np.n_pass, 0) AS n_pass,
+         |  round(coalesce(np.n_pass, 0) / (SELECT total FROM tot) * 100, 2) AS pct_pass
+         |FROM th LEFT JOIN np USING (threshold) ORDER BY threshold""".stripMargin,
+    "corpus_lang_weights" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+        |  CAST(count(*) AS BIGINT) AS n_langs FROM c)
+        |SELECT lang, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / total, 4) AS share,
+        |  round(least(3.0, (1.0 / n_langs) / (CAST(n_docs AS DOUBLE) / total)), 4)
+        |    AS weight,
+        |  CAST(round(n_docs * round(least(3.0,
+        |    (1.0 / n_langs) / (CAST(n_docs AS DOUBLE) / total)), 4)) AS BIGINT)
+        |    AS expected_docs
+        |FROM c CROSS JOIN tot ORDER BY lang""".stripMargin,
     "dedup_simhash" -> Dedup.simhashOracleSql,
     "dedup_embedding_cos" ->
       s"""WITH $embCte,

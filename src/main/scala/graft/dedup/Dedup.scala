@@ -269,6 +269,43 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** §2.3 `dedup_threshold_sweep` — the dedup tuning curve: surviving
+    * pair count and affected-document count at Jaccard thresholds
+    * {0.5, 0.7, 0.8, 0.9}, from ONE pass of exact similarities over
+    * the (lang, length-band)-blocked candidate pairs. Thresholds are
+    * swept over the already-scored pair set (a broadcast 4-row grid),
+    * so choosing the production threshold costs one blocked join, not
+    * four. This is how a pipeline picks its dedup aggressiveness:
+    * pairs removed vs corpus retained at each setting.
+    */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.rebalanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / 100).cast("long").as("len_band"),
+        array_sort(array_distinct(tokensCol(col("text")))).as("tokset"))
+    val pairs = docs.as("a")
+      .join(docs.as("b"), col("a.lang") === col("b.lang") &&
+        col("a.len_band") === col("b.len_band") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(jaccard_sorted(col("a.tokset"), col("b.tokset")), 4).as("jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val th = Seq(0.5, 0.7, 0.8, 0.9).toDF("threshold")
+    val surviving = pairs.crossJoin(broadcast(th))
+      .filter(col("jaccard") >= col("threshold"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nPairs = surviving.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nDocs = surviving
+      .select(col("threshold"), explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("threshold")).agg(countDistinct(col("doc_id")).as("n_dup_docs"))
+    th.join(nPairs, Seq("threshold"), "left_outer")
+      .join(nDocs, Seq("threshold"), "left_outer")
+      .na.fill(0L, Seq("n_pairs", "n_dup_docs"))
+      .orderBy(col("threshold"))
+  }
+
   // ---- SimHash ----
 
   /** §2.3#31 — 32-bit SimHash fingerprint. Bit k of the fingerprint

@@ -185,4 +185,29 @@ object CorpusOps {
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(50)
   }
+
+  /** §2.5 `corpus_lang_weights` — mixture rebalancing weights: per
+    * language, the sampling weight that moves the corpus toward a
+    * uniform language mixture, capped at 3× upsampling (unbounded
+    * upsampling of a rare slice just replays the same documents —
+    * the cap is the standard guard). weight = min(3, target/actual
+    * share); expected_docs = the post-resampling document count. One
+    * bounded aggregation plus scalar arithmetic — the plan for the
+    * sampler that then runs as one hash-filter pass over 100 TB.
+    */
+  def corpusLangWeights(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum(col("n_docs")).as("total"),
+      count(lit(1)).as("n_langs"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_docs").cast("double") / col("total"))
+      .withColumn("weight",
+        round(least(lit(3.0),
+          (lit(1.0) / col("n_langs")) / col("share")), 4))
+      .select(col("lang"), col("n_docs"), round(col("share"), 4).as("share"),
+        col("weight"),
+        round(col("n_docs") * col("weight")).cast("long").as("expected_docs"))
+      .orderBy(col("lang"))
+  }
 }

@@ -63,6 +63,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.5 `text_quality_sweep` — the quality-gate tuning curve: how
+    * many documents survive at score thresholds {0.3, 0.5, 0.7, 0.9},
+    * from ONE scoring pass (the same formula as [[textQuality]])
+    * swept against a broadcast 4-row grid. Picking the gate's
+    * strictness is a retention-vs-purity tradeoff; this emits the
+    * curve that decision reads.
+    */
+  def textQualitySweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokensCol(col("text"))
+    val nToks = size(toks).cast("double")
+    val stopHits = size(filter(toks, t => t === "the" || t === "a")).cast("double")
+    val scored = Tables.documents(spark, dir)
+      .select(round((lit(1.0) - stopHits / nToks) *
+        least(lit(1.0), nToks / 50.0), 4).as("q"))
+    val total = Tables.documents(spark, dir).count()
+    val th = Seq(0.3, 0.5, 0.7, 0.9).toDF("threshold")
+    th.join(scored.crossJoin(broadcast(th)).filter(col("q") >= col("threshold"))
+        .groupBy(col("threshold")).agg(count(lit(1)).as("n_pass")),
+        Seq("threshold"), "left_outer")
+      .na.fill(0L, Seq("n_pass"))
+      .withColumn("pct_pass",
+        round(col("n_pass").cast("double") / lit(total.toDouble) * 100, 2))
+      .orderBy(col("threshold"))
+  }
+
   /** §2.5#38 — language ID: stopword-marker voting. Each candidate
     * language scores by hits of its top function-words in the token
     * stream; highest vote wins, ties and zero-evidence fall back to

@@ -216,6 +216,37 @@ class StatsSpec extends GraftSpec {
     assert(rows.map(_.getLong(1)).sum === users)
   }
 
+  test("tuning sweeps: survivors shrink monotonically as thresholds tighten") {
+    val dedup = graft.dedup.Dedup.dedupThresholdSweep(spark, sf).collect()
+    assert(dedup.length === 4)
+    dedup.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(1) >= b.getLong(1), "n_pairs must not grow with threshold")
+        assert(a.getLong(2) >= b.getLong(2), "n_dup_docs must not grow with threshold")
+      case _ => ()
+    }
+    dedup.foreach(r => assert(r.getLong(2) <= 2 * r.getLong(1) ||
+      (r.getLong(1) == 0 && r.getLong(2) == 0)))
+    val quality = graft.text.TextAnalysis.textQualitySweep(spark, sf).collect()
+    assert(quality.length === 4)
+    quality.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(1) >= b.getLong(1))
+      case _ => ()
+    }
+  }
+
+  test("lang weights: capped at 3x, shares sum to 1, rare langs upweighted") {
+    val rows = graft.text.CorpusOps.corpusLangWeights(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 0.01)
+    val target = 1.0 / rows.length
+    rows.foreach { r =>
+      assert(r.getDouble(3) <= 3.0 + 1e-9)
+      if (r.getDouble(2) < target / 3) assert(r.getDouble(3) === 3.0)
+      if (r.getDouble(2) > target) assert(r.getDouble(3) < 1.0)
+    }
+  }
+
   test("daily anomaly: one row per day with a defined baseline; flag agrees with z") {
     val rows = graft.analytics.EventAnalytics.qDailyAnomaly(spark, sf).collect()
     assert(rows.nonEmpty)
