@@ -104,6 +104,8 @@ object SparkEntry {
     "q_attribution" -> (EventAnalytics.qAttribution(_, _)),
     "q_d7_retention" -> (EventAnalytics.qD7Retention(_, _)),
     "ann_ivf_recall_sweep" -> (Ann.annIvfRecallSweep(_, _)),
+    "vec_centroid_drift" -> (Ann.vecCentroidDrift(_, _)),
+    "q_seasonal_decompose" -> (Stats.qSeasonalDecompose(_, _)),
     "q_weighted_sample" -> (Stats.qWeightedSample(_, _)),
     "q_equidepth_hist" -> (Stats.qEquidepthHist(_, _)),
     "sync_replica_sets" -> (SyncOps.syncReplicaSets(_, _)),
@@ -1283,6 +1285,40 @@ object SparkEntry {
         |    / count(*) * 100, 2) AS pct_retained
         |FROM f LEFT JOIN a ON f.user_id = a.user_id AND a.d = d0 + 7
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "vec_centroid_drift" ->
+      s"""WITH $embCte,
+         |h AS (SELECT label, vec_id % 2 = 0 AS even, v FROM e),
+         |comp AS (SELECT label, even, pos - 1 AS pos, x FROM (
+         |  SELECT label, even, unnest(v) AS x,
+         |    generate_subscripts(v, 1) AS pos FROM h)),
+         |cent AS (SELECT label, even, list(cx ORDER BY pos) AS cv FROM (
+         |  SELECT label, even, pos, avg(x) AS cx FROM comp GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2),
+         |n AS (SELECT label,
+         |  CAST(count(*) FILTER (even) AS BIGINT) AS n_even,
+         |  CAST(count(*) FILTER (NOT even) AS BIGINT) AS n_odd
+         |  FROM h GROUP BY 1)
+         |SELECT n.label AS label, n.n_even, n.n_odd,
+         |  round(list_cosine_similarity(a.cv, b.cv), 4) + 0.0 AS half_cosine
+         |FROM n JOIN cent a ON a.label = n.label AND a.even
+         |JOIN cent b ON b.label = n.label AND NOT b.even
+         |ORDER BY label""".stripMargin,
+    "q_seasonal_decompose" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+        |      AS day, sum(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |ma AS (SELECT *, count(*) OVER w AS n_win, avg(v) OVER w AS trend
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |dt AS (SELECT event_type, (day + 3) % 7 AS dow, v - trend AS dt
+        |  FROM ma WHERE n_win = 7),
+        |s AS (SELECT *, avg(dt) OVER (PARTITION BY event_type, dow)
+        |    AS seasonal_raw FROM dt)
+        |SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_days,
+        |  round(max(seasonal_raw), 4) AS seasonal,
+        |  round(avg(abs(dt - seasonal_raw)), 4) AS mad_resid
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ann_ivf_recall_sweep" ->
       s"""WITH $embCte,
          |comp AS (SELECT label AS c_id, pos - 1 AS pos, x

@@ -287,6 +287,40 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** §2.2 `q_seasonal_decompose` — classical additive decomposition
+    * of the per-type daily value series: trend = 7-day centered
+    * moving average (edges without a full window dropped), seasonal =
+    * day-of-week mean of the detrended series, residual = what's
+    * left. Reported per (type, dow): the seasonal component and the
+    * mean absolute residual — the decomposition every capacity
+    * planner runs before trusting a forecast. All windows run over
+    * the ≤|days| compact series, never raw events.
+    */
+  def qSeasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day"))
+      .agg(sum(col("value")).as("v"))
+    val wMa = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val detrended = daily
+      .withColumn("n_win", count(lit(1)).over(wMa))
+      .withColumn("trend", avg(col("v")).over(wMa))
+      .filter(col("n_win") === 7)
+      .withColumn("dt", col("v") - col("trend"))
+      .withColumn("dow", (col("day") + 3) % 7)
+    detrended
+      .withColumn("seasonal_raw", avg(col("dt")).over(
+        Window.partitionBy(col("event_type"), col("dow"))))
+      .withColumn("resid", col("dt") - col("seasonal_raw"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        round(max(col("seasonal_raw")), 4).as("seasonal"),
+        round(avg(abs(col("resid"))), 4).as("mad_resid"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   /** §2.2 `q_weighted_sample` — deterministic weighted sampling
     * without replacement (Efraimidis–Spirakis): each document draws a
     * hash-derived uniform u and is ranked by −ln(u)/w (equivalent to

@@ -355,6 +355,36 @@ object Ann {
     * built-in quality evaluation an ANN deployment runs after every
     * index build. Hits = LSH results appearing in the exact top-5.
     */
+  /** §2.4 `vec_centroid_drift` — embedding drift monitor: per label,
+    * the cosine between the class centroid computed on the even-id
+    * half and the odd-id half of the corpus (a production pipeline
+    * splits by ingestion batch instead). Centroids are per-component
+    * means — one map-side-combinable aggregation per half, shuffling
+    * O(labels·dims) — and a drop in half-vs-half cosine is the
+    * earliest signal an embedding model or upstream corpus shifted.
+    */
+  def vecCentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+      .withColumn("half", (col("vec_id") % 2 === 0).cast("int"))
+    def centroids(half: Int, cn: String): DataFrame = e
+      .filter(col("half") === half)
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+      .select(col("label"),
+        transform(col("pairs"), p => p.getField("cx")).as(cn))
+    val na = e.filter(col("half") === 1).groupBy(col("label"))
+      .agg(count(lit(1)).as("n_even"))
+    val nb = e.filter(col("half") === 0).groupBy(col("label"))
+      .agg(count(lit(1)).as("n_odd"))
+    centroids(1, "ca").join(centroids(0, "cb"), Seq("label"))
+      .join(na, Seq("label")).join(nb, Seq("label"))
+      .select(col("label"), col("n_even"), col("n_odd"),
+        round(cosine_sim(col("ca"), col("cb")), 4).as("half_cosine"))
+      .orderBy(col("label"))
+  }
+
   /** §2.4 `ann_ivf_recall_sweep` — the IVF tuning curve: recall@5 vs
     * nprobe ∈ {1,2,4} against the exact brute-force top-5, one row
     * per setting. This is the artifact an ANN deployment decides its

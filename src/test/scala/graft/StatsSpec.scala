@@ -247,6 +247,28 @@ class StatsSpec extends GraftSpec {
     }
   }
 
+  test("seasonal decomposition: full dow coverage per type, non-negative residual spread") {
+    val rows = Stats.qSeasonalDecompose(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 6)
+      assert(r.getLong(2) >= 1)
+      assert(r.getDouble(4) >= 0.0)
+    }
+  }
+
+  test("centroid drift: halves of the same label stay aligned, counts cover the corpus") {
+    val rows = graft.similarity.Ann.vecCentroidDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(total === Tables.documents(spark, sf).sparkSession
+      .read.parquet(s"$sf/embeddings.parquet").count())
+    // at tiny scale the halves are a handful of near-centered vectors,
+    // so only the cosine's range is a stable invariant
+    rows.foreach(r => assert(r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0,
+      s"label ${r.get(0)}: half-cosine ${r.getDouble(3)}"))
+  }
+
   test("daily anomaly: one row per day with a defined baseline; flag agrees with z") {
     val rows = graft.analytics.EventAnalytics.qDailyAnomaly(spark, sf).collect()
     assert(rows.nonEmpty)
