@@ -405,11 +405,35 @@ object Ann {
     val exact = annBruteforceTopk(spark, dir).filter(col("rnk") <= 5)
       .select(col("q_id"), col("vec_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // score the nprobe=4 candidate superset ONCE; each sweep's
+    // admitted set is then a filter on the admitting cell's rank —
+    // one cells scan and one distance join for the whole curve
+    // instead of one per setting
+    val centroids = spark.read.parquet(s"$idx/centroids")
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("c_id"))
+    val probes = queries.join(broadcast(centroids))
+      .select(col("q_id"), col("qv"), col("c_id"),
+        round(cosine_sim(col("qv"), col("cv")), 4).as("ccos"))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 4)
+      .select(col("q_id"), col("qv"), col("c_id").as("probe"), col("rn"))
+    val cellIds = probes.select(col("probe")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val cells = spark.read.parquet(s"$idx/cells")
+      .filter(col("assigned_centroid").isin(cellIds: _*))
+      .filter(col("vec_id") >= 5)
+    val wTop = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val scored = cells.join(broadcast(probes), col("assigned_centroid") === col("probe"))
+      .select(col("q_id"), col("vec_id"), col("rn"),
+        round(cosine_sim(col("qv"), col("v")), 4).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sweeps = Seq(1, 2, 4).map { np =>
-      annIvfProbe(spark, queries, k = 5, nprobe = np, indexPath = idx,
-        corpusFilter = col("vec_id") >= 5)
-        .select(lit(np.toLong).as("nprobe"), col("q_id"), col("vec_id"))
+      scored.filter(col("rn") <= np).withColumn("nprobe", lit(np.toLong))
     }.reduce(_ union _)
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 5)
+      .select(col("nprobe"), col("q_id"), col("vec_id"))
     val hits = sweeps.join(exact, Seq("q_id", "vec_id"), "left_semi")
       .groupBy(col("nprobe"), col("q_id")).agg(count(lit(1)).as("n_hits"))
     val grid = Seq(1L, 2L, 4L).toDF("nprobe")
