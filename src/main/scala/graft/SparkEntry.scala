@@ -119,6 +119,10 @@ object SparkEntry {
     "q_ucb_arms" -> (Stats.qUcbArms(_, _)),
     "io_shard_balance" -> (Io.ioShardBalance(_, _)),
     "q_daily_anomaly" -> (EventAnalytics.qDailyAnomaly(_, _)),
+    "q_basket_lift" -> (EventAnalytics.qBasketLift(_, _)),
+    "q_rfm_segments" -> (EventAnalytics.qRfmSegments(_, _)),
+    "q_cohort_ltv" -> (EventAnalytics.qCohortLtv(_, _)),
+    "q_funnel_latency" -> (EventAnalytics.qFunnelLatency(_, _)),
     "sync_token_ring" -> (SyncOps.syncTokenRing(_, _)),
     "q_copurchase_jaccard" -> (graft.graph.GraphOps.copurchaseJaccard(_, _)),
     "q_ks_test" -> (Stats.qKsTest(_, _)),
@@ -193,6 +197,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
     "text_ngram_stats" -> (TextAnalysis.textNgramStats(_, _)),
     "text_tfidf" -> (TextAnalysis.textTfidf(_, _)),
+    "text_tfidf_knn" -> (TextAnalysis.textTfidfKnn(_, _)),
     "text_bm25" -> (TextAnalysis.textBm25(_, _)),
     "text_pmi" -> (TextAnalysis.textPmi(_, _)),
     "text_winnowing" -> ((s, d) => TextAnalysis.textWinnowing(s, d)),
@@ -1602,6 +1607,81 @@ object SparkEntry {
         |  abs(round((n_events - mu) / sd, 4)) >= 2.0 AS is_anomaly
         |FROM s WHERE sd IS NOT NULL AND sd > 0
         |ORDER BY day""".stripMargin,
+    "q_basket_lift" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |sup AS (SELECT pk, count(*) AS sup FROM b GROUP BY 1),
+        |f AS (SELECT pk, sup FROM sup WHERE sup >= 20),
+        |fb AS (SELECT ok, b.pk AS pk, sup FROM b JOIN f ON b.pk = f.pk),
+        |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
+        |pr AS (SELECT a.pk AS pa, b2.pk AS pb, a.sup AS sup_a, b2.sup AS sup_b,
+        |    count(*) AS sup_ab
+        |  FROM fb a JOIN fb b2 ON a.ok = b2.ok AND a.pk < b2.pk
+        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 3)
+        |SELECT pa, pb, sup_ab, sup_a, sup_b,
+        |  round(CAST(sup_ab AS DOUBLE) / sup_a, 4) AS confidence,
+        |  round(CAST(sup_ab AS DOUBLE) * n_orders / (sup_a * sup_b), 4) AS lift
+        |FROM pr CROSS JOIN n
+        |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    "q_rfm_segments" ->
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_day FROM orders),
+        |c AS (SELECT o_custkey, max_day,
+        |    CAST(date_diff('day', max(CAST(o_orderdate AS DATE)), max_day)
+        |      AS BIGINT) AS recency,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS mon_cents
+        |  FROM orders CROSS JOIN mx GROUP BY o_custkey, max_day),
+        |s AS (SELECT *,
+        |    CAST(ntile(5) OVER (ORDER BY recency, o_custkey) AS BIGINT) AS rq,
+        |    CAST(ntile(5) OVER (ORDER BY freq, o_custkey) AS BIGINT) AS fq,
+        |    CAST(ntile(5) OVER (ORDER BY mon_cents, o_custkey) AS BIGINT) AS mq
+        |  FROM c)
+        |SELECT rq, fq, mq, count(*) AS n_cust,
+        |  round(CAST(sum(mon_cents) AS DOUBLE) / 100.0 / count(*), 2)
+        |    AS avg_monetary
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mon,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |fm AS (SELECT o_custkey, min(mon) AS cohort_mon FROM o GROUP BY 1),
+        |sz AS (SELECT cohort_mon, count(*) AS n_cust FROM fm GROUP BY 1),
+        |aged AS (SELECT cohort_mon, o.mon - cohort_mon AS age,
+        |    CAST(sum(cents) AS BIGINT) AS rev_cents
+        |  FROM o JOIN fm ON o.o_custkey = fm.o_custkey GROUP BY 1, 2),
+        |cum AS (SELECT cohort_mon, age,
+        |    CAST(sum(rev_cents) OVER (PARTITION BY cohort_mon ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_cents
+        |  FROM aged)
+        |SELECT cum.cohort_mon AS cohort_mon, age, n_cust,
+        |  CAST(cum_cents // n_cust AS DOUBLE) / 100.0 AS ltv_per_cust
+        |FROM cum JOIN sz ON cum.cohort_mon = sz.cohort_mon
+        |ORDER BY cohort_mon, age""".stripMargin,
+    "q_funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END)
+        |    AS v_us FROM ev GROUP BY 1),
+        |c AS (SELECT ev.user_id AS user_id, v_us,
+        |    min(CASE WHEN event_type = 'click' AND us >= v_us THEN us END) AS c_us
+        |  FROM ev JOIN v ON ev.user_id = v.user_id GROUP BY 1, 2),
+        |p AS (SELECT ev.user_id AS user_id, v_us, c_us,
+        |    min(CASE WHEN event_type = 'purchase' AND us >= c_us THEN us END)
+        |      AS p_us
+        |  FROM ev JOIN c ON ev.user_id = c.user_id GROUP BY 1, 2, 3),
+        |d1 AS (SELECT c_us - v_us AS d FROM p WHERE c_us - v_us IS NOT NULL),
+        |d2 AS (SELECT p_us - c_us AS d FROM p WHERE p_us - c_us IS NOT NULL),
+        |s1 AS (SELECT 'view_to_click' AS step, CAST(count(*) AS BIGINT) AS n_users,
+        |    round(CAST(sum(d) AS DOUBLE) / count(*), 2) AS mean_us,
+        |    round(quantile_cont(d, 0.5), 2) AS p50_us,
+        |    round(quantile_cont(d, 0.9), 2) AS p90_us FROM d1),
+        |s2 AS (SELECT 'click_to_purchase' AS step,
+        |    CAST(count(*) AS BIGINT) AS n_users,
+        |    round(CAST(sum(d) AS DOUBLE) / count(*), 2) AS mean_us,
+        |    round(quantile_cont(d, 0.5), 2) AS p50_us,
+        |    round(quantile_cont(d, 0.9), 2) AS p90_us FROM d2)
+        |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY step""".stripMargin,
     "q_attribution" ->
       """WITH t AS (SELECT event_type, value,
         |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
@@ -2274,6 +2354,30 @@ object SparkEntry {
          |SELECT lang, word, tf, df, tfidf, rnk FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, word) AS BIGINT) AS rnk
          |  FROM scored) WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+    "text_tfidf_knn" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS word FROM t),
+         |pd AS (SELECT word, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM pd GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |post AS (SELECT pd.word AS word, pd.doc_id AS doc_id,
+         |    pd.c * ln(CAST(n_docs AS DOUBLE) / df.df) AS w
+         |  FROM pd JOIN df ON pd.word = df.word CROSS JOIN n
+         |  WHERE df.df >= 2 AND df.df * 10 <= n_docs),
+         |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM post GROUP BY 1),
+         |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    sum(a.w * b.w) AS dot
+         |  FROM post a JOIN post b ON a.word = b.word AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |cs AS (SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 4) AS cos
+         |  FROM dots JOIN nrm na ON dots.doc_a = na.doc_id
+         |  JOIN nrm nb ON dots.doc_b = nb.doc_id),
+         |sym AS (SELECT doc_a AS doc_id, doc_b AS nbr_id, cos FROM cs
+         |  UNION ALL SELECT doc_b AS doc_id, doc_a AS nbr_id, cos FROM cs)
+         |SELECT doc_id, nbr_id, cos, rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk FROM sym)
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "text_pmi" ->
       s"""WITH $toksCte,
          |uni AS (SELECT unnest(toks) AS word FROM t),

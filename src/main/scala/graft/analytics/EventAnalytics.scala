@@ -506,4 +506,145 @@ object EventAnalytics {
       .withColumn("is_anomaly", abs(col("z")) >= 2.0)
       .orderBy(col("day"))
   }
+
+  /** §2.2 `q_basket_lift` — market-basket association rules over
+    * order baskets: support / confidence / lift for co-purchased part
+    * pairs, global top-20 by lift. The pair fan-out is bounded by
+    * basket size² (≤7 lines per TPC-H order) and the apriori
+    * frequent-item prefilter (item support ≥ 20) prunes the basket
+    * self-join before pairs are formed — downward closure means no
+    * frequent pair can contain an infrequent item, so the prune is
+    * lossless for the pair-support ≥ 3 cut. All shuffles are
+    * partial-aggregated counts on bounded keys (part, part-pair).
+    */
+  def qBasketLift(spark: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val itemSup = baskets.groupBy(col("pk")).agg(count(lit(1)).as("sup"))
+    val freq = itemSup.filter(col("sup") >= 20)
+    val fb = baskets.join(freq, Seq("pk"))
+      .select(col("ok"), col("pk"), col("sup"))
+    val nOrders = baskets.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
+    val pairs = fb.select(col("ok"), col("pk").as("pa"), col("sup").as("sup_a"))
+      .join(fb.select(col("ok"), col("pk").as("pb"), col("sup").as("sup_b")), Seq("ok"))
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"), col("sup_a"), col("sup_b"))
+      .agg(count(lit(1)).as("sup_ab"))
+      .filter(col("sup_ab") >= 3)
+    pairs.crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("sup_ab"), col("sup_a"), col("sup_b"),
+        round(col("sup_ab").cast("double") / col("sup_a"), 4).as("confidence"),
+        round(col("sup_ab").cast("double") * col("n_orders") /
+          (col("sup_a") * col("sup_b")), 4).as("lift"))
+      .orderBy(col("lift").desc, col("pa"), col("pb"))
+      .limit(20)
+  }
+
+  /** §2.2 `q_rfm_segments` — RFM customer segmentation: per-customer
+    * recency (days since last order vs corpus max date), frequency
+    * (order count), monetary (lifetime spend in exact cents), each
+    * quintiled, then rolled up per (r, f, m) cell. The ntile windows
+    * run over the CUSTOMER rollup — orders of magnitude smaller than
+    * the fact table — with a unique (metric, custkey) sort so bucket
+    * assignment is reproducible cross-engine; beyond ~10⁸ customers
+    * the rank would swap to approx-quantile boundary bucketing.
+    * Monetary stays integer cents until the final division.
+    */
+  def qRfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, dir)
+    val maxDay = orders.agg(max(to_date(col("o_orderdate"))).as("max_day"))
+    val cust = orders.groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(Money.cents(col("o_totalprice"))).as("mon_cents"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("o_custkey"),
+        datediff(col("max_day"), col("last_day")).cast("long").as("recency"),
+        col("freq"), col("mon_cents"))
+    val scored = cust
+      .withColumn("rq", ntile(5).over(
+        Window.orderBy(col("recency"), col("o_custkey"))).cast("long"))
+      .withColumn("fq", ntile(5).over(
+        Window.orderBy(col("freq"), col("o_custkey"))).cast("long"))
+      .withColumn("mq", ntile(5).over(
+        Window.orderBy(col("mon_cents"), col("o_custkey"))).cast("long"))
+    scored.groupBy(col("rq"), col("fq"), col("mq"))
+      .agg(count(lit(1)).as("n_cust"),
+        round(Money.dollars(sum(col("mon_cents")), 100.0) / count(lit(1)), 2)
+          .as("avg_monetary"))
+      .orderBy(col("rq"), col("fq"), col("mq"))
+  }
+
+  /** §2.2 `q_cohort_ltv` — cohort lifetime-value curve: customers
+    * grouped by first-order month, revenue accumulated by month-age,
+    * reported as cumulative dollars per cohort member. Two shuffles
+    * (per-customer first month, then the bounded cohort×age rollup);
+    * the running sum windows over ≤|months| rows per cohort. Month
+    * arithmetic is yr·12+mon integers — immune to engine date-diff
+    * conventions. Revenue is exact cents until the final division.
+    */
+  def qCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val om = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+      .cast("long")
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey"), om.as("mon"), Money.cents(col("o_totalprice")).as("cents"))
+    val firstMon = orders.groupBy(col("o_custkey")).agg(min(col("mon")).as("cohort_mon"))
+    val sizes = firstMon.groupBy(col("cohort_mon")).agg(count(lit(1)).as("n_cust"))
+    val aged = orders.join(firstMon, Seq("o_custkey"))
+      .groupBy(col("cohort_mon"), (col("mon") - col("cohort_mon")).as("age"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("cohort_mon")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aged.withColumn("cum_cents", sum(col("rev_cents")).over(w))
+      .join(broadcast(sizes), Seq("cohort_mon"))
+      // floor-divide in exact cents first: cents/100.0/n lands on
+      // half-cent boundaries that the engines round apart
+      .select(col("cohort_mon"), col("age"), col("n_cust"),
+        Money.dollars(expr("cum_cents div n_cust"), 100.0).as("ltv_per_cust"))
+      .orderBy(col("cohort_mon"), col("age"))
+  }
+
+  /** §2.2 `q_funnel_latency` — time-to-convert between funnel steps:
+    * per user, the first view→click and click→purchase transitions
+    * (ordered, same contract as [[qFunnel]]), reported per step pair
+    * as count / mean / exact p50/p90 over the per-user latency in
+    * microseconds (integer µs end-to-end — no float time math). The
+    * percentile input is the user dimension, not raw events; the
+    * heavy passes are the three conditional-min aggregations on
+    * user_id, which all reuse one shuffle partitioning.
+    */
+  def qFunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("us"))).as("v_us"))
+    val c = ev.join(broadcast(v), Seq("user_id"))
+      .groupBy(col("user_id"), col("v_us"))
+      .agg(min(when(col("event_type") === "click" && col("us") >= col("v_us"),
+        col("us"))).as("c_us"))
+    val p = ev.join(broadcast(c.select(col("user_id"), col("v_us"), col("c_us"))),
+        Seq("user_id"))
+      .groupBy(col("user_id"), col("v_us"), col("c_us"))
+      .agg(min(when(col("event_type") === "purchase" && col("us") >= col("c_us"),
+        col("us"))).as("p_us"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val steps = Seq(
+      ("view_to_click", col("c_us") - col("v_us")),
+      ("click_to_purchase", col("p_us") - col("c_us")))
+    steps.map { case (name, delta) =>
+      p.select(delta.as("d")).filter(col("d").isNotNull)
+        .agg(count(lit(1)).as("n_users"),
+          // exact long sum, ONE double division: avg() would
+          // accumulate µs-magnitude doubles whose order-dependent
+          // ulp (~0.03 at 2e14) exceeds the 2-decimal contract
+          round(sum(col("d")).cast("double") / count(lit(1)), 2).as("mean_us"),
+          round(expr("percentile(d, 0.5)"), 2).as("p50_us"),
+          round(expr("percentile(d, 0.9)"), 2).as("p90_us"))
+        .select(lit(name).as("step"), col("n_users"), col("mean_us"),
+          col("p50_us"), col("p90_us"))
+    }.reduce(_ union _).orderBy(col("step"))
+  }
 }

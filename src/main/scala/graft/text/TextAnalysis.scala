@@ -438,6 +438,52 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rnk"))
   }
 
+  /** §2.5#226 — inverted-index document kNN: top-3 nearest
+    * neighbours per document by tf-idf cosine, computed as a sparse
+    * posting-list self-join — never a dense all-pairs pass. Postings
+    * are df-capped (2 ≤ df ≤ n/10): terms in more than 10% of the
+    * corpus carry ~no idf signal but dominate join cost, so dropping
+    * them bounds the self-join at Σ df² ≤ cap · Σ df — linear in
+    * corpus tokens with a constant cap, the standard all-pairs
+    * similarity pruning. Cosine is taken in the pruned term space
+    * (norms over surviving postings), pair dots partial-aggregate on
+    * (doc_a, doc_b), and the rank cut keys on the ROUNDED cosine so
+    * accumulation-order ulps can't reorder neighbours cross-engine.
+    */
+  def textTfidfKnn(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.rebalanced(Tables.documents(spark, dir))
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("word"))
+      .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = perDoc.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // three consumers (norms + both join sides) of one tokenize pass
+    val postings = perDoc.join(df, Seq("word")).crossJoin(broadcast(n))
+      .filter(col("df") >= 2 && col("df") * 10 <= col("n_docs"))
+      .select(col("word"), col("doc_id"),
+        (col("c") * log(col("n_docs").cast("double") / col("df"))).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = postings.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val dots = postings.select(col("word"), col("doc_id").as("doc_a"), col("w").as("wa"))
+      .join(postings.select(col("word"), col("doc_id").as("doc_b"), col("w").as("wb")),
+        Seq("word"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("wa") * col("wb")).as("dot"))
+    val cs = dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
+    val sym = cs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr_id"), col("cos"))
+      .union(cs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr_id"), col("cos")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("cos").desc, col("nbr_id"))
+    sym.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** §2.5#40 — top-5 word bigrams per language: explode n-grams,
     * partial-agg count, rank window per language. The explode is the
     * classic linear fan-out; the shuffle key (lang, bigram) is

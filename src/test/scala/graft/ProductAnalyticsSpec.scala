@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.EventAnalytics
+import graft.sources.Tables
+import graft.text.TextAnalysis
+
+/** Invariant coverage for the round-6 product-analytics batch:
+  * basket lift, RFM segmentation, cohort LTV, funnel latency, and
+  * the tf-idf document-kNN.
+  */
+class ProductAnalyticsSpec extends GraftSpec {
+
+  test("basket lift: supports respect the apriori cuts and confidence is consistent") {
+    val rows = EventAnalytics.qBasketLift(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pa") < r.getAs[Long]("pb"))
+      assert(r.getAs[Long]("sup_ab") >= 3)
+      assert(r.getAs[Long]("sup_a") >= 20 && r.getAs[Long]("sup_b") >= 20)
+      val conf = r.getAs[Double]("confidence")
+      assert(conf > 0 && conf <= 1.0)
+      assert(math.abs(conf -
+        r.getAs[Long]("sup_ab").toDouble / r.getAs[Long]("sup_a")) < 1e-4)
+      assert(r.getAs[Double]("lift") > 0)
+    }
+    // output is ranked by lift
+    val lifts = rows.map(_.getAs[Double]("lift")).toSeq
+    assert(lifts === lifts.sorted.reverse)
+  }
+
+  test("rfm segments: quintile labels in range and every customer lands in one cell") {
+    val rows = EventAnalytics.qRfmSegments(spark, sf).collect()
+    val nCust = Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_cust")).sum === nCust)
+    rows.foreach { r =>
+      Seq("rq", "fq", "mq").foreach { c =>
+        val q = r.getAs[Long](c); assert(q >= 1 && q <= 5)
+      }
+      assert(r.getAs[Long]("n_cust") > 0)
+      assert(r.getAs[Double]("avg_monetary") > 0)
+    }
+  }
+
+  test("cohort ltv: cumulative value is non-decreasing in age within each cohort") {
+    val rows = EventAnalytics.qCohortLtv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cohort_mon")).values.foreach { g =>
+      val byAge = g.sortBy(_.getAs[Long]("age"))
+      assert(byAge.head.getAs[Long]("age") === 0L)
+      val curve = byAge.map(_.getAs[Double]("ltv_per_cust")).toSeq
+      assert(curve.zip(curve.tail).forall { case (a, b) => b >= a })
+      assert(g.map(_.getAs[Long]("n_cust")).distinct.length === 1)
+    }
+  }
+
+  test("funnel latency: ordered steps yield non-negative latencies with p50 <= p90") {
+    val rows = EventAnalytics.qFunnelLatency(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("step")).toSet ===
+      Set("view_to_click", "click_to_purchase"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") > 0)
+      assert(r.getAs[Double]("mean_us") >= 0)
+      assert(r.getAs[Double]("p50_us") <= r.getAs[Double]("p90_us"))
+      assert(r.getAs[Double]("p50_us") >= 0)
+    }
+  }
+
+  test("tfidf knn: dense ranks per doc, no self-pairs, cosine in (0, 1]") {
+    val rows = TextAnalysis.textTfidfKnn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") !== r.getAs[Long]("nbr_id"))
+      val c = r.getAs[Double]("cos")
+      // weights are positive (idf > ln(10) under the df cap)
+      assert(c > 0 && c <= 1.0001)
+    }
+    rows.groupBy(_.getAs[Long]("doc_id")).values.foreach { g =>
+      val byRnk = g.sortBy(_.getAs[Long]("rnk"))
+      assert(byRnk.map(_.getAs[Long]("rnk")).toSeq === (1L to g.length))
+      val cs = byRnk.map(_.getAs[Double]("cos")).toSeq
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
