@@ -2363,7 +2363,7 @@ object SparkEntry {
          |post AS (SELECT pd.word AS word, pd.doc_id AS doc_id,
          |    pd.c * ln(CAST(n_docs AS DOUBLE) / df.df) AS w
          |  FROM pd JOIN df ON pd.word = df.word CROSS JOIN n
-         |  WHERE df.df >= 2 AND df.df * 10 <= n_docs),
+         |  WHERE df.df >= 2 AND df.df * 10 <= n_docs AND df.df <= 256),
          |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM post GROUP BY 1),
          |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    sum(a.w * b.w) AS dot

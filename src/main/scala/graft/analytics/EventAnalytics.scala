@@ -509,30 +509,44 @@ object EventAnalytics {
 
   /** §2.2 `q_basket_lift` — market-basket association rules over
     * order baskets: support / confidence / lift for co-purchased part
-    * pairs, global top-20 by lift. The pair fan-out is bounded by
-    * basket size² (≤7 lines per TPC-H order) and the apriori
-    * frequent-item prefilter (item support ≥ 20) prunes the basket
-    * self-join before pairs are formed — downward closure means no
-    * frequent pair can contain an infrequent item, so the prune is
-    * lossless for the pair-support ≥ 3 cut. All shuffles are
-    * partial-aggregated counts on bounded keys (part, part-pair).
+    * pairs, global top-20 by lift: rules need item supports ≥ 20 and
+    * pair support ≥ 3. The pair fan-out is bounded by basket size²
+    * (≤7 lines per TPC-H order), so all shuffles are
+    * partial-aggregated counts on bounded keys (part, part-pair),
+    * and item supports join in AFTER the pair cut on the bounded
+    * rule set — the pair shuffle carries only the two part ids.
     */
   def qBasketLift(spark: SparkSession, dir: String): DataFrame = {
+    // ONE fact-table shuffle (the basket collect; collect_set dedups,
+    // no distinct pre-pass) feeding three narrow consumers: pair
+    // explode, item supports, basket count — same layout as
+    // [[graft.graph.GraphOps.copurchaseJaccard]]. Pairs are a
+    // combination explode bounded by basket size² (≤7 lines per
+    // order), never a lineitem self-join. The support cuts apply
+    // AFTER pair counting (identical rule set — a rule needs sup_a,
+    // sup_b AND sup_ab over their thresholds), keeping any broadcast
+    // barrier off the fact-table path; with unbounded basket sizes,
+    // swap to an apriori pre-filter instead.
     val baskets = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("parts"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val itemSup = baskets.groupBy(col("pk")).agg(count(lit(1)).as("sup"))
-    val freq = itemSup.filter(col("sup") >= 20)
-    val fb = baskets.join(freq, Seq("pk"))
-      .select(col("ok"), col("pk"), col("sup"))
-    val nOrders = baskets.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
-    val pairs = fb.select(col("ok"), col("pk").as("pa"), col("sup").as("sup_a"))
-      .join(fb.select(col("ok"), col("pk").as("pb"), col("sup").as("sup_b")), Seq("ok"))
-      .filter(col("pa") < col("pb"))
-      .groupBy(col("pa"), col("pb"), col("sup_a"), col("sup_b"))
-      .agg(count(lit(1)).as("sup_ab"))
+    val sup = baskets.select(explode(col("parts")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("sup"))
+    val pairsOf = expr(
+      """flatten(transform(parts, (x, i) ->
+        |  transform(slice(parts, i + 2, size(parts) - i - 1),
+        |    y -> struct(x AS pa, y AS pb))))""".stripMargin)
+    val pairs = baskets.select(explode(pairsOf).as("p"))
+      .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("sup_ab"))
       .filter(col("sup_ab") >= 3)
-    pairs.crossJoin(broadcast(nOrders))
+    val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+    pairs
+      .join(broadcast(sup.select(col("pk").as("pa"), col("sup").as("sup_a"))), Seq("pa"))
+      .join(broadcast(sup.select(col("pk").as("pb"), col("sup").as("sup_b"))), Seq("pb"))
+      .filter(col("sup_a") >= 20 && col("sup_b") >= 20)
+      .crossJoin(broadcast(nOrders))
       .select(col("pa"), col("pb"), col("sup_ab"), col("sup_a"), col("sup_b"),
         round(col("sup_ab").cast("double") / col("sup_a"), 4).as("confidence"),
         round(col("sup_ab").cast("double") * col("n_orders") /

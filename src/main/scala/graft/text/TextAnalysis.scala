@@ -441,11 +441,12 @@ object TextAnalysis {
   /** §2.5#226 — inverted-index document kNN: top-3 nearest
     * neighbours per document by tf-idf cosine, computed as a sparse
     * posting-list self-join — never a dense all-pairs pass. Postings
-    * are df-capped (2 ≤ df ≤ n/10): terms in more than 10% of the
-    * corpus carry ~no idf signal but dominate join cost, so dropping
-    * them bounds the self-join at Σ df² ≤ cap · Σ df — linear in
-    * corpus tokens with a constant cap, the standard all-pairs
-    * similarity pruning. Cosine is taken in the pruned term space
+    * are df-capped (2 ≤ df ≤ min(n/10, 256)): terms in >10% of the
+    * corpus carry ~no idf signal but dominate join cost, and the
+    * ABSOLUTE cap is what keeps the self-join linear — Σ df² ≤
+    * 256 · Σ df grows with corpus tokens, whereas a relative-only cap
+    * lets the heaviest posting lists grow with n and turns the join
+    * quadratic. Cosine is taken in the pruned term space
     * (norms over surviving postings), pair dots partial-aggregate on
     * (doc_a, doc_b), and the rank cut keys on the ROUNDED cosine so
     * accumulation-order ulps can't reorder neighbours cross-engine.
@@ -460,7 +461,7 @@ object TextAnalysis {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // three consumers (norms + both join sides) of one tokenize pass
     val postings = perDoc.join(df, Seq("word")).crossJoin(broadcast(n))
-      .filter(col("df") >= 2 && col("df") * 10 <= col("n_docs"))
+      .filter(col("df") >= 2 && col("df") * 10 <= col("n_docs") && col("df") <= 256)
       .select(col("word"), col("doc_id"),
         (col("c") * log(col("n_docs").cast("double") / col("df"))).as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
