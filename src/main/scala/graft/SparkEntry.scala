@@ -120,6 +120,9 @@ object SparkEntry {
     "io_shard_balance" -> (Io.ioShardBalance(_, _)),
     "q_daily_anomaly" -> (EventAnalytics.qDailyAnomaly(_, _)),
     "q_basket_lift" -> (EventAnalytics.qBasketLift(_, _)),
+    "q_changepoint" -> (EventAnalytics.qChangepoint(_, _)),
+    "q_session_path_topk" -> (EventAnalytics.qSessionPathTopk(_, _)),
+    "q_churn_by_engagement" -> (EventAnalytics.qChurnByEngagement(_, _)),
     "q_rfm_segments" -> (EventAnalytics.qRfmSegments(_, _)),
     "q_cohort_ltv" -> (EventAnalytics.qCohortLtv(_, _)),
     "q_funnel_latency" -> (EventAnalytics.qFunnelLatency(_, _)),
@@ -1622,6 +1625,48 @@ object SparkEntry {
         |  round(CAST(sup_ab AS DOUBLE) * n_orders / (sup_a * sup_b), 4) AS lift
         |FROM pr CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    "q_changepoint" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT CAST(sum(n_events) AS BIGINT) AS tot,
+        |    count(*) AS nd FROM daily),
+        |c AS (SELECT day, CAST(n_events AS BIGINT) AS n_events,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+        |    CAST(sum(n_events) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM daily),
+        |s AS (SELECT day, n_events,
+        |    round(cum - rn * (CAST(tot AS DOUBLE) / nd), 4) AS cusum
+        |  FROM c CROSS JOIN st)
+        |SELECT day, n_events, cusum,
+        |  row_number() OVER (ORDER BY abs(cusum) DESC, day) = 1 AS is_peak
+        |FROM s ORDER BY day""".stripMargin,
+    "q_session_path_topk" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM e WHERE rn <= 3 GROUP BY 1)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY 1
+        |ORDER BY n_users DESC, path LIMIT 10""".stripMargin,
+    "q_churn_by_engagement" ->
+      """WITH ref AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS max_us
+        |  FROM events),
+        |u AS (SELECT user_id, count(*) AS n_events,
+        |    max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT
+        |    CAST(ntile(4) OVER (ORDER BY n_events, user_id) AS BIGINT)
+        |      AS quartile,
+        |    n_events,
+        |    CASE WHEN last_us < max_us - CAST(604800000000 AS BIGINT) THEN 1
+        |      ELSE 0 END AS churned
+        |  FROM u CROSS JOIN ref)
+        |SELECT quartile, count(*) AS n_users,
+        |  CAST(sum(churned) AS BIGINT) AS n_churned,
+        |  CAST(sum(n_events) AS BIGINT) AS tot_events,
+        |  round(CAST(sum(churned) AS DOUBLE) / count(*), 4) AS churn_rate
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rfm_segments" ->
       """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_day FROM orders),
         |c AS (SELECT o_custkey, max_day,

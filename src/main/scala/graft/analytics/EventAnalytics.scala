@@ -507,6 +507,84 @@ object EventAnalytics {
       .orderBy(col("day"))
   }
 
+  /** §2.2 `q_changepoint` — CUSUM mean-shift detection on the daily
+    * event-count series: cumulative deviation from the series mean,
+    * peak |CUSUM| marks the most likely changepoint. The fact table
+    * collapses to one row per day in pass one; the windows run over
+    * that bounded series (same contract as [[qDailyAnomaly]]). The
+    * deviation is exact-integer cumsum minus rn·mean — ONE float
+    * multiply per row, no float accumulation to drift cross-engine.
+    */
+  def qChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.agg(sum(col("n_events")).as("tot"), count(lit(1)).as("nd"))
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily.crossJoin(broadcast(stats))
+      .withColumn("rn", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .withColumn("cum", sum(col("n_events")).over(wCum))
+      .select(col("day"), col("n_events"),
+        round(col("cum") - col("rn") * (col("tot").cast("double") / col("nd")), 4)
+          .as("cusum"))
+    val wPeak = Window.orderBy(abs(col("cusum")).desc, col("day"))
+    scored.withColumn("is_peak", row_number().over(wPeak) === 1)
+      .orderBy(col("day"))
+  }
+
+  /** §2.2 `q_session_path_topk` — journey mining: the 10 most common
+    * opening event-type paths (first three events per user, ts then
+    * event_id order). One user_id window pass, then the path rollup
+    * is bounded by |types|³ — the standard first-k-steps sequence
+    * summary. Path assembly sorts the collected (rn, type) structs,
+    * so it is insensitive to aggregation arrival order.
+    */
+  def qSessionPathTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val paths = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(expr("concat_ws('>', transform(array_sort(collect_list(" +
+        "struct(rn, event_type))), x -> x.event_type))").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(10)
+  }
+
+  /** §2.2 `q_churn_by_engagement` — does low activity predict churn?
+    * Users whose last event predates corpus max ts by >7 days are
+    * churned; users are quartiled by lifetime event count and churn
+    * rate reported per quartile. One per-user aggregation (the only
+    * fact-table shuffle), a 1-row broadcast reference ts, an ntile
+    * over the USER dimension (not facts — swap for approx-quantile
+    * boundaries past ~10⁸ users), and a 4-row rollup; time math in
+    * integer µs.
+    */
+  def qChurnByEngagement(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ref = Tables.events(spark, dir).agg(max(unix_micros(col("ts"))).as("max_us"))
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), max(unix_micros(col("ts"))).as("last_us"))
+    perUser.crossJoin(broadcast(ref))
+      .withColumn("quartile", ntile(4).over(
+        Window.orderBy(col("n_events"), col("user_id"))).cast("long"))
+      .select(col("quartile"), col("n_events"),
+        when(col("last_us") < col("max_us") - lit(7L * 86400L * 1000000L), 1L)
+          .otherwise(0L).as("churned"))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("churned")).as("n_churned"),
+        sum(col("n_events")).as("tot_events"))
+      .withColumn("churn_rate",
+        round(col("n_churned").cast("double") / col("n_users"), 4))
+      .orderBy(col("quartile"))
+  }
+
   /** §2.2 `q_basket_lift` — market-basket association rules over
     * order baskets: support / confidence / lift for co-purchased part
     * pairs, global top-20 by lift: rules need item supports ≥ 20 and

@@ -68,6 +68,47 @@ class ProductAnalyticsSpec extends GraftSpec {
     }
   }
 
+  test("changepoint: cusum starts near the first deviation and ends at ~0, exactly one peak") {
+    val rows = EventAnalytics.qChangepoint(spark, sf).collect()
+    assert(rows.length > 1)
+    // CUSUM of deviations from the series mean telescopes to 0
+    assert(math.abs(rows.last.getAs[Double]("cusum")) < 0.01)
+    assert(rows.count(_.getAs[Boolean]("is_peak")) === 1)
+    val peak = rows.filter(_.getAs[Boolean]("is_peak")).head.getAs[Double]("cusum")
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cusum")) <= math.abs(peak)))
+  }
+
+  test("session paths: at most 10 paths of <=3 known steps, counts cover <= user total") {
+    val rows = EventAnalytics.qSessionPathTopk(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val types = Set("signup", "view", "click", "purchase", "error")
+    rows.foreach { r =>
+      val steps = r.getAs[String]("path").split(">")
+      assert(steps.length <= 3 && steps.forall(types.contains))
+      assert(r.getAs[Long]("n_users") > 0)
+    }
+    val ns = rows.map(_.getAs[Long]("n_users")).toSeq
+    assert(ns === ns.sorted.reverse)
+    val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(ns.sum <= nUsers)
+  }
+
+  test("churn by engagement: quartiles partition all users and rates are consistent") {
+    val rows = EventAnalytics.qChurnByEngagement(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("quartile")).toSeq === Seq(1L, 2L, 3L, 4L))
+    val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum === nUsers)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_churned") <= r.getAs[Long]("n_users"))
+      val rate = r.getAs[Double]("churn_rate")
+      assert(rate >= 0 && rate <= 1)
+    }
+    // mean events/user is non-decreasing in quartile (sorted buckets)
+    val avg = rows.sortBy(_.getAs[Long]("quartile"))
+      .map(r => r.getAs[Long]("tot_events").toDouble / r.getAs[Long]("n_users"))
+    assert(avg.zip(avg.tail).forall { case (a, b) => b >= a })
+  }
+
   test("tfidf knn: dense ranks per doc, no self-pairs, cosine in (0, 1]") {
     val rows = TextAnalysis.textTfidfKnn(spark, sf).collect()
     assert(rows.nonEmpty)
