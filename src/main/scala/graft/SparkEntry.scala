@@ -42,6 +42,7 @@ object SparkEntry {
     "sync_skip_vanished" -> (SyncOps.syncSkipVanished(_, _)),
     "sync_path_parse" -> (SyncOps.syncPathParse(_, _)),
     "sync_slot_schedule" -> ((s, d) => SyncOps.syncSlotSchedule(s, d)),
+    "sync_bandwidth_windows" -> ((s, d) => SyncOps.syncBandwidthWindows(s, d)),
     "sync_compaction_plan" -> (SyncOps.syncCompactionPlan(_, _)),
     "sync_daily_ingest" -> (SyncOps.syncDailyIngest(_, _)),
     "sync_generation_gaps" -> (SyncOps.syncGenerationGaps(_, _)),
@@ -131,6 +132,7 @@ object SparkEntry {
     "q_ks_test" -> (Stats.qKsTest(_, _)),
     "q_mutual_info" -> (Stats.qMutualInfo(_, _)),
     "q_cms_estimate" -> (Stats.qCmsEstimate(_, _)),
+    "q_bootstrap_ci" -> (Stats.qBootstrapCi(_, _)),
     "q_user_entropy" -> (EventAnalytics.qUserEntropy(_, _)),
     "q_event_pattern" -> (EventAnalytics.qEventPattern(_, _)),
     "q_hll_setops" -> (Relational.qHllSetops(_, _)),
@@ -568,6 +570,21 @@ object SparkEntry {
          |  CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
          |  max(size_bytes) AS max_bytes
          |FROM planned GROUP BY 1 ORDER BY slot""".stripMargin,
+    "sync_bandwidth_windows" ->
+      s"""WITH $invCte, $durCte,
+         |du AS (SELECT generation, size_bytes FROM dur s WHERE NOT EXISTS (
+         |  SELECT 1 FROM dur t WHERE t.generation % 3 <> 0 AND t.node_id <> 3
+         |    AND t.path = s.path)),
+         |c AS (SELECT generation, size_bytes,
+         |    CAST(sum(size_bytes) OVER (ORDER BY generation ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM du),
+         |t AS (SELECT generation, size_bytes,
+         |    CAST((cum - 1) // 16777216 AS BIGINT) AS window_idx FROM c)
+         |SELECT window_idx, count(*) AS n_files,
+         |  CAST(sum(size_bytes) AS BIGINT) AS window_bytes,
+         |  min(generation) AS first_gen, max(generation) AS last_gen
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_recall_at_k" ->
       s"""WITH $embCte,
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
@@ -1625,6 +1642,31 @@ object SparkEntry {
         |  round(CAST(sup_ab AS DOUBLE) * n_orders / (sup_a * sup_b), 4) AS lift
         |FROM pr CROSS JOIN n
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
+    "q_bootstrap_ci" ->
+      """WITH bb AS (SELECT unnest(range(1, 41)) AS b),
+        |r AS (SELECT event_type, bb.b AS b, value,
+        |    ((CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
+        |      CAST(bb.b AS VARCHAR)), 1, 15) AS BIGINT) % 1000000) + 0.5)
+        |      / 1000000.0 AS u
+        |  FROM events CROSS JOIN bb),
+        |w AS (SELECT event_type, b, value,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.73575888234288467 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.98101184312384624 THEN 3
+        |         WHEN u < 0.99634015317265634 THEN 4
+        |         ELSE 5 END AS w
+        |  FROM r),
+        |m AS (SELECT event_type, b, sum(w * value) / sum(w) AS mean_b
+        |  FROM w GROUP BY 1, 2),
+        |ci AS (SELECT event_type,
+        |    round(quantile_cont(mean_b, 0.025), 4) AS ci_lo,
+        |    round(quantile_cont(mean_b, 0.975), 4) AS ci_hi FROM m GROUP BY 1),
+        |pt AS (SELECT event_type, round(avg(value), 4) AS mean_value
+        |  FROM events GROUP BY 1)
+        |SELECT pt.event_type AS event_type, mean_value, ci_lo, ci_hi
+        |FROM pt JOIN ci ON pt.event_type = ci.event_type
+        |ORDER BY event_type""".stripMargin,
     "q_changepoint" ->
       """WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
         |  FROM events GROUP BY 1),

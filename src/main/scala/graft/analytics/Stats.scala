@@ -392,4 +392,41 @@ object Stats {
       .agg(min(col("c")).as("cms_n"))
       .orderBy(col("exact_n").desc, col("user_id"))
   }
+
+  /** §2.2 `q_bootstrap_ci` — Poisson-bootstrap 95% CI for the mean
+    * event value per type: the scale-correct bootstrap — resampling
+    * weights are per-(row, replicate) Poisson(1) draws from a
+    * deterministic md5 uniform, so all B=40 replicates ride ONE pass
+    * over the facts (a narrow 40× replicate fan-out into a
+    * partial-agg groupBy on (type, b)), never a shuffle per resample.
+    * The CI is the exact 2.5/97.5 percentile of the 40 replicate
+    * means — a |types|×40-row window input. This is how bootstrap CIs
+    * are computed on data too large to materialize resamples.
+    */
+  def qBootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val u = ((conv(substring(md5(concat(col("event_id").cast("string"), lit(":"),
+      col("b").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 1000000).cast("double") + lit(0.5)) / lit(1000000.0)
+    // Poisson(1) inverse CDF: cumulative e⁻¹·Σ 1/k! thresholds
+    val wPois = when(col("u") < 0.36787944117144233, 0L)
+      .when(col("u") < 0.73575888234288467, 1L)
+      .when(col("u") < 0.9196986029286058, 2L)
+      .when(col("u") < 0.98101184312384624, 3L)
+      .when(col("u") < 0.99634015317265634, 4L)
+      .otherwise(5L)
+    val means = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        explode(expr("sequence(1, 40)")).as("b"))
+      .withColumn("u", u)
+      .withColumn("w", wPois)
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w") * col("value")).as("swv"), sum(col("w")).as("sw"))
+      .select(col("event_type"), (col("swv") / col("sw")).as("mean_b"))
+    val ci = means.groupBy(col("event_type"))
+      .agg(round(expr("percentile(mean_b, 0.025)"), 4).as("ci_lo"),
+        round(expr("percentile(mean_b, 0.975)"), 4).as("ci_hi"))
+    val pt = Tables.events(spark, dir).groupBy(col("event_type"))
+      .agg(round(avg(col("value")), 4).as("mean_value"))
+    pt.join(ci, Seq("event_type")).orderBy(col("event_type"))
+  }
 }

@@ -216,6 +216,30 @@ object SyncOps {
         max(col("size_bytes")).as("max_bytes"))
       .orderBy(col("slot"))
 
+  /** §2.1 `sync_bandwidth_windows` — rate-limited upload planning
+    * (reference: the uploader drains its queue against finite
+    * bandwidth): the pending diff-upload backlog, in deterministic
+    * generation order, is cut into transfer windows of ≤16 MB by
+    * running-total bytes — window k is what a capped link ships in
+    * tick k. The running sum orders the BACKLOG (bounded, file
+    * metadata — never fact data); past ~10⁸ pending files the global
+    * window swaps for the classic two-pass per-partition prefix sums.
+    */
+  def syncBandwidthWindows(spark: SparkSession, dir: String,
+      capBytes: Long = 16777216L): DataFrame = {
+    val w = Window.orderBy(col("generation"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    syncDiffUpload(spark, dir)
+      .withColumn("cum", sum(col("size_bytes")).over(w))
+      .withColumn("window_idx", expr(s"CAST((cum - 1) div $capBytes AS BIGINT)"))
+      .groupBy(col("window_idx"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("size_bytes")).as("window_bytes"),
+        min(col("generation")).as("first_gen"),
+        max(col("generation")).as("last_gen"))
+      .orderBy(col("window_idx"))
+  }
+
   /** §2.1#105 — replication-factor audit: on how many nodes each
     * (cf, shard) lineage is materialized — the "is every shard
     * replicated where it should be" check over the synced inventory.

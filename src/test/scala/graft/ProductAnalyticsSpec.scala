@@ -109,6 +109,40 @@ class ProductAnalyticsSpec extends GraftSpec {
     assert(avg.zip(avg.tail).forall { case (a, b) => b >= a })
   }
 
+  test("bootstrap ci: interval brackets the point mean with positive width") {
+    val rows = graft.analytics.Stats.qBootstrapCi(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (lo, m, hi) = (r.getAs[Double]("ci_lo"),
+        r.getAs[Double]("mean_value"), r.getAs[Double]("ci_hi"))
+      assert(lo < hi)
+      // Poisson-bootstrap CI of the mean brackets the sample mean
+      assert(lo <= m && m <= hi)
+    }
+  }
+
+  test("bandwidth windows: every window under cap with contiguous generation ranges") {
+    val backlog = graft.syncer.SyncOps.syncDiffUpload(spark, sf)
+      .agg(sum(col("size_bytes")), max(col("size_bytes"))).collect().head
+    val (total, maxFile) = (backlog.getLong(0), backlog.getLong(1))
+    val rows = graft.syncer.SyncOps.syncBandwidthWindows(spark, sf).collect()
+    assert(rows.length === ((total - 1) / 16777216L + 1))
+    assert(rows.map(_.getAs[Long]("window_bytes")).sum === total)
+    val byIdx = rows.sortBy(_.getAs[Long]("window_idx"))
+    assert(byIdx.map(_.getAs[Long]("window_idx")).toSeq ===
+      (0L until rows.length).toSeq)
+    byIdx.foreach { r =>
+      // a window only exceeds the cap by at most its straddling file
+      assert(r.getAs[Long]("window_bytes") <= 16777216L + maxFile)
+      assert(r.getAs[Long]("first_gen") <= r.getAs[Long]("last_gen"))
+    }
+    // generation ranges are disjoint and ordered across windows
+    assert(byIdx.sliding(2).forall {
+      case Array(a, b) => a.getAs[Long]("last_gen") < b.getAs[Long]("first_gen")
+      case _ => true
+    })
+  }
+
   test("tfidf knn: dense ranks per doc, no self-pairs, cosine in (0, 1]") {
     val rows = TextAnalysis.textTfidfKnn(spark, sf).collect()
     assert(rows.nonEmpty)
