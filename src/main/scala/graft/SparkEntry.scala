@@ -227,6 +227,7 @@ object SparkEntry {
     "mm_features" -> (Media.mmFeatures(_, _)),
     "mm_resize_frames" -> (Media.mmResizeFrames(_, _)),
     "mm_phash" -> (Media.mmPhash(_, _)),
+    "mm_vad_segments" -> (Media.mmVadSegments(_, _)),
     "mm_payload_dedup" -> (Media.mmPayloadDedup(_, _)),
     "mm_phash_dedup" -> (Media.mmPhashDedup(_, _)),
     // §2.7 streaming (bounded replay into a memory sink)
@@ -2514,6 +2515,30 @@ object SparkEntry {
         |SELECT doc_id, CAST(list_sum(list_transform(range(0,32),
         |    i -> CASE WHEN av[i+1] > av[i+2] THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS phash
         |FROM m ORDER BY doc_id""".stripMargin,
+    "mm_vad_segments" ->
+      """WITH ch AS (SELECT doc_id,
+        |    list_transform(string_split(text, ''), x -> ascii(x)) AS by,
+        |    length(text) AS n FROM documents),
+        |fr AS (SELECT doc_id, unnest(range(0, (n + 15) // 16)) AS idx, by
+        |  FROM ch),
+        |e AS (SELECT doc_id, idx,
+        |    list_sum(by[idx * 16 + 1 : (idx + 1) * 16]) * 1.0 /
+        |      len(by[idx * 16 + 1 : (idx + 1) * 16]) AS e
+        |  FROM fr),
+        |a AS (SELECT doc_id, idx,
+        |    idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS grp
+        |  FROM e WHERE e > 95.0),
+        |s AS (SELECT doc_id, grp, count(*) AS len FROM a GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, count(*) AS n_segments, max(len) AS max_run,
+        |    sum(len) AS n_active FROM s GROUP BY 1),
+        |nf AS (SELECT doc_id, CAST((n + 15) // 16 AS BIGINT) AS n_frames
+        |  FROM ch)
+        |SELECT nf.doc_id AS doc_id, n_frames,
+        |  CAST(COALESCE(n_active, 0) AS BIGINT) AS n_active,
+        |  CAST(COALESCE(n_segments, 0) AS BIGINT) AS n_segments,
+        |  CAST(COALESCE(max_run, 0) AS BIGINT) AS max_run
+        |FROM nf LEFT JOIN agg ON nf.doc_id = agg.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "mm_phash_dedup" ->
       """WITH b AS (SELECT doc_id, list_transform(string_split(text,''), x -> ascii(x)) AS by,
         |             length(text) AS n FROM documents),

@@ -111,6 +111,63 @@ object Media {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  val vadSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("energies", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** Per-frame energy extraction: the batched kernel boundary of a
+    * VAD/segmentation pipeline — frame the payload (16-byte frames
+    * standing in for PCM windows), one mean-energy value per frame.
+    * Energies are exact rationals (integer sum ÷ frame length, one
+    * IEEE division) so downstream thresholding is reproducible. A
+    * real deployment swaps this kernel for the codec + RMS window
+    * without touching the distributed shape.
+    */
+  def frameEnergies(media: DataFrame, frameBytes: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select(col("doc_id"), col("media")).rdd.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch => // batch boundary = vectorized-kernel call
+        batch.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val es = bytes.grouped(frameBytes)
+            .map(f => f.map(b => (b & 0xff).toLong).sum.toDouble / f.length)
+            .toArray
+          Row(r.getLong(0), es)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, vadSchema)
+  }
+
+  /** §2.6 `mm_vad_segments` — activity segmentation over media
+    * payloads (the audio VAD shape): kernel-extracted frame energies,
+    * a fixed activity threshold, and gaps-and-islands run-length
+    * merging into maximal active segments — all narrow per-doc work
+    * after one posexplode, with the only shuffle the per-doc window/
+    * rollup on doc_id. Reports frames / active frames / segment count
+    * / longest run per payload.
+    */
+  def mmVadSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val framed = frameEnergies(mediaTable(spark, dir))
+      .select(col("doc_id"), posexplode(col("energies")))
+      .toDF("doc_id", "idx", "e")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    val segs = framed.filter(col("e") > 95.0)
+      .withColumn("grp", col("idx") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("len"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"), max(col("len")).as("max_run"),
+        sum(col("len")).as("n_active"))
+    framed.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+      .join(segs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("max_run"), lit(0L)).as("max_run"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PNG / JPEG magic-byte sniff — cheap pre-filter so non-image
     * payloads never pay a decode attempt.
     */

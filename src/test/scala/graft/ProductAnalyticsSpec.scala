@@ -143,6 +143,23 @@ class ProductAnalyticsSpec extends GraftSpec {
     })
   }
 
+  test("vad segments: run-length accounting is internally consistent per doc") {
+    val rows = graft.multimodal.Media.mmVadSegments(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nf, na, ns, mr) = (r.getAs[Long]("n_frames"), r.getAs[Long]("n_active"),
+        r.getAs[Long]("n_segments"), r.getAs[Long]("max_run"))
+      assert(nf > 0 && na <= nf)
+      assert((ns == 0) === (na == 0))
+      assert(mr <= na && ns <= na)
+      // segments are maximal runs: k segments need >= k active frames
+      // and can't be longer than the longest run times the count
+      assert(na <= ns * mr || ns == 0)
+    }
+    // threshold actually separates: some docs mixed
+    assert(rows.exists(r => r.getAs[Long]("n_segments") > 1))
+  }
+
   test("tfidf knn: dense ranks per doc, no self-pairs, cosine in (0, 1]") {
     val rows = TextAnalysis.textTfidfKnn(spark, sf).collect()
     assert(rows.nonEmpty)
