@@ -122,6 +122,7 @@ object SparkEntry {
     "q_daily_anomaly" -> (EventAnalytics.qDailyAnomaly(_, _)),
     "q_basket_lift" -> (EventAnalytics.qBasketLift(_, _)),
     "q_changepoint" -> (EventAnalytics.qChangepoint(_, _)),
+    "q_new_vs_returning" -> (EventAnalytics.qNewVsReturning(_, _)),
     "q_session_path_topk" -> (EventAnalytics.qSessionPathTopk(_, _)),
     "q_churn_by_engagement" -> (EventAnalytics.qChurnByEngagement(_, _)),
     "q_rfm_segments" -> (EventAnalytics.qRfmSegments(_, _)),
@@ -203,6 +204,7 @@ object SparkEntry {
     "text_ngram_stats" -> (TextAnalysis.textNgramStats(_, _)),
     "text_tfidf" -> (TextAnalysis.textTfidf(_, _)),
     "text_tfidf_knn" -> (TextAnalysis.textTfidfKnn(_, _)),
+    "text_lexical_complexity" -> (TextAnalysis.textLexicalComplexity(_, _)),
     "text_bm25" -> (TextAnalysis.textBm25(_, _)),
     "text_pmi" -> (TextAnalysis.textPmi(_, _)),
     "text_winnowing" -> ((s, d) => TextAnalysis.textWinnowing(s, d)),
@@ -269,6 +271,7 @@ object SparkEntry {
     "graph_degree_hist" -> (graft.graph.GraphOps.graphDegreeHist(_, _)),
     "graph_triangles" -> (graft.graph.GraphOps.graphTriangles(_, _)),
     "graph_pagerank" -> ((s, d) => graft.graph.GraphOps.graphPagerank(s, d)),
+    "graph_assortativity" -> (graft.graph.GraphOps.graphAssortativity(_, _)),
     "graph_bfs_layers" -> ((s, d) => graft.graph.GraphOps.graphBfsLayers(s, d)),
     "q_bloom_prefilter" -> (graft.analytics.RuntimeFilters.qBloomPrefilter(_, _)),
     "stream_session_window" -> (StreamWatcher.streamSessionWindowQuery(_, _)),
@@ -1603,6 +1606,7 @@ object SparkEntry {
     "graph_degree_hist" -> graft.graph.GraphOps.degreeHistOracleSql,
     "graph_triangles" -> graft.graph.GraphOps.trianglesOracleSql,
     "graph_pagerank" -> graft.graph.GraphOps.pagerankOracleSql(),
+    "graph_assortativity" -> graft.graph.GraphOps.assortativityOracleSql,
     "graph_kcore" -> graft.graph.GraphOps.kcoreOracleSql(),
     "graph_bfs_layers" -> graft.graph.GraphOps.bfsOracleSql(),
     "q_copurchase_jaccard" -> graft.graph.GraphOps.copurchaseJaccardOracleSql,
@@ -1684,6 +1688,17 @@ object SparkEntry {
         |SELECT day, n_events, cusum,
         |  row_number() OVER (ORDER BY abs(cusum) DESC, day) = 1 AS is_peak
         |FROM s ORDER BY day""".stripMargin,
+    "q_new_vs_returning" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1)
+        |SELECT day, count(*) AS n_active,
+        |  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  count(*) - CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_returning
+        |FROM d JOIN f ON d.user_id = f.user_id
+        |GROUP BY day ORDER BY day""".stripMargin,
     "q_session_path_topk" ->
       """WITH e AS (SELECT user_id, event_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -2442,6 +2457,21 @@ object SparkEntry {
          |SELECT lang, word, tf, df, tfidf, rnk FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY tfidf DESC, word) AS BIGINT) AS rnk
          |  FROM scored) WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+    "text_lexical_complexity" ->
+      s"""WITH $toksCte,
+         |d AS (SELECT lang, toks, len(toks) AS w,
+         |    length(regexp_replace(trim(lower(text)), '\\s+', '', 'g'))
+         |      AS nonspace,
+         |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl,
+         |    len(list_filter(toks, t -> length(t) >= 7)) AS lw,
+         |    len(list_distinct(toks)) AS dw
+         |  FROM t)
+         |SELECT lang, count(*) AS n_docs,
+         |  round(avg(CAST(nonspace AS DOUBLE) / w), 4) AS avg_word_len,
+         |  round(avg(CAST(syl AS DOUBLE) / w), 4) AS avg_syl_per_word,
+         |  round(avg(CAST(lw AS DOUBLE) / w), 4) AS long_word_ratio,
+         |  round(avg(CAST(dw AS DOUBLE) / w), 4) AS type_token_ratio
+         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "text_tfidf_knn" ->
       s"""WITH $toksCte,
          |tok AS (SELECT doc_id, unnest(toks) AS word FROM t),

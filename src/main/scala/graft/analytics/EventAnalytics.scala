@@ -507,6 +507,25 @@ object EventAnalytics {
       .orderBy(col("day"))
   }
 
+  /** §2.2 `q_new_vs_returning` — daily active users split into new
+    * (first-seen that day) vs returning: the standard growth
+    * decomposition. Input shrinks to distinct (user, day) pairs
+    * first; the first-seen join is user-key co-partitioned with the
+    * distinct's own shuffle, and the day rollup is bounded.
+    */
+  def qNewVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val firstDay = days.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    days.join(firstDay, Seq("user_id"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .orderBy(col("day"))
+  }
+
   /** §2.2 `q_changepoint` — CUSUM mean-shift detection on the daily
     * event-count series: cumulative deviation from the series mean,
     * peak |CUSUM| marks the most likely changepoint. The fact table

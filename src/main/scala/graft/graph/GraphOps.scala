@@ -50,6 +50,42 @@ object GraphOps {
     nodes.crossJoin(edges).crossJoin(tri)
   }
 
+  /** §2.3 `graph_assortativity` — degree assortativity of the
+    * candidate graph: Pearson correlation of endpoint degrees over
+    * the symmetric edge incidence (each undirected edge counted both
+    * directions). Positive r = hubs pair with hubs (clique-like
+    * near-dup clusters, the verification hotspots); negative = star
+    * families around one template doc. Degrees are one explode +
+    * bounded agg; the corr is a single-pass moment aggregate after
+    * two bounded-key joins.
+    */
+  def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val e = pairs(spark, dir).localCheckpoint()
+    val deg = e.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    val sym = e.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(e.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    sym
+      .join(deg.select(col("doc_id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("doc_id").as("v"), col("deg").as("dv")), Seq("v"))
+      .agg(count(lit(1)).as("n_endpoints"),
+        round(corr(col("du").cast("double"), col("dv").cast("double")), 4)
+          .as("assortativity"))
+  }
+
+  /** DuckDB oracle for [[graphAssortativity]]. */
+  def assortativityOracleSql: String =
+    "WITH " + Dedup.candOracleBody +
+      """,
+        |deg AS (SELECT d, count(*) AS deg FROM (
+        |  SELECT doc_a AS d FROM cand UNION ALL SELECT doc_b FROM cand)
+        |  GROUP BY 1),
+        |sym AS (SELECT doc_a AS u, doc_b AS v FROM cand
+        |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM cand)
+        |SELECT count(*) AS n_endpoints,
+        |  round(corr(a.deg, b.deg), 4) AS assortativity
+        |FROM sym JOIN deg a ON sym.u = a.d JOIN deg b ON sym.v = b.d""".stripMargin
+
   /** §2.3#149 — PageRank over the undirected candidate graph: five
     * fixed damped iterations (d = 0.85) of the pregel-style
     * message-passing layout — each step joins ranks to the edge list

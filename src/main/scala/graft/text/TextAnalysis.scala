@@ -438,6 +438,34 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rnk"))
   }
 
+  /** §2.5 `text_lexical_complexity` — per-language lexical
+    * complexity profile: mean word length, vowel-group (syllable
+    * proxy) rate, long-word (≥7 chars) share, and type-token ratio.
+    * Every per-doc component is an exact integer (char counts, token
+    * counts, distinct tokens), so per-doc ratios are single IEEE
+    * divisions and the only float accumulation is the final per-lang
+    * mean — narrow map work, one bounded groupBy, no explode.
+    */
+  def textLexicalComplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.rebalanced(Tables.documents(spark, dir))
+      .select(col("lang"), tokensCol(col("text")).as("toks"),
+        length(regexp_replace(trim(lower(col("text"))), "\\s+", ""))
+          .cast("long").as("nonspace"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+          .cast("long").as("syl"))
+      .select(col("lang"), col("nonspace"), col("syl"),
+        size(col("toks")).cast("long").as("w"),
+        size(expr("filter(toks, t -> length(t) >= 7)")).cast("long").as("lw"),
+        size(array_distinct(col("toks"))).cast("long").as("dw"))
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("nonspace").cast("double") / col("w")), 4).as("avg_word_len"),
+        round(avg(col("syl").cast("double") / col("w")), 4).as("avg_syl_per_word"),
+        round(avg(col("lw").cast("double") / col("w")), 4).as("long_word_ratio"),
+        round(avg(col("dw").cast("double") / col("w")), 4).as("type_token_ratio"))
+      .orderBy(col("lang"))
+  }
+
   /** §2.5#226 — inverted-index document kNN: top-3 nearest
     * neighbours per document by tf-idf cosine, computed as a sparse
     * posting-list self-join — never a dense all-pairs pass. Postings

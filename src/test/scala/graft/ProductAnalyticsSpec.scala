@@ -160,6 +160,42 @@ class ProductAnalyticsSpec extends GraftSpec {
     assert(rows.exists(r => r.getAs[Long]("n_segments") > 1))
   }
 
+  test("lexical complexity: ratios in valid ranges per language") {
+    val rows = TextAnalysis.textLexicalComplexity(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") > 0)
+      assert(r.getAs[Double]("avg_word_len") >= 1.0)
+      assert(r.getAs[Double]("avg_syl_per_word") > 0)
+      val lwr = r.getAs[Double]("long_word_ratio")
+      assert(lwr >= 0 && lwr <= 1)
+      val ttr = r.getAs[Double]("type_token_ratio")
+      assert(ttr > 0 && ttr <= 1)
+    }
+  }
+
+  test("assortativity: endpoint count is twice the edge count, r in [-1, 1]") {
+    val r = graft.graph.GraphOps.graphAssortativity(spark, sf).collect().head
+    assert(r.getAs[Long]("n_endpoints") % 2 === 0 && r.getAs[Long]("n_endpoints") > 0)
+    if (!r.isNullAt(r.fieldIndex("assortativity"))) {
+      val a = r.getAs[Double]("assortativity")
+      assert(a >= -1.0 && a <= 1.0)
+    }
+  }
+
+  test("new vs returning: actives decompose exactly and new users sum to the user count") {
+    val rows = EventAnalytics.qNewVsReturning(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") ===
+        r.getAs[Long]("n_new") + r.getAs[Long]("n_returning"))
+    }
+    val first = rows.minBy(_.getAs[java.sql.Date]("day").getTime)
+    assert(first.getAs[Long]("n_returning") === 0L)
+    val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n_new")).sum === nUsers)
+  }
+
   test("tfidf knn: dense ranks per doc, no self-pairs, cosine in (0, 1]") {
     val rows = TextAnalysis.textTfidfKnn(spark, sf).collect()
     assert(rows.nonEmpty)
