@@ -500,11 +500,15 @@ object TextAnalysis {
         Seq("word"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("wa") * col("wb")).as("dot"))
+    // eager localCheckpoint: the symmetrize union consumes the scored
+    // pair set twice — without it the whole posting join re-executes
+    // per branch (and reprints an 80-exchange audit plan)
     val cs = dots
       .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")), Seq("doc_a"))
       .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
+      .localCheckpoint()
     val sym = cs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr_id"), col("cos"))
       .union(cs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr_id"), col("cos")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("cos").desc, col("nbr_id"))
