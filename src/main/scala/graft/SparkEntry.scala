@@ -234,6 +234,7 @@ object SparkEntry {
     "mm_phash_dedup" -> (Media.mmPhashDedup(_, _)),
     // §2.7 streaming (bounded replay into a memory sink)
     "stream_windowed_agg" -> (StreamWatcher.streamWindowedAggQuery(_, _)),
+    "stream_sketch_distinct" -> (StreamWatcher.streamSketchDistinctQuery(_, _)),
     "stream_file_watch" -> (StreamWatcher.streamFileWatchQuery(_, _)),
     "sync_watch_stream" -> (StreamWatcher.syncWatchStreamQuery(_, _)),
     "stream_retry_queue" -> (StreamWatcher.streamRetryQueueQuery(_, _)),
@@ -2984,6 +2985,48 @@ object SparkEntry {
         |  reg_digest
         |FROM ex JOIN est ON ex.event_type = est.event_type
         |ORDER BY event_type""".stripMargin,
+    "stream_sketch_distinct" ->
+      """WITH du AS (SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |    AS hs, event_type, user_id FROM events),
+        |hx AS (SELECT hs, event_type, md5(CAST(user_id AS VARCHAR)) AS hv
+        |  FROM du),
+        |d AS (SELECT hs, event_type, hv,
+        |  (CASE WHEN substr(hv, 1, 1) BETWEEN '0' AND '9'
+        |     THEN ascii(substr(hv, 1, 1)) - 48 ELSE ascii(substr(hv, 1, 1)) - 87 END) * 16 +
+        |  (CASE WHEN substr(hv, 2, 1) BETWEEN '0' AND '9'
+        |     THEN ascii(substr(hv, 2, 1)) - 48 ELSE ascii(substr(hv, 2, 1)) - 87 END) AS byte0,
+        |  length(regexp_extract(substr(hv, 3), '^0*')) AS zh
+        |  FROM hx),
+        |z AS (SELECT hs, event_type, byte0 % 64 AS bucket, zh,
+        |    substr(hv, 3 + zh, 1) AS fd FROM d),
+        |rh AS (SELECT hs, event_type, bucket,
+        |  LEAST(4 * zh + (CASE WHEN dv >= 8 THEN 0 WHEN dv >= 4 THEN 1
+        |                       WHEN dv >= 2 THEN 2 ELSE 3 END) + 1, 30) AS rho
+        |  FROM (SELECT *, CASE WHEN fd = '' THEN 0
+        |                       WHEN fd BETWEEN '0' AND '9' THEN ascii(fd) - 48
+        |                       ELSE ascii(fd) - 87 END AS dv FROM z)),
+        |reg AS (SELECT hs, event_type, bucket, max(rho) AS r
+        |  FROM rh GROUP BY 1, 2, 3),
+        |grid AS (SELECT hs, event_type, b AS bucket FROM
+        |  (SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hs,
+        |     event_type FROM events)
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
+        |fullr AS (SELECT grid.hs AS hs, grid.event_type AS event_type,
+        |    grid.bucket AS bucket, COALESCE(reg.r, 0) AS r
+        |  FROM grid LEFT JOIN reg ON grid.hs = reg.hs
+        |    AND grid.event_type = reg.event_type AND grid.bucket = reg.bucket),
+        |agg AS (SELECT hs, event_type,
+        |  md5(string_agg(CAST(bucket AS VARCHAR) || ':' || CAST(r AS VARCHAR), ',' ORDER BY bucket)) AS reg_digest,
+        |  CAST(sum(CAST(pow(2, 30 - r) AS BIGINT)) AS BIGINT) AS s_int,
+        |  CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+        |  FROM fullr GROUP BY 1, 2),
+        |est AS (SELECT hs, event_type, reg_digest,
+        |  0.709 * 4096.0 * 1073741824.0 / s_int AS raw, v_zero FROM agg)
+        |SELECT hs AS hour_start, event_type,
+        |  round(CASE WHEN raw <= 160.0 AND v_zero > 0
+        |             THEN 64.0 * ln(64.0 / v_zero) ELSE raw END, 2) AS hll_estimate,
+        |  reg_digest
+        |FROM est ORDER BY hour_start, event_type""".stripMargin,
     "ann_ivf_multiprobe" ->
       s"""WITH $embCte,
          |comp AS (SELECT label AS c_id, pos - 1 AS pos, x

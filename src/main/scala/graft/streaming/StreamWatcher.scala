@@ -191,6 +191,31 @@ object StreamWatcher {
   /** §2.7#43 oracle surface: watermarked hourly windowed aggregation
     * replayed to completion.
     */
+  /** §2.7 `stream_sketch_distinct` — mergeable-sketch distinct
+    * counting inside a watermarked streaming window: the per-(hour,
+    * type) HLL register state lives in the streaming state store as
+    * the aggregate's fixed 64-byte buffer — per-group state is
+    * CONSTANT regardless of user cardinality, which is what makes
+    * windowed distinct-user telemetry viable on an unbounded stream
+    * (exact distinct state grows with the user set; Spark rejects
+    * streaming countDistinct outright). Same register-digest contract
+    * as the batch `q_distinct_hll_sketch`, so the oracle checks full
+    * register state per window, not just the estimate.
+    */
+  def sketchDistinctStream(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(graft.functions.HllAggFunctions
+        .hll_sketch(col("user_id").cast("string")).as("hll"))
+      .select(col("win.start").as("hour_start"), col("event_type"),
+        round(col("hll.estimate"), 2).as("hll_estimate"),
+        col("hll.reg_digest").as("reg_digest"))
+
+  /** §2.7 oracle surface: [[sketchDistinctStream]] replayed. */
+  def streamSketchDistinctQuery(spark: SparkSession, dir: String): DataFrame =
+    replayToBatch(sketchDistinctStream(eventStream(spark, dir)), "complete")
+      .orderBy(col("hour_start"), col("event_type"))
+
   def streamWindowedAggQuery(spark: SparkSession, dir: String): DataFrame =
     replayToBatch(windowedCounts(eventStream(spark, dir)), "complete")
       .orderBy(col("hour_start"), col("event_type"))

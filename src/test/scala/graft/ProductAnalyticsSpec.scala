@@ -196,6 +196,27 @@ class ProductAnalyticsSpec extends GraftSpec {
     assert(rows.map(_.getAs[Long]("n_new")).sum === nUsers)
   }
 
+  test("stream sketch distinct: streamed HLL windows match the batch sketch per window") {
+    val streamed = graft.streaming.StreamWatcher
+      .streamSketchDistinctQuery(spark, sf).collect()
+    assert(streamed.nonEmpty)
+    streamed.foreach(r => assert(r.getAs[Double]("hll_estimate") > 0))
+    // the streamed register state must equal a batch recompute of the
+    // same sketch on the same windows — merge order must not matter
+    val batch = Tables.events(spark, sf)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"), col("event_type"))
+      .agg(graft.functions.HllAggFunctions
+        .hll_sketch(col("user_id").cast("string")).as("hll"))
+      .select(col("hour_start"), col("event_type"),
+        col("hll.reg_digest").as("reg_digest"))
+      .collect()
+      .map(r => (r.get(0).toString, r.getString(1)) -> r.getString(2)).toMap
+    streamed.foreach { r =>
+      val key = (r.get(0).toString, r.getString(1))
+      assert(batch(key) === r.getAs[String]("reg_digest"))
+    }
+  }
+
   test("tfidf knn: dense ranks per doc, no self-pairs, cosine in (0, 1]") {
     val rows = TextAnalysis.textTfidfKnn(spark, sf).collect()
     assert(rows.nonEmpty)
