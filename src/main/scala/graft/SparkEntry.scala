@@ -252,6 +252,8 @@ object SparkEntry {
     "cass_lww_read" -> (graft.sources.cass.CassandraLikeStore.cassLwwRead(_, _)),
     "cass_token_scan" -> (graft.sources.cass.CassandraLikeStore.cassTokenScan(_, _)),
     "cass_compact" -> (graft.sources.cass.CassandraLikeStore.cassCompact(_, _)),
+    "cass_read_repair" -> (SyncOps.cassReadRepair(_, _)),
+    "graph_label_prop" -> ((s, d) => graft.graph.GraphOps.graphLabelProp(s, d)),
     "io_partitioned_inventory" -> (Io.ioPartitionedInventory(_, _)),
     "io_csv_json" -> (Io.ioCsvJson(_, _)),
     "io_bucketed_join" -> (Io.ioBucketedJoin(_, _)),
@@ -259,6 +261,10 @@ object SparkEntry {
     "io_schema_evolution" -> (Io.ioSchemaEvolution(_, _)),
     "io_compact_small_files" -> (Io.ioCompactSmallFiles(_, _)),
     "io_zorder_layout" -> (graft.sources.ZOrder.ioZorderLayout(_, _)),
+    "io_txn_log" -> (graft.sources.TxnLog.ioTxnLog(_, _)),
+    "io_delete_vectors" -> (graft.sources.TxnLog.ioDeleteVectors(_, _)),
+    "io_stats_prune_scan" -> (graft.sources.TxnLog.ioStatsPruneScan(_, _)),
+    "sync_leveled_compaction" -> (SyncOps.syncLeveledCompaction(_, _)),
     "q_skyline" -> (Frontier.qSkyline(_, _)),
     "q_max_concurrency" -> (Frontier.qMaxConcurrency(_, _)),
     // end-to-end pipeline + custom-operator/typed surfaces
@@ -1844,6 +1850,80 @@ object SparkEntry {
         |SELECT pri, mon, n_orders, sum_price FROM base WHERE pri <> '1-URGENT'
         |UNION ALL SELECT pri, mon, n_orders, sum_price FROM fix
         |ORDER BY pri, mon""".stripMargin,
+    "io_txn_log" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |    CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_orders,
+        |  CAST(sum(price_c) AS DOUBLE) / 100.0 AS total_price, max(d) AS last_date
+        |FROM o WHERE d < DATE '1998-01-01'
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), count(*), CAST(sum(price_c) AS DOUBLE) / 100.0, max(d) FROM o
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(price_c) AS DOUBLE) / 100.0, max(d) FROM o
+        |ORDER BY version""".stripMargin,
+    "io_delete_vectors" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
+        |FROM orders WHERE o_orderkey % 10 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "io_stats_prune_scan" ->
+      s"""WITH $lpCte
+         |SELECT l_returnflag, count(*) AS n_lines,
+         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+         |  CAST(sum(price_c * (100 - disc_c)) AS DOUBLE) / 10000.0 AS revenue
+         |FROM lp WHERE CAST(l_shipdate AS DATE)
+         |  BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_label_prop" -> graft.graph.GraphOps.labelPropOracleSql(),
+    "cass_read_repair" ->
+      """WITH ring AS (SELECT CAST(n AS BIGINT) AS node,
+        |    ((n * 16 + v) * 2654435761) % 2147483647 AS token
+        |  FROM range(8) t(n), range(16) u(v)),
+        |cells AS (SELECT CAST(user_id % 50 AS BIGINT) AS row_key,
+        |    CAST(ts AS TIMESTAMP) AS write_ts, event_id AS generation FROM events),
+        |keys AS (SELECT DISTINCT row_key, (row_key * 1103515245) % 2147483647 AS kt
+        |  FROM cells),
+        |pn AS (SELECT k.row_key, r.node,
+        |    min((r.token - k.kt + 2147483647) % 2147483647) AS mind
+        |  FROM keys k CROSS JOIN ring r GROUP BY 1, 2),
+        |rk AS (SELECT row_key, node,
+        |    row_number() OVER (PARTITION BY row_key ORDER BY mind, node) AS rk
+        |  FROM pn),
+        |rep AS (SELECT * FROM rk WHERE rk <= 3),
+        |heads AS (SELECT row_key, rk, write_ts AS head_ts, generation AS head_gen FROM (
+        |    SELECT c.row_key, r.rk, c.write_ts, c.generation,
+        |      row_number() OVER (PARTITION BY c.row_key, r.rk
+        |        ORDER BY c.write_ts DESC, c.generation DESC) AS rn
+        |    FROM cells c JOIN rep r USING (row_key)
+        |    WHERE (c.generation + r.rk) % 5 <> 0)
+        |  WHERE rn = 1),
+        |win AS (SELECT row_key, head_gen AS win_gen FROM (
+        |    SELECT row_key, head_gen, row_number() OVER (PARTITION BY row_key
+        |      ORDER BY head_ts DESC, head_gen DESC) AS wn FROM heads) WHERE wn = 1)
+        |SELECT rep.node, count(*) AS n_replica_keys,
+        |  CAST(sum(CASE WHEN h.head_gen IS NULL OR h.head_gen <> w.win_gen
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+        |  CAST(sum(CASE WHEN h.head_gen = w.win_gen THEN 1 ELSE 0 END) AS BIGINT) AS n_current
+        |FROM rep
+        |LEFT JOIN heads h ON rep.row_key = h.row_key AND rep.rk = h.rk
+        |JOIN win w ON rep.row_key = w.row_key
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sync_leveled_compaction" ->
+      s"""WITH $invCte, $durCte,
+         |r AS (SELECT cf, size_bytes,
+         |    row_number() OVER (PARTITION BY cf ORDER BY generation DESC, path) AS rn
+         |  FROM dur),
+         |lv AS (SELECT cf, size_bytes,
+         |    CAST(least(length(CAST(rn AS VARCHAR)) - 1, 3) AS BIGINT) AS level,
+         |    CAST(CASE least(length(CAST(rn AS VARCHAR)) - 1, 3)
+         |      WHEN 0 THEN 4 WHEN 1 THEN 40 WHEN 2 THEN 400 ELSE 4000 END AS BIGINT) AS capacity
+         |  FROM r)
+         |SELECT cf, level, count(*) AS n_files,
+         |  CAST(sum(size_bytes) AS BIGINT) AS total_bytes, capacity,
+         |  greatest(count(*) - capacity, 0) AS overflow,
+         |  count(*) > capacity AS over_target
+         |FROM lv GROUP BY cf, level, capacity
+         |ORDER BY cf, level""".stripMargin,
     "sync_hinted_handoff" ->
       """WITH ring AS (SELECT CAST(n AS BIGINT) AS node,
         |    ((n * 16 + v) * 2654435761) % 2147483647 AS token

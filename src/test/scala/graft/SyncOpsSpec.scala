@@ -167,6 +167,24 @@ class SyncOpsSpec extends GraftSpec {
     }
   }
 
+  test("read repair: replica keys decompose into stale + current; winner is never stale") {
+    val rows = SyncOps.cassReadRepair(spark, sf).collect()
+    // every key contributes exactly RF=3 replica rows across nodes
+    val nKeys = graft.sources.Tables.events(spark, sf)
+      .select((col("user_id") % 50).cast("long")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nKeys * 3)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3),
+        s"node ${r.getLong(0)}: stale + current != keys served")
+    }
+    // each key's winning head is held by at least one replica, so at
+    // most 2 of its 3 replicas can be stale
+    assert(rows.map(_.getLong(2)).sum <= nKeys * 2)
+    // the drop model removes 20% of each replica's writes, so some
+    // divergence must exist for repair to fix
+    assert(rows.map(_.getLong(2)).sum > 0, "no stale replicas: fixture degenerate")
+  }
+
   test("hinted handoff: hints live off the down node and cover exactly its replica keys") {
     val hints = SyncOps.syncHintedHandoff(spark, sf, downNode = 3L).collect()
     assert(hints.forall(_.getLong(0) != 3L), "a hint may not be stored on the down node")
