@@ -120,6 +120,8 @@ object SparkEntry {
     "q_ucb_arms" -> (Stats.qUcbArms(_, _)),
     "io_shard_balance" -> (Io.ioShardBalance(_, _)),
     "q_daily_anomaly" -> (EventAnalytics.qDailyAnomaly(_, _)),
+    "q_interpolate_gaps" -> (EventAnalytics.qInterpolateGaps(_, _)),
+    "q_holt_forecast" -> (Stats.qHoltForecast(_, _)),
     "q_basket_lift" -> (EventAnalytics.qBasketLift(_, _)),
     "q_changepoint" -> (EventAnalytics.qChangepoint(_, _)),
     "q_new_vs_returning" -> (EventAnalytics.qNewVsReturning(_, _)),
@@ -230,6 +232,7 @@ object SparkEntry {
     "mm_resize_frames" -> (Media.mmResizeFrames(_, _)),
     "mm_phash" -> (Media.mmPhash(_, _)),
     "mm_vad_segments" -> (Media.mmVadSegments(_, _)),
+    "mm_scene_detect" -> (Media.mmSceneDetect(_, _)),
     "mm_payload_dedup" -> (Media.mmPayloadDedup(_, _)),
     "mm_phash_dedup" -> (Media.mmPhashDedup(_, _)),
     // §2.7 streaming (bounded replay into a memory sink)
@@ -1875,6 +1878,54 @@ object SparkEntry {
          |  BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_label_prop" -> graft.graph.GraphOps.labelPropOracleSql(),
+    "q_interpolate_gaps" ->
+      """WITH obs AS (SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    count(*) AS n
+        |  FROM events WHERE event_id % 11 = 0 AND value > 130 GROUP BY 1, 2),
+        |sp AS (SELECT event_type, unnest(range(min(day), max(day) + 1)) AS day
+        |  FROM obs GROUP BY event_type),
+        |g AS (SELECT s.event_type, s.day, o.n
+        |  FROM sp s LEFT JOIN obs o USING (event_type, day)),
+        |f AS (SELECT *,
+        |    last_value(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS) OVER wp AS prev_day,
+        |    last_value(n IGNORE NULLS) OVER wp AS prev_n,
+        |    first_value(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS) OVER wn AS next_day,
+        |    first_value(n IGNORE NULLS) OVER wn AS next_n
+        |  FROM g WINDOW
+        |    wp AS (PARTITION BY event_type ORDER BY day
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wn AS (PARTITION BY event_type ORDER BY day
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, day, n,
+        |  CAST(CASE WHEN n IS NOT NULL THEN n * 1000
+        |    ELSE floor(1000.0 * ((next_day - day) * prev_n + (day - prev_day) * next_n)
+        |         / (next_day - prev_day)) END AS BIGINT) AS filled_e3,
+        |  n IS NULL AS is_interp
+        |FROM f ORDER BY event_type, day""".stripMargin,
+    "q_holt_forecast" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily),
+        |init AS (SELECT s1.event_type, s1.n, 1 AS i, s1.y AS l,
+        |    CASE WHEN s1.n > 1 THEN s2.y - s1.y ELSE 0.0 END AS b
+        |  FROM ser s1 LEFT JOIN ser s2
+        |    ON s1.event_type = s2.event_type AND s2.i = 2
+        |  WHERE s1.i = 1),
+        |rec AS (SELECT event_type, n, i, l, b FROM init
+        |  UNION ALL
+        |  SELECT r.event_type, r.n, r.i + 1,
+        |    0.5 * s.y + 0.5 * (r.l + r.b),
+        |    0.5 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+        |  FROM rec r JOIN ser s ON s.event_type = r.event_type AND s.i = r.i + 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days, l AS level, b AS trend,
+        |  l + 7.0 * b AS forecast_7d
+        |FROM rec WHERE i = n ORDER BY event_type""".stripMargin,
     "cass_read_repair" ->
       """WITH ring AS (SELECT CAST(n AS BIGINT) AS node,
         |    ((n * 16 + v) * 2654435761) % 2147483647 AS token
@@ -2650,6 +2701,30 @@ object SparkEntry {
         |  CAST(COALESCE(max_run, 0) AS BIGINT) AS max_run
         |FROM nf LEFT JOIN agg ON nf.doc_id = agg.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "mm_scene_detect" ->
+      """WITH ch AS (SELECT doc_id,
+        |    list_transform(string_split(text, ''), x -> ascii(x)) AS by,
+        |    length(text) AS n FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (SELECT doc_id, unnest(range(0, (n + 63) // 64)) AS idx, by FROM ch),
+        |e AS (SELECT doc_id, idx,
+        |    list_sum(by[idx * 64 + 1 : (idx + 1) * 64]) * 1.0 /
+        |      len(by[idx * 64 + 1 : (idx + 1) * 64]) AS e
+        |  FROM fr),
+        |c AS (SELECT doc_id, idx, e,
+        |    lag(e) OVER (PARTITION BY doc_id ORDER BY idx) AS prev_e
+        |  FROM e),
+        |sc AS (SELECT doc_id, idx,
+        |    CASE WHEN prev_e IS NOT NULL AND abs(e - prev_e) > 5.0
+        |      THEN 1 ELSE 0 END AS cut
+        |  FROM c),
+        |s2 AS (SELECT doc_id, idx, sum(cut) OVER (PARTITION BY doc_id ORDER BY idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene FROM sc),
+        |ps AS (SELECT doc_id, scene, count(*) AS len FROM s2 GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(len) AS BIGINT) AS n_frames,
+        |  CAST(count(*) - 1 AS BIGINT) AS n_cuts,
+        |  count(*) AS n_scenes,
+        |  CAST(max(len) AS BIGINT) AS max_scene_frames
+        |FROM ps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_phash_dedup" ->
       """WITH b AS (SELECT doc_id, list_transform(string_split(text,''), x -> ascii(x)) AS by,
         |             length(text) AS n FROM documents),

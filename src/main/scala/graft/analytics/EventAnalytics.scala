@@ -256,6 +256,51 @@ object EventAnalytics {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** §2.2 `q_interpolate_gaps` — time-series repair by linear
+    * interpolation: a sparse daily series per event type (a
+    * deterministic event slice, so day-cells genuinely go missing at
+    * small SF — the sensor-outage shape) is densified onto its
+    * [first, last] day spine, and every missing day gets the linear
+    * blend of its nearest observed neighbors. The carry windows
+    * (last/first non-null) run on ONE event_type shuffle over the
+    * bounded day grid; the blend is `floor(1000·((next_day−day)·prev
+    * + (day−prev_day)·next) / gap)` computed in identical IEEE order
+    * on both engines. At 10⁸ keys the same shape holds — the grid is
+    * |keys|×|days|, never raw facts, and the fill stays windowed
+    * (no self-join per gap).
+    */
+  def qInterpolateGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long")
+    val obs = Tables.events(spark, dir)
+      .filter(col("event_id") % 11 === 0 && col("value") > 130)
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+    val spine = obs.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = spine.join(obs, Seq("event_type", "day"), "left")
+    val wPrev = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("n").isNotNull, col("day"))
+    grid
+      .withColumn("prev_day", last(obsDay, ignoreNulls = true).over(wPrev))
+      .withColumn("prev_n", last(col("n"), ignoreNulls = true).over(wPrev))
+      .withColumn("next_day", first(obsDay, ignoreNulls = true).over(wNext))
+      .withColumn("next_n", first(col("n"), ignoreNulls = true).over(wNext))
+      .select(col("event_type"), col("day"), col("n"),
+        when(col("n").isNotNull, col("n") * 1000L)
+          .otherwise(floor(lit(1000.0) *
+            ((col("next_day") - col("day")) * col("prev_n") +
+             (col("day") - col("prev_day")) * col("next_n")) /
+            (col("next_day") - col("prev_day"))).cast("long")).as("filled_e3"),
+        col("n").isNull.as("is_interp"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** §2.2#156 — set-similarity between groups: Jaccard overlap of
     * user sets across event-type pairs. Never materializes a set —
     * distinct (type, user) pairs self-join on user_id (the

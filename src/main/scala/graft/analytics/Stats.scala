@@ -296,6 +296,45 @@ object Stats {
     * planner runs before trusting a forecast. All windows run over
     * the ≤|days| compact series, never raw events.
     */
+  /** §2.2 `q_holt_forecast` — Holt's linear-trend exponential
+    * smoothing over the per-type daily count series, α = β = ½, with
+    * the 7-day-ahead forecast. The recursion (level/trend fold along
+    * the day axis) has no window-function form, so it runs as a
+    * per-group fold over the COMPACT series — facts shrink to
+    * |types|×|days| rows in one partial-agg pass first, and each
+    * bounded series folds inside its task (`mapGroups`; ≤|days|
+    * elements, never raw events). α = β = ½ keeps every update a
+    * dyadic blend, and the oracle's recursive CTE replays the exact
+    * IEEE operation order, so level/trend/forecast are bit-equal.
+    * At 10⁸ keys the shape is unchanged: one shuffle of per-key
+    * series cells, one bounded fold per key.
+    */
+  def qHoltForecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val day = datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long")
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("day"), col("n"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (tpe, it) =>
+        val ys = it.toArray.sortBy(_._2).map(_._3.toDouble)
+        var l = ys(0)
+        var b = if (ys.length > 1) ys(1) - ys(0) else 0.0
+        var i = 1
+        while (i < ys.length) {
+          val lPrev = l
+          l = 0.5 * ys(i) + 0.5 * (l + b)
+          b = 0.5 * (l - lPrev) + 0.5 * b
+          i += 1
+        }
+        (tpe, ys.length.toLong, l, b, l + 7.0 * b)
+      }
+      .toDF("event_type", "n_days", "level", "trend", "forecast_7d")
+      .orderBy(col("event_type"))
+  }
+
   def qSeasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"),

@@ -168,6 +168,43 @@ object Media {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.6 `mm_scene_detect` — shot-boundary detection over video
+    * payloads (the video twin of [[mmVadSegments]]): the kernel frames
+    * each `video/mp4` payload into 64-byte spans (standing in for
+    * decoded frames), a scene CUT fires where consecutive frame
+    * energies jump by more than 5, and cut positions fold into
+    * scenes (cumulative-cut-count grouping — gaps-and-islands).
+    * Per payload: frames, cuts, scenes, and the longest scene. Only
+    * the mime filter, one kernel pass, and one doc_id window/rollup —
+    * at 100 TB the frame explosion is bounded by payload size and
+    * everything after the kernel is the compact (doc, frame) grid.
+    */
+  def mmSceneDetect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vids = mediaTable(spark, dir)
+      .filter(col("meta").getField("mime") === "video/mp4")
+    val framed = frameEnergies(vids, frameBytes = 64)
+      .select(col("doc_id"), posexplode(col("energies")))
+      .toDF("doc_id", "idx", "e")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+    val scenes = framed
+      .withColumn("prev_e", lag(col("e"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev_e").isNotNull && abs(col("e") - col("prev_e")) > 5.0, 1L)
+          .otherwise(0L))
+      .withColumn("scene", sum(col("cut")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perScene = scenes.groupBy(col("doc_id"), col("scene"))
+      .agg(count(lit(1)).as("len"))
+    perScene.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scenes"), max(col("len")).as("max_scene_frames"),
+        sum(col("len")).as("n_frames"))
+      .select(col("doc_id"), col("n_frames"),
+        (col("n_scenes") - 1L).as("n_cuts"), col("n_scenes"),
+        col("max_scene_frames"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PNG / JPEG magic-byte sniff — cheap pre-filter so non-image
     * payloads never pay a decode attempt.
     */

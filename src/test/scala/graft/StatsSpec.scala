@@ -277,4 +277,48 @@ class StatsSpec extends GraftSpec {
       assert(r.getBoolean(4) === (math.abs(r.getDouble(3)) >= 2.0))
     }
   }
+
+  test("holt forecast: level tracks the series scale; forecast = level + 7*trend") {
+    val rows = graft.analytics.Stats.qHoltForecast(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, l, b, f) = (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(n >= 1L)
+      assert(f === l + 7.0 * b)
+      // smoothing keeps the level inside the observed count range
+      val tpe = r.getString(0)
+      val daily = graft.sources.Tables.events(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("event_type") === tpe)
+        .groupBy(org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("ts")))
+        .count().collect().map(_.getLong(1))
+      assert(l >= daily.min.toDouble - math.abs(b) * daily.length &&
+        l <= daily.max.toDouble + math.abs(b) * daily.length)
+    }
+  }
+
+  test("interpolate gaps: observed rows pass through; gaps blend between neighbors") {
+    val rows = graft.analytics.EventAnalytics.qInterpolateGaps(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // spine is contiguous per type
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val days = rs.map(_.getLong(1)).sorted
+      assert(days.zip(days.head to days.last).forall { case (a, b) => a == b })
+    }
+    rows.foreach { r =>
+      if (!r.getBoolean(4)) assert(r.getLong(3) === r.getLong(2) * 1000L)
+      else assert(r.isNullAt(2))
+    }
+    // every interpolated value lies between its neighbors' extremes
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (_, rs) =>
+      val obs = rs.filter(!_.getBoolean(4)).map(_.getLong(3))
+      if (obs.nonEmpty) {
+        val (lo, hi) = (obs.min, obs.max)
+        rs.filter(_.getBoolean(4)).foreach { r =>
+          assert(r.getLong(3) >= lo - 1000 && r.getLong(3) <= hi + 1000)
+        }
+      }
+    }
+  }
 }

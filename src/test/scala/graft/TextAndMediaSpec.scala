@@ -170,4 +170,24 @@ class TextAndMediaSpec extends GraftSpec {
     val ps = rows.map(_.getAs[Double]("pmi"))
     assert(ps.sameElements(ps.sorted(Ordering[Double].reverse)))
   }
+
+  test("scene detect: only video payloads; scenes = cuts + 1; frames conserved") {
+    val rows = graft.multimodal.Media.mmSceneDetect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 3 === 2L, "non-video doc in scene detection")
+      assert(r.getLong(3) === r.getLong(2) + 1L, "scenes != cuts + 1")
+      assert(r.getLong(4) <= r.getLong(1), "longest scene exceeds frame count")
+      assert(r.getLong(4) >= 1L)
+    }
+    // frame counts match an independent framing of the same payloads
+    val expFrames = graft.multimodal.Media.mediaTable(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 2)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.ceil(
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("media")) / 64.0).cast("long").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) === expFrames(r.getLong(0))))
+  }
 }
