@@ -188,6 +188,7 @@ object SparkEntry {
     "ann_dim_truncation" -> ((s, d) => Ann.annDimTruncation(s, d)),
     "ann_pq_codes" -> (graft.similarity.Pq.annPqCodes(_, _)),
     "ann_pq_adc" -> (graft.similarity.Pq.annPqAdc(_, _)),
+    "ann_ivf_pq_search" -> (graft.similarity.Pq.annIvfPqSearch(_, _)),
     "ann_label_separation" -> (Ann.annLabelSeparation(_, _)),
     "vec_argmax" -> (Ann.vecArgmax(_, _)),
     "vec_gram_matrix" -> (Ann.vecGramMatrix(_, _)),
@@ -1613,6 +1614,7 @@ object SparkEntry {
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ann_pq_codes" -> graft.similarity.Pq.pqCodesOracleSql,
     "ann_pq_adc" -> graft.similarity.Pq.pqAdcOracleSql,
+    "ann_ivf_pq_search" -> graft.similarity.Pq.ivfPqOracleSql,
     "graph_degree_hist" -> graft.graph.GraphOps.degreeHistOracleSql,
     "graph_triangles" -> graft.graph.GraphOps.trianglesOracleSql,
     "graph_pagerank" -> graft.graph.GraphOps.pagerankOracleSql(),

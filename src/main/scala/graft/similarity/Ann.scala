@@ -266,6 +266,15 @@ object Ann {
   def ivfIndexPathFor(dir: String): String =
     DefaultIvfIndexPath + "_" + Integer.toHexString(dir.hashCode)
 
+  /** Build-once accessor for the materialized IVF index of `dir`
+    * (shared by the probe queries here and the IVF+PQ composite in
+    * [[graft.similarity.Pq]]).
+    */
+  def ivfIndex(spark: SparkSession, dir: String): String =
+    ivfBuilt.computeIfAbsent(dir, d => {
+      val p = ivfIndexPathFor(d); buildIvfIndex(spark, d, p); p
+    })
+
   def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
     // build once per corpus per JVM — probes reuse the stored index,
     // which is the whole point of materializing it

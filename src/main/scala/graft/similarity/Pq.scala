@@ -190,4 +190,146 @@ object Pq {
        |FROM (SELECT DISTINCT probe_id FROM probes) p
        |LEFT JOIN m ON p.probe_id = m.probe_id ORDER BY p.probe_id""".stripMargin
   }
+
+  val IvfPqK = 5 // result depth of the composite search
+  val IvfPqNprobe = 2
+
+  /** §2.4 `ann_ivf_pq_search` — the production ANN composite: IVF
+    * cell probing THEN PQ asymmetric-distance scoring inside the
+    * probed cells, recall measured against the global exact top-k.
+    * This is how a billion-vector index actually serves queries
+    * (FAISS IVF-PQ shape): the IVF stage reads only nprobe cells of
+    * the materialized cell-partitioned store ([[Ann.ivfIndex]] —
+    * partition filters, nothing else scanned), the PQ stage scores
+    * candidates from 8-byte codes via per-query lookup tables
+    * (broadcast; no float vectors touched in the hot loop), and only
+    * the ≤k survivors ever see full-precision math again. Both
+    * approximation losses (cell-boundary misses + quantization error)
+    * land in one integer recall readout per query.
+    *
+    * Scale: centroids and LUTs broadcast; the code scan is linear in
+    * the probed cells only; the rank cut is the bounded window. The
+    * exact side exists solely as the evaluation yardstick.
+    */
+  def annIvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.similarity.Ann.ivfIndex(spark, dir)
+    val e = embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("q"))
+    // IVF stage: rank stored centroids per query (broadcast, rounded
+    // cos + c_id tiebreak — the index's own assignment discipline)
+    val centroids = spark.read.parquet(s"$idx/centroids")
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("c_id"))
+    val probes = queries.join(broadcast(centroids))
+      .select(col("q_id"), col("c_id"),
+        round(graft.functions.VectorFunctions.cosine_sim(col("q"), col("cv")), 4)
+          .as("ccos"))
+      .withColumn("rnk", row_number().over(wq))
+      .filter(col("rnk") <= IvfPqNprobe)
+      .select(col("q_id"), col("c_id").as("probe"))
+    val cellIds = probes.select(col("probe")).distinct()
+      .collect().map(_.get(0)).toSeq // bounded pushdown parameter
+    // candidates: probed cell partitions only, corpus side
+    val cands = spark.read.parquet(s"$idx/cells")
+      .filter(col("assigned_centroid").isin(cellIds: _*))
+      .filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("v"), col("assigned_centroid"))
+    // PQ codes for the candidates (corpus-global codebook)
+    val dc = withDistVectors(cands.select(col("vec_id"), col("v")), e)
+      .join(cands.select(col("vec_id"), col("assigned_centroid")), Seq("vec_id"))
+    val codeCols = (0 until M).map { mi =>
+      (array_position(col(s"d$mi"), array_min(col(s"d$mi"))) - 1).as(s"code_$mi")
+    }
+    val coded = dc.select(col("vec_id") +: col("assigned_centroid").as("cell") +:
+      codeCols: _*)
+    // per-query LUTs (one row per query, broadcast)
+    val luts = withDistVectors(
+      queries.select(col("q_id").as("vec_id"), col("q").as("v")), e)
+      .select(col("vec_id").as("q_id") +: col("v").as("q") +:
+        (0 until M).map(mi => col(s"d$mi").as(s"lut_$mi")): _*)
+    val probeLuts = probes.join(luts, Seq("q_id"))
+    val adcCol = (0 until M)
+      .map(mi => element_at(col(s"lut_$mi"), col(s"code_$mi").cast("int") + 1))
+      .reduce(_ + _)
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+    val adcTop = coded.join(broadcast(probeLuts), col("cell") === col("probe"))
+      .withColumn("adc", adcCol)
+      .withColumn("rnk", row_number().over(wAdc))
+      .filter(col("rnk") <= IvfPqK)
+      .select(col("q_id"), col("vec_id"))
+    // yardstick: global exact L2 top-k (same fold order as pq_adc)
+    val l2 = aggregate(sequence(lit(1), lit(M * Sub)), lit(0.0), (acc, j) => {
+      val a = element_at(col("v"), j)
+      val b = element_at(col("q"), j)
+      acc + (a - b) * (a - b)
+    })
+    val qOnly = queries
+    val wL2 = Window.partitionBy(col("q_id")).orderBy(col("l2"), col("vec_id"))
+    val exactTop = e.filter(col("vec_id") >= 5).crossJoin(broadcast(qOnly))
+      .withColumn("l2", l2)
+      .withColumn("rnk", row_number().over(wL2))
+      .filter(col("rnk") <= IvfPqK)
+      .select(col("q_id"), col("vec_id"))
+    val matched = adcTop.join(exactTop, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_matched"))
+    qOnly.select(col("q_id"))
+      .join(matched, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        lit(IvfPqK.toLong).as("top_k"))
+      .orderBy(col("q_id"))
+  }
+
+  /** DuckDB oracle for [[annIvfPqSearch]] — centroid/assignment CTEs
+    * (the IVF index's own math), codebook/code CTEs (PQ's), per-query
+    * LUTs, probed-cell ADC rank cut, and the exact-L2 yardstick, all
+    * in the engines' shared rounding / tie-break / fold-order
+    * discipline.
+    */
+  def ivfPqOracleSql: String = {
+    val luts = (0 until M).map(mi => s"${subDistSql("q", mi)} AS lut_$mi").mkString(",\n  ")
+    val adcSum = (0 until M).map(mi => s"lut_$mi[code_$mi + 1]").mkString(" + ")
+    val l2 = s"list_sum(list_transform(range(1, ${M * Sub + 1}), " +
+      "j -> (v[j] - q[j]) * (v[j] - q[j])))"
+    s"""WITH $cbCtes,
+       |$codesCte,
+       |el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |comp AS (SELECT label AS c_id, pos - 1 AS pos, x
+       |         FROM (SELECT label, unnest(v) AS x,
+       |               generate_subscripts(v, 1) AS pos FROM el)),
+       |cent AS (SELECT c_id, list(cx ORDER BY pos) AS cv FROM (
+       |  SELECT c_id, pos, avg(x) AS cx FROM comp GROUP BY c_id, pos) GROUP BY c_id),
+       |scored AS (SELECT vec_id, c_id,
+       |  round(list_cosine_similarity(v, cv), 4) + 0.0 AS ccos FROM el CROSS JOIN cent),
+       |assign AS (SELECT vec_id, c_id AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+       |  FROM scored) WHERE rn = 1),
+       |qs AS (SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id < 5),
+       |probes AS (SELECT q_id, c_id AS probe FROM (
+       |  SELECT q_id, c_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, c_id) AS rnk
+       |  FROM (SELECT q_id, c_id, round(list_cosine_similarity(q, cv), 4) + 0.0 AS ccos
+       |        FROM qs CROSS JOIN cent)) WHERE rnk <= $IvfPqNprobe),
+       |lut AS (SELECT vec_id AS q_id, v AS q,
+       |  $luts
+       |  FROM e, cbl WHERE vec_id < 5),
+       |cand AS (SELECT c.vec_id, c.code_0, c.code_1, c.code_2, c.code_3,
+       |    c.code_4, c.code_5, c.code_6, c.code_7, a.cell
+       |  FROM codes c JOIN assign a ON c.vec_id = a.vec_id WHERE c.vec_id >= 5),
+       |adc AS (SELECT p.q_id, cand.vec_id,
+       |  row_number() OVER (PARTITION BY p.q_id ORDER BY ($adcSum), cand.vec_id) AS rnk
+       |  FROM cand JOIN probes p ON cand.cell = p.probe
+       |  JOIN lut ON lut.q_id = p.q_id),
+       |adc_top AS (SELECT q_id, vec_id FROM adc WHERE rnk <= $IvfPqK),
+       |ex AS (SELECT q_id, e.vec_id,
+       |  row_number() OVER (PARTITION BY q_id ORDER BY $l2, e.vec_id) AS rnk
+       |  FROM e, qs WHERE e.vec_id >= 5),
+       |ex_top AS (SELECT q_id, vec_id FROM ex WHERE rnk <= $IvfPqK),
+       |m AS (SELECT a.q_id, count(*) AS n_matched
+       |      FROM adc_top a JOIN ex_top x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+       |      GROUP BY a.q_id)
+       |SELECT qs.q_id, CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
+       |  CAST($IvfPqK AS BIGINT) AS top_k
+       |FROM qs LEFT JOIN m ON qs.q_id = m.q_id ORDER BY qs.q_id""".stripMargin
+  }
 }

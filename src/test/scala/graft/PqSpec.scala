@@ -25,4 +25,17 @@ class PqSpec extends GraftSpec {
       assert(m >= 0L && m <= row.getAs[Long]("top_k"))
     }
   }
+
+  test("ivf+pq composite: every query answered; probed-cell scan is partition-pruned") {
+    val rows = Pq.annIvfPqSearch(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { row =>
+      val m = row.getAs[Long]("n_matched")
+      assert(m >= 0L && m <= row.getAs[Long]("top_k"))
+    }
+    // the candidate read goes through the cell-partitioned store with
+    // a partition filter (only probed cells are scanned)
+    val plan = Pq.annIvfPqSearch(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [assigned_centroid"), plan.take(3000))
+  }
 }
