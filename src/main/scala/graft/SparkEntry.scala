@@ -250,6 +250,7 @@ object SparkEntry {
     "stream_late_drop" -> (StreamWatcher.streamLateDropQuery(_, _)),
     "stream_fb_upsert" -> (StreamWatcher.streamForeachBatchUpsert(_, _)),
     "stream_incremental_batch" -> (StreamWatcher.streamIncrementalBatch(_, _)),
+    "stream_txn_feed" -> (StreamWatcher.streamTxnFeedQuery(_, _)),
     // §2.8 sources/sinks
     "fs_inventory" -> (graft.syncer.FsInventory.fsInventoryQuery(_, _)),
     "sync_watch_service" -> (graft.streaming.WatchService.watchServiceQuery(_, _)),
@@ -1855,6 +1856,16 @@ object SparkEntry {
         |SELECT pri, mon, n_orders, sum_price FROM base WHERE pri <> '1-URGENT'
         |UNION ALL SELECT pri, mon, n_orders, sum_price FROM fix
         |ORDER BY pri, mon""".stripMargin,
+    "stream_txn_feed" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d FROM orders),
+        |c AS (SELECT count(*) FILTER (d < DATE '1998-01-01') AS n_old,
+        |             count(*) FILTER (d >= DATE '1998-01-01') AS n_new FROM o)
+        |SELECT CAST(0 AS BIGINT) AS version, 'add' AS action,
+        |  CAST(2 AS BIGINT) AS n_files, CAST(n_old AS BIGINT) AS n_rows FROM c
+        |UNION ALL SELECT 1, 'add', 2, CAST(n_new AS BIGINT) FROM c
+        |UNION ALL SELECT 2, 'add', 1, CAST(n_old AS BIGINT) FROM c
+        |UNION ALL SELECT 2, 'remove', 2, 0 FROM c
+        |ORDER BY version, action""".stripMargin,
     "io_txn_log" ->
       """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
         |    CAST(o_orderdate AS DATE) AS d FROM orders)

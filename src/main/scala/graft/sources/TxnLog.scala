@@ -58,8 +58,10 @@ object TxnLog {
   def commit(root: String, version: Int, actions: Seq[Action]): Unit = {
     val dir = logDir(root); dir.mkdirs()
     val tmp = new File(dir, s".v$version-${UUID.randomUUID().toString.take(8)}.tmp")
+    // each action line carries its version so consumers (snapshot
+    // resolution, the streaming change feed) never parse filenames
     val body = actions.map { a =>
-      s"""{"action":"${a.action}","file":"${a.file}","n_rows":${a.nRows}}"""
+      s"""{"version":$version,"action":"${a.action}","file":"${a.file}","n_rows":${a.nRows}}"""
     }.mkString("", "\n", "\n")
     Files.write(tmp.toPath, body.getBytes("UTF-8"))
     val dst = new File(dir, f"v$version%05d.json")
@@ -86,10 +88,8 @@ object TxnLog {
   def liveFiles(spark: SparkSession, root: String, asOf: Option[Int] = None): Seq[String] = {
     val upTo = asOf.getOrElse(latestVersion(root))
     val acts = spark.read
-      .schema("action STRING, file STRING, n_rows BIGINT")
+      .schema("version BIGINT, action STRING, file STRING, n_rows BIGINT")
       .json(s"$root/_txn_log/v*.json")
-      .withColumn("version",
-        regexp_extract(col("_metadata.file_path"), "v(\\d{5})\\.json$", 1).cast("int"))
       .filter(col("version") <= upTo)
       .select(col("action"), col("file"))
       .collect()

@@ -512,6 +512,30 @@ object StreamWatcher {
       .orderBy(col("event_type"))
   }
 
+  /** §2.7 `stream_txn_feed` — change data feed off the transaction
+    * log ([[graft.sources.TxnLog]]): a file stream tails the commit
+    * directory and each commit's add/remove actions surface as change
+    * records, rolled up per (version, action). This is how downstream
+    * consumers incrementally follow a lake table (Delta CDF shape) —
+    * the feed reads ONLY the metadata log, never the data files, so a
+    * TB-scale commit costs the consumer KBs. The commit protocol's
+    * atomic link (put-if-absent) guarantees the tail never observes a
+    * half-written commit file. Bounded replay on the fixture log; in
+    * production the same stream runs with a durable checkpoint and
+    * `Trigger.ProcessingTime`.
+    */
+  def streamTxnFeedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.sources.TxnLog.txnFixture(spark, dir)
+    val feed = spark.readStream
+      .schema("version BIGINT, action STRING, file STRING, n_rows BIGINT")
+      .option("pathGlobFilter", "v*.json")
+      .json(s"$root/_txn_log")
+      .groupBy(col("version"), col("action"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"))
+    replayToBatch(feed, "complete")
+      .orderBy(col("version"), col("action"))
+  }
+
   /** Streaming upload plan: new arrivals (non-temp) mapped to their
     * inventory entries — the continuous version of
     * `SyncOps.syncDiffUpload`'s source side.

@@ -711,9 +711,11 @@ object SyncOps {
     val winner = heads.withColumn("wn", row_number().over(wWin))
       .filter(col("wn") === 1)
       .select(col("row_key"), col("head_gen").as("win_gen"))
+    // heads/winner are ≤ |keys|·RF rows behind a checkpoint (no stats
+    // for the planner) — declare the broadcast the sizes guarantee
     replicas
-      .join(heads, Seq("row_key", "rk"), "left")
-      .join(winner, Seq("row_key"))
+      .join(broadcast(heads), Seq("row_key", "rk"), "left")
+      .join(broadcast(winner), Seq("row_key"))
       .withColumn("stale",
         col("head_gen").isNull || col("head_gen") =!= col("win_gen"))
       .groupBy(col("node"))

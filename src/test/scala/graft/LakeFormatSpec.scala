@@ -97,4 +97,21 @@ class LakeFormatSpec extends GraftSpec {
     val cfs = rows.map(_.getString(0)).distinct
     assert(cfs.forall(cf => rows.exists(r => r.getString(0) == cf && r.getLong(1) == 0L)))
   }
+
+  test("txn feed: the streamed change feed matches the static log exactly") {
+    val got = graft.streaming.StreamWatcher.streamTxnFeedQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val root = TxnLog.txnFixture(spark, sf)
+    val exp = spark.read
+      .schema("version BIGINT, action STRING, file STRING, n_rows BIGINT")
+      .json(s"$root/_txn_log")
+      .groupBy(col("version"), col("action"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"))
+      .orderBy(col("version"), col("action")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === exp)
+    // the feed observed all three commits and the compaction's removes
+    assert(got.map(_._1).distinct.sorted === Seq(0L, 1L, 2L))
+    assert(got.exists(r => r._1 == 2L && r._2 == "remove" && r._3 == 2L))
+  }
 }
