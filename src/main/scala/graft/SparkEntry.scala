@@ -1662,11 +1662,15 @@ object SparkEntry {
         |ORDER BY lift DESC, pa, pb LIMIT 20""".stripMargin,
     "q_bootstrap_ci" ->
       """WITH bb AS (SELECT unnest(range(1, 41)) AS b),
+        |r0 AS (SELECT event_type, value,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':a'), 1, 15)
+        |      AS BIGINT) % 1000000 AS h0,
+        |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':b'), 1, 15)
+        |      AS BIGINT) % 999983 + 1 AS st
+        |  FROM events),
         |r AS (SELECT event_type, bb.b AS b, value,
-        |    ((CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':' ||
-        |      CAST(bb.b AS VARCHAR)), 1, 15) AS BIGINT) % 1000000) + 0.5)
-        |      / 1000000.0 AS u
-        |  FROM events CROSS JOIN bb),
+        |    (((h0 + bb.b * st) % 1000000) + 0.5) / 1000000.0 AS u
+        |  FROM r0 CROSS JOIN bb),
         |w AS (SELECT event_type, b, value,
         |    CASE WHEN u < 0.36787944117144233 THEN 0
         |         WHEN u < 0.73575888234288467 THEN 1
