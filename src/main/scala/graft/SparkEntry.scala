@@ -115,6 +115,8 @@ object SparkEntry {
     "io_dynamic_overwrite" -> (Io.ioDynamicOverwrite(_, _)),
     "q_dataset_drift" -> (Stats.qDatasetDrift(_, _)),
     "q_ttest_ab" -> (Stats.qTtestAb(_, _)),
+    "q_ab_cuped" -> (Stats.qAbCuped(_, _)),
+    "q_power_analysis" -> (Stats.qPowerAnalysis(_, _)),
     "q_gini" -> (Stats.qGini(_, _)),
     "q_survival_curve" -> (Stats.qSurvivalCurve(_, _)),
     "q_ucb_arms" -> (Stats.qUcbArms(_, _)),
@@ -2040,6 +2042,49 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN pa IS NULL OR pb IS NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_dropped_bins
         |FROM wide GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ab_cuped" ->
+      """WITH u AS (SELECT user_id,
+        |    CAST(sum(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x_c,
+        |    CAST(sum(CASE WHEN day(CAST(ts AS TIMESTAMP)) > 15
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y_c
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT count(*) AS n, sum(x_c) AS sx, sum(y_c) AS sy,
+        |    sum(x_c * y_c) AS sxy, sum(x_c * x_c) AS sxx FROM u),
+        |th AS (SELECT
+        |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) AS theta,
+        |    CAST(sx AS DOUBLE) / n AS mx FROM tot),
+        |g AS (SELECT CAST(user_id % 2 AS BIGINT) AS variant, count(*) AS n_users,
+        |    sum(x_c) AS gx, sum(y_c) AS gy, sum(x_c * x_c) AS gxx,
+        |    sum(x_c * y_c) AS gxy, sum(y_c * y_c) AS gyy
+        |  FROM u GROUP BY 1)
+        |SELECT variant, n_users,
+        |  round(CAST(gy AS DOUBLE) / n_users / 100.0, 4) AS mean_post,
+        |  round((CAST(gy AS DOUBLE) - theta *
+        |    (CAST(gx AS DOUBLE) - n_users * mx)) / n_users / 100.0, 4) AS mean_cuped,
+        |  round(100.0 * (1.0 -
+        |    (CAST(gyy AS DOUBLE) - 2.0 * theta * gxy + theta * theta * gxx -
+        |      (CAST(gy AS DOUBLE) - theta * gx) *
+        |      (CAST(gy AS DOUBLE) - theta * gx) / n_users) /
+        |    (CAST(gyy AS DOUBLE) - CAST(gy AS DOUBLE) * gy / n_users)), 4)
+        |    AS var_reduction_pct
+        |FROM g, th ORDER BY variant""".stripMargin,
+    "q_power_analysis" ->
+      """WITH s AS (SELECT event_type, count(*) AS n_obs,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS sv,
+        |    sum(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT)) AS svv
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT event_type, n_obs,
+        |    CAST(sv AS DOUBLE) / n_obs AS mean_c,
+        |    (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n_obs) / (n_obs - 1) AS var_c
+        |  FROM s)
+        |SELECT event_type, n_obs,
+        |  round(mean_c / 100.0, 4) AS mean_value,
+        |  round(sqrt(var_c) / 100.0, 4) AS sd_value,
+        |  CAST(ceil(2.0 * var_c * 7.848879734349088 /
+        |    ((0.05 * mean_c) * (0.05 * mean_c))) AS BIGINT) AS n_per_arm
+        |FROM m ORDER BY event_type""".stripMargin,
     "q_ttest_ab" ->
       """WITH s AS (SELECT event_type,
         |    CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS grp,

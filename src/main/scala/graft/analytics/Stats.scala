@@ -212,6 +212,88 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** §2.2 `q_ab_cuped` — CUPED variance reduction for an A/B readout
+    * (Deng et al.'s controlled-experiment standard): each user's
+    * pre-period covariate x (days 1–15 value sum) adjusts their
+    * post-period metric y (days 16+), y* = y − θ(x − x̄) with
+    * θ = cov(x,y)/var(x) pooled over all users. Everything reduces to
+    * ONE user-level shuffle producing exact integer sufficient sums
+    * (cents, so no float-order noise crosses engines), then θ, the
+    * per-variant adjusted means, and the achieved variance-reduction
+    * percentage assemble in closed form on a bounded aggregate.
+    * The experimentation-platform shape at 10⁸ users: no second pass,
+    * no per-user state after the sums.
+    */
+  def qAbCuped(spark: SparkSession, dir: String): DataFrame = {
+    val vC = Money.cents(col("value"))
+    val users = Tables.events(spark, dir)
+      .select(col("user_id"),
+        when(dayofmonth(col("ts")) <= 15, vC).otherwise(0L).as("x1"),
+        when(dayofmonth(col("ts")) > 15, vC).otherwise(0L).as("y1"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("x1")).as("x_c"), sum(col("y1")).as("y_c"))
+    val tot = users.agg(count(lit(1)).as("n"),
+      sum(col("x_c")).as("sx"), sum(col("y_c")).as("sy"),
+      sum(col("x_c") * col("y_c")).as("sxy"),
+      sum(col("x_c") * col("x_c")).as("sxx"))
+      .select(
+        ((col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / col("n")) /
+          (col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))).as("theta"),
+        (col("sx").cast("double") / col("n")).as("mx"))
+    val g = users.groupBy((col("user_id") % 2).cast("long").as("variant"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x_c")).as("gx"), sum(col("y_c")).as("gy"),
+        sum(col("x_c") * col("x_c")).as("gxx"),
+        sum(col("x_c") * col("y_c")).as("gxy"),
+        sum(col("y_c") * col("y_c")).as("gyy"))
+    g.crossJoin(broadcast(tot))
+      .select(col("variant"), col("n_users"),
+        round(col("gy").cast("double") / col("n_users") / 100.0, 4).as("mean_post"),
+        round((col("gy").cast("double") - col("theta") *
+          (col("gx").cast("double") - col("n_users") * col("mx"))) /
+          col("n_users") / 100.0, 4).as("mean_cuped"),
+        round(lit(100.0) * (lit(1.0) -
+          (col("gyy").cast("double") - lit(2.0) * col("theta") * col("gxy") +
+            col("theta") * col("theta") * col("gxx") -
+            (col("gy").cast("double") - col("theta") * col("gx")) *
+            (col("gy").cast("double") - col("theta") * col("gx")) / col("n_users")) /
+          (col("gyy").cast("double") -
+            col("gy").cast("double") * col("gy") / col("n_users"))), 4)
+          .as("var_reduction_pct"))
+      .orderBy(col("variant"))
+  }
+
+  /** §2.2 `q_power_analysis` — experiment sizing from observed
+    * moments: per event type, the per-arm sample size that gives 80%
+    * power to detect a 5% lift of the mean at two-sided α = 0.05,
+    * n = 2σ²(z₀.₉₇₅+z₀.₈)²/δ². Variance comes from the same exact
+    * integer (cents) sufficient sums as the t-test, so both engines
+    * assemble identical doubles; the z constants are literals. One
+    * partial-agg pass, |types| output rows — the planning query run
+    * before every experiment launch.
+    */
+  def qPowerAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val vC = Money.cents(col("value"))
+    val za = 1.959963984540054 // z_{0.975}
+    val zb = 0.8416212335729143 // z_{0.80}
+    Tables.events(spark, dir)
+      .select(col("event_type"), vC.as("v_c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("v_c")).as("sv"),
+        sum(col("v_c") * col("v_c")).as("svv"))
+      .withColumn("mean_c", col("sv").cast("double") / col("n_obs"))
+      .withColumn("var_c",
+        (col("svv").cast("double") - col("sv").cast("double") * col("sv") / col("n_obs")) /
+          (col("n_obs") - 1))
+      .withColumn("delta_c", lit(0.05) * col("mean_c"))
+      .select(col("event_type"), col("n_obs"),
+        round(col("mean_c") / 100.0, 4).as("mean_value"),
+        round(sqrt(col("var_c")) / 100.0, 4).as("sd_value"),
+        ceil(lit(2.0) * col("var_c") * lit((za + zb) * (za + zb)) /
+          (col("delta_c") * col("delta_c"))).cast("long").as("n_per_arm"))
+      .orderBy(col("event_type"))
+  }
+
   /** §2.2 `q_gini` — Gini coefficient of per-user event-count
     * concentration via the rank formula G = 2·Σ(r·x)/(n·Σx) −
     * (n+1)/n: exact on the compact per-user counts (ties contribute

@@ -321,4 +321,36 @@ class StatsSpec extends GraftSpec {
       }
     }
   }
+
+  test("cuped: both variants present; adjusted mean shifts by theta * covariate gap") {
+    val rows = graft.analytics.Stats.qAbCuped(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).sorted === Array(0L, 1L))
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      // CUPED re-centers, it does not rescale: adjusted mean stays in
+      // the neighborhood of the raw mean
+      assert(math.abs(r.getDouble(3) - r.getDouble(2)) <
+        math.max(1.0, math.abs(r.getDouble(2))))
+    }
+    // the adjustment is a pure transfer: weighted adjusted means
+    // average back to the weighted raw means (theta centers on x-bar)
+    val wRaw = rows.map(r => r.getDouble(2) * r.getLong(1)).sum
+    val wAdj = rows.map(r => r.getDouble(3) * r.getLong(1)).sum
+    assert(math.abs(wRaw - wAdj) < 0.01 * rows.map(_.getLong(1)).sum)
+  }
+
+  test("power analysis: sample size scales with variance over squared effect") {
+    val rows = graft.analytics.Stats.qPowerAnalysis(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mean, sd, req) = (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))
+      assert(n > 1 && mean > 0 && sd > 0 && req > 0)
+      // closed form recheck at spec precision
+      val za = 1.959963984540054; val zb = 0.8416212335729143
+      val exp = math.ceil(2.0 * sd * sd * (za + zb) * (za + zb) /
+        (0.05 * mean * 0.05 * mean))
+      assert(math.abs(req - exp) <= math.max(2.0, exp * 0.01),
+        s"${r.getString(0)}: got $req expected ~$exp")
+    }
+  }
 }
