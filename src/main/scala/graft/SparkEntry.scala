@@ -2052,8 +2052,10 @@ object SparkEntry {
         |tot AS (SELECT count(*) AS n, sum(x_c) AS sx, sum(y_c) AS sy,
         |    sum(x_c * y_c) AS sxy, sum(x_c * x_c) AS sxx FROM u),
         |th AS (SELECT
-        |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
-        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) AS theta,
+        |    CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n = 0.0 THEN 0.0
+        |    ELSE (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) /
+        |      (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |    END AS theta,
         |    CAST(sx AS DOUBLE) / n AS mx FROM tot),
         |g AS (SELECT CAST(user_id % 2 AS BIGINT) AS variant, count(*) AS n_users,
         |    sum(x_c) AS gx, sum(y_c) AS gy, sum(x_c * x_c) AS gxx,
@@ -2063,12 +2065,13 @@ object SparkEntry {
         |  round(CAST(gy AS DOUBLE) / n_users / 100.0, 4) AS mean_post,
         |  round((CAST(gy AS DOUBLE) - theta *
         |    (CAST(gx AS DOUBLE) - n_users * mx)) / n_users / 100.0, 4) AS mean_cuped,
-        |  round(100.0 * (1.0 -
+        |  CASE WHEN CAST(gyy AS DOUBLE) - CAST(gy AS DOUBLE) * gy / n_users = 0.0 THEN 0.0
+        |  ELSE round(100.0 * (1.0 -
         |    (CAST(gyy AS DOUBLE) - 2.0 * theta * gxy + theta * theta * gxx -
         |      (CAST(gy AS DOUBLE) - theta * gx) *
         |      (CAST(gy AS DOUBLE) - theta * gx) / n_users) /
         |    (CAST(gyy AS DOUBLE) - CAST(gy AS DOUBLE) * gy / n_users)), 4)
-        |    AS var_reduction_pct
+        |  END AS var_reduction_pct
         |FROM g, th ORDER BY variant""".stripMargin,
     "q_power_analysis" ->
       """WITH s AS (SELECT event_type, count(*) AS n_obs,

@@ -237,8 +237,14 @@ object Stats {
       sum(col("x_c") * col("y_c")).as("sxy"),
       sum(col("x_c") * col("x_c")).as("sxx"))
       .select(
-        ((col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / col("n")) /
-          (col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n"))).as("theta"),
+        // zero pooled covariate variance (degenerate corpus) → no
+        // adjustment, not a 0/0
+        when(col("sxx").cast("double") - col("sx").cast("double") * col("sx") / col("n") === 0.0,
+          lit(0.0))
+          .otherwise(
+            (col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double") / col("n")) /
+            (col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double") / col("n")))
+          .as("theta"),
         (col("sx").cast("double") / col("n")).as("mx"))
     val g = users.groupBy((col("user_id") % 2).cast("long").as("variant"))
       .agg(count(lit(1)).as("n_users"),
@@ -252,13 +258,16 @@ object Stats {
         round((col("gy").cast("double") - col("theta") *
           (col("gx").cast("double") - col("n_users") * col("mx"))) /
           col("n_users") / 100.0, 4).as("mean_cuped"),
-        round(lit(100.0) * (lit(1.0) -
-          (col("gyy").cast("double") - lit(2.0) * col("theta") * col("gxy") +
-            col("theta") * col("theta") * col("gxx") -
-            (col("gy").cast("double") - col("theta") * col("gx")) *
-            (col("gy").cast("double") - col("theta") * col("gx")) / col("n_users")) /
-          (col("gyy").cast("double") -
-            col("gy").cast("double") * col("gy") / col("n_users"))), 4)
+        // zero post-metric variance in a variant → nothing to reduce
+        when(col("gyy").cast("double") -
+            col("gy").cast("double") * col("gy") / col("n_users") === 0.0, lit(0.0))
+          .otherwise(round(lit(100.0) * (lit(1.0) -
+            (col("gyy").cast("double") - lit(2.0) * col("theta") * col("gxy") +
+              col("theta") * col("theta") * col("gxx") -
+              (col("gy").cast("double") - col("theta") * col("gx")) *
+              (col("gy").cast("double") - col("theta") * col("gx")) / col("n_users")) /
+            (col("gyy").cast("double") -
+              col("gy").cast("double") * col("gy") / col("n_users"))), 4))
           .as("var_reduction_pct"))
       .orderBy(col("variant"))
   }

@@ -62,4 +62,30 @@ class EdgeEventsSpec extends GraftSpec {
     EventAnalytics.qDailyAnomaly(spark, edgeDir).collect()
     EventAnalytics.qAttribution(spark, edgeDir).collect()
   }
+
+  test("holt on a one-day series: zero trend, forecast equals level") {
+    val r = Stats.qHoltForecast(spark, edgeDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(1) === 1L) // one day
+    assert(r.head.getDouble(3) === 0.0) // trend
+    assert(r.head.getDouble(4) === r.head.getDouble(2)) // forecast = level
+  }
+
+  test("interpolation with no sampled observations returns empty, not a crash") {
+    // event_ids 1..3 never hit the %11 slice
+    assert(EventAnalytics.qInterpolateGaps(spark, edgeDir).collect().isEmpty)
+  }
+
+  test("cuped and power analysis survive the single-user corpus") {
+    val c = Stats.qAbCuped(spark, edgeDir).collect()
+    assert(c.length === 1 && c.head.getLong(0) === 1L) // user 7 -> variant 1
+    // single user ⇒ zero pooled covariate variance ⇒ theta guards to 0
+    // and the adjustment is the identity; all events are pre-period so
+    // the post-metric mean is exactly zero
+    assert(c.head.getDouble(2) === 0.0)
+    assert(c.head.getDouble(3) === c.head.getDouble(2))
+    assert(c.head.getDouble(4) === 0.0)
+    val pw = Stats.qPowerAnalysis(spark, edgeDir).collect()
+    assert(pw.length === 1 && pw.head.getLong(4) > 0L)
+  }
 }
