@@ -115,6 +115,7 @@ object SparkEntry {
     "io_dynamic_overwrite" -> (Io.ioDynamicOverwrite(_, _)),
     "q_dataset_drift" -> (Stats.qDatasetDrift(_, _)),
     "q_ttest_ab" -> (Stats.qTtestAb(_, _)),
+    "q_forecast_backtest" -> (Stats.qForecastBacktest(_, _)),
     "q_ab_cuped" -> (Stats.qAbCuped(_, _)),
     "q_power_analysis" -> (Stats.qPowerAnalysis(_, _)),
     "q_gini" -> (Stats.qGini(_, _)),
@@ -2042,6 +2043,33 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN pa IS NULL OR pb IS NULL THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_dropped_bins
         |FROM wide GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_forecast_backtest" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    CAST(count(*) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ser AS (SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily),
+        |init AS (SELECT s1.event_type, s1.n, 1 AS i, s1.y AS l,
+        |    CASE WHEN s1.n > 1 THEN s2.y - s1.y ELSE 0.0 END AS b
+        |  FROM ser s1 LEFT JOIN ser s2
+        |    ON s1.event_type = s2.event_type AND s2.i = 2
+        |  WHERE s1.i = 1),
+        |rec AS (SELECT event_type, n, i, l, b FROM init
+        |  UNION ALL
+        |  SELECT r.event_type, r.n, r.i + 1,
+        |    0.5 * s.y + 0.5 * (r.l + r.b),
+        |    0.5 * ((0.5 * s.y + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b
+        |  FROM rec r JOIN ser s ON s.event_type = r.event_type AND s.i = r.i + 1)
+        |SELECT r.event_type, CAST(r.i AS BIGINT) AS step,
+        |  CAST(s.y AS BIGINT) AS actual,
+        |  round(r.l + r.b, 6) AS forecast,
+        |  round(abs(s.y - (r.l + r.b)), 6) AS abs_err
+        |FROM rec r JOIN ser s ON s.event_type = r.event_type AND s.i = r.i + 1
+        |WHERE r.i >= r.n - 7 AND r.i <= r.n - 1
+        |ORDER BY r.event_type, step""".stripMargin,
     "q_ab_cuped" ->
       """WITH u AS (SELECT user_id,
         |    CAST(sum(CASE WHEN day(CAST(ts AS TIMESTAMP)) <= 15

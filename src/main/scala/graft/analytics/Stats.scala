@@ -426,6 +426,57 @@ object Stats {
       .orderBy(col("event_type"))
   }
 
+  /** §2.2 `q_forecast_backtest` — rolling-origin backtest of the Holt
+    * model ([[qHoltForecast]]): the same single fold along each type's
+    * day axis also yields every prefix state, so the last 7 one-step
+    * forecasts (state at day i predicting day i+1) cost nothing extra
+    * — the standard time-series cross-validation, evaluated without
+    * refitting. Emits the per-step (actual, forecast, |error|) rows —
+    * bounded at 7×|types| — rather than a float aggregate, so no
+    * accumulation-order noise can cross engines; the oracle reads the
+    * identical prefix states out of its recursive CTE.
+    */
+  def qForecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val day = datediff(to_date(col("ts")), lit("1970-01-01").cast("date")).cast("long")
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("day"), col("n"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (tpe, it) =>
+        val ys = it.toArray.sortBy(_._2).map(_._3.toDouble)
+        val n = ys.length
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Double, Double)]
+        var l = ys(0)
+        var b = if (n > 1) ys(1) - ys(0) else 0.0
+        // engine-identical rounding: Spark's round() is BigDecimal
+        // HALF_UP over the shortest decimal repr — replicate it here
+        def r6(x: Double): Double =
+          java.math.BigDecimal.valueOf(x)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+        // state after 1-based prefix i forecasts day i+1; keep the
+        // last 7 origins
+        def emit(i: Int): Unit =
+          if (i >= n - 7 && i <= n - 1)
+            out += ((tpe, i.toLong, ys(i).toLong,
+              r6(l + b), r6(math.abs(ys(i) - (l + b)))))
+        emit(1)
+        var i = 1
+        while (i < n) {
+          val lPrev = l
+          l = 0.5 * ys(i) + 0.5 * (l + b)
+          b = 0.5 * (l - lPrev) + 0.5 * b
+          i += 1
+          emit(i)
+        }
+        out.iterator
+      }
+      .toDF("event_type", "step", "actual", "forecast", "abs_err")
+      .orderBy(col("event_type"), col("step"))
+  }
+
   def qSeasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"),

@@ -353,4 +353,18 @@ class StatsSpec extends GraftSpec {
         s"${r.getString(0)}: got $req expected ~$exp")
     }
   }
+
+  test("forecast backtest: 7 one-step evals per type, errors consistent with forecasts") {
+    val rows = graft.analytics.Stats.qForecastBacktest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 7)
+      val steps = rs.map(_.getLong(1)).sorted
+      assert(steps.zip(steps.head to steps.last).forall { case (a, b) => a == b })
+    }
+    rows.foreach { r =>
+      val (actual, forecast, err) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(math.abs(actual - forecast) - err) < 2e-6)
+    }
+  }
 }
