@@ -261,6 +261,8 @@ object SparkEntry {
     "cass_token_scan" -> (graft.sources.cass.CassandraLikeStore.cassTokenScan(_, _)),
     "cass_compact" -> (graft.sources.cass.CassandraLikeStore.cassCompact(_, _)),
     "cass_read_repair" -> (SyncOps.cassReadRepair(_, _)),
+    "sync_ring_rebalance" -> (SyncOps.syncRingRebalance(_, _)),
+    "q_did" -> (Stats.qDid(_, _)),
     "graph_label_prop" -> ((s, d) => graft.graph.GraphOps.graphLabelProp(s, d)),
     "io_partitioned_inventory" -> (Io.ioPartitionedInventory(_, _)),
     "io_csv_json" -> (Io.ioCsvJson(_, _)),
@@ -1946,6 +1948,62 @@ object SparkEntry {
         |SELECT event_type, CAST(n AS BIGINT) AS n_days, l AS level, b AS trend,
         |  l + 7.0 * b AS forecast_7d
         |FROM rec WHERE i = n ORDER BY event_type""".stripMargin,
+    "q_did" ->
+      """WITH c AS (SELECT
+        |    CAST(user_id % 2 = 0 AS INT) AS tr,
+        |    CAST(day(CAST(ts AS TIMESTAMP)) > 15 AS INT) AS po,
+        |    CAST(round(value * 100) AS BIGINT) AS v_c
+        |  FROM events),
+        |m AS (SELECT
+        |    CAST(sum(CASE WHEN tr = 1 AND po = 0 THEN v_c ELSE 0 END) AS DOUBLE) /
+        |      sum(CASE WHEN tr = 1 AND po = 0 THEN 1 ELSE 0 END) / 100.0 AS m_tp,
+        |    CAST(sum(CASE WHEN tr = 1 AND po = 1 THEN v_c ELSE 0 END) AS DOUBLE) /
+        |      sum(CASE WHEN tr = 1 AND po = 1 THEN 1 ELSE 0 END) / 100.0 AS m_tq,
+        |    CAST(sum(CASE WHEN tr = 0 AND po = 0 THEN v_c ELSE 0 END) AS DOUBLE) /
+        |      sum(CASE WHEN tr = 0 AND po = 0 THEN 1 ELSE 0 END) / 100.0 AS m_cp,
+        |    CAST(sum(CASE WHEN tr = 0 AND po = 1 THEN v_c ELSE 0 END) AS DOUBLE) /
+        |      sum(CASE WHEN tr = 0 AND po = 1 THEN 1 ELSE 0 END) / 100.0 AS m_cq
+        |  FROM c)
+        |SELECT round(m_tp, 4) AS treat_pre, round(m_tq, 4) AS treat_post,
+        |  round(m_cp, 4) AS ctrl_pre, round(m_cq, 4) AS ctrl_post,
+        |  round((m_tq - m_tp) - (m_cq - m_cp), 4) AS did
+        |FROM m""".stripMargin,
+    "sync_ring_rebalance" ->
+      """WITH keys AS (SELECT user_id,
+        |    (user_id * 1103515245) % 2147483647 AS kt
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |r8 AS (SELECT CAST(n AS BIGINT) AS node,
+        |    ((n * 16 + v) * 2654435761) % 2147483647 AS token
+        |  FROM range(8) t(n), range(16) u(v)),
+        |r9 AS (SELECT CAST(n AS BIGINT) AS node,
+        |    ((n * 16 + v) * 2654435761) % 2147483647 AS token
+        |  FROM range(9) t(n), range(16) u(v)),
+        |pn8 AS (SELECT k.user_id, r.node,
+        |    min((r.token - k.kt + 2147483647) % 2147483647) AS mind
+        |  FROM keys k CROSS JOIN r8 r GROUP BY 1, 2),
+        |p8 AS (SELECT user_id, node FROM (
+        |  SELECT user_id, node,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY mind, node) AS rk
+        |  FROM pn8) WHERE rk <= 3),
+        |pn9 AS (SELECT k.user_id, r.node,
+        |    min((r.token - k.kt + 2147483647) % 2147483647) AS mind
+        |  FROM keys k CROSS JOIN r9 r GROUP BY 1, 2),
+        |p9 AS (SELECT user_id, node FROM (
+        |  SELECT user_id, node,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY mind, node) AS rk
+        |  FROM pn9) WHERE rk <= 3),
+        |g AS (SELECT a.node, count(*) AS keys_gained FROM p9 a
+        |  WHERE NOT EXISTS (SELECT 1 FROM p8 b
+        |    WHERE b.user_id = a.user_id AND b.node = a.node) GROUP BY 1),
+        |l AS (SELECT b.node, count(*) AS keys_lost FROM p8 b
+        |  WHERE NOT EXISTS (SELECT 1 FROM p9 a
+        |    WHERE a.user_id = b.user_id AND a.node = b.node) GROUP BY 1),
+        |nodes AS (SELECT CAST(n AS BIGINT) AS node FROM range(9) t(n))
+        |SELECT nodes.node, CAST(COALESCE(keys_gained, 0) AS BIGINT) AS keys_gained,
+        |  CAST(COALESCE(keys_lost, 0) AS BIGINT) AS keys_lost
+        |FROM nodes LEFT JOIN g ON nodes.node = g.node
+        |LEFT JOIN l ON nodes.node = l.node
+        |ORDER BY nodes.node""".stripMargin,
     "cass_read_repair" ->
       """WITH ring AS (SELECT CAST(n AS BIGINT) AS node,
         |    ((n * 16 + v) * 2654435761) % 2147483647 AS token

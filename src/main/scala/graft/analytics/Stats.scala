@@ -272,6 +272,34 @@ object Stats {
       .orderBy(col("variant"))
   }
 
+  /** §2.2 `q_did` — difference-in-differences: the quasi-experimental
+    * twin of [[qAbCuped]]. Event values split by cohort (even/odd
+    * user) × period (days 1–15 / 16+); the DiD estimate is
+    * (treat_post − treat_pre) − (ctrl_post − ctrl_pre), removing any
+    * shared time trend from the treatment readout. Four exact-cents
+    * cell sums in ONE partial-agg pass — the whole query is a single
+    * scan to one row regardless of scale.
+    */
+  def qDid(spark: SparkSession, dir: String): DataFrame = {
+    val vC = Money.cents(col("value"))
+    val treat = col("user_id") % 2 === 0
+    val post = dayofmonth(col("ts")) > 15
+    def cellMean(t: Boolean, p: Boolean): org.apache.spark.sql.Column = {
+      val in = (if (t) treat else !treat) && (if (p) post else !post)
+      sum(when(in, vC).otherwise(0L)).cast("double") /
+        sum(when(in, 1L).otherwise(0L)) / 100.0
+    }
+    Tables.events(spark, dir)
+      .agg(
+        round(cellMean(t = true, p = false), 4).as("treat_pre"),
+        round(cellMean(t = true, p = true), 4).as("treat_post"),
+        round(cellMean(t = false, p = false), 4).as("ctrl_pre"),
+        round(cellMean(t = false, p = true), 4).as("ctrl_post"),
+        round((cellMean(t = true, p = true) - cellMean(t = true, p = false)) -
+          (cellMean(t = false, p = true) - cellMean(t = false, p = false)), 4)
+          .as("did"))
+  }
+
   /** §2.2 `q_power_analysis` — experiment sizing from observed
     * moments: per event type, the per-arm sample size that gives 80%
     * power to detect a 5% lift of the mean at two-sided α = 0.05,

@@ -655,6 +655,51 @@ object SyncOps {
       .orderBy(col("node"))
   }
 
+  /** §2.1 `sync_ring_rebalance` — node-addition movement plan: the
+    * RF=3 placement ([[syncReplicaSets]]) recomputed with a ninth
+    * node joining the ring, diffed per (key, node). Consistent
+    * hashing's minimal-disruption property falls out and is pinned in
+    * the spec: existing vnode tokens don't move, so distances are
+    * unchanged and ranks can only be pushed DOWN by the joiner —
+    * every gained replica lands on the new node, existing nodes only
+    * lose. The per-node gained/lost counts are exactly what bootstrap
+    * streaming will ship. Two broadcast-ring placements + one
+    * anti-join diff per direction — all metadata-scale.
+    */
+  def syncRingRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def ringOf(nodes: Int): DataFrame =
+      (0 until nodes).flatMap(n => (0 until RingVnodes).map(v =>
+        (n.toLong, ((n * RingVnodes + v) * 2654435761L) % RingM)))
+        .toDF("node", "token")
+    val keys = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id")).distinct()
+      .withColumn("kt", (col("user_id") * 1103515245L) % RingM)
+    def placement(ring: DataFrame): DataFrame = {
+      val perNode = keys.crossJoin(broadcast(ring))
+        .withColumn("dist", (col("token") - col("kt") + RingM) % RingM)
+        .groupBy(col("user_id"), col("node"))
+        .agg(min(col("dist")).as("mind"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("mind"), col("node"))
+      perNode.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("user_id"), col("node"))
+    }
+    val before = placement(ringOf(RingNodes)).localCheckpoint()
+    val after = placement(ringOf(RingNodes + 1)).localCheckpoint()
+    val gained = after.join(before, Seq("user_id", "node"), "left_anti")
+      .groupBy(col("node")).agg(count(lit(1)).as("keys_gained"))
+    val lost = before.join(after, Seq("user_id", "node"), "left_anti")
+      .groupBy(col("node")).agg(count(lit(1)).as("keys_lost"))
+    spark.range(RingNodes + 1).select(col("id").as("node"))
+      .join(gained, Seq("node"), "left")
+      .join(lost, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("keys_gained"), lit(0L)).as("keys_gained"),
+        coalesce(col("keys_lost"), lit(0L)).as("keys_lost"))
+      .orderBy(col("node"))
+  }
+
   /** §2.1 `cass_read_repair` — read repair at quorum: each of the 50
     * row keys lives on its RF=3 replica set (the [[syncReplicaSets]]
     * placement); replicas drift because each applies a different

@@ -367,4 +367,14 @@ class StatsSpec extends GraftSpec {
       assert(math.abs(math.abs(actual - forecast) - err) < 2e-6)
     }
   }
+
+  test("did: the estimate is exactly the double difference of the cell means") {
+    val r = graft.analytics.Stats.qDid(spark, sf).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (tp, tq, cp, cq, did) = (row.getDouble(0), row.getDouble(1),
+      row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    assert(math.abs(did - ((tq - tp) - (cq - cp))) < 5e-4)
+    Seq(tp, tq, cp, cq).foreach(m => assert(m > 0.0 && m < 1e6))
+  }
 }

@@ -194,4 +194,17 @@ class SyncOpsSpec extends GraftSpec {
     assert(hints.map(_.getLong(1)).sum === affectedKeys,
       s"hints ${hints.map(_.getLong(1)).sum} vs node-3 replica keys $affectedKeys")
   }
+
+  test("ring rebalance: minimal disruption — only the joining node gains replicas") {
+    val rows = SyncOps.syncRingRebalance(spark, sf).collect()
+    assert(rows.length === 9)
+    val joiner = rows.find(_.getLong(0) == 8L).get
+    assert(joiner.getLong(1) > 0L, "the new node must receive keys")
+    assert(joiner.getLong(2) === 0L, "the new node cannot lose keys")
+    rows.filter(_.getLong(0) != 8L).foreach { r =>
+      assert(r.getLong(1) === 0L, s"existing node ${r.getLong(0)} gained keys")
+    }
+    // replica-count conservation: every gain is someone's loss
+    assert(rows.map(_.getLong(1)).sum === rows.map(_.getLong(2)).sum)
+  }
 }
