@@ -692,8 +692,8 @@ object SyncOps {
     val lost = before.join(after, Seq("user_id", "node"), "left_anti")
       .groupBy(col("node")).agg(count(lit(1)).as("keys_lost"))
     spark.range(RingNodes + 1).select(col("id").as("node"))
-      .join(gained, Seq("node"), "left")
-      .join(lost, Seq("node"), "left")
+      .join(broadcast(gained), Seq("node"), "left")
+      .join(broadcast(lost), Seq("node"), "left")
       .select(col("node"),
         coalesce(col("keys_gained"), lit(0L)).as("keys_gained"),
         coalesce(col("keys_lost"), lit(0L)).as("keys_lost"))
