@@ -161,6 +161,7 @@ object SparkEntry {
     "q_having" -> (Relational.qHaving(_, _)),
     "q_null_semantics" -> (Relational.qNullSemantics(_, _)),
     "q_median_abs_dev" -> (Relational.qMedianAbsDev(_, _)),
+    "q_winsorized_mean" -> (Relational.qWinsorizedMean(_, _)),
     "q_asof_join" -> (Temporal.qAsofJoin(_, _)),
     "q_range_join" -> (Temporal.qRangeJoin(_, _)),
     // §2.3 dedup
@@ -699,6 +700,17 @@ object SparkEntry {
         |SELECT digit, n, p_observed, p_benford,
         |  round(abs(p_observed - p_benford), 4) AS abs_delta
         |FROM c ORDER BY digit""".stripMargin,
+    "q_winsorized_mean" ->
+      """WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT e.event_type, value, greatest(lo, least(hi, value)) AS wv,
+        |    CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END AS cl
+        |  FROM events e JOIN b USING (event_type))
+        |SELECT event_type, count(*) AS n_events, round(avg(value), 4) AS raw_mean,
+        |  round(avg(wv), 4) AS winsorized_mean,
+        |  round(CAST(sum(cl) AS DOUBLE) / count(*) * 100, 4) AS pct_clamped
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_median_abs_dev" ->
       """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
         |  FROM events GROUP BY event_type),

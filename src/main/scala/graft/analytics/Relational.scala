@@ -762,6 +762,31 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** §2.2 `q_winsorized_mean` — robust mean via winsorization: values
+    * clamped to their type's exact [p5, p95] band before averaging
+    * (the outlier-resistant aggregate a metrics pipeline publishes
+    * next to the raw mean), plus the share of rows the clamp touched.
+    * The percentile bounds come from the distributed exact-quantile
+    * rank join ([[Quantiles.exact]]) and broadcast back over the scan
+    * — two passes, no per-group buffering, same shape at any key
+    * cardinality.
+    */
+  def qWinsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bounds = Quantiles.exact(ev, "event_type", "value",
+      Seq("lo" -> 0.05, "hi" -> 0.95))
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_type"), col("value"), col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col("value"))).as("wv"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("value")), 4).as("raw_mean"),
+        round(avg(col("wv")), 4).as("winsorized_mean"),
+        round(sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)) * 100, 4).as("pct_clamped"))
+      .orderBy(col("event_type"))
+  }
+
   /** Skew-resistant join: the fact side keeps a deterministic salt,
     * the dimension side is exploded across all salt replicas, the join
     * runs on (key, salt) so one hot key spreads over `salts`

@@ -182,4 +182,15 @@ class RelationalSpec extends GraftSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), math.round(r.getDouble(3) * 100)))).toMap
     assert(typed === untyped)
   }
+
+  test("winsorized mean: clamped mean is pulled toward the center, ~10% rows clamped") {
+    val rows = graft.analytics.Relational.qWinsorizedMean(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, win, pct) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // clamping a right-skewed positive distribution lowers the mean
+      assert(win <= raw + 1e-9)
+      assert(pct >= 0.0 && pct <= 20.0)
+    }
+  }
 }
