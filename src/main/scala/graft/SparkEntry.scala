@@ -162,6 +162,7 @@ object SparkEntry {
     "q_null_semantics" -> (Relational.qNullSemantics(_, _)),
     "q_median_abs_dev" -> (Relational.qMedianAbsDev(_, _)),
     "q_winsorized_mean" -> (Relational.qWinsorizedMean(_, _)),
+    "q_order_aging" -> (Relational.qOrderAging(_, _)),
     "q_asof_join" -> (Temporal.qAsofJoin(_, _)),
     "q_range_join" -> (Temporal.qRangeJoin(_, _)),
     // §2.3 dedup
@@ -700,6 +701,18 @@ object SparkEntry {
         |SELECT digit, n, p_observed, p_benford,
         |  round(abs(p_observed - p_benford), 4) AS abs_delta
         |FROM c ORDER BY digit""".stripMargin,
+    "q_order_aging" ->
+      """WITH a AS (SELECT max(CAST(o_orderdate AS DATE)) AS as_of FROM orders),
+        |o AS (SELECT o_orderpriority AS priority,
+        |    date_diff('day', CAST(o_orderdate AS DATE), as_of) AS age,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders, a WHERE o_orderstatus = 'O')
+        |SELECT priority,
+        |  CASE WHEN age <= 90 THEN '000-090' WHEN age <= 180 THEN '091-180'
+        |       WHEN age <= 365 THEN '181-365' ELSE '365+' END AS age_band,
+        |  count(*) AS n_orders,
+        |  CAST(sum(price_c) AS DOUBLE) / 100.0 AS open_value
+        |FROM o GROUP BY 1, 2 ORDER BY priority, age_band""".stripMargin,
     "q_winsorized_mean" ->
       """WITH b AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,
         |    quantile_cont(value, 0.95) AS hi

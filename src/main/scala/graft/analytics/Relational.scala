@@ -762,6 +762,30 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** §2.2 `q_order_aging` — open-order aging report: orders still
+    * open (`o_orderstatus = 'O'`) bucketed by age at the corpus
+    * as-of date (max order date) into the standard 90/180/365/365+
+    * day bands, per priority — counts and exact-cents value. The
+    * as-of date is a one-row broadcast scalar; the rest is a pushed
+    * status filter and one partial-agg pass to a bounded
+    * |priorities|×4 grid (the receivables/backlog dashboard shape).
+    */
+  def qOrderAging(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val asOf = orders.agg(max(to_date(col("o_orderdate"))).as("as_of"))
+    val age = datediff(col("as_of"), to_date(col("o_orderdate"))).cast("long")
+    orders.filter(col("o_orderstatus") === "O")
+      .crossJoin(broadcast(asOf))
+      .select(col("o_orderpriority").as("priority"),
+        when(age <= 90, "000-090").when(age <= 180, "091-180")
+          .when(age <= 365, "181-365").otherwise("365+").as("age_band"),
+        Money.cents(col("o_totalprice")).as("price_c"))
+      .groupBy(col("priority"), col("age_band"))
+      .agg(count(lit(1)).as("n_orders"),
+        Money.dollars(sum(col("price_c")), 100.0).as("open_value"))
+      .orderBy(col("priority"), col("age_band"))
+  }
+
   /** §2.2 `q_winsorized_mean` — robust mean via winsorization: values
     * clamped to their type's exact [p5, p95] band before averaging
     * (the outlier-resistant aggregate a metrics pipeline publishes

@@ -193,4 +193,15 @@ class RelationalSpec extends GraftSpec {
       assert(pct >= 0.0 && pct <= 20.0)
     }
   }
+
+  test("order aging: bands partition the open orders; closed orders excluded") {
+    val rows = graft.analytics.Relational.qOrderAging(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val openTotal = graft.sources.Tables.orders(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_orderstatus") === "O").count()
+    assert(rows.map(_.getLong(2)).sum === openTotal)
+    val bands = Set("000-090", "091-180", "181-365", "365+")
+    rows.foreach(r => assert(bands.contains(r.getString(1))))
+    rows.foreach(r => assert(r.getDouble(3) > 0.0))
+  }
 }
