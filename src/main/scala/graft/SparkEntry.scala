@@ -167,6 +167,8 @@ object SparkEntry {
     "q_range_join" -> (Temporal.qRangeJoin(_, _)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
+    "corpus_dedup_by_source" -> (Dedup.corpusDedupBySource(_, _)),
+    "text_length_profile" -> (TextAnalysis.textLengthProfile(_, _)),
     "dedup_exact_survivors" -> (Dedup.dedupExactSurvivors(_, _)),
     "dedup_minhash_lsh" -> (Dedup.dedupMinhashLsh(_, _)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
@@ -701,6 +703,25 @@ object SparkEntry {
         |SELECT digit, n, p_observed, p_benford,
         |  round(abs(p_observed - p_benford), 4) AS abs_delta
         |FROM c ORDER BY digit""".stripMargin,
+    "corpus_dedup_by_source" ->
+      """WITH d AS (SELECT doc_id, source, lang, md5(lower(text)) AS digest
+        |  FROM documents),
+        |c AS (SELECT digest, count(*) AS copies, min(doc_id) AS keeper
+        |  FROM d GROUP BY 1)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_in_dup_clusters,
+        |  CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_redundant
+        |FROM d JOIN c USING (digest)
+        |GROUP BY 1, 2 ORDER BY source, lang""".stripMargin,
+    "text_length_profile" ->
+      """WITH s AS (SELECT lang || '/' || source AS seg, n_chars FROM documents)
+        |SELECT seg, count(*) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.1), 4) AS p10,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90
+        |FROM s GROUP BY 1 ORDER BY seg""".stripMargin,
     "q_order_aging" ->
       """WITH a AS (SELECT max(CAST(o_orderdate AS DATE)) AS as_of FROM orders),
         |o AS (SELECT o_orderpriority AS priority,

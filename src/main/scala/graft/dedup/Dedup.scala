@@ -33,6 +33,27 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_doc_id"))
       .orderBy(col("digest"))
 
+  /** §2.3 `corpus_dedup_by_source` — duplication QA per corpus
+    * segment: exact-dup rate per (source, lang) — how much of each
+    * vendor/crawl slice is copies (cross-segment copies count in
+    * every segment holding one). The digest shuffle is shared with
+    * [[dedupExact]]; the readout joins each doc's segment onto its
+    * digest-cluster size and rolls up to the bounded segment grid —
+    * the acceptance dashboard run before paying for a data drop.
+    */
+  def corpusDedupBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), digest.as("digest"))
+    val clusters = docs.groupBy(col("digest"))
+      .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("keeper"))
+    docs.join(clusters, Seq("digest"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("copies") > 1, 1L).otherwise(0L)).as("n_in_dup_clusters"),
+        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L)).as("n_redundant"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** §2.3#28 — survivor set after exact dedup: the docs that keep
     * their cluster (doc_id == min per digest). Window-min over the
     * digest shuffle; identical exchange to #27, reused by Spark.

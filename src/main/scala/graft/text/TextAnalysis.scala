@@ -15,6 +15,27 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
+  /** §2.5 `text_length_profile` — document-length distribution per
+    * (lang, source) segment: exact p10/p50/p90 of `n_chars` plus the
+    * count — the mixture-QA readout that catches a truncated or
+    * boilerplate-heavy slice before it trains. Exact quantiles ride
+    * the distributed rank join ([[graft.analytics.Quantiles.exact]])
+    * on the composite segment key; output is the bounded segment
+    * grid.
+    */
+  def textLengthProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(concat(col("lang"), lit("/"), col("source")).as("seg"),
+        col("n_chars"))
+    val qs = graft.analytics.Quantiles.exact(docs, "seg", "n_chars",
+      Seq("p10" -> 0.1, "p50" -> 0.5, "p90" -> 0.9))
+    docs.groupBy(col("seg")).agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(qs), Seq("seg"))
+      .select(col("seg"), col("n_docs"), round(col("p10"), 4).as("p10"),
+        round(col("p50"), 4).as("p50"), round(col("p90"), 4).as("p90"))
+      .orderBy(col("seg"))
+  }
+
   /** Whitespace tokenization shared by the operators; lower-cased. */
   def tokensCol(text: Column): Column = split(trim(lower(text)), "\\s+")
 

@@ -153,4 +153,29 @@ class DedupSpec extends GraftSpec {
       if (nC == math.min(nA, nB)) assert(cont === 1.0)
     }
   }
+
+  test("dedup by source: redundant <= in-dup-clusters <= docs; totals conserve") {
+    val rows = graft.dedup.Dedup.corpusDedupBySource(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(4) <= r.getLong(3))
+    }
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === total)
+    // global redundancy matches the exact-dedup cluster accounting
+    val redundant = graft.dedup.Dedup.dedupExact(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("n_docs") - 1)).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(4)).sum === redundant)
+  }
+
+  test("length profile: percentiles ordered and inside the observed range") {
+    val rows = graft.text.TextAnalysis.textLengthProfile(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p10, p50, p90) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p10 <= p50 && p50 <= p90)
+      assert(r.getLong(1) > 0)
+    }
+  }
 }
