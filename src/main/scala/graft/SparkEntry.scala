@@ -163,6 +163,7 @@ object SparkEntry {
     "q_median_abs_dev" -> (Relational.qMedianAbsDev(_, _)),
     "q_winsorized_mean" -> (Relational.qWinsorizedMean(_, _)),
     "q_order_aging" -> (Relational.qOrderAging(_, _)),
+    "q_basket_size_hist" -> (Relational.qBasketSizeHist(_, _)),
     "q_asof_join" -> (Temporal.qAsofJoin(_, _)),
     "q_range_join" -> (Temporal.qRangeJoin(_, _)),
     // §2.3 dedup
@@ -703,6 +704,16 @@ object SparkEntry {
         |SELECT digit, n, p_observed, p_benford,
         |  round(abs(p_observed - p_benford), 4) AS abs_delta
         |FROM c ORDER BY digit""".stripMargin,
+    "q_basket_size_hist" ->
+      s"""WITH $lpCte,
+         |po AS (SELECT l_orderkey, count(*) AS n_lines,
+         |    CAST(sum(price_c) AS BIGINT) AS price_c
+         |  FROM lp GROUP BY 1)
+         |SELECT n_lines, count(*) AS n_orders,
+         |  CAST(sum(price_c) AS DOUBLE) / 100.0 AS revenue,
+         |  round((CAST(sum(price_c) AS DOUBLE) / 100.0) / count(*), 4)
+         |    AS avg_order_value
+         |FROM po GROUP BY 1 ORDER BY n_lines""".stripMargin,
     "corpus_dedup_by_source" ->
       """WITH d AS (SELECT doc_id, source, lang, md5(lower(text)) AS digest
         |  FROM documents),

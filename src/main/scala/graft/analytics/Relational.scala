@@ -762,6 +762,25 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** §2.2 `q_basket_size_hist` — order-size distribution: lines per
+    * order (naturally small and bounded) rolled into a histogram with
+    * per-size order counts, revenue share, and average order value —
+    * the basket-shape readout behind pricing/bundling analysis. Two
+    * partial aggs on one order-key shuffle; the output is ~a dozen rows at
+    * any scale.
+    */
+  def qBasketSizeHist(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"), sum(Money.priceC).as("price_c"))
+    perOrder.groupBy(col("n_lines"))
+      .agg(count(lit(1)).as("n_orders"),
+        Money.dollars(sum(col("price_c")), 100.0).as("revenue"))
+      .select(col("n_lines"), col("n_orders"), col("revenue"),
+        round(col("revenue") / col("n_orders"), 4).as("avg_order_value"))
+      .orderBy(col("n_lines"))
+  }
+
   /** §2.2 `q_order_aging` — open-order aging report: orders still
     * open (`o_orderstatus = 'O'`) bucketed by age at the corpus
     * as-of date (max order date) into the standard 90/180/365/365+

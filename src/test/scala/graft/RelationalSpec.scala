@@ -204,4 +204,14 @@ class RelationalSpec extends GraftSpec {
     rows.foreach(r => assert(bands.contains(r.getString(1))))
     rows.foreach(r => assert(r.getDouble(3) > 0.0))
   }
+
+  test("basket size histogram: conserves orders and lines") {
+    val rows = graft.analytics.Relational.qBasketSizeHist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    assert(rows.map(_.getLong(1)).sum ===
+      li.select("l_orderkey").distinct().count())
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum === li.count())
+    rows.foreach(r => assert(r.getDouble(3) > 0.0))
+  }
 }
