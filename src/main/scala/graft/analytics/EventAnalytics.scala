@@ -624,20 +624,19 @@ object EventAnalytics {
     * Users whose last event predates corpus max ts by >7 days are
     * churned; users are quartiled by lifetime event count and churn
     * rate reported per quartile. One per-user aggregation (the only
-    * fact-table shuffle), a 1-row broadcast reference ts, an ntile
-    * over the USER dimension (not facts — swap for approx-quantile
-    * boundaries past ~10⁸ users), and a 4-row rollup; time math in
-    * integer µs.
+    * fact-table shuffle), a 1-row broadcast reference ts, a
+    * DISTRIBUTED exact quartile ([[Ranks.ntileBanded]] — the band IS
+    * the event count, a bounded activity axis; the per-band
+    * row_number is partitioned, never a single-task sort of 10⁸
+    * users), and a 4-row rollup; time math in integer µs.
     */
   def qChurnByEngagement(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ref = Tables.events(spark, dir).agg(max(unix_micros(col("ts"))).as("max_us"))
     val perUser = Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), max(unix_micros(col("ts"))).as("last_us"))
-    perUser.crossJoin(broadcast(ref))
-      .withColumn("quartile", ntile(4).over(
-        Window.orderBy(col("n_events"), col("user_id"))).cast("long"))
+    Ranks.ntileBanded(perUser.crossJoin(broadcast(ref)), col("n_events"),
+        Seq(col("n_events"), col("user_id")), 4, "quartile")
       .select(col("quartile"), col("n_events"),
         when(col("last_us") < col("max_us") - lit(7L * 86400L * 1000000L), 1L)
           .otherwise(0L).as("churned"))
@@ -700,15 +699,17 @@ object EventAnalytics {
   /** §2.2 `q_rfm_segments` — RFM customer segmentation: per-customer
     * recency (days since last order vs corpus max date), frequency
     * (order count), monetary (lifetime spend in exact cents), each
-    * quintiled, then rolled up per (r, f, m) cell. The ntile windows
-    * run over the CUSTOMER rollup — orders of magnitude smaller than
-    * the fact table — with a unique (metric, custkey) sort so bucket
-    * assignment is reproducible cross-engine; beyond ~10⁸ customers
-    * the rank would swap to approx-quantile boundary bucketing.
-    * Monetary stays integer cents until the final division.
+    * quintiled, then rolled up per (r, f, m) cell. Quintiles are the
+    * DISTRIBUTED exact ranks of [[Ranks.ntileBanded]] — per-metric
+    * band statistics plus band-partitioned row_numbers, never a
+    * single-task sort of the customer axis — with a unique
+    * (metric, custkey) sort so bucket assignment is reproducible
+    * cross-engine and bit-identical to the window-function `ntile`.
+    * Bands are statistic axes (months of recency, order counts,
+    * $50k revenue cells), bounded by metric range, not customer
+    * count. Monetary stays integer cents until the final division.
     */
   def qRfmSegments(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val orders = Tables.orders(spark, dir)
     val maxDay = orders.agg(max(to_date(col("o_orderdate"))).as("max_day"))
     val cust = orders.groupBy(col("o_custkey"))
@@ -719,13 +720,12 @@ object EventAnalytics {
       .select(col("o_custkey"),
         datediff(col("max_day"), col("last_day")).cast("long").as("recency"),
         col("freq"), col("mon_cents"))
-    val scored = cust
-      .withColumn("rq", ntile(5).over(
-        Window.orderBy(col("recency"), col("o_custkey"))).cast("long"))
-      .withColumn("fq", ntile(5).over(
-        Window.orderBy(col("freq"), col("o_custkey"))).cast("long"))
-      .withColumn("mq", ntile(5).over(
-        Window.orderBy(col("mon_cents"), col("o_custkey"))).cast("long"))
+    val r = Ranks.ntileBanded(cust, expr("recency div 30"),
+      Seq(col("recency"), col("o_custkey")), 5, "rq")
+    val rf = Ranks.ntileBanded(r, col("freq"),
+      Seq(col("freq"), col("o_custkey")), 5, "fq")
+    val scored = Ranks.ntileBanded(rf, expr("mon_cents div 5000000"),
+      Seq(col("mon_cents"), col("o_custkey")), 5, "mq")
     scored.groupBy(col("rq"), col("fq"), col("mq"))
       .agg(count(lit(1)).as("n_cust"),
         round(Money.dollars(sum(col("mon_cents")), 100.0) / count(lit(1)), 2)

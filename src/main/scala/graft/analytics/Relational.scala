@@ -276,25 +276,26 @@ object Relational {
   /** §2.2#181 — decile concentration report: customers ranked into
     * revenue deciles, each decile's share of total revenue — the
     * "top 10% drives X%" deliverable. Per-customer partials shuffle
-    * once; the ntile window runs over the customer aggregate (not
-    * raw facts), and the decile rollup is 10 rows. The global ntile
-    * serializes the customer axis through one task — correct here;
-    * at an unbounded customer count the scale path computes decile
-    * BOUNDARIES via approx quantiles and joins them back instead.
+    * once; deciles come from the DISTRIBUTED exact rank of
+    * [[Ranks.ntileBanded]] over $100k revenue bands — the band axis
+    * is bounded by the revenue RANGE, not the customer count, so no
+    * task ever sorts the whole customer dimension (the old global
+    * ntile did; bit-identical buckets either way). Revenue shares
+    * divide by a broadcast exact total; the decile rollup is 10 rows.
     */
   def qDecileReport(spark: SparkSession, dir: String): DataFrame = {
     val perCust = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
-    val w = Window.orderBy(col("rev_c").desc, col("o_custkey"))
-    val tot = Window.partitionBy()
-    perCust
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val tot = perCust.agg(sum(col("rev_c")).as("tot_rev_c"))
+    Ranks.ntileBanded(perCust, expr("-(rev_c div 10000000)"),
+        Seq(col("rev_c").desc, col("o_custkey")), 10, "decile")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"), sum(col("rev_c")).as("decile_rev_c"))
+      .crossJoin(broadcast(tot))
       .withColumn("rev_share",
-        round(col("decile_rev_c").cast("double") /
-          sum(col("decile_rev_c")).over(tot), 4))
+        round(col("decile_rev_c").cast("double") / col("tot_rev_c"), 4))
+      .drop("tot_rev_c")
       .orderBy(col("decile"))
   }
 

@@ -333,18 +333,26 @@ object Stats {
 
   /** §2.2 `q_gini` — Gini coefficient of per-user event-count
     * concentration via the rank formula G = 2·Σ(r·x)/(n·Σx) −
-    * (n+1)/n: exact on the compact per-user counts (ties contribute
-    * identically under any permutation, so the rank window is
-    * deterministic). One fact-table pass; the window sorts only
-    * |users| rows.
+    * (n+1)/n, computed WITHOUT ranking users: a tied run of t users
+    * at count x occupying ranks c+1..c+t contributes
+    * x·(t·c + t(t+1)/2) regardless of within-tie order, so Σ(r·x)
+    * folds to a closed form over the compact (count → t) cells. The
+    * fact table collapses once; the only window is the cumulative
+    * count over the distinct-activity cells — a bounded statistic
+    * axis (max events per user), not the 10⁸-user dimension.
+    * Integer sums stay exact while n·x_max·n < 2⁶³ (~10⁹ users at
+    * 10³ events each); past that the sums move to decimals.
     */
   def qGini(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.events(spark, dir)
+    val cells = Tables.events(spark, dir)
       .groupBy(col("user_id")).agg(count(lit(1)).as("x"))
-    val w = Window.orderBy(col("x"), col("user_id"))
-    counts.withColumn("r", row_number().over(w))
-      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("total_events"),
-        sum(col("r") * col("x")).as("srx"))
+      .groupBy(col("x")).agg(count(lit(1)).as("t"))
+    val wCells = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cells.withColumn("c", coalesce(sum(col("t")).over(wCells), lit(0L)))
+      .agg(sum(col("t")).as("n_users"),
+        sum(col("x") * col("t")).as("total_events"),
+        sum(expr("x * (t * c + (t * (t + 1)) div 2)")).as("srx"))
       .select(col("n_users"), col("total_events"),
         round(lit(2.0) * col("srx") /
           (col("n_users") * col("total_events")) -

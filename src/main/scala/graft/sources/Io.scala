@@ -193,17 +193,21 @@ object Io {
     * dealt round-robin into 16 shards — the classic LPT-flavored
     * greedy that bounds shard skew by the largest item. This is the
     * writer-side plan every big sink needs (equal-sized output files
-    * from skewed inputs); the sort runs over item METADATA (id, size),
-    * which is always orders of magnitude smaller than the data it
-    * describes. The spec asserts the achieved balance.
+    * from skewed inputs). The rank comes from
+    * [[graft.analytics.Ranks.globalRowNumber]] — per-size-band counts
+    * plus band-partitioned row_numbers — so no task ever sorts the
+    * whole document axis; the band axis (16-char size cells) is
+    * bounded by the size RANGE, not the corpus. The spec asserts the
+    * achieved balance.
     */
   def ioShardBalance(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
-    val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"))
-      .withColumn("shard", ((row_number().over(w) - 1) % 16).cast("long"))
+    graft.analytics.Ranks.globalRowNumber(
+        Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+        expr("-(n_chars div 16)"),
+        Seq(col("n_chars").desc, col("doc_id")), "rn")
+      .withColumn("shard", ((col("rn") - 1) % 16).cast("long"))
+      .drop("rn")
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy(col("shard"))

@@ -72,6 +72,55 @@ class PlanAuditSpec extends GraftSpec {
       s"probe plan recomputes centroids inline:\n${plan.take(3000)}")
   }
 
+  /** Queries allowed to keep ONE unpartitioned window, each with the
+    * documented bounded axis it runs over. The bound must be a
+    * STATISTIC axis (metric range / band count / group count), never
+    * an entity dimension that grows with the data — that is exactly
+    * the regression this gate exists to catch (the round-6 offenders
+    * `q_rfm_segments`, `q_churn_by_engagement`, `q_decile_report`,
+    * `q_gini`, `io_shard_balance` sorted users/customers/documents
+    * through one task; they now rank via banded statistics and may
+    * only window over the band table).
+    */
+  private val unpartitionedWindowAllowlist: Map[String, String] = Map(
+    "io_shard_balance" -> "cumulative offsets over ≤ size-range/16 band-count rows (Ranks.globalRowNumber)",
+    "q_rfm_segments" -> "band offsets over recency-month / order-count / $50k-revenue statistic cells (Ranks.ntileBanded ×3)",
+    "q_churn_by_engagement" -> "band offsets over distinct per-user event counts — activity axis, not the user axis (Ranks.ntileBanded)",
+    "q_decile_report" -> "band offsets over $100k revenue cells (Ranks.ntileBanded)",
+    "q_gini" -> "cumulative count over distinct per-user activity cells (closed-form tied-run ranks)",
+    "q_acf" -> "lagged self-join over the ≤|days| daily series",
+    "q_benford" -> "9 first-digit cells",
+    "q_changepoint" -> "daily series (calendar axis)",
+    "q_chi_square" -> "event_type × segment contingency cells",
+    "q_equidepth_hist" -> "distinct-value cells (value range is a bounded measurement axis)",
+    "q_growth_rate" -> "monthly series (calendar axis)",
+    "q_mutual_info" -> "event_type × event_type cells",
+    "q_percent_of_total" -> "≤25 nation rollup rows",
+    "q_running_distinct" -> "daily series (calendar axis)",
+    "q_skyline" -> "64-row bucket-threshold table + bucket-pruned near-frontier survivors",
+    "q_survival_curve" -> "≤|days| event-time series",
+    "sync_bandwidth_windows" -> "hourly transfer windows (calendar axis)")
+
+  test("no unpartitioned window over an unbounded entity axis") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sf).queryExecution.optimizedPlan
+        val empties = plan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+          case w: WindowGroupLimit if w.partitionSpec.isEmpty => w
+        }
+        if (empties.nonEmpty) Some(name) else None
+    }
+    val unlisted = offenders.filterNot(unpartitionedWindowAllowlist.contains)
+    assert(unlisted.isEmpty,
+      s"unpartitioned windows outside the allowlist: ${unlisted.mkString(", ")}")
+    // allowlist hygiene: every entry must still name a real query that
+    // still HAS an unpartitioned window (stale entries rot the gate)
+    val stale = unpartitionedWindowAllowlist.keySet -- offenders.toSet
+    assert(stale.isEmpty, s"stale allowlist entries: ${stale.mkString(", ")}")
+  }
+
   test("AQE is active: adaptive plans appear after execution") {
     assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
     val df = Relational.q5SnowflakeJoin(spark, sf)
