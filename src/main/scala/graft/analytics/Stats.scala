@@ -217,8 +217,9 @@ object Stats {
     * pre-period covariate x (days 1–15 value sum) adjusts their
     * post-period metric y (days 16+), y* = y − θ(x − x̄) with
     * θ = cov(x,y)/var(x) pooled over all users. Everything reduces to
-    * ONE user-level shuffle producing exact integer sufficient sums
-    * (cents, so no float-order noise crosses engines), then θ, the
+    * ONE user-level shuffle producing exact sufficient sums (integer
+    * cents; the second-order sums accumulate in decimal(38,0) so
+    * cents² products never overflow), then θ, the
     * per-variant adjusted means, and the achieved variance-reduction
     * percentage assemble in closed form on a bounded aggregate.
     * The experimentation-platform shape at 10⁸ users: no second pass,
@@ -232,10 +233,15 @@ object Stats {
         when(dayofmonth(col("ts")) > 15, vC).otherwise(0L).as("y1"))
       .groupBy(col("user_id"))
       .agg(sum(col("x1")).as("x_c"), sum(col("y1")).as("y_c"))
+    // second-order sums accumulate as decimal(38,0): cents-squared
+    // products are ~10¹⁰ each, so a Long Σ overflows around 10⁹ users
+    // — decimals stay exact (and match DuckDB's HUGEINT sums) at any
+    // scale, and every consumer below reads them through a double cast
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")
     val tot = users.agg(count(lit(1)).as("n"),
       sum(col("x_c")).as("sx"), sum(col("y_c")).as("sy"),
-      sum(col("x_c") * col("y_c")).as("sxy"),
-      sum(col("x_c") * col("x_c")).as("sxx"))
+      sum(dec(col("x_c")) * dec(col("y_c"))).as("sxy"),
+      sum(dec(col("x_c")) * dec(col("x_c"))).as("sxx"))
       .select(
         // zero pooled covariate variance (degenerate corpus) → no
         // adjustment, not a 0/0
@@ -249,9 +255,9 @@ object Stats {
     val g = users.groupBy((col("user_id") % 2).cast("long").as("variant"))
       .agg(count(lit(1)).as("n_users"),
         sum(col("x_c")).as("gx"), sum(col("y_c")).as("gy"),
-        sum(col("x_c") * col("x_c")).as("gxx"),
-        sum(col("x_c") * col("y_c")).as("gxy"),
-        sum(col("y_c") * col("y_c")).as("gyy"))
+        sum(dec(col("x_c")) * dec(col("x_c"))).as("gxx"),
+        sum(dec(col("x_c")) * dec(col("y_c"))).as("gxy"),
+        sum(dec(col("y_c")) * dec(col("y_c"))).as("gyy"))
     g.crossJoin(broadcast(tot))
       .select(col("variant"), col("n_users"),
         round(col("gy").cast("double") / col("n_users") / 100.0, 4).as("mean_post"),

@@ -313,8 +313,7 @@ object Pq {
        |lut AS (SELECT vec_id AS q_id, v AS q,
        |  $luts
        |  FROM e, cbl WHERE vec_id < 5),
-       |cand AS (SELECT c.vec_id, c.code_0, c.code_1, c.code_2, c.code_3,
-       |    c.code_4, c.code_5, c.code_6, c.code_7, a.cell
+       |cand AS (SELECT c.vec_id, ${(0 until M).map(mi => s"c.code_$mi").mkString(", ")}, a.cell
        |  FROM codes c JOIN assign a ON c.vec_id = a.vec_id WHERE c.vec_id >= 5),
        |adc AS (SELECT p.q_id, cand.vec_id,
        |  row_number() OVER (PARTITION BY p.q_id ORDER BY ($adcSum), cand.vec_id) AS rnk

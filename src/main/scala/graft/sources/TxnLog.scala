@@ -55,13 +55,26 @@ object TxnLog {
     * protocol's put-if-absent; on an object store this is a
     * conditional PUT).
     */
+  /** JSON string escaping for commit lines: quote, backslash, and all
+    * control chars — an unescaped quote in a file path would produce a
+    * malformed line that a lenient reader silently nulls, dropping the
+    * file from every snapshot. Paired with the FAILFAST read in
+    * [[liveFiles]]: a corrupt line fails loudly, never silently.
+    */
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def commit(root: String, version: Int, actions: Seq[Action]): Unit = {
     val dir = logDir(root); dir.mkdirs()
     val tmp = new File(dir, s".v$version-${UUID.randomUUID().toString.take(8)}.tmp")
     // each action line carries its version so consumers (snapshot
     // resolution, the streaming change feed) never parse filenames
     val body = actions.map { a =>
-      s"""{"version":$version,"action":"${a.action}","file":"${a.file}","n_rows":${a.nRows}}"""
+      s"""{"version":$version,"action":${jsonStr(a.action)},"file":${jsonStr(a.file)},"n_rows":${a.nRows}}"""
     }.mkString("", "\n", "\n")
     Files.write(tmp.toPath, body.getBytes("UTF-8"))
     val dst = new File(dir, f"v$version%05d.json")
@@ -81,21 +94,28 @@ object TxnLog {
     vs.max
   }
 
-  /** Live data files at `asOf` (defaults to latest): fold
-    * adds − removes over the log prefix. The log is metadata-scale —
-    * the fold collects actions, never data.
+  /** Live data files at `asOf` (defaults to latest): version-ordered
+    * replay — per file, the LAST action in the prefix wins, so a file
+    * removed at version X and re-added at Y>X is live for asOf ≥ Y
+    * (Delta log semantics; a plain adds−removes set-subtraction gets
+    * this wrong). Within one version a remove beats an add — a commit
+    * that both adds and removes a file is a net no-op. The fold is a
+    * distributed max_by over metadata, FAILFAST so a corrupt commit
+    * line fails the read instead of silently dropping files; only the
+    * resolved live list (metadata-scale) is collected.
     */
   def liveFiles(spark: SparkSession, root: String, asOf: Option[Int] = None): Seq[String] = {
     val upTo = asOf.getOrElse(latestVersion(root))
-    val acts = spark.read
+    spark.read
       .schema("version BIGINT, action STRING, file STRING, n_rows BIGINT")
+      .option("mode", "FAILFAST")
       .json(s"$root/_txn_log/v*.json")
       .filter(col("version") <= upTo)
-      .select(col("action"), col("file"))
-      .collect()
-    val removed = acts.filter(_.getString(0) == "remove").map(_.getString(1)).toSet
-    acts.filter(r => r.getString(0) == "add" && !removed(r.getString(1)))
-      .map(_.getString(1)).toSeq.sorted
+      .groupBy(col("file"))
+      .agg(max_by(col("action"), struct(col("version"), col("action"))).as("last"))
+      .filter(col("last") === "add")
+      .select(col("file"))
+      .collect().map(_.getString(0)).toSeq.sorted
   }
 
   /** The table at version `asOf` — a distributed scan of exactly the
@@ -256,13 +276,19 @@ object TxnLog {
   def ioStatsPruneScan(spark: SparkSession, dir: String): DataFrame = {
     val root = statsFixture(spark, dir)
     val (lo, hi) = ("1996-01-01", "1996-06-30")
+    val pruneSchema = "ship_d DATE, l_returnflag STRING, qty_c BIGINT, net_e4 BIGINT"
     val candidates = spark.read.parquet(s"$root/manifest")
       .filter(col("max_d") >= lit(lo).cast("date") &&
         col("min_d") <= lit(hi).cast("date"))
       .select(col("f")).collect().map(_.getString(0)).sorted
-    spark.read
-      .schema("ship_d DATE, l_returnflag STRING, qty_c BIGINT, net_e4 BIGINT")
-      .parquet(candidates: _*)
+    // a predicate overlapping NO stats band is an empty result, not a
+    // read error — a real data-skipping scan opens zero files
+    val base =
+      if (candidates.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType.fromDDL(pruneSchema))
+      else spark.read.schema(pruneSchema).parquet(candidates: _*)
+    base
       .filter(col("ship_d").between(lit(lo).cast("date"), lit(hi).cast("date")))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_lines"), sum(col("qty_c")).as("sum_qty_c"),

@@ -44,6 +44,30 @@ class LakeFormatSpec extends GraftSpec {
     assert(logFiles.toSeq === Seq("v00000.json", "v00001.json", "v00002.json"))
   }
 
+  test("txn log: remove-then-re-add replays in version order (file is live again)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_txn_readd_").toString
+    TxnLog.commit(root, 0, Seq(
+      TxnLog.Action("add", "/data/a", 10L), TxnLog.Action("add", "/data/b", 10L)))
+    TxnLog.commit(root, 1, Seq(TxnLog.Action("remove", "/data/a", 0L)))
+    TxnLog.commit(root, 2, Seq(TxnLog.Action("add", "/data/a", 12L)))
+    assert(TxnLog.liveFiles(spark, root, Some(0)) === Seq("/data/a", "/data/b"))
+    assert(TxnLog.liveFiles(spark, root, Some(1)) === Seq("/data/b"))
+    // global set-subtraction would keep /data/a dead forever; ordered
+    // replay resurrects it at the re-add version
+    assert(TxnLog.liveFiles(spark, root, Some(2)) === Seq("/data/a", "/data/b"))
+    // same-version add+remove is a net no-op
+    TxnLog.commit(root, 3, Seq(
+      TxnLog.Action("add", "/data/c", 5L), TxnLog.Action("remove", "/data/c", 0L)))
+    assert(TxnLog.liveFiles(spark, root, Some(3)) === Seq("/data/a", "/data/b"))
+  }
+
+  test("txn log: file paths with quotes/backslashes survive the commit round-trip") {
+    val root = java.nio.file.Files.createTempDirectory("graft_txn_esc_").toString
+    val nasty = "/data/we\"ird\\path\tx"
+    TxnLog.commit(root, 0, Seq(TxnLog.Action("add", nasty, 1L)))
+    assert(TxnLog.liveFiles(spark, root, Some(0)) === Seq(nasty))
+  }
+
   test("deletion vectors: rows vanish without touching data files") {
     val root = TxnLog.dvFixture(spark, sf)
     val dataFiles = new File(s"$root/data").listFiles((_, n) => n.endsWith(".parquet"))
