@@ -108,12 +108,13 @@ object WatchService {
       }
       .toDF("path", "size_bytes", "status")
       .withColumn("batch_id", lit(batchId))
-    // the copy is a side effect inside mapPartitions: run it exactly
-    // once by collecting the (tiny, metadata-only) result set, then
-    // both the manifest write and the returned rows reuse it
-    val rows = copied.collect()
-    val results = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), copied.schema)
+    // the copy is a side effect inside mapPartitions: an eager
+    // localCheckpoint is the run-once fence — partitions materialize
+    // on executors with lineage cut, the manifest write and returned
+    // rows read the frozen blocks, and no driver collect means a
+    // pathological first batch (bootstrap against a full keyspace)
+    // can't blow the driver heap.
+    val results = copied.localCheckpoint(true)
     results.write.mode("append").json(target.watchManifestsPath)
     results
   }

@@ -227,14 +227,20 @@ object BackupPipeline {
           (rel, len)
         }
       }.toDF("path", "size_bytes")
-    // the fetch is a side effect: run it exactly once, then reuse the
-    // (metadata-only) results for both the ledger append and the return
-    val rows = fetched.collect()
-    val once = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), fetched.schema)
-      .withColumn("dest", lit(destDir))
-    once.write.mode("append").json(target.restoreLedgerPath)
-    once
+    // the fetch is a side effect: an eager localCheckpoint is the
+    // run-once fence — partitions materialize on EXECUTORS and the
+    // lineage is cut, so the ledger append and the returned frame
+    // both read the frozen blocks. Never an O(files) driver collect
+    // (a full 100 TB restore is 10⁶–10⁹ ledger rows; the driver never
+    // holds them). A plain persist would not survive the ledger
+    // append below: writing a path invalidates every cache that READS
+    // it, and this plan reads the ledger through the remainder
+    // anti-join — recomputing after the append would see an empty
+    // remainder.
+    val once = fetched.localCheckpoint(true)
+    val ledger = once.withColumn("dest", lit(destDir))
+    ledger.write.mode("append").json(target.restoreLedgerPath)
+    ledger
   }
 
   private val resumeTargets = new java.util.concurrent.ConcurrentHashMap[String, String]()
