@@ -72,7 +72,14 @@ object Bench {
     val notes = "streaming replay times are cold-isolated (settle() before " +
       "each run); r3-vs-r4 delta is warm-vs-cold accounting, verified by " +
       "SPARK_GRAFT_ONLY singles; replay checkpoints on tmpfs since r6"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$failed,"notes":"$notes","sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$failed,"notes":"$notes","sf":"$sfDir"}"""
+    println(line)
+    // the driver keeps only the tail of stdout (BENCH_r06 lost 206 of
+    // 261 per-query timings), so the full line also lands in a file —
+    // committed per round as the complete timing artifact
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
     spark.stop()
   }
 }
