@@ -71,14 +71,18 @@ object WatchService {
     stream.filter(!col("path").endsWith("-tmp-Data.db"))
 
   /** One micro-batch of the upload loop: copy every discovered file
-    * to `<objects>/<path relative to dataDir>` on executors, then
-    * append the per-batch manifest. Returns the manifest rows.
+    * to `<objects>/<path relative to its watch root>` on executors,
+    * then append the per-batch manifest. Returns the manifest rows.
+    * Multiple roots mirror the reference's repeatable `--path`
+    * (`bin/cassandra-syncer:195-201` iterates the path list); object
+    * keys are relative to the root that matched, so roots must have
+    * disjoint relative namespaces (Cassandra keyspace directories do).
     */
-  def uploadBatch(batch: DataFrame, dataDir: String, target: Target,
+  def uploadBatch(batch: DataFrame, dataDirs: Seq[String], target: Target,
       batchId: Long): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val rootAbs = new Path(dataDir).toUri.getPath.stripSuffix("/")
+    val rootsAbs = dataDirs.map(d => new Path(d).toUri.getPath.stripSuffix("/"))
     val objectsPath = target.objectsPath
     val copied = batch.select(col("path"), col("length")).as[(String, Long)]
       .mapPartitions { it =>
@@ -88,9 +92,9 @@ object WatchService {
         it.map { case (src, len) =>
           val srcPath = new Path(src)
           val abs = srcPath.toUri.getPath
-          val rel =
-            if (abs.startsWith(rootAbs + "/")) abs.stripPrefix(rootAbs + "/")
-            else abs.stripPrefix("/")
+          val rel = rootsAbs.collectFirst {
+            case r if abs.startsWith(r + "/") => abs.stripPrefix(r + "/")
+          }.getOrElse(abs.stripPrefix("/"))
           val dst = new Path(objectsPath, rel)
           try {
             val sfs = srcPath.getFileSystem(conf)
@@ -126,15 +130,29 @@ object WatchService {
     */
   def start(spark: SparkSession, dataDir: String, targetUrl: String,
       trigger: Trigger, checkpoint: Option[String] = None,
+      sourceOptions: Map[String, String] = Map.empty): StreamingQuery =
+    startAll(spark, Seq(dataDir), targetUrl, trigger, checkpoint, sourceOptions)
+
+  /** Watch SEVERAL roots with one daemon — the reference accepts a
+    * repeatable `--path` and iterates the list
+    * (`bin/cassandra-syncer:195-201`); here the per-root arrival
+    * streams union into one stream, so a single checkpoint covers all
+    * roots and each micro-batch may carry files from any of them.
+    */
+  def startAll(spark: SparkSession, dataDirs: Seq[String], targetUrl: String,
+      trigger: Trigger, checkpoint: Option[String] = None,
       sourceOptions: Map[String, String] = Map.empty): StreamingQuery = {
+    require(dataDirs.nonEmpty, "at least one watch root required")
     val target = Target.parse(targetUrl)
-    durableArrivals(arrivalStream(spark, dataDir, sourceOptions))
+    val arrivals = dataDirs.map(d => arrivalStream(spark, d, sourceOptions))
+      .reduce(_ unionByName _)
+    durableArrivals(arrivals)
       .writeStream
       .option("checkpointLocation",
         checkpoint.getOrElse(target.watchCheckpointPath))
       .trigger(trigger)
       .foreachBatch { (b: DataFrame, id: Long) =>
-        uploadBatch(b, dataDir, target, id); ()
+        uploadBatch(b, dataDirs, target, id); ()
       }
       .start()
   }
@@ -144,8 +162,13 @@ object WatchService {
     * new files (checkpointed offsets).
     */
   def runOnce(spark: SparkSession, dataDir: String, targetUrl: String,
+      checkpoint: Option[String] = None): Unit =
+    runOnceAll(spark, Seq(dataDir), targetUrl, checkpoint)
+
+  /** Bounded multi-root pass ([[startAll]] under AvailableNow). */
+  def runOnceAll(spark: SparkSession, dataDirs: Seq[String], targetUrl: String,
       checkpoint: Option[String] = None): Unit = {
-    val q = start(spark, dataDir, targetUrl, Trigger.AvailableNow(), checkpoint)
+    val q = startAll(spark, dataDirs, targetUrl, Trigger.AvailableNow(), checkpoint)
     try q.awaitTermination() finally q.stop()
   }
 

@@ -94,19 +94,21 @@ object GraftCli {
         case "watch" =>
           // the reference daemon: catch up on everything already on
           // disk (first micro-batch over a fresh checkpoint IS the
-          // initial full backup), then keep watching for new files
-          val data = req("data")
+          // initial full backup), then keep watching for new files.
+          // --data takes a comma-separated root list, mirroring the
+          // reference's repeatable --path
+          val roots = req("data").split(",").map(_.trim).filter(_.nonEmpty).toSeq
           val targetUrl = req("target")
           val ckpt = opts.get("checkpoint")
           if (opts.get("once").contains("true")) {
-            graft.streaming.WatchService.runOnce(spark, data, targetUrl, ckpt)
+            graft.streaming.WatchService.runOnceAll(spark, roots, targetUrl, ckpt)
             val m = graft.streaming.WatchService.manifest(spark, targetUrl)
             println(s"watch pass complete: ${m.count()} files in manifest")
           } else {
             val interval = opts.getOrElse("interval", "10 seconds")
-            val q = graft.streaming.WatchService.start(spark, data, targetUrl,
+            val q = graft.streaming.WatchService.startAll(spark, roots, targetUrl,
               org.apache.spark.sql.streaming.Trigger.ProcessingTime(interval), ckpt)
-            println(s"watching $data -> $targetUrl every $interval (ctrl-c to stop)")
+            println(s"watching ${roots.mkString(",")} -> $targetUrl every $interval (ctrl-c to stop)")
             q.awaitTermination()
           }
         case "query" =>
@@ -139,7 +141,7 @@ object GraftCli {
   private def usage(): Unit = System.err.println(
     """usage: GraftCli <backup|watch|restore|prune|query|explain|list> [--config <json>]
       |  backup  --data <dir> --target <directory://...|objectstore://bucket>
-      |  watch   --data <dir> --target <url> [--interval '10 seconds'] [--once true]
+      |  watch   --data <dir>[,<dir>...] --target <url> [--interval '10 seconds'] [--once true]
       |  restore --target <url> [--as-of YYYY-MM-DD] [--dest <dir> [--max-files N]]
       |  prune   --target <url> [--cutoff YYYY-MM-DD]
       |  query   --data <dir> --name <registry-key>""".stripMargin)

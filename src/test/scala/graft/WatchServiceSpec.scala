@@ -52,12 +52,32 @@ class WatchServiceSpec extends GraftSpec {
       batches("ks1/click/node1/na-20-Data.db"))
   }
 
+  test("watch daemon: several roots under one daemon (the reference's repeatable --path)") {
+    val (data1, url) = freshDirs("multiA")
+    val data2 = Files.createTempDirectory("graft_watch_multiB_data").toString
+    mkFile(data1, "ks1/click/node1/na-30-Data.db", 11)
+    mkFile(data2, "ks2/view/node2/na-31-Data.db", 22)
+    WatchService.runOnceAll(spark, Seq(data1, data2), url)
+    val m1 = WatchService.manifest(spark, url).collect()
+    assert(m1.map(_.getAs[String]("path")).sorted ===
+      Array("ks1/click/node1/na-30-Data.db", "ks2/view/node2/na-31-Data.db"))
+    assert(m1.forall(_.getAs[String]("status") === "uploaded"))
+    // bytes from BOTH roots landed, each relative to its own root
+    val t = Target.parse(url)
+    assert(Files.size(Paths.get(t.objectsPath, "ks1/click/node1/na-30-Data.db")) === 11L)
+    assert(Files.size(Paths.get(t.objectsPath, "ks2/view/node2/na-31-Data.db")) === 22L)
+    // one shared checkpoint: a later pass is incremental across roots
+    mkFile(data2, "ks2/view/node2/na-32-Data.db", 33)
+    WatchService.runOnceAll(spark, Seq(data1, data2), url)
+    assert(WatchService.manifest(spark, url).count() === 3)
+  }
+
   test("watch daemon: a file that vanishes before copy is skipped, not failed") {
     val (data, url) = freshDirs("enoent")
     import spark.implicits._
     val ghost = Seq((s"file:$data/ks1/click/node1/na-99-Data.db", 123L))
       .toDF("path", "length")
-    val out = WatchService.uploadBatch(ghost, data, Target.parse(url), 0L).collect()
+    val out = WatchService.uploadBatch(ghost, Seq(data), Target.parse(url), 0L).collect()
     assert(out.length === 1)
     assert(out.head.getAs[String]("status") === "skipped_vanished")
   }
