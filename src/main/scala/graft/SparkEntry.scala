@@ -262,6 +262,7 @@ object SparkEntry {
     // §2.8 sources/sinks
     "fs_inventory" -> (graft.syncer.FsInventory.fsInventoryQuery(_, _)),
     "sync_watch_service" -> (graft.streaming.WatchService.watchServiceQuery(_, _)),
+    "sync_fsck_verify" -> (graft.streaming.WatchService.fsckQuery(_, _)),
     "cass_lww_read" -> (graft.sources.cass.CassandraLikeStore.cassLwwRead(_, _)),
     "cass_token_scan" -> (graft.sources.cass.CassandraLikeStore.cassTokenScan(_, _)),
     "cass_compact" -> (graft.sources.cass.CassandraLikeStore.cassCompact(_, _)),
@@ -3041,6 +3042,16 @@ object SparkEntry {
          |SELECT path, cf, node_id, shard_id, generation, size_bytes
          |FROM inv WHERE generation <= 1500 AND NOT is_temp
          |ORDER BY generation""".stripMargin,
+    // the fixture tree's files are size_bytes zero bytes, so the
+    // expected md5 is computable in SQL: md5(repeat(chr(0), n))
+    "sync_fsck_verify" ->
+      s"""WITH $invCte
+         |SELECT path, size_bytes,
+         |  md5(repeat(chr(0), CAST(size_bytes AS INT))) AS stored_md5,
+         |  md5(repeat(chr(0), CAST(size_bytes AS INT))) AS actual_md5,
+         |  'ok' AS fsck_status
+         |FROM inv WHERE generation <= 1500 AND NOT is_temp
+         |ORDER BY path""".stripMargin,
     "cass_lww_read" ->
       """WITH cells AS (SELECT CAST(user_id % 50 AS BIGINT) AS row_key, value,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS write_us, event_id AS generation,

@@ -99,18 +99,33 @@ object WatchService {
           try {
             val sfs = srcPath.getFileSystem(conf)
             val dfs = dst.getFileSystem(conf)
-            org.apache.hadoop.fs.FileUtil.copy(
-              sfs, srcPath, dfs, dst, false, true, conf)
-            (rel, len, "uploaded")
+            // hash WHILE copying — the bytes are streaming through
+            // anyway, so the content digest the manifest needs for
+            // post-upload fsck costs no extra read
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val in = sfs.open(srcPath)
+            try {
+              val out = dfs.create(dst, true)
+              try {
+                val buf = new Array[Byte](64 * 1024)
+                var n = in.read(buf)
+                while (n >= 0) {
+                  md.update(buf, 0, n); out.write(buf, 0, n); n = in.read(buf)
+                }
+              } finally out.close()
+            } finally in.close()
+            val hex = md.digest().map("%02x".format(_)).mkString
+            (rel, len, "uploaded", hex)
           } catch {
             // the reference skips files that vanish between listing
             // and upload (compaction deleted them) instead of failing
             // the whole pass
-            case _: java.io.FileNotFoundException => (rel, len, "skipped_vanished")
+            case _: java.io.FileNotFoundException =>
+              (rel, len, "skipped_vanished", null: String)
           }
         }
       }
-      .toDF("path", "size_bytes", "status")
+      .toDF("path", "size_bytes", "status", "md5")
       .withColumn("batch_id", lit(batchId))
     // the copy is a side effect inside mapPartitions: an eager
     // localCheckpoint is the run-once fence — partitions materialize
@@ -175,8 +190,61 @@ object WatchService {
   /** Read back the cumulative watch manifest (all batches). */
   def manifest(spark: SparkSession, targetUrl: String): DataFrame =
     spark.read
-      .schema("path STRING, size_bytes BIGINT, status STRING, batch_id BIGINT")
+      .schema("path STRING, size_bytes BIGINT, status STRING, md5 STRING, batch_id BIGINT")
       .json(Target.parse(targetUrl).watchManifestsPath)
+
+  /** Post-upload integrity verification — the reference README
+    * declares an `fsck` utility and otherwise delegates byte
+    * integrity to the object client's etag; here the manifest's
+    * copy-time md5 ([[uploadBatch]]) is re-derived from the stored
+    * objects and compared, so a truncated or bit-flipped object is
+    * caught BEFORE a restore needs it. Fully distributed: the
+    * manifest is metadata, the re-hash runs in `mapPartitions` on
+    * executors, and the verdict is a join on the path key. Per path
+    * the LATEST batch's digest wins (a re-uploaded file must be
+    * checked against its newest bytes).
+    */
+  def fsckVerify(spark: SparkSession, targetUrl: String): DataFrame = {
+    val objectsPath = Target.parse(targetUrl).objectsPath
+    import org.apache.spark.sql.expressions.Window
+    val spark2 = spark; import spark2.implicits._
+    val latest = Window.partitionBy(col("path")).orderBy(col("batch_id").desc)
+    val stored = manifest(spark, targetUrl)
+      .filter(col("status") === "uploaded")
+      .withColumn("rn", row_number().over(latest))
+      .filter(col("rn") === 1)
+      .select(col("path"), col("size_bytes"), col("md5").as("stored_md5"))
+    val actual = stored.select(col("path")).as[String]
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val buf = new Array[Byte](64 * 1024)
+        it.map { rel =>
+          val p = new Path(objectsPath, rel)
+          try {
+            val fs = p.getFileSystem(conf)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val in = fs.open(p)
+            try {
+              var n = in.read(buf)
+              while (n >= 0) { md.update(buf, 0, n); n = in.read(buf) }
+            } finally in.close()
+            (rel, md.digest().map("%02x".format(_)).mkString)
+          } catch {
+            case _: java.io.FileNotFoundException => (rel, null: String)
+            // the filesystem's own transport checksum already proves
+            // the bytes changed; the sentinel never matches an md5
+            // hex, so the verdict below lands on "corrupt"
+            case _: org.apache.hadoop.fs.ChecksumException =>
+              (rel, "transport-checksum-mismatch")
+          }
+        }
+      }.toDF("path", "actual_md5")
+    stored.join(actual, Seq("path"))
+      .withColumn("fsck_status",
+        when(col("actual_md5").isNull, "missing")
+          .when(col("actual_md5") === col("stored_md5"), "ok")
+          .otherwise("corrupt"))
+  }
 
   // ---- oracle surface ----
 
@@ -189,8 +257,11 @@ object WatchService {
     * The watch run is memoized per corpus per JVM (it is the fixture
     * side; the measured query is the manifest read-back + parse).
     */
-  def watchServiceQuery(spark: SparkSession, dir: String): DataFrame = {
-    val targetUrl = watched.computeIfAbsent(dir, d => {
+  /** The memoized watch-run fixture target (shared by the watch and
+    * fsck oracle surfaces — one daemon pass per corpus per JVM).
+    */
+  def watchOracleTarget(spark: SparkSession, dir: String): String =
+    watched.computeIfAbsent(dir, d => {
       val tree = graft.syncer.FsInventory.oracleTree(spark, d)
       // per-process root: no cross-JVM clobbering, no hashCode collisions
       val root = java.nio.file.Files
@@ -199,6 +270,9 @@ object WatchService {
       runOnce(spark, tree, url)
       url
     })
+
+  def watchServiceQuery(spark: SparkSession, dir: String): DataFrame = {
+    val targetUrl = watchOracleTarget(spark, dir)
     val re = "ks1/([^/]+)/node(\\d+)/na-(\\d+)-Data\\.db$"
     manifest(spark, targetUrl)
       .filter(col("status") === "uploaded")
@@ -210,5 +284,20 @@ object WatchService {
         regexp_extract(col("path"), re, 3).cast("long").as("generation"),
         col("size_bytes"))
       .orderBy(col("generation"))
+  }
+
+  /** §2.1 `sync_fsck_verify` oracle surface: run [[fsckVerify]] over
+    * the memoized watch-run fixture — every stored object must verify
+    * `ok`, and both digests must equal the md5 the oracle recomputes
+    * from the fixture's known file contents (size_bytes zero bytes),
+    * so the digest PLUMBING (hash-while-copy, manifest round-trip,
+    * distributed re-hash) is value-checked, not just shape-checked.
+    */
+  def fsckQuery(spark: SparkSession, dir: String): DataFrame = {
+    val targetUrl = watchOracleTarget(spark, dir)
+    fsckVerify(spark, targetUrl)
+      .select(col("path"), col("size_bytes"), col("stored_md5"),
+        col("actual_md5"), col("fsck_status"))
+      .orderBy(col("path"))
   }
 }

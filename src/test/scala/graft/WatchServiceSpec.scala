@@ -72,6 +72,34 @@ class WatchServiceSpec extends GraftSpec {
     assert(WatchService.manifest(spark, url).count() === 3)
   }
 
+  test("fsck: a corrupted or missing object is caught against the manifest digest") {
+    val (data, url) = freshDirs("fsck")
+    mkFile(data, "ks1/click/node1/na-40-Data.db", 64)
+    mkFile(data, "ks1/click/node1/na-41-Data.db", 64)
+    mkFile(data, "ks1/view/node2/na-42-Data.db", 32)
+    WatchService.runOnce(spark, data, url)
+    // pristine store: everything verifies ok with a real digest
+    val clean = WatchService.fsckVerify(spark, url).collect()
+    assert(clean.length === 3)
+    assert(clean.forall(_.getAs[String]("fsck_status") === "ok"))
+    assert(clean.forall(r =>
+      r.getAs[String]("stored_md5") === r.getAs[String]("actual_md5")))
+    // flip one byte in one object, delete another
+    val t = Target.parse(url)
+    val corrupt = Paths.get(t.objectsPath, "ks1/click/node1/na-40-Data.db")
+    val bytes = Files.readAllBytes(corrupt); bytes(7) = 1
+    Files.write(corrupt, bytes)
+    // drop Hadoop's local .crc sidecar so the MD5 comparison itself
+    // (not the transport checksum) detects the flip
+    Files.deleteIfExists(corrupt.getParent.resolve(".na-40-Data.db.crc"))
+    Files.delete(Paths.get(t.objectsPath, "ks1/view/node2/na-42-Data.db"))
+    val verdicts = WatchService.fsckVerify(spark, url).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[String]("fsck_status")).toMap
+    assert(verdicts("ks1/click/node1/na-40-Data.db") === "corrupt")
+    assert(verdicts("ks1/click/node1/na-41-Data.db") === "ok")
+    assert(verdicts("ks1/view/node2/na-42-Data.db") === "missing")
+  }
+
   test("watch daemon: a file that vanishes before copy is skipped, not failed") {
     val (data, url) = freshDirs("enoent")
     import spark.implicits._
