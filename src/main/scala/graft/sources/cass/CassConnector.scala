@@ -196,8 +196,10 @@ class CassReaderFactory(requiredCols: Array[String], pushed: Array[Filter])
           val c = line.split(',')
           val key = c(0).toLong
           if (pushed.forall(CassTableDef.evalKeyFilter(_, key))) {
+            // \N is the null-value token (tombstoned VALUE cell)
+            val v: Any = if (c(4) == "\\N") null else c(4).toDouble
             val full = Array[Any](key, c(1).toLong, c(2).toLong,
-              c(3).toBoolean, c(4).toDouble)
+              c(3).toBoolean, v)
             row = new GenericInternalRow(proj.map(full(_)))
             return true
           }
@@ -266,21 +268,30 @@ class CassWriterFactory(path: String, writeCols: Array[String])
           out = new java.io.BufferedWriter(
             new java.io.OutputStreamWriter(fs.create(tmpPath, true), "UTF-8"))
         }
-        // the cell format has no null token: fail loudly rather than
-        // silently writing 0 for a null cell (which would corrupt the
-        // LWW merge downstream)
+        // key/timestamp/generation/tombstone cells have no null token:
+        // fail loudly rather than silently writing 0 (which would
+        // corrupt the LWW merge downstream). The VALUE cell is the
+        // exception: a tombstone deletes the value, so it carries
+        // null and serializes as the explicit \N token — a null value
+        // on a LIVE cell is still a hard error.
         var i = 0
-        while (i < idx.length) {
+        while (i < idx.length - 1) {
           if (rec.isNullAt(idx(i)))
             throw new IllegalArgumentException(
               s"graft-cass append: null in required cell column " +
                 s"'${CassTableDef.schema.fieldNames(i)}' (all cells are non-null)")
           i += 1
         }
+        val tombstone = rec.getBoolean(idx(3))
+        val valueIsNull = rec.isNullAt(idx(4))
+        if (valueIsNull && !tombstone)
+          throw new IllegalArgumentException(
+            "graft-cass append: null value on a live (non-tombstone) cell")
         val key = rec.getLong(idx(0))
         minKey = math.min(minKey, key); maxKey = math.max(maxKey, key)
+        val valueTok = if (valueIsNull) "\\N" else rec.getDouble(idx(4)).toString
         out.write(s"$key,${rec.getLong(idx(1))},${rec.getLong(idx(2))}," +
-          s"${rec.getBoolean(idx(3))},${rec.getDouble(idx(4))}\n")
+          s"$tombstone,$valueTok\n")
         n += 1
       }
 

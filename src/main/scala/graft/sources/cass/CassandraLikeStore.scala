@@ -84,7 +84,12 @@ object CassandraLikeStore {
       unix_micros(col("ts")).as("write_us"),
       col("event_id").as("generation"),
       (col("event_type") === "error").as("tombstone"),
-      col("value"))
+      // a tombstone DELETES the value cell: real Cassandra deletes
+      // carry no value, so the fixture writes null there and the
+      // connector round-trips it through its \N token — exercised on
+      // every cass_* oracle read
+      when(col("event_type") === "error", lit(null).cast("double"))
+        .otherwise(col("value")).as("value"))
 
   // one store per corpus per JVM — the store build (two appends, so
   // the LWW read spans multiple SSTable generations) is the fixture;

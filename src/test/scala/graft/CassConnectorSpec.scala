@@ -37,6 +37,9 @@ class CassConnectorSpec extends GraftSpec {
   private def tmpFiles(dir: String): Array[java.io.File] =
     new java.io.File(dir).listFiles().filter(_.getName.startsWith("_tmp-"))
 
+  private def causes(t: Throwable): Seq[Throwable] =
+    if (t == null) Nil else t +: causes(t.getCause)
+
   private def plan(dir: String, filters: Array[org.apache.spark.sql.sources.Filter]) = {
     val b = new CassScanBuilder(dir)
     val residual = b.pushFilters(filters)
@@ -120,11 +123,37 @@ class CassConnectorSpec extends GraftSpec {
     val (store, _) = freshStore(1)
     val poisoned = cells80.withColumn("write_us", lit(null).cast("bigint"))
     val ex = intercept[Exception] { store.append(poisoned, "ks1", "cells", 1) }
-    def causes(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: causes(t.getCause)
     assert(causes(ex).exists(c =>
       c.getMessage != null && c.getMessage.contains("write_us")),
       s"error must name the null column: ${ex.getMessage}")
+  }
+
+  test("null-value tombstones round-trip; a null value on a live cell is rejected") {
+    val root = Files.createTempDirectory("graft_cass_null_").toString
+    val store = new CassandraLikeStore(root)
+    // key 1 live, key 2 deleted: the delete carries NO value (real
+    // Cassandra tombstones have no cell payload)
+    val cells = Seq(
+      (1L, 1000L, 1L, false, Some(4.5)),
+      (2L, 1000L, 2L, false, Some(9.0)),
+      (2L, 2000L, 3L, true, None: Option[Double]))
+      .toDF("row_key", "write_us", "generation", "tombstone", "value")
+    store.append(cells, "ks1", "cells", 2)
+    val raw = store.readRaw(spark, "ks1", "cells").collect()
+    assert(raw.length === 3)
+    val tomb = raw.find(_.getAs[Boolean]("tombstone")).get
+    assert(tomb.isNullAt(tomb.fieldIndex("value")), "tombstone value must read back null")
+    // merged view: the delete wins for key 2, key 1 unaffected
+    val live = store.read(spark, "ks1", "cells").collect()
+    assert(live.map(_.getAs[Long]("row_key")).toSeq === Seq(1L))
+    // a live cell with a null value is a write-time error, not a 0.0
+    val bad = Seq((3L, 1000L, 4L, false, None: Option[Double]))
+      .toDF("row_key", "write_us", "generation", "tombstone", "value")
+    val ex = intercept[Exception] {
+      store.append(bad, "ks1", "cells", 1)
+    }
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("live (non-tombstone) cell")), ex.getMessage)
   }
 
   test("compaction collapses generations, GCs tombstones, and preserves the merged read") {
