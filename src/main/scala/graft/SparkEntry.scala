@@ -298,6 +298,16 @@ object SparkEntry {
     "graph_bfs_layers" -> ((s, d) => graft.graph.GraphOps.graphBfsLayers(s, d)),
     "q_bloom_prefilter" -> (graft.analytics.RuntimeFilters.qBloomPrefilter(_, _)),
     "stream_session_window" -> (StreamWatcher.streamSessionWindowQuery(_, _)),
+    "q_stickiness" -> (EventAnalytics.qStickiness(_, _)),
+    "q_peak_days" -> (EventAnalytics.qPeakDays(_, _)),
+    "q_inter_event_gaps" -> (EventAnalytics.qInterEventGaps(_, _)),
+    "q_modal_hour" -> (EventAnalytics.qModalHour(_, _)),
+    "q_pareto_share" -> (Relational.qParetoShare(_, _)),
+    "q_repeat_interval" -> (Relational.qRepeatInterval(_, _)),
+    "text_hapax_ratio" -> (TextAnalysis.textHapaxRatio(_, _)),
+    "ann_cell_balance" -> (Ann.annCellBalance(_, _)),
+    "vec_dim_stats" -> (Ann.vecDimStats(_, _)),
+    "sync_oldest_pending" -> (SyncOps.syncOldestPending(_, _)),
   )
 
   // ---- oracle SQL ----
@@ -341,6 +351,18 @@ object SparkEntry {
 
   private val embCte =
     "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)"
+
+  /** Nearest-centroid scoring (label-seeded centroids), shared by
+    * `ann_ivf_assign` and `ann_cell_balance`. Requires [[embCte]].
+    */
+  private val ivfScoredCtes =
+    """comp AS (SELECT label AS c_id, pos - 1 AS pos, x
+      |         FROM (SELECT label, unnest(v) AS x,
+      |               generate_subscripts(v, 1) AS pos FROM e)),
+      |cent AS (SELECT c_id, list(cx ORDER BY pos) AS cv FROM (
+      |  SELECT c_id, pos, avg(x) AS cx FROM comp GROUP BY c_id, pos) GROUP BY c_id),
+      |scored AS (SELECT vec_id, label, c_id,
+      |  round(list_cosine_similarity(v, cv), 4) + 0.0 AS cos FROM e CROSS JOIN cent)""".stripMargin
 
   /** Shared by `sync_restore_set` (analytical) and `backup_pipeline`
     * (through real storage sinks): the minimal restore set as of
@@ -570,14 +592,7 @@ object SparkEntry {
          |  ON n.cf = o.cf AND n.node_id = o.node_id AND n.shard_id = o.shard_id
          |ORDER BY n.cf, n.node_id, n.shard_id""".stripMargin,
     "ann_ivf_assign" ->
-      s"""WITH $embCte,
-         |comp AS (SELECT label AS c_id, pos - 1 AS pos, x
-         |         FROM (SELECT label, unnest(v) AS x,
-         |               generate_subscripts(v, 1) AS pos FROM e)),
-         |cent AS (SELECT c_id, list(cx ORDER BY pos) AS cv FROM (
-         |  SELECT c_id, pos, avg(x) AS cx FROM comp GROUP BY c_id, pos) GROUP BY c_id),
-         |scored AS (SELECT vec_id, label, c_id,
-         |  round(list_cosine_similarity(v, cv), 4) + 0.0 AS cos FROM e CROSS JOIN cent)
+      s"""WITH $embCte, $ivfScoredCtes
          |SELECT vec_id, label, c_id AS assigned_centroid, cos FROM (
          |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
          |  FROM scored) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
@@ -3427,5 +3442,118 @@ object SparkEntry {
          |SELECT q_id, vec_id, probe, cos, rnk FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
          |  FROM s) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "q_stickiness" ->
+      """WITH e AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |    CAST(ts AS DATE) AS day, user_id FROM events),
+        |d AS (SELECT week, day, count(DISTINCT user_id) AS dau FROM e GROUP BY 1, 2),
+        |wk AS (SELECT week, count(DISTINCT user_id) AS wau FROM e GROUP BY 1),
+        |a AS (SELECT week, count(*) AS n_days,
+        |    CAST(sum(dau) AS BIGINT) AS sum_dau FROM d GROUP BY 1)
+        |SELECT a.week AS week, n_days, wau,
+        |  round(CAST(sum_dau AS DOUBLE) / n_days, 2) AS avg_dau,
+        |  round(CAST(sum_dau AS DOUBLE) / n_days / wau, 4) AS stickiness
+        |FROM a JOIN wk ON a.week = wk.week ORDER BY week""".stripMargin,
+    "q_peak_days" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |x AS (SELECT *,
+        |    lag(n_events) OVER (PARTITION BY event_type ORDER BY day) AS prev_n,
+        |    lead(n_events) OVER (PARTITION BY event_type ORDER BY day) AS next_n
+        |  FROM d)
+        |SELECT event_type, day, n_events FROM x
+        |WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+        |  AND n_events > prev_n AND n_events > next_n
+        |ORDER BY event_type, day""".stripMargin,
+    "q_inter_event_gaps" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |g AS (SELECT event_type,
+        |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+        |  FROM e)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1e6, 2) AS avg_gap_s,
+        |  CAST(min(gap_us) // 1000000 AS BIGINT) AS min_gap_s,
+        |  CAST(max(gap_us) // 1000000 AS BIGINT) AS max_gap_s
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_modal_hour" ->
+      """WITH h AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY n DESC, hr) AS rn,
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total FROM h)
+        |SELECT event_type, hr AS modal_hour, n AS n_at_mode,
+        |  round(CAST(n AS DOUBLE) / total, 4) AS mode_share
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q_pareto_share" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot_rev_c,
+        |    count(*) AS n_customers FROM pc),
+        |r AS (SELECT rev_c, row_number() OVER (ORDER BY rev_c DESC, o_custkey) AS rnk,
+        |    CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_c
+        |  FROM pc)
+        |SELECT n_customers, CAST(max(rnk) AS BIGINT) AS n_top,
+        |  round(CAST(max(rnk) AS DOUBLE) / n_customers, 4) AS cust_share,
+        |  CAST(max(cum_rev_c) AS BIGINT) AS top_rev_c, tot_rev_c,
+        |  round(CAST(max(cum_rev_c) AS DOUBLE) / tot_rev_c, 4) AS rev_share
+        |FROM r, t WHERE (cum_rev_c - rev_c) * 5 < tot_rev_c * 4
+        |GROUP BY n_customers, tot_rev_c""".stripMargin,
+    "q_repeat_interval" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |  FROM orders),
+        |g AS (SELECT d, lag(d) OVER (PARTITION BY o_custkey
+        |    ORDER BY d, o_orderkey) AS prev_d FROM o),
+        |b AS (SELECT CAST(date_diff('day', prev_d, d) AS BIGINT) AS gap_days
+        |  FROM g WHERE prev_d IS NOT NULL),
+        |c AS (SELECT CASE WHEN gap_days <= 7 THEN 'a_0_7'
+        |    WHEN gap_days <= 30 THEN 'b_8_30'
+        |    WHEN gap_days <= 90 THEN 'c_31_90'
+        |    ELSE 'd_90_plus' END AS bucket, gap_days FROM b)
+        |SELECT bucket, count(*) AS n_gaps,
+        |  round(CAST(sum(gap_days) AS DOUBLE) / count(*), 2) AS avg_days,
+        |  min(gap_days) AS min_days, max(gap_days) AS max_days
+        |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "text_hapax_ratio" ->
+      s"""WITH $toksCte,
+         |w AS (SELECT lang, unnest(toks) AS tok FROM t),
+         |tf AS (SELECT lang, tok, count(*) AS n FROM w GROUP BY 1, 2)
+         |SELECT lang, count(*) AS vocab_size,
+         |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+         |    AS hapax_ratio
+         |FROM tf GROUP BY 1 ORDER BY lang""".stripMargin,
+    "ann_cell_balance" ->
+      s"""WITH $embCte, $ivfScoredCtes,
+         |asg AS (SELECT vec_id, c_id AS assigned_centroid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+         |  FROM scored) WHERE rn = 1),
+         |cells AS (SELECT assigned_centroid, count(*) AS n_vecs FROM asg GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total, count(*) AS n_cells
+         |  FROM cells)
+         |SELECT assigned_centroid, n_vecs,
+         |  round(CAST(n_vecs AS DOUBLE) / n_total, 4) AS share,
+         |  round(CAST(n_vecs AS DOUBLE) * n_cells / n_total, 4) AS imbalance
+         |FROM cells, t ORDER BY assigned_centroid""".stripMargin,
+    "vec_dim_stats" ->
+      s"""WITH $embCte,
+         |comp AS (SELECT pos - 1 AS dim, x FROM (
+         |  SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e))
+         |SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+         |  round(avg(x), 4) AS mean_x, round(stddev_samp(x), 4) AS sd_x,
+         |  round(min(x), 4) AS min_x, round(max(x), 4) AS max_x
+         |FROM comp GROUP BY 1 ORDER BY dim""".stripMargin,
+    "sync_oldest_pending" ->
+      s"""WITH $invCte, $durCte
+         |SELECT cf, count(*) AS n_pending,
+         |  CAST(sum(size_bytes) AS BIGINT) AS pending_bytes,
+         |  CAST(min(epoch_us(mtime)) AS BIGINT) AS oldest_mtime_us,
+         |  CAST(max(epoch_us(mtime)) AS BIGINT) AS newest_mtime_us
+         |FROM dur s
+         |WHERE NOT EXISTS (SELECT 1 FROM dur t
+         |  WHERE t.generation % 3 <> 0 AND t.node_id <> 3 AND t.path = s.path)
+         |GROUP BY cf ORDER BY cf""".stripMargin,
   )
 }

@@ -803,4 +803,96 @@ object EventAnalytics {
           col("p50_us"), col("p90_us"))
     }.reduce(_ union _).orderBy(col("step"))
   }
+
+  /** §2.2#263 — weekly stickiness (avg DAU / WAU): the canonical
+    * engagement ratio. Two distinct-user aggregations off one scan —
+    * per (week, day) and per week — joined on the bounded week axis.
+    * Distinct counts shuffle on (week[, day], user): partial-distinct
+    * map-side combine keeps the exchange at user-cardinality, and the
+    * join is broadcast (weeks are calendar-bounded at any data scale).
+    */
+  def qStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(to_date(date_trunc("week", col("ts"))).as("week"),
+        to_date(col("ts")).as("day"), col("user_id"))
+    val daily = e.groupBy(col("week"), col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val weekly = e.groupBy(col("week"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    daily.groupBy(col("week"))
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+      .join(broadcast(weekly), Seq("week"))
+      // exact long sums, one double division each — deterministic
+      // across engines (identical IEEE ops, no accumulation order)
+      .select(col("week"), col("n_days"), col("wau"),
+        round(col("sum_dau").cast("double") / col("n_days"), 2).as("avg_dau"),
+        round(col("sum_dau").cast("double") / col("n_days") / col("wau"), 4)
+          .as("stickiness"))
+      .orderBy(col("week"))
+  }
+
+  /** §2.2#264 — peak detection on the daily series: days whose event
+    * count strictly exceeds both calendar neighbors, per event type.
+    * The lag/lead window partitions by the bounded type axis and
+    * orders the calendar-bounded day axis — a few thousand rows per
+    * partition at ANY corpus size, since the fact scan is already
+    * reduced to (type, day) counts map-side.
+    */
+  def qPeakDays(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("prev_n", lag(col("n_events"), 1).over(w))
+      .withColumn("next_n", lead(col("n_events"), 1).over(w))
+      .filter(col("prev_n").isNotNull && col("next_n").isNotNull &&
+        col("n_events") > col("prev_n") && col("n_events") > col("next_n"))
+      .select(col("event_type"), col("day"), col("n_events"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** §2.2#265 — inter-event gap profile: per-user consecutive-event
+    * gaps (lag over the user-partitioned, (ts, event_id)-ordered
+    * window — distributed and spillable), aggregated per type of the
+    * LATER event. Gaps are exact µs longs; the mean does ONE double
+    * division over exact integer sums, so both engines run identical
+    * IEEE ops (same fence as q_funnel_latency).
+    */
+  def qInterEventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .withColumn("gap_us", col("us") - col("prev_us"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(sum(col("gap_us")).cast("double") / count(lit(1)) / 1e6, 2)
+          .as("avg_gap_s"),
+        expr("min(gap_us) div 1000000").as("min_gap_s"),
+        expr("max(gap_us) div 1000000").as("max_gap_s"))
+      .orderBy(col("event_type"))
+  }
+
+  /** §2.2#266 — modal hour-of-day per event type (mode as a two-level
+    * aggregation): (type, hour) counts reduce map-side, then the mode
+    * is a packed `max(struct(n, -hour))` in the second HashAggregate —
+    * ties break to the SMALLEST hour, same as the oracle's
+    * `row_number() ... ORDER BY n DESC, hr`. No window, no sort; both
+    * aggregates stay in whole-stage codegen.
+    */
+  def qModalHour(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("n"), (-col("hr")).as("neg_hr"))).as("m"),
+        sum(col("n")).as("total"))
+      .select(col("event_type"), (-col("m.neg_hr")).as("modal_hour"),
+        col("m.n").as("n_at_mode"),
+        round(col("m.n").cast("double") / col("total"), 4).as("mode_share"))
+      .orderBy(col("event_type"))
 }

@@ -65,6 +65,33 @@ object Ranks {
       .drop("__band", "__off")
   }
 
+  /** Exact global 1-based rank AND inclusive running sum of `value`
+    * in the same global order, both distributed via the banded
+    * construction: per-band count/sum offsets cumulate over the
+    * bounded band axis, within-band `row_number` + running sum run
+    * under the band-partitioned (spillable) sort. `value` must be
+    * integral — the running sum stays an exact long.
+    */
+  def globalRankCumSum(df: DataFrame, band: Column, orderCols: Seq[Column],
+      value: Column, rankOut: String, cumOut: String): DataFrame = {
+    val banded = df.withColumn("__band", band.cast("long"))
+      .withColumn("__v", value.cast("long"))
+    val stats = banded.groupBy(col("__band"))
+      .agg(count(lit(1)).as("__bc"), sum(col("__v")).as("__bs"))
+    val wBands = Window.orderBy(col("__band"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = stats
+      .withColumn("__offc", coalesce(sum(col("__bc")).over(wBands), lit(0L)))
+      .withColumn("__offs", coalesce(sum(col("__bs")).over(wBands), lit(0L)))
+      .select(col("__band"), col("__offc"), col("__offs"))
+    val wIn = Window.partitionBy(col("__band")).orderBy(orderCols: _*)
+    val wRun = wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    banded.join(broadcast(offsets), Seq("__band"))
+      .withColumn(rankOut, col("__offc") + row_number().over(wIn).cast("long"))
+      .withColumn(cumOut, col("__offs") + sum(col("__v")).over(wRun))
+      .drop("__band", "__v", "__offc", "__offs")
+  }
+
   /** Spark/DuckDB `ntile(n)` bucket from an exact 1-based rank and the
     * total row count: the first `total % n` buckets hold
     * `total div n + 1` rows, the rest `total div n` — pure integer

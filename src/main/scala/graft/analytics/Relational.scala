@@ -970,4 +970,62 @@ object Relational {
       .agg(min(col("qty_c")).as("wmedian_qty_c"), max(col("tot_w")).as("tot_weight_c"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** §2.2#267 — Pareto concentration: the smallest customer prefix
+    * (by revenue, descending) covering ≥80% of total revenue. The
+    * global rank AND running revenue sum come from
+    * [[Ranks.globalRankCumSum]] — banded, never a single-task sort of
+    * the customer dimension. The 80% cut compares exact longs
+    * (`5·(cum−rev) < 4·tot`): a customer is IN while the revenue
+    * before them is under the threshold, identical to the oracle's
+    * window-cumsum filter. Revenue cents at 100 TB are ~10¹⁶, two
+    * orders under the scaled-compare overflow bound.
+    */
+  def qParetoShare(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+    val tot = perCust.agg(sum(col("rev_c")).as("tot_rev_c"),
+      count(lit(1)).as("n_customers"))
+    Ranks.globalRankCumSum(perCust, expr("-(rev_c div 10000000)"),
+        Seq(col("rev_c").desc, col("o_custkey")), col("rev_c"),
+        "rnk", "cum_rev_c")
+      .crossJoin(broadcast(tot))
+      .filter((col("cum_rev_c") - col("rev_c")) * 5 < col("tot_rev_c") * 4)
+      .groupBy(col("n_customers"), col("tot_rev_c"))
+      .agg(max(col("rnk")).as("n_top"), max(col("cum_rev_c")).as("top_rev_c"))
+      .select(col("n_customers"), col("n_top"),
+        round(col("n_top").cast("double") / col("n_customers"), 4)
+          .as("cust_share"),
+        col("top_rev_c"), col("tot_rev_c"),
+        round(col("top_rev_c").cast("double") / col("tot_rev_c"), 4)
+          .as("rev_share"))
+  }
+
+  /** §2.2#268 — repeat-purchase cadence: days between consecutive
+    * orders per customer (lag over the customer-partitioned window —
+    * distributed), bucketed into bounded recency bands. The mean per
+    * band is one double division over an exact day-count sum.
+    */
+  def qRepeatInterval(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"))
+      .withColumn("prev_d", lag(col("d"), 1).over(w))
+      .filter(col("prev_d").isNotNull)
+      .withColumn("gap_days", datediff(col("d"), col("prev_d")).cast("long"))
+      .withColumn("bucket",
+        when(col("gap_days") <= 7, "a_0_7")
+          .when(col("gap_days") <= 30, "b_8_30")
+          .when(col("gap_days") <= 90, "c_31_90")
+          .otherwise("d_90_plus"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(sum(col("gap_days")).cast("double") / count(lit(1)), 2)
+          .as("avg_days"),
+        min(col("gap_days")).as("min_days"), max(col("gap_days")).as("max_days"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -702,4 +702,44 @@ object Ann {
     }
     e.select(col("vec_id"), col("label"), concat(bucketBits: _*).as("rh_bucket"))
   }
+
+  /** §2.4#270 — IVF cell-occupancy balance: vectors per cell, each
+    * cell's corpus share, and its imbalance vs the uniform mean. The
+    * skew readout that decides whether an IVF index needs re-training
+    * or cell splitting BEFORE probe latency regresses — a hot cell is
+    * a hot partition at query time. One assignment pass (broadcast
+    * centroids), one bounded-cell aggregate.
+    */
+  def annCellBalance(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    val cells = assignTo(e, centroidsOf(e))
+      .groupBy(col("assigned_centroid"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val tot = cells.agg(sum(col("n_vecs")).as("n_total"),
+      count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("assigned_centroid"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("n_total"), 4).as("share"),
+        round(col("n_vecs").cast("double") * col("n_cells") / col("n_total"), 4)
+          .as("imbalance"))
+      .orderBy(col("assigned_centroid"))
+  }
+
+  /** §2.4#271 — per-dimension embedding statistics (mean / stddev /
+    * min / max): the whitening-QA pass that catches dead dimensions,
+    * scale drift between embedding-model versions, and un-normalized
+    * batches. `posexplode` fans each vector into (dim, x) pairs that
+    * reduce map-side onto the bounded dimension axis — the shuffle
+    * carries dims × partials, not vectors.
+    */
+  def vecDimStats(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir)
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("x")), 4).as("mean_x"),
+        round(stddev_samp(col("x")), 4).as("sd_x"),
+        round(min(col("x")), 4).as("min_x"),
+        round(max(col("x")), 4).as("max_x"))
+      .orderBy(col("dim"))
 }

@@ -804,4 +804,24 @@ object SyncOps {
       .agg(count(lit(1)).as("n_hints"), sum(col("n_events")).as("hinted_events"))
       .orderBy(col("node"))
   }
+
+  /** §2.1#272 — backlog age per column family: among durable files
+    * the target is still missing ([[diffUploadOf]]'s anti-join
+    * semantics, mtime retained), the count, byte total, and the
+    * OLDEST pending mtime — the daemon-health number an operator
+    * alarms on ("nothing older than N hours stays unsynced",
+    * reference's at-least-once upload queue). Anti-join against the
+    * target path set, then a bounded per-cf aggregate; mtimes compare
+    * as exact epoch-µs longs.
+    */
+  def syncOldestPending(spark: SparkSession, dir: String): DataFrame =
+    FileInventory.durable(spark, dir)
+      .join(FileInventory.target(spark, dir).select(col("path")),
+        Seq("path"), "left_anti")
+      .groupBy(col("cf"))
+      .agg(count(lit(1)).as("n_pending"),
+        sum(col("size_bytes")).as("pending_bytes"),
+        min(unix_micros(col("mtime"))).as("oldest_mtime_us"),
+        max(unix_micros(col("mtime"))).as("newest_mtime_us"))
+      .orderBy(col("cf"))
 }

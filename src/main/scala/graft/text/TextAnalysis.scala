@@ -643,4 +643,26 @@ object TextAnalysis {
       .filter(col("rnk") <= 10)
       .orderBy(col("word"), col("rnk"))
   }
+
+  /** §2.5#269 — hapax-legomena profile per language: the share of
+    * vocabulary seen exactly once. A high hapax ratio flags noisy or
+    * OCR-corrupted slices; a collapsing one flags template spam —
+    * standard corpus QA before training. Shape: explode → (lang,
+    * token) counts reduce map-side → the per-lang rollup is a second
+    * tiny HashAggregate. Both levels stay in codegen; the output is
+    * the bounded language axis.
+    */
+  def textHapaxRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokensCol(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("n")).as("n_tokens"))
+      .select(col("lang"), col("vocab_size"), col("n_hapax"), col("n_tokens"),
+        round(col("n_hapax").cast("double") / col("vocab_size"), 4)
+          .as("hapax_ratio"))
+      .orderBy(col("lang"))
 }
