@@ -308,6 +308,9 @@ object SparkEntry {
     "ann_cell_balance" -> (Ann.annCellBalance(_, _)),
     "vec_dim_stats" -> (Ann.vecDimStats(_, _)),
     "sync_oldest_pending" -> (SyncOps.syncOldestPending(_, _)),
+    "corpus_token_budget" -> (graft.text.CorpusOps.corpusTokenBudget(_, _)),
+    "vec_cosine_hist" -> (Ann.vecCosineHist(_, _)),
+    "q_trend_slope" -> (Stats.qTrendSlope(_, _)),
   )
 
   // ---- oracle SQL ----
@@ -3555,5 +3558,45 @@ object SparkEntry {
          |WHERE NOT EXISTS (SELECT 1 FROM dur t
          |  WHERE t.generation % 3 <> 0 AND t.node_id <> 3 AND t.path = s.path)
          |GROUP BY cf ORDER BY cf""".stripMargin,
+    "corpus_token_budget" ->
+      s"""WITH $toksCte,
+         |m AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_toks,
+         |  CAST(round(round((1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a')) / CAST(len(toks) AS DOUBLE)) * least(1.0, len(toks) / 50.0), 4) * 10000) AS BIGINT) AS qs
+         |  FROM t),
+         |tot AS (SELECT (CAST(sum(n_toks) AS BIGINT) * 6) // 10 AS budget FROM m),
+         |r AS (SELECT *, sum(n_toks) OVER (ORDER BY qs DESC, doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks FROM m),
+         |sel AS (SELECT r.* FROM r, tot WHERE cum_toks - n_toks < budget),
+         |lt AS (SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS lang_toks FROM m GROUP BY lang)
+         |SELECT lt.lang, lt.n_docs, count(*) AS n_selected, lt.lang_toks,
+         |  CAST(sum(sel.n_toks) AS BIGINT) AS toks_selected,
+         |  round(CAST(sum(sel.n_toks) AS DOUBLE) / lt.lang_toks, 4) AS tok_share
+         |FROM sel JOIN lt ON sel.lang = lt.lang
+         |GROUP BY lt.lang, lt.n_docs, lt.lang_toks ORDER BY lt.lang""".stripMargin,
+    "vec_cosine_hist" ->
+      s"""WITH $embCte,
+         |s AS (SELECT vec_id, v FROM e WHERE vec_id % 19 = 0),
+         |p AS (SELECT CAST(floor(round(list_cosine_similarity(a.v, b.v), 4) * 10) AS BIGINT) AS band
+         |  FROM s a JOIN s b ON a.vec_id < b.vec_id),
+         |h AS (SELECT band, count(*) AS n_pairs FROM p GROUP BY band),
+         |tp AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tp FROM h)
+         |SELECT band, round(CAST(band AS DOUBLE) / 10, 1) AS cos_lo, n_pairs,
+         |  round(CAST(n_pairs AS DOUBLE) / tp, 4) AS share
+         |FROM h, tp ORDER BY band""".stripMargin,
+    "q_trend_slope" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(day) AS d0 FROM d GROUP BY 1),
+        |xy AS (SELECT d.event_type, CAST(d.day - b.d0 AS BIGINT) AS x, y
+        |  FROM d JOIN b ON d.event_type = b.event_type),
+        |s AS (SELECT event_type, count(*) AS n_days, CAST(sum(x) AS BIGINT) AS sx,
+        |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx FROM xy GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |    nullif(CAST(n_days * sxx - sx * sx AS DOUBLE), 0.0), 4) AS slope_per_day,
+        |  round(CAST(sy AS DOUBLE) / n_days, 2) AS mean_daily
+        |FROM s ORDER BY event_type""".stripMargin,
   )
 }

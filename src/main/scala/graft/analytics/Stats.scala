@@ -662,4 +662,35 @@ object Stats {
       .agg(round(avg(col("value")), 4).as("mean_value"))
     pt.join(ci, Seq("event_type")).orderBy(col("event_type"))
   }
+
+  /** §2.2#275 — daily-volume trend per event type: OLS slope of the
+    * daily count series against the day index. The fact scan reduces
+    * map-side to (type, day) counts; the day index is re-based to
+    * each type's first day (broadcast join on the bounded type axis)
+    * so the sufficient sums Σx, Σxy, Σx² stay small exact longs —
+    * good to ~10⁹ events/day over multi-year windows before the
+    * cross-term would near the long range. ONE double division at
+    * the end, identical IEEE ops in both engines. Degenerate
+    * single-day series yield a null slope rather than a fake 0.
+    */
+  def qTrendSlope(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val base = daily.groupBy(col("event_type")).agg(min(col("day")).as("d0"))
+    daily.join(broadcast(base), Seq("event_type"))
+      .select(col("event_type"), datediff(col("day"), col("d0")).cast("long").as("x"),
+        col("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"),
+        round((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          nullif((col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            lit(0.0)), 4)
+          .as("slope_per_day"),
+        round(col("sy").cast("double") / col("n_days"), 2).as("mean_daily"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -742,4 +742,30 @@ object Ann {
         round(min(col("x")), 4).as("min_x"),
         round(max(col("x")), 4).as("max_x"))
       .orderBy(col("dim"))
+
+  /** §2.4#274 — pairwise-cosine histogram over a deterministic hash
+    * sample: the embedding-space health readout (a hubby/collapsed
+    * space skews the mass toward 1.0; a healthy one is centered).
+    * The sample (`vec_id % 19 == 0`) is the SCALE KNOB — all-pairs
+    * math runs only on the bounded sample, broadcast against itself,
+    * so the cost is sample² regardless of corpus size; the 0.1-wide
+    * cosine bands are a ≤21-cell axis. Raise the modulus at 100 TB
+    * to hold the sample near 10³–10⁴ vectors.
+    */
+  def vecCosineHist(spark: SparkSession, dir: String): DataFrame = {
+    val s = embeddings(spark, dir).filter(col("vec_id") % 19 === 0)
+      .select(col("vec_id"), col("v"))
+    val b = s.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    val bands = s.join(broadcast(b), col("vec_id") < col("vec_b"))
+      .select(floor(round(cosine_sim(col("v"), col("vb")), 4) * 10)
+        .cast("long").as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+    val tot = bands.agg(sum(col("n_pairs")).as("tp"))
+    bands.crossJoin(broadcast(tot))
+      .select(col("band"),
+        round(col("band").cast("double") / 10, 1).as("cos_lo"),
+        col("n_pairs"),
+        round(col("n_pairs").cast("double") / col("tp"), 4).as("share"))
+      .orderBy(col("band"))
+  }
 }

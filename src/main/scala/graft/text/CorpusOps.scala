@@ -210,4 +210,46 @@ object CorpusOps {
         round(col("n_docs") * col("weight")).cast("long").as("expected_docs"))
       .orderBy(col("lang"))
   }
+
+  /** §2.5#273 — token-budget selection: greedily take the
+    * highest-quality documents (same composite score as
+    * `text_quality`, scaled to an exact integer) until the running
+    * token total reaches 60% of the corpus — the "best N tokens"
+    * cut every pretraining data run makes. The global quality order
+    * is distributed via [[graft.analytics.Ranks.globalRankCumSum]]:
+    * the score is bounded in [0, 10000], so banding it into 21 cells
+    * gives per-band count/sum offsets over a tiny axis while each
+    * band sorts in parallel — no single-task sort at any corpus
+    * size. The budget and per-language totals are broadcast scalars.
+    * Output: per-language selected-vs-total docs and token share.
+    */
+  def corpusTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val nToks = size(toks).cast("double")
+    val stopHits = size(filter(toks, t => t === "the" || t === "a")).cast("double")
+    val q = round((lit(1.0) - stopHits / nToks) * least(lit(1.0), nToks / 50.0), 4)
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_toks"),
+        round(q * 10000).cast("long").as("qs"))
+    // 60% budget in exact integer math (identical in both engines)
+    val budget = scored.agg(sum(col("n_toks")).as("tt"))
+      .selectExpr("(tt * 6) div 10 AS budget")
+    val ranked = graft.analytics.Ranks.globalRankCumSum(scored,
+      expr("(10000 - qs) div 500"), Seq(col("qs").desc, col("doc_id")),
+      col("n_toks"), "sel_rank", "cum_toks")
+    val selected = ranked.crossJoin(broadcast(budget))
+      // greedy prefix: a doc is taken while the total BEFORE it is
+      // still under budget (so the cut doc that crosses is included)
+      .filter(col("cum_toks") - col("n_toks") < col("budget"))
+    val langTotals = scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("lang_toks"))
+    selected.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_selected"), sum(col("n_toks")).as("toks_selected"))
+      .join(broadcast(langTotals), Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_selected"),
+        col("lang_toks"), col("toks_selected"),
+        round(col("toks_selected").cast("double") / col("lang_toks"), 4)
+          .as("tok_share"))
+      .orderBy(col("lang"))
+  }
 }

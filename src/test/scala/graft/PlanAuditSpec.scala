@@ -88,6 +88,7 @@ class PlanAuditSpec extends GraftSpec {
     "q_churn_by_engagement" -> "band offsets over distinct per-user event counts — activity axis, not the user axis (Ranks.ntileBanded)",
     "q_decile_report" -> "band offsets over $100k revenue cells (Ranks.ntileBanded)",
     "q_pareto_share" -> "band count+sum offsets over $100k revenue cells (Ranks.globalRankCumSum)",
+    "corpus_token_budget" -> "band count+sum offsets over 21 quality-score cells (Ranks.globalRankCumSum)",
     "q_gini" -> "cumulative count over distinct per-user activity cells (closed-form tied-run ranks)",
     "q_acf" -> "lagged self-join over the ≤|days| daily series",
     "q_benford" -> "9 first-digit cells",

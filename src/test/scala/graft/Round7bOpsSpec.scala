@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Stats
+import graft.similarity.Ann
+import graft.sources.Tables
+import graft.text.CorpusOps
+
+/** Invariant coverage for the second round-7 batch: token-budget
+  * corpus selection, the sampled pairwise-cosine histogram, and the
+  * per-type daily trend slope. Each test cross-checks the distributed
+  * result against a local recomputation or a conservation law.
+  */
+class Round7bOpsSpec extends GraftSpec {
+
+  test("token budget: greedy 60% prefix matches a local sort, per-lang conserved") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map { r =>
+        val toks = r.getString(2).trim.toLowerCase.split("\\s+")
+        val stop = toks.count(t => t == "the" || t == "a").toDouble
+        val n = toks.length.toDouble
+        val q = BigDecimal((1.0 - stop / n) * math.min(1.0, n / 50.0))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (r.getLong(0), r.getString(1), toks.length.toLong,
+          math.round(q * 10000))
+      }
+    val budget = docs.map(_._3).sum * 6 / 10
+    val ordered = docs.sortBy { case (id, _, _, qs) => (-qs, id) }
+    var cum = 0L
+    val sel = ordered.takeWhile { case (_, _, t, _) =>
+      val take = cum < budget; cum += t; take
+    }
+    val localByLang = sel.groupBy(_._2).map { case (l, ds) =>
+      l -> ((ds.length.toLong, ds.map(_._3).sum))
+    }
+    val rows = CorpusOps.corpusTokenBudget(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, t) = localByLang(r.getString(0))
+      assert(r.getAs[Long]("n_selected") === n)
+      assert(r.getAs[Long]("toks_selected") === t)
+      assert(r.getAs[Long]("n_selected") <= r.getAs[Long]("n_docs"))
+      val share = r.getAs[Double]("tok_share")
+      assert(share > 0 && share <= 1.0)
+    }
+    // the greedy prefix covers at least the budget overall
+    assert(rows.map(_.getAs[Long]("toks_selected")).sum >= budget)
+  }
+
+  test("cosine hist: pair accounting over the hash sample, shares sum to 1") {
+    val rows = Ann.vecCosineHist(spark, sf).collect()
+    val nSample = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 19 === 0).count()
+    val expectPairs = nSample * (nSample - 1) / 2
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === expectPairs)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 0.01)
+    rows.foreach { r =>
+      val band = r.getAs[Long]("band")
+      assert(band >= -10 && band <= 10)
+      assert(math.abs(r.getAs[Double]("cos_lo") - band / 10.0) < 1e-9)
+    }
+  }
+
+  test("trend slope: matches a local OLS fit per event type") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val local = daily.groupBy(_._1).map { case (t, ds) =>
+      val d0 = ds.map(_._2).min
+      val xy = ds.map { case (_, d, y) =>
+        (java.time.temporal.ChronoUnit.DAYS.between(d0, d), y)
+      }
+      val n = xy.length.toLong
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxy = xy.map { case (x, y) => x * y }.sum
+      val sxx = xy.map { case (x, _) => x * x }.sum
+      t -> ((n, (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble))
+    }
+    val rows = Stats.qTrendSlope(spark, sf).collect()
+    assert(rows.length === local.size)
+    rows.foreach { r =>
+      val (n, slope) = local(r.getString(0))
+      assert(r.getAs[Long]("n_days") === n)
+      assert(math.abs(r.getAs[Double]("slope_per_day") - slope) < 1e-3)
+    }
+  }
+}
