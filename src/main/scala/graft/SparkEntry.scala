@@ -311,6 +311,9 @@ object SparkEntry {
     "corpus_token_budget" -> (graft.text.CorpusOps.corpusTokenBudget(_, _)),
     "vec_cosine_hist" -> (Ann.vecCosineHist(_, _)),
     "q_trend_slope" -> (Stats.qTrendSlope(_, _)),
+    "sync_catchup_eta" -> (SyncOps.syncCatchupEta(_, _)),
+    "q_top_movers" -> (EventAnalytics.qTopMovers(_, _)),
+    "mm_format_profile" -> (Media.mmFormatProfile(_, _)),
   )
 
   // ---- oracle SQL ----
@@ -2565,39 +2568,58 @@ object SparkEntry {
     "dedup_minhash_by_lang" -> Dedup.minhashByLangOracleSql,
     "dedup_pipeline_verified" -> Dedup.pipelineVerifiedOracleSql,
     "dedup_ngram_jaccard" ->
-      s"""WITH $toksCte,
-         |d AS (SELECT doc_id, lang,
-         |  CAST(floor(n_chars / 100) AS BIGINT) AS len_band,
-         |  list_distinct(toks) AS tokset FROM t)
-         |SELECT doc_a, doc_b, jaccard FROM (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    round(CAST(len(list_filter(a.tokset, x -> list_contains(b.tokset, x))) AS DOUBLE)
-         |      / CAST(len(list_distinct(list_concat(a.tokset, b.tokset))) AS DOUBLE), 4) AS jaccard
-         |  FROM d a JOIN d b ON a.lang = b.lang AND a.len_band = b.len_band
-         |    AND a.doc_id < b.doc_id)
-         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+      """WITH reps AS (SELECT min(doc_id) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies, min(lang) AS lang,
+        |  min(n_chars) AS n_chars, text FROM documents GROUP BY text),
+        |t AS (SELECT doc_id, lang, n_chars, n_copies,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM reps),
+        |d AS (SELECT doc_id, lang, n_copies,
+        |  CAST(floor(n_chars / 100) AS BIGINT) AS len_band,
+        |  list_distinct(toks) AS tokset FROM t)
+        |SELECT doc_a, doc_b, jaccard, n_doc_pairs FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(CAST(len(list_filter(a.tokset, x -> list_contains(b.tokset, x))) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.tokset, b.tokset))) AS DOUBLE), 4) AS jaccard,
+        |    a.n_copies * b.n_copies AS n_doc_pairs
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.len_band = b.len_band
+        |    AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_threshold_sweep" ->
-      s"""WITH $toksCte,
-         |d AS (SELECT doc_id, lang,
-         |  CAST(floor(n_chars / 100) AS BIGINT) AS len_band,
-         |  list_distinct(toks) AS tokset FROM t),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    round(CAST(len(list_filter(a.tokset, x -> list_contains(b.tokset, x))) AS DOUBLE)
-         |      / CAST(len(list_distinct(list_concat(a.tokset, b.tokset))) AS DOUBLE), 4) AS jaccard
-         |  FROM d a JOIN d b ON a.lang = b.lang AND a.len_band = b.len_band
-         |    AND a.doc_id < b.doc_id),
-         |th AS (SELECT * FROM (VALUES (0.5), (0.7), (0.8), (0.9)) t(threshold)),
-         |f AS (SELECT threshold, doc_a, doc_b FROM p CROSS JOIN th
-         |  WHERE jaccard >= threshold),
-         |np AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_pairs
-         |  FROM f GROUP BY 1),
-         |nd AS (SELECT threshold, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_dup_docs
-         |  FROM (SELECT threshold, doc_a AS doc_id FROM f
-         |        UNION ALL SELECT threshold, doc_b FROM f) GROUP BY 1)
-         |SELECT th.threshold AS threshold, coalesce(np.n_pairs, 0) AS n_pairs,
-         |  coalesce(nd.n_dup_docs, 0) AS n_dup_docs
-         |FROM th LEFT JOIN np USING (threshold) LEFT JOIN nd USING (threshold)
-         |ORDER BY threshold""".stripMargin,
+      """WITH reps AS (SELECT min(doc_id) AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies, min(lang) AS lang,
+        |  min(n_chars) AS n_chars, text FROM documents GROUP BY text),
+        |t AS (SELECT doc_id, lang, n_chars, n_copies,
+        |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM reps),
+        |d AS (SELECT doc_id, lang, n_copies,
+        |  CAST(floor(n_chars / 100) AS BIGINT) AS len_band,
+        |  list_distinct(toks) AS tokset FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.n_copies AS na, b.n_copies AS nb,
+        |    round(CAST(len(list_filter(a.tokset, x -> list_contains(b.tokset, x))) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.tokset, b.tokset))) AS DOUBLE), 4) AS jaccard
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.len_band = b.len_band
+        |    AND a.doc_id < b.doc_id),
+        |th AS (SELECT * FROM (VALUES (0.5), (0.7), (0.8), (0.9)) t(threshold)),
+        |f AS (SELECT threshold, doc_a, doc_b, na, nb FROM p CROSS JOIN th
+        |  WHERE jaccard >= threshold),
+        |np AS (SELECT threshold, CAST(sum(na * nb) AS BIGINT) AS cross_pairs
+        |  FROM f GROUP BY 1),
+        |ip AS (SELECT CAST(coalesce(sum(n_copies * (n_copies - 1) // 2), 0) AS BIGINT)
+        |  AS int_pairs FROM d WHERE n_copies > 1),
+        |inv AS (SELECT threshold, doc_id, max(n) AS n FROM (
+        |    SELECT threshold, doc_a AS doc_id, na AS n FROM f
+        |    UNION ALL SELECT threshold, doc_b, nb FROM f
+        |    UNION ALL SELECT th.threshold, d.doc_id, d.n_copies
+        |      FROM d CROSS JOIN th WHERE d.n_copies > 1)
+        |  GROUP BY 1, 2),
+        |nd AS (SELECT threshold, CAST(sum(n) AS BIGINT) AS n_dup_docs
+        |  FROM inv GROUP BY 1)
+        |SELECT th.threshold AS threshold,
+        |  coalesce(np.cross_pairs, 0) + ip.int_pairs AS n_pairs,
+        |  coalesce(nd.n_dup_docs, 0) AS n_dup_docs
+        |FROM th CROSS JOIN ip LEFT JOIN np USING (threshold)
+        |LEFT JOIN nd USING (threshold)
+        |ORDER BY threshold""".stripMargin,
     "text_quality_sweep" ->
       s"""WITH $toksCte,
          |m AS (SELECT round((1.0 - CAST(len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS DOUBLE)
@@ -3598,5 +3620,51 @@ object SparkEntry {
         |    nullif(CAST(n_days * sxx - sx * sx AS DOUBLE), 0.0), 4) AS slope_per_day,
         |  round(CAST(sy AS DOUBLE) / n_days, 2) AS mean_daily
         |FROM s ORDER BY event_type""".stripMargin,
+    "sync_catchup_eta" ->
+      s"""WITH $invCte, $durCte,
+         |tgt AS (SELECT path FROM dur WHERE generation % 3 <> 0 AND node_id <> 3),
+         |p AS (SELECT cf, count(*) AS n_pending,
+         |  CAST(sum(size_bytes) AS BIGINT) AS pending_bytes
+         |  FROM dur s WHERE NOT EXISTS (SELECT 1 FROM tgt WHERE tgt.path = s.path)
+         |  GROUP BY cf),
+         |d AS (SELECT cf, CAST(sum(size_bytes) AS BIGINT) AS done_bytes,
+         |  CAST(max(epoch_us(mtime)) - min(epoch_us(mtime)) AS BIGINT) AS span_us
+         |  FROM dur s WHERE EXISTS (SELECT 1 FROM tgt WHERE tgt.path = s.path)
+         |  GROUP BY cf)
+         |SELECT p.cf, p.n_pending, p.pending_bytes, d.done_bytes,
+         |  round(CAST(done_bytes AS DOUBLE) * 1e6 /
+         |    nullif(CAST(span_us AS DOUBLE), 0.0), 2) AS rate_bytes_s,
+         |  round(CAST(pending_bytes AS DOUBLE) *
+         |    nullif(CAST(span_us AS DOUBLE), 0.0) / done_bytes / 1e6, 2) AS eta_s
+         |FROM p LEFT JOIN d ON p.cf = d.cf ORDER BY p.cf""".stripMargin,
+    "q_top_movers" ->
+      """WITH wk AS (SELECT event_type,
+        |  CAST(date_trunc('week', ts) AS DATE) AS week, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT *, lag(n, 1) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+        |  FROM wk),
+        |d AS (SELECT event_type, week, n, prev_n, n - prev_n AS delta
+        |  FROM l WHERE prev_n IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |  ORDER BY abs(delta) DESC, week) AS rn FROM d)
+        |SELECT event_type, week, prev_n AS prev_week_n, n AS week_n,
+        |  CAST(delta AS BIGINT) AS delta,
+        |  round(CAST(delta AS DOUBLE) / nullif(CAST(prev_n AS DOUBLE), 0.0) * 100, 2)
+        |    AS pct_change
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "mm_format_profile" ->
+      """WITH m AS (SELECT
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  n_chars % 640 AS width, n_chars % 480 AS height
+        |  FROM documents)
+        |SELECT mime, count(*) AS n_assets,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes,
+        |  round(avg(n_bytes), 2) AS avg_bytes,
+        |  CAST(count(DISTINCT (width, height)) AS BIGINT) AS n_geometries
+        |FROM m GROUP BY mime ORDER BY mime""".stripMargin,
   )
 }

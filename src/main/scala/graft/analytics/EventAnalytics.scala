@@ -884,6 +884,39 @@ object EventAnalytics {
     * `row_number() ... ORDER BY n DESC, hr`. No window, no sort; both
     * aggregates stay in whole-stage codegen.
     */
+  /** §2.2#277 — top weekly movers: for each event type, the calendar
+    * week with the largest absolute week-over-week volume swing. The
+    * fact scan reduces map-side to (type, week) counts; the lag runs
+    * on the type-partitioned, calendar-bounded week axis; the winner
+    * per type is a packed `max(struct(abs_delta, -epoch_week_day))`
+    * in a second HashAggregate (ties → earliest week) — no rank
+    * window over anything unbounded.
+    */
+  def qTopMovers(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("week"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(w))
+      .filter(col("prev_n").isNotNull)
+      .withColumn("delta", col("n") - col("prev_n"))
+      .withColumn("wd", datediff(col("week"), lit("1970-01-01")).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(max(struct(abs(col("delta")).as("a"), (-col("wd")).as("nwd"),
+        col("delta").as("d"), col("n").as("n"), col("prev_n").as("p"))).as("m"))
+      .select(col("event_type"),
+        date_add(lit("1970-01-01").cast("date"), (-col("m.nwd")).cast("int"))
+          .as("week"),
+        col("m.p").as("prev_week_n"), col("m.n").as("week_n"),
+        col("m.d").as("delta"),
+        round(col("m.d").cast("double") /
+          nullif(col("m.p").cast("double"), lit(0.0)) * 100, 2)
+          .as("pct_change"))
+      .orderBy(col("event_type"))
+  }
+
   def qModalHour(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hr"))

@@ -90,11 +90,30 @@ object Dedup {
     * (seed, shingle). The naive k-column HOF form re-derived the
     * shingle array per signature and ran ~50× slower.
     */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    // gated rebalance: spreads the hash-heavy narrow stage across all
-    // cores when the local single-file scan arrives as one partition;
-    // skipped entirely on an already-parallel many-file scan
-    val docs = Tables.rebalanced(Tables.documents(spark, dir))
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignaturesOf(Tables.rebalanced(Tables.documents(spark, dir)))
+
+  /** One representative per distinct text — the exact-dedup collapse
+    * that a pipeline runs BEFORE near-dup verification. Verbatim
+    * copies are the degenerate near-dups (similarity exactly 1);
+    * re-verifying every copy-pair is quadratic in duplicate-cluster
+    * depth, which is precisely what explodes under a cloned-corpus
+    * stress load. Collapsing to representatives first keeps the
+    * verification joins quadratic only in DISTINCT near-dup texts,
+    * with `n_copies` carried so pair multiplicities stay exact.
+    * One text-keyed shuffle with map-side combine.
+    */
+  private[graft] def textReps(spark: SparkSession, dir: String): DataFrame =
+    Tables.rebalanced(Tables.documents(spark, dir))
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
+        min(col("lang")).as("lang"), min(col("n_chars")).as("n_chars"))
+
+  /** [[minhashSignatures]] over an arbitrary (doc_id, text) input —
+    * lets the verification path run LSH on exact-dedup
+    * representatives instead of the full corpus.
+    */
+  def minhashSignaturesOf(docs: DataFrame): DataFrame = {
     val withSigs = docs
       .select(col("doc_id"), tokensCol(col("text")).as("toks"))
       .select(col("doc_id"), minhash_sigs(shinglesOf(col("toks")), MinhashK).as("sigs"))
@@ -133,8 +152,11 @@ object Dedup {
   /** Candidate near-dup pairs: docs sharing any LSH band bucket.
     * Linear explode + bucket self-join — never a full cross join.
     */
-  def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir)
+  def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame =
+    minhashCandidatePairsOf(minhashSignatures(spark, dir))
+
+  /** Candidate pairs from an already-computed signature frame. */
+  def minhashCandidatePairsOf(sigs: DataFrame): DataFrame = {
     val exploded = sigs.select(col("doc_id"),
       explode(map((0 until LshBands).flatMap(b => Seq(lit(b).cast("long"), col(s"band$b"))): _*))
         .as(Seq("band_idx", "band_hash")))
@@ -216,7 +238,12 @@ object Dedup {
     * SQL twin of [[minhashCandidatePairs]]). Used by the CC oracles
     * here and the candidate-graph oracles in `graft.graph.GraphOps`.
     */
-  def candOracleBody: String = {
+  def candOracleBody: String = candOracleBodyFrom("documents")
+
+  /** [[candOracleBody]] with a parameterized (doc_id, text) source
+    * CTE/table — the SQL twin of [[minhashCandidatePairsOf]].
+    */
+  def candOracleBodyFrom(src: String): String = {
     val sigExprs = (0 until MinhashK).map { k =>
       s"list_aggregate(list_transform(sh, x -> md5('$k|' || x)), 'min') AS sig$k"
     }.mkString(",\n  ")
@@ -224,7 +251,7 @@ object Dedup {
       val cat = (0 until 3).map(r => s"sig${3 * b + r}").mkString(" || ")
       s"SELECT doc_id, CAST($b AS BIGINT) AS band_idx, md5($cat) AS band_hash FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+    s"""t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM $src),
        |s AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
        |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS sh FROM t),
        |sig AS (SELECT doc_id,
@@ -273,19 +300,31 @@ object Dedup {
     * union, emitted for pairs above threshold. The bucket key bounds
     * the pair blow-up; at scale the bucket would come from LSH
     * (#29) instead of length banding.
+    *
+    * Runs on exact-dedup representatives ([[textReps]]): verbatim
+    * copies never re-verify (their similarity is 1 by construction —
+    * that's #27's job), so the pair join is quadratic only in
+    * distinct texts per bucket, and a corpus whose duplicate
+    * clusters deepen 10× costs the same as its distinct core.
+    * `n_doc_pairs` reports how many underlying document pairs each
+    * representative pair stands for.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    val docs = Tables.rebalanced(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("lang"),
+    // persisted: the self-join would otherwise re-execute the rep
+    // collapse (text shuffle + tokenization) once per side
+    val docs = textReps(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_copies"),
         floor(col("n_chars") / 100).cast("long").as("len_band"),
         array_sort(array_distinct(tokensCol(col("text")))).as("tokset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = docs.as("a")
     val b = docs.as("b")
     a.join(b, col("a.lang") === col("b.lang") &&
         col("a.len_band") === col("b.len_band") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(jaccard_sorted(col("a.tokset"), col("b.tokset")), 4).as("jaccard"))
+        round(jaccard_sorted(col("a.tokset"), col("b.tokset")), 4).as("jaccard"),
+        (col("a.n_copies") * col("b.n_copies")).as("n_doc_pairs"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -301,15 +340,21 @@ object Dedup {
     */
   def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.rebalanced(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("lang"),
+    // exact-dedup representatives: the pair join is quadratic only in
+    // distinct texts per bucket; verbatim-copy pairs (similarity 1,
+    // surviving every threshold) are counted in closed form from the
+    // copy multiplicities, never re-verified pairwise.
+    val docs = textReps(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_copies"),
         floor(col("n_chars") / 100).cast("long").as("len_band"),
         array_sort(array_distinct(tokensCol(col("text")))).as("tokset"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = docs.as("a")
       .join(docs.as("b"), col("a.lang") === col("b.lang") &&
         col("a.len_band") === col("b.len_band") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_copies").as("na"), col("b.n_copies").as("nb"),
         round(jaccard_sorted(col("a.tokset"), col("b.tokset")), 4).as("jaccard"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val th = Seq(0.5, 0.7, 0.8, 0.9).toDF("threshold")
@@ -317,13 +362,31 @@ object Dedup {
       .filter(col("jaccard") >= col("threshold"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nPairs = surviving.groupBy(col("threshold"))
-      .agg(count(lit(1)).as("n_pairs"))
-    val nDocs = surviving
-      .select(col("threshold"), explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .groupBy(col("threshold")).agg(countDistinct(col("doc_id")).as("n_dup_docs"))
+      .agg(sum(col("na") * col("nb")).as("cross_pairs"))
+    // internal verbatim pairs: C(n,2) per multi-copy group, at every
+    // threshold; their doc involvement unions with the cross side so
+    // no document is double-counted
+    val intStats = docs.filter(col("n_copies") > 1)
+      .agg(coalesce(sum(expr("n_copies * (n_copies - 1) div 2")), lit(0L))
+        .as("int_pairs"))
+    val crossInv = surviving.select(col("threshold"),
+      explode(array(
+        struct(col("doc_a").as("doc_id"), col("na").as("n")),
+        struct(col("doc_b").as("doc_id"), col("nb").as("n")))).as("r"))
+      .select(col("threshold"), col("r.doc_id"), col("r.n"))
+    val multiInv = docs.filter(col("n_copies") > 1)
+      .select(col("doc_id"), col("n_copies").as("n"))
+      .crossJoin(broadcast(th))
+      .select(col("threshold"), col("doc_id"), col("n"))
+    val nDocs = crossInv.union(multiInv)
+      .groupBy(col("threshold"), col("doc_id")).agg(max(col("n")).as("n"))
+      .groupBy(col("threshold")).agg(sum(col("n")).as("n_dup_docs"))
     th.join(nPairs, Seq("threshold"), "left_outer")
       .join(nDocs, Seq("threshold"), "left_outer")
-      .na.fill(0L, Seq("n_pairs", "n_dup_docs"))
+      .crossJoin(broadcast(intStats))
+      .select(col("threshold"),
+        (coalesce(col("cross_pairs"), lit(0L)) + col("int_pairs")).as("n_pairs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"))
       .orderBy(col("threshold"))
   }
 
@@ -545,26 +608,42 @@ object Dedup {
     * all-pairs.
     */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.rebalanced(Tables.documents(spark, dir))
-      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
-      .select(col("doc_id"), array_sort(array_distinct(shinglesOf(col("toks")))).as("sh"))
-    minhashCandidatePairs(spark, dir)
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+    // exact-dedup representatives first: LSH + the per-pair set
+    // intersection run over distinct texts only, so cloned duplicate
+    // clusters cost their distinct core, not its square; n_doc_pairs
+    // carries the underlying pair multiplicity
+    val reps = textReps(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_copies"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docs = reps
+      .select(col("doc_id"), col("n_copies"), tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), col("n_copies"),
+        array_sort(array_distinct(shinglesOf(col("toks")))).as("sh"))
+    minhashCandidatePairsOf(minhashSignaturesOf(reps))
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sha"),
+        col("n_copies").as("na")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("shb"),
+        col("n_copies").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         size(col("sha")).cast("long").as("n_a"),
         size(col("shb")).cast("long").as("n_b"),
-        size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_common"))
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_common"),
+        (col("na") * col("nb")).as("n_doc_pairs"))
       .withColumn("containment",
         when(least(col("n_a"), col("n_b")) > 0,
           round(col("n_common").cast("double") / least(col("n_a"), col("n_b")), 4))
           .otherwise(lit(1.0)))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("containment"), col("n_doc_pairs"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** DuckDB oracle for [[dedupContainment]]. */
+  /** DuckDB oracle for [[dedupContainment]] (representative-collapsed). */
   def containmentOracleSql: String =
-    "WITH " + candOracleBody + """,
+    """WITH reps AS (SELECT min(doc_id) AS doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_copies, text
+      |  FROM documents GROUP BY text),
+      |""".stripMargin + candOracleBodyFrom("reps") + """,
       |sets AS (SELECT doc_id, list_sort(list_distinct(sh)) AS shs FROM s)
       |SELECT doc_a, doc_b,
       |  CAST(len(a.shs) AS BIGINT) AS n_a,
@@ -573,8 +652,11 @@ object Dedup {
       |  CASE WHEN least(len(a.shs), len(b.shs)) > 0
       |       THEN round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
       |                  / least(len(a.shs), len(b.shs)), 4)
-      |       ELSE 1.0 END AS containment
+      |       ELSE 1.0 END AS containment,
+      |  ca.n_copies * cb.n_copies AS n_doc_pairs
       |FROM cand JOIN sets a ON cand.doc_a = a.doc_id
       |JOIN sets b ON cand.doc_b = b.doc_id
+      |JOIN reps ca ON cand.doc_a = ca.doc_id
+      |JOIN reps cb ON cand.doc_b = cb.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
 }

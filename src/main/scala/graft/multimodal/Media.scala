@@ -53,6 +53,28 @@ object Media {
         col("meta.height").as("height"))
       .orderBy(col("doc_id"))
 
+  /** §2.6#278 — per-container storage profile: asset count, byte
+    * totals/extremes, and distinct (width, height) geometry count per
+    * mime type — the capacity-planning readout a media lake runs
+    * before a transcode or re-shard. One narrow metadata pass (the
+    * binary payload contributes only its length) reducing map-side
+    * onto the bounded mime axis; the geometry distinct is a
+    * two-level agg, never a global distinct.
+    */
+  def mmFormatProfile(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("meta.mime").as("mime"),
+        length(col("media")).cast("long").as("n_bytes"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .groupBy(col("mime"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("n_bytes")).as("min_bytes"),
+        max(col("n_bytes")).as("max_bytes"),
+        round(avg(col("n_bytes")), 2).as("avg_bytes"),
+        countDistinct(col("width"), col("height")).as("n_geometries"))
+      .orderBy(col("mime"))
+
   /** §2.6#183 — exact payload dedup over the binary column: one
     * digest shuffle with map-side combine (the media twin of
     * dedup_exact), plus the cross-container signal — identical bytes

@@ -824,4 +824,40 @@ object SyncOps {
         min(unix_micros(col("mtime"))).as("oldest_mtime_us"),
         max(unix_micros(col("mtime"))).as("newest_mtime_us"))
       .orderBy(col("cf"))
+
+  /** §2.1#276 — backlog drain ETA per column family: pending bytes
+    * (the anti-join backlog of [[syncOldestPending]]) divided by the
+    * cf's historical upload rate — already-synced bytes over the
+    * mtime span of the synced set. The "when does the queue drain if
+    * nothing changes" capacity answer the at-least-once uploader's
+    * operator asks before adding nodes. Two anti/semi-join passes
+    * over the same two inventories, both reducing to the bounded cf
+    * axis map-side; the divisions are IEEE doubles over exact longs,
+    * written in the same order as the oracle. A cf with a degenerate
+    * single-mtime history yields a null rate/ETA, not a fake zero.
+    */
+  def syncCatchupEta(spark: SparkSession, dir: String): DataFrame = {
+    val dur = FileInventory.durable(spark, dir)
+    val target = FileInventory.target(spark, dir).select(col("path"))
+    val pending = dur.join(target, Seq("path"), "left_anti")
+      .groupBy(col("cf"))
+      .agg(count(lit(1)).as("n_pending"),
+        sum(col("size_bytes")).as("pending_bytes"))
+    val done = dur.join(target, Seq("path"), "left_semi")
+      .groupBy(col("cf"))
+      .agg(sum(col("size_bytes")).as("done_bytes"),
+        (max(unix_micros(col("mtime"))) - min(unix_micros(col("mtime"))))
+          .as("span_us"))
+    pending.join(done, Seq("cf"), "left_outer")
+      .select(col("cf"), col("n_pending"), col("pending_bytes"),
+        col("done_bytes"),
+        round(col("done_bytes").cast("double") * 1e6 /
+          nullif(col("span_us").cast("double"), lit(0.0)), 2)
+          .as("rate_bytes_s"),
+        round(col("pending_bytes").cast("double") *
+          nullif(col("span_us").cast("double"), lit(0.0)) /
+          col("done_bytes") / 1e6, 2)
+          .as("eta_s"))
+      .orderBy(col("cf"))
+  }
 }

@@ -71,10 +71,17 @@ class DedupSpec extends GraftSpec {
   }
 
   test("ngram jaccard scores the near-dup above threshold, unrelated below") {
-    val j = Dedup.dedupNgramJaccard(spark, dupDir, threshold = 0.0).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
-    assert(j((0L, 1L)) === 1.0)
+    val rows = Dedup.dedupNgramJaccard(spark, dupDir, threshold = 0.0).collect()
+    val j = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    val m = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_doc_pairs")).toMap
+    // doc 1 is a VERBATIM copy of 0: collapsed into representative 0
+    // (n_copies = 2) before verification — the (0,1) pair is exact
+    // dedup's job (#27), not re-verified here
+    assert(!j.contains((0L, 1L)))
+    assert(j((0L, 4L)) === 1.0) // case-dup: distinct text, same tokens
+    assert(m((0L, 4L)) === 2L)  // stands for (0,4) and (1,4)
     assert(j((0L, 2L)) > 0.8)
+    assert(m((0L, 2L)) === 2L)
     assert(j.get((0L, 3L)).forall(_ < 0.2)) // different len_band may exclude entirely
   }
 

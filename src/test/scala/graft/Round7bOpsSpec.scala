@@ -2,9 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.analytics.Stats
+import graft.analytics.{EventAnalytics, Stats}
+import graft.multimodal.Media
 import graft.similarity.Ann
 import graft.sources.Tables
+import graft.syncer.SyncOps
 import graft.text.CorpusOps
 
 /** Invariant coverage for the second round-7 batch: token-budget
@@ -85,6 +87,64 @@ class Round7bOpsSpec extends GraftSpec {
       val (n, slope) = local(r.getString(0))
       assert(r.getAs[Long]("n_days") === n)
       assert(math.abs(r.getAs[Double]("slope_per_day") - slope) < 1e-3)
+    }
+  }
+
+  test("catchup eta: backlog matches oldest-pending, eta = pending/rate") {
+    val rows = SyncOps.syncCatchupEta(spark, sf).collect()
+    val pendingByCf = SyncOps.syncOldestPending(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("pending_bytes")).toMap
+    assert(rows.map(r => r.getString(0) -> r.getAs[Long]("pending_bytes")).toMap
+      === pendingByCf)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("rate_bytes_s"))) {
+        val rate = r.getAs[Double]("rate_bytes_s")
+        val eta = r.getAs[Double]("eta_s")
+        assert(rate > 0)
+        // eta ≈ pending / rate (both rounded independently)
+        val expect = r.getAs[Long]("pending_bytes") / rate
+        assert(math.abs(eta - expect) / math.max(expect, 1.0) < 0.01)
+      }
+    }
+  }
+
+  test("top movers: the reported swing is the max |WoW delta| per type") {
+    val weekly = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val local = weekly.groupBy(_._1).map { case (t, ws) =>
+      val sorted = ws.sortBy(_._2.toEpochDay).toList
+      val deltas = sorted.sliding(2).collect {
+        case List((_, _, p), (_, wk, n)) => (wk, n, p, n - p)
+      }.toSeq
+      t -> deltas.minBy { case (wk, _, _, d) => (-math.abs(d), wk.toEpochDay) }
+    }
+    val rows = EventAnalytics.qTopMovers(spark, sf).collect()
+    assert(rows.length === local.size)
+    rows.foreach { r =>
+      val (wk, n, p, d) = local(r.getString(0))
+      assert(r.getDate(1).toLocalDate === wk)
+      assert(r.getAs[Long]("week_n") === n)
+      assert(r.getAs[Long]("prev_week_n") === p)
+      assert(r.getAs[Long]("delta") === d)
+    }
+  }
+
+  test("format profile: byte accounting conserved across mimes") {
+    val rows = Media.mmFormatProfile(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq
+      === Seq("audio/wav", "image/png", "video/mp4"))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_assets")).sum === nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_bytes") <= r.getAs[Long]("max_bytes"))
+      val avg = r.getAs[Double]("avg_bytes")
+      assert(avg >= r.getAs[Long]("min_bytes").toDouble - 1 &&
+        avg <= r.getAs[Long]("max_bytes").toDouble + 1)
+      assert(r.getAs[Long]("n_geometries") >= 1 &&
+        r.getAs[Long]("n_geometries") <= r.getAs[Long]("n_assets"))
     }
   }
 }
