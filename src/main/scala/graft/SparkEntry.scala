@@ -314,6 +314,9 @@ object SparkEntry {
     "sync_catchup_eta" -> (SyncOps.syncCatchupEta(_, _)),
     "q_top_movers" -> (EventAnalytics.qTopMovers(_, _)),
     "mm_format_profile" -> (Media.mmFormatProfile(_, _)),
+    "vec_sim_threshold_sweep" -> (Ann.vecSimThresholdSweep(_, _)),
+    "q_weekend_effect" -> (EventAnalytics.qWeekendEffect(_, _)),
+    "text_char_entropy" -> (TextAnalysis.textCharEntropy(_, _)),
   )
 
   // ---- oracle SQL ----
@@ -3666,5 +3669,57 @@ object SparkEntry {
         |  round(avg(n_bytes), 2) AS avg_bytes,
         |  CAST(count(DISTINCT (width, height)) AS BIGINT) AS n_geometries
         |FROM m GROUP BY mime ORDER BY mime""".stripMargin,
+    "vec_sim_threshold_sweep" ->
+      s"""WITH $embCte,
+         |s AS (SELECT vec_id, v FROM e WHERE vec_id % 19 = 0),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_cosine_similarity(a.v, b.v), 4) + 0.0 AS cos
+         |  FROM s a JOIN s b ON a.vec_id < b.vec_id),
+         |th AS (SELECT * FROM (VALUES (0.2), (0.4), (0.6), (0.8)) t(threshold)),
+         |f AS (SELECT threshold, vec_a, vec_b FROM p CROSS JOIN th
+         |  WHERE cos >= threshold),
+         |ne AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_edges
+         |  FROM f GROUP BY 1),
+         |nn AS (SELECT threshold, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_nodes
+         |  FROM (SELECT threshold, vec_a AS vec_id FROM f
+         |        UNION ALL SELECT threshold, vec_b FROM f) GROUP BY 1)
+         |SELECT th.threshold AS threshold, coalesce(ne.n_edges, 0) AS n_edges,
+         |  coalesce(nn.n_nodes, 0) AS n_nodes
+         |FROM th LEFT JOIN ne USING (threshold) LEFT JOIN nn USING (threshold)
+         |ORDER BY threshold""".stripMargin,
+    "q_weekend_effect" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, y, (isodow(day) IN (6, 7)) AS is_weekend FROM d),
+        |s AS (SELECT event_type,
+        |  CAST(sum(CASE WHEN is_weekend THEN y END) AS BIGINT) AS weekend_events,
+        |  CAST(count(CASE WHEN is_weekend THEN 1 END) AS BIGINT) AS weekend_days,
+        |  CAST(sum(CASE WHEN NOT is_weekend THEN y END) AS BIGINT) AS weekday_events,
+        |  CAST(count(CASE WHEN NOT is_weekend THEN 1 END) AS BIGINT) AS weekday_days
+        |  FROM w GROUP BY 1)
+        |SELECT event_type, weekend_days, weekday_days,
+        |  round(CAST(weekend_events AS DOUBLE) /
+        |    nullif(CAST(weekend_days AS DOUBLE), 0.0), 2) AS avg_weekend,
+        |  round(CAST(weekday_events AS DOUBLE) /
+        |    nullif(CAST(weekday_days AS DOUBLE), 0.0), 2) AS avg_weekday,
+        |  round(CAST(weekend_events AS DOUBLE) * weekday_days /
+        |    nullif(CAST(weekday_events AS DOUBLE) * weekend_days, 0.0), 4)
+        |    AS weekend_lift
+        |FROM s ORDER BY event_type""".stripMargin,
+    "text_char_entropy" ->
+      """WITH c AS (SELECT doc_id, lang,
+        |  list_transform(range(1, length(text) + 1), i -> substr(text, i, 1)) AS ch
+        |  FROM documents),
+        |d AS (SELECT doc_id, lang, CAST(len(ch) AS BIGINT) AS n_chars_counted,
+        |  list_transform(list_distinct(ch),
+        |    x -> CAST(len(list_filter(ch, y -> y = x)) AS DOUBLE)) AS counts
+        |  FROM c)
+        |SELECT doc_id, lang, n_chars_counted,
+        |  CAST(len(counts) AS BIGINT) AS n_distinct_chars,
+        |  round(log2(CAST(n_chars_counted AS DOUBLE)) -
+        |    (CAST(list_aggregate(list_transform(counts,
+        |       x -> CAST(round(x * log2(x) * 1000000) AS BIGINT)), 'sum') AS DOUBLE)
+        |     / 1000000.0) / CAST(n_chars_counted AS DOUBLE), 4) AS char_entropy
+        |FROM d ORDER BY doc_id""".stripMargin,
   )
 }

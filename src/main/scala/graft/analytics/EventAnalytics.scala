@@ -884,6 +884,38 @@ object EventAnalytics {
     * `row_number() ... ORDER BY n DESC, hr`. No window, no sort; both
     * aggregates stay in whole-stage codegen.
     */
+  /** §2.2#280 — weekend effect: per event type, average daily volume
+    * on weekend days vs weekdays and the lift ratio between them —
+    * the seasonality sanity check behind any day-level alerting
+    * threshold. Exact long sums over the map-side-reduced (type, day)
+    * axis; the division into "avg per day class" and the lift are the
+    * only IEEE ops, written in the same order as the oracle. A type
+    * with no weekend days (degenerate short windows) yields nulls.
+    */
+  def qWeekendEffect(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      // Spark dayofweek: 1 = Sunday, 7 = Saturday
+      .withColumn("is_weekend", dayofweek(col("day")).isin(1, 7))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("is_weekend"), col("n"))).as("weekend_events"),
+        count(when(col("is_weekend"), lit(1))).as("weekend_days"),
+        sum(when(!col("is_weekend"), col("n"))).as("weekday_events"),
+        count(when(!col("is_weekend"), lit(1))).as("weekday_days"))
+      .select(col("event_type"), col("weekend_days"), col("weekday_days"),
+        round(col("weekend_events").cast("double") /
+          nullif(col("weekend_days").cast("double"), lit(0.0)), 2)
+          .as("avg_weekend"),
+        round(col("weekday_events").cast("double") /
+          nullif(col("weekday_days").cast("double"), lit(0.0)), 2)
+          .as("avg_weekday"),
+        round(col("weekend_events").cast("double") * col("weekday_days") /
+          nullif(col("weekday_events").cast("double") * col("weekend_days"),
+            lit(0.0)), 4)
+          .as("weekend_lift"))
+      .orderBy(col("event_type"))
+
   /** §2.2#277 — top weekly movers: for each event type, the calendar
     * week with the largest absolute week-over-week volume swing. The
     * fact scan reduces map-side to (type, week) counts; the lag runs

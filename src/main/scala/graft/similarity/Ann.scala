@@ -752,6 +752,37 @@ object Ann {
     * cosine bands are a ≤21-cell axis. Raise the modulus at 100 TB
     * to hold the sample near 10³–10⁴ vectors.
     */
+  /** §2.4#279 — similarity-graph tuning curve: candidate edge and
+    * touched-node counts at cosine thresholds {0.2, 0.4, 0.6, 0.8}
+    * over the same deterministic hash sample as [[vecCosineHist]] —
+    * the readout that picks the embedding-dedup threshold before the
+    * full banded pass runs. ONE pass of pairwise cosines (bounded
+    * sample²), swept against a broadcast 4-row grid.
+    */
+  def vecSimThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val s = embeddings(spark, dir).filter(col("vec_id") % 19 === 0)
+      .select(col("vec_id"), col("v"))
+    val pairs = s.join(broadcast(s.select(col("vec_id").as("vec_b"), col("v").as("vb"))),
+        col("vec_id") < col("vec_b"))
+      .select(col("vec_id").as("vec_a"), col("vec_b"),
+        round(cosine_sim(col("v"), col("vb")), 4).as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val th = Seq(0.2, 0.4, 0.6, 0.8).toDF("threshold")
+    val surviving = pairs.crossJoin(broadcast(th))
+      .filter(col("cos") >= col("threshold"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = surviving.groupBy(col("threshold"))
+      .agg(count(lit(1)).as("n_edges"))
+    val nNodes = surviving
+      .select(col("threshold"), explode(array(col("vec_a"), col("vec_b"))).as("vec_id"))
+      .groupBy(col("threshold")).agg(countDistinct(col("vec_id")).as("n_nodes"))
+    th.join(nEdges, Seq("threshold"), "left_outer")
+      .join(nNodes, Seq("threshold"), "left_outer")
+      .na.fill(0L, Seq("n_edges", "n_nodes"))
+      .orderBy(col("threshold"))
+  }
+
   def vecCosineHist(spark: SparkSession, dir: String): DataFrame = {
     val s = embeddings(spark, dir).filter(col("vec_id") % 19 === 0)
       .select(col("vec_id"), col("v"))

@@ -39,6 +39,41 @@ object TextAnalysis {
   /** Whitespace tokenization shared by the operators; lower-cased. */
   def tokensCol(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** §2.5#281 — per-document character entropy: the compression-proxy
+    * quality signal (template spam and OCR-garble sit at the two
+    * extremes of the distribution). Computed entirely WITHIN the row
+    * by higher-order functions — no explode, no shuffle: char list →
+    * per-distinct-char counts → H = log2(n) − (Σ c·log2 c)/n.
+    *
+    * Float-determinism fence: the Σ c·log2 c terms are scaled to
+    * exact longs (round(x·10⁶)) before summation, so the fold order
+    * cannot perturb the result — both engines sum identical integers
+    * and perform the identical final IEEE ops. Costs ≤1e-6·|alphabet|
+    * absolute entropy error, far under the 4-decimal rounding.
+    * If this pass ever dominates a profile, the native-expression
+    * path (single byte-histogram scan, like [[NGramDupStats]]) is
+    * the drop-in upgrade.
+    */
+  def textCharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val chars = transform(sequence(lit(1), length(col("text"))),
+      i => col("text").substr(i, lit(1)))
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), chars.as("ch"))
+      .select(col("doc_id"), col("lang"),
+        size(col("ch")).cast("long").as("n_chars_counted"),
+        transform(array_distinct(col("ch")),
+          c => size(filter(col("ch"), x => x === c)).cast("double")).as("counts"))
+      .select(col("doc_id"), col("lang"), col("n_chars_counted"),
+        size(col("counts")).cast("long").as("n_distinct_chars"),
+        round(
+          log2(col("n_chars_counted").cast("double")) -
+            (aggregate(col("counts"), lit(0L),
+              (acc, c) => acc + round(c * log2(c) * 1e6).cast("long"))
+              .cast("double") / 1e6) / col("n_chars_counted").cast("double"),
+          4).as("char_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 1..n index sequence that degrades to an empty array when n < 1.
     * Bare `sequence(lit(1), n)` defaults to step -1 when n < 1 and
     * yields [1, 0, ...], whose 0/negative indices crash or silently

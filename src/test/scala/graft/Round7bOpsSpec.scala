@@ -7,7 +7,7 @@ import graft.multimodal.Media
 import graft.similarity.Ann
 import graft.sources.Tables
 import graft.syncer.SyncOps
-import graft.text.CorpusOps
+import graft.text.{CorpusOps, TextAnalysis}
 
 /** Invariant coverage for the second round-7 batch: token-budget
   * corpus selection, the sampled pairwise-cosine histogram, and the
@@ -129,6 +129,61 @@ class Round7bOpsSpec extends GraftSpec {
       assert(r.getAs[Long]("week_n") === n)
       assert(r.getAs[Long]("prev_week_n") === p)
       assert(r.getAs[Long]("delta") === d)
+    }
+  }
+
+  test("sim threshold sweep: monotone, consistent with the cosine histogram") {
+    val rows = Ann.vecSimThresholdSweep(spark, sf).collect()
+    assert(rows.length === 4)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_edges") >= b.getAs[Long]("n_edges"))
+        assert(a.getAs[Long]("n_nodes") >= b.getAs[Long]("n_nodes"))
+      case _ => ()
+    }
+    // edges at the loosest threshold ≤ all sampled pairs
+    val nSample = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 19 === 0).count()
+    assert(rows.head.getAs[Long]("n_edges") <= nSample * (nSample - 1) / 2)
+    assert(rows.head.getAs[Long]("n_nodes") <= nSample)
+  }
+
+  test("weekend effect: day accounting conserved, lift consistent with averages") {
+    val rows = EventAnalytics.qWeekendEffect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDays = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts"))).distinct().count()
+    assert(rows.map(r => r.getAs[Long]("weekend_days") +
+      r.getAs[Long]("weekday_days")).sum === nDays)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("weekend_lift"))) {
+        val lift = r.getAs[Double]("weekend_lift")
+        val ratio = r.getAs[Double]("avg_weekend") / r.getAs[Double]("avg_weekday")
+        assert(math.abs(lift - ratio) < 0.01, s"lift $lift vs ratio $ratio")
+      }
+    }
+  }
+
+  test("char entropy: bounds and exact small-case value") {
+    val rows = TextAnalysis.textCharEntropy(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val h = r.getAs[Double]("char_entropy")
+      val k = r.getAs[Long]("n_distinct_chars")
+      assert(h >= -1e-4, s"entropy must be non-negative: $h")
+      assert(h <= math.log(k.toDouble) / math.log(2.0) + 1e-4,
+        s"entropy $h exceeds log2($k)")
+    }
+    // local recomputation on a handful of docs
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(5).collect()
+    val byId = rows.map(r => r.getLong(0) -> r.getAs[Double]("char_entropy")).toMap
+    docs.foreach { d =>
+      val cs = d.getString(1).toCharArray.groupBy(identity).map(_._2.length.toDouble)
+      val n = d.getString(1).length.toDouble
+      val h = math.log(n) / math.log(2) -
+        cs.map(c => c * math.log(c) / math.log(2)).sum / n
+      assert(math.abs(byId(d.getLong(0)) - h) < 1e-3)
     }
   }
 
