@@ -317,6 +317,9 @@ object SparkEntry {
     "vec_sim_threshold_sweep" -> (Ann.vecSimThresholdSweep(_, _)),
     "q_weekend_effect" -> (EventAnalytics.qWeekendEffect(_, _)),
     "text_char_entropy" -> (TextAnalysis.textCharEntropy(_, _)),
+    "io_snapshot_diff" -> (graft.sources.TxnLog.ioSnapshotDiff(_, _)),
+    "text_top_terms" -> (TextAnalysis.textTopTerms(_, _)),
+    "corpus_near_dup_by_source" -> (Dedup.corpusNearDupBySource(_, _)),
   )
 
   // ---- oracle SQL ----
@@ -3721,5 +3724,40 @@ object SparkEntry {
         |       x -> CAST(round(x * log2(x) * 1000000) AS BIGINT)), 'sum') AS DOUBLE)
         |     / 1000000.0) / CAST(n_chars_counted AS DOUBLE), 4) AS char_entropy
         |FROM d ORDER BY doc_id""".stripMargin,
+    "io_snapshot_diff" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT CAST(0 AS BIGINT) AS from_version, CAST(1 AS BIGINT) AS to_version,
+        |  count(*) AS rows_added, CAST(sum(price_c) AS BIGINT) AS added_value_c,
+        |  CAST(0 AS BIGINT) AS rows_removed, CAST(0 AS BIGINT) AS removed_value_c
+        |FROM o WHERE d >= DATE '1998-01-01'
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |ORDER BY from_version""".stripMargin,
+    "text_top_terms" ->
+      s"""WITH $toksCte,
+         |pairs AS (SELECT doc_id, unnest(toks) AS term FROM t),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM pairs GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM
+         |  (SELECT DISTINCT doc_id, term FROM pairs) GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+         |s AS (SELECT doc_id, term,
+         |  round(tf * ln(nd / df), 4) AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY tfidf DESC, term) AS BIGINT) AS rnk FROM s)
+         |SELECT doc_id, rnk, term, tfidf FROM r WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin,
+    "corpus_near_dup_by_source" ->
+      ("WITH " + graft.dedup.Dedup.candOracleBody + """,
+        |inv AS (SELECT DISTINCT doc_id FROM (
+        |  SELECT doc_a AS doc_id FROM cand
+        |  UNION ALL SELECT doc_b FROM cand))
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(count(inv.doc_id) AS BIGINT) AS n_near_dup,
+        |  round(CAST(count(inv.doc_id) AS DOUBLE) / count(*), 4) AS near_dup_rate
+        |FROM documents d LEFT JOIN inv ON d.doc_id = inv.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin),
   )
 }

@@ -54,6 +54,31 @@ object Dedup {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** §2.3#284 — NEAR-dup involvement per source: how much of each
+    * source's corpus sits in an LSH candidate pair — the
+    * provenance-level twin of [[corpusDedupBySource]] (which counts
+    * exact copies). A source with a high near-dup rate is the
+    * boilerplate/mirror feed the mixture weights should discount.
+    * Involved docs come off the banded candidate pairs (linear
+    * explode + distinct), then one bounded per-source rollup.
+    */
+  def corpusNearDupBySource(spark: SparkSession, dir: String): DataFrame = {
+    val involved = minhashCandidatePairs(spark, dir)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("near_dup", lit(1L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(involved, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("near_dup")), lit(0L)).as("n_near_dup"))
+      .select(col("source"), col("n_docs"), col("n_near_dup"),
+        round(col("n_near_dup").cast("double") / col("n_docs"), 4)
+          .as("near_dup_rate"))
+      .orderBy(col("source"))
+  }
+
   /** §2.3#28 — survivor set after exact dedup: the docs that keep
     * their cluster (doc_id == min per digest). Window-min over the
     * digest shuffle; identical exchange to #27, reused by Spark.

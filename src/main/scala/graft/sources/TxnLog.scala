@@ -189,6 +189,35 @@ object TxnLog {
     }.reduce(_ unionByName _).orderBy(col("version"))
   }
 
+  /** §2.8#282 — snapshot diff (CDC-style time travel): row-level
+    * added/removed accounting between consecutive log versions,
+    * keyed on the table key. v0→v1 must show exactly the appended
+    * 1998 slice; v1→v2 must show ZERO row changes even though the
+    * physical file set was rewritten — the row-level statement of
+    * the compaction-invisibility invariant (`io_txn_log` checks it
+    * only in aggregate). Two left-anti joins per transition on the
+    * key column; empty sides coalesce to 0, never null.
+    */
+  def ioSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val root = txnFixture(spark, dir)
+    (0 until 2).map { v =>
+      val a = snapshot(spark, root, txnSchema, Some(v))
+        .select(col("o_orderkey"), col("price_c"))
+      val b = snapshot(spark, root, txnSchema, Some(v + 1))
+        .select(col("o_orderkey"), col("price_c"))
+      val added = b.join(a.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("rows_added"),
+          coalesce(sum(col("price_c")), lit(0L)).as("added_value_c"))
+      val removed = a.join(b.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("rows_removed"),
+          coalesce(sum(col("price_c")), lit(0L)).as("removed_value_c"))
+      added.crossJoin(removed)
+        .select(lit(v.toLong).as("from_version"), lit((v + 1).toLong).as("to_version"),
+          col("rows_added"), col("added_value_c"),
+          col("rows_removed"), col("removed_value_c"))
+    }.reduce(_ unionByName _).orderBy(col("from_version"))
+  }
+
   // ---- deletion vectors (merge-on-read) ----
 
   private val dvRoots = new ConcurrentHashMap[String, String]()

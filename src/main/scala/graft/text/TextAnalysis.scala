@@ -54,6 +54,37 @@ object TextAnalysis {
     * path (single byte-histogram scan, like [[NGramDupStats]]) is
     * the drop-in upgrade.
     */
+  /** §2.5#283 — per-document keyword extraction: top-3 terms by
+    * tf·idf — the metadata-enrichment step that tags each training
+    * document with its salient vocabulary. One (doc, term) shuffle
+    * with map-side combine for tf, one bounded term-keyed df table
+    * (broadcast-joined back), the corpus size as a broadcast scalar,
+    * and a doc-partitioned rank window (bounded per doc, spillable
+    * across docs) for the cut. Ordering uses the ROUNDED score +
+    * term tie-break so the cut is deterministic across engines.
+    */
+  def textTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val pairs = docs
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("term"))
+    val tf = pairs.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = pairs.distinct().groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("nd").cast("double") / col("df")), 4)
+          .as("tfidf"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   def textCharEntropy(spark: SparkSession, dir: String): DataFrame = {
     val chars = transform(sequence(lit(1), length(col("text"))),
       i => col("text").substr(i, lit(1)))

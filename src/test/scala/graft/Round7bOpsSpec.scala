@@ -187,6 +187,55 @@ class Round7bOpsSpec extends GraftSpec {
     }
   }
 
+  test("snapshot diff: appended slice counted, compaction row-invisible") {
+    val rows = graft.sources.TxnLog.ioSnapshotDiff(spark, sf).collect()
+    assert(rows.length === 2)
+    val late = Tables.orders(spark, sf)
+      .filter(to_date(col("o_orderdate")) >= lit("1998-01-01").cast("date"))
+      .count()
+    val r01 = rows.find(_.getAs[Long]("from_version") == 0L).get
+    assert(r01.getAs[Long]("rows_added") === late)
+    assert(r01.getAs[Long]("rows_removed") === 0L)
+    val r12 = rows.find(_.getAs[Long]("from_version") == 1L).get
+    assert(r12.getAs[Long]("rows_added") === 0L)
+    assert(r12.getAs[Long]("rows_removed") === 0L)
+    assert(r12.getAs[Long]("added_value_c") === 0L)
+  }
+
+  test("top terms: at most 3 per doc, scores non-increasing, terms from the doc") {
+    val rows = TextAnalysis.textTopTerms(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length <= 3))
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq === (1L to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("tfidf") >= b.getAs[Double]("tfidf") - 1e-9)
+        case _ => ()
+      }
+    }
+    val doc0 = Tables.documents(spark, sf).filter(col("doc_id") === 0L)
+      .select(col("text")).head().getString(0)
+      .trim.toLowerCase.split("\\s+").toSet
+    byDoc(0L).foreach(r => assert(doc0.contains(r.getAs[String]("term"))))
+  }
+
+  test("near-dup by source: doc accounting conserved, involvement matches pairs") {
+    val rows = graft.dedup.Dedup.corpusNearDupBySource(spark, sf).collect()
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === total)
+    val involved = graft.dedup.Dedup.minhashCandidatePairs(spark, sf)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_near_dup")).sum === involved)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("near_dup_rate")
+      assert(rate >= 0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_near_dup") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("format profile: byte accounting conserved across mimes") {
     val rows = Media.mmFormatProfile(spark, sf).collect()
     assert(rows.map(_.getString(0)).sorted.toSeq
