@@ -320,6 +320,8 @@ object SparkEntry {
     "io_snapshot_diff" -> (graft.sources.TxnLog.ioSnapshotDiff(_, _)),
     "text_top_terms" -> (TextAnalysis.textTopTerms(_, _)),
     "corpus_near_dup_by_source" -> (Dedup.corpusNearDupBySource(_, _)),
+    "dedup_minhash_calibration" -> (Dedup.dedupMinhashCalibration(_, _)),
+    "mm_size_outliers" -> (Media.mmSizeOutliers(_, _)),
   )
 
   // ---- oracle SQL ----
@@ -3759,5 +3761,44 @@ object SparkEntry {
         |  round(CAST(count(inv.doc_id) AS DOUBLE) / count(*), 4) AS near_dup_rate
         |FROM documents d LEFT JOIN inv ON d.doc_id = inv.doc_id
         |GROUP BY d.source ORDER BY d.source""".stripMargin),
+    "dedup_minhash_calibration" -> {
+      val agree = (0 until graft.dedup.Dedup.MinhashK)
+        .map(k => s"(CASE WHEN sa.sig$k = sb.sig$k THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      "WITH reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),\n" +
+        graft.dedup.Dedup.candOracleBodyFrom("reps") + s""",
+        |sets AS (SELECT doc_id, list_sort(list_distinct(sh)) AS shs FROM s),
+        |pj AS (SELECT CAST($agree AS BIGINT) AS n_agree,
+        |  CAST(round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(a.shs, b.shs))) AS DOUBLE)
+        |    * 10000) AS BIGINT) AS jac_scaled
+        |  FROM cand JOIN sets a ON cand.doc_a = a.doc_id
+        |  JOIN sets b ON cand.doc_b = b.doc_id
+        |  JOIN sig sa ON cand.doc_a = sa.doc_id
+        |  JOIN sig sb ON cand.doc_b = sb.doc_id)
+        |SELECT n_agree,
+        |  round(CAST(n_agree AS DOUBLE) / ${graft.dedup.Dedup.MinhashK}, 4) AS est_jaccard,
+        |  count(*) AS n_pairs,
+        |  round(CAST(sum(jac_scaled) AS DOUBLE) / count(*) / 10000.0, 4)
+        |    AS mean_exact_jaccard
+        |FROM pj GROUP BY n_agree ORDER BY n_agree""".stripMargin
+    },
+    "mm_size_outliers" ->
+      """WITH m AS (SELECT
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+        |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+        |st AS (SELECT mime, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS s1,
+        |  CAST(sum(n_bytes * n_bytes) AS BIGINT) AS s2 FROM m GROUP BY 1),
+        |sd AS (SELECT mime, n, CAST(s1 AS DOUBLE) / n AS mean_b,
+        |  sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) AS sd_b
+        |  FROM st)
+        |SELECT m.mime, count(*) AS n_assets,
+        |  CAST(sum(CASE WHEN abs(m.n_bytes - sd.mean_b) > 2.0 * sd.sd_b
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(CAST(sum(CASE WHEN abs(m.n_bytes - sd.mean_b) > 2.0 * sd.sd_b
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS outlier_rate
+        |FROM m JOIN sd USING (mime) GROUP BY m.mime ORDER BY m.mime""".stripMargin,
   )
 }

@@ -663,6 +663,47 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** §2.3#285 — MinHash calibration curve: signature-agreement
+    * estimate vs EXACT n-gram Jaccard on the LSH candidate pairs,
+    * bucketed by agreeing-signature count (0..12 — an integer axis,
+    * no float banding). This is the readout that says whether k=12
+    * signatures estimate similarity well enough for the chosen
+    * threshold, before trusting the estimate at 100 TB. Runs on
+    * exact-dedup representatives like the other verification ops;
+    * the per-bucket mean of exact Jaccard is computed from
+    * round(j·10⁴) exact longs, so no float fold-order drift.
+    */
+  def dedupMinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val reps = textReps(spark, dir).select(col("doc_id"), col("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = reps.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+    val sigSets = toks.select(col("doc_id"),
+      minhash_sigs(shinglesOf(col("toks")), MinhashK).as("sigs"),
+      array_sort(array_distinct(shinglesOf(col("toks")))).as("sh"))
+    minhashCandidatePairsOf(minhashSignaturesOf(reps))
+      .join(sigSets.select(col("doc_id").as("doc_a"), col("sigs").as("siga"),
+        col("sh").as("sha")), Seq("doc_a"))
+      .join(sigSets.select(col("doc_id").as("doc_b"), col("sigs").as("sigb"),
+        col("sh").as("shb")), Seq("doc_b"))
+      .select(
+        aggregate(zip_with(col("siga"), col("sigb"),
+          (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L), _ + _)
+          .as("n_agree"),
+        round(
+          size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            size(array_distinct(concat(col("sha"), col("shb")))).cast("double")
+            * 10000)
+          .cast("long").as("jac_scaled"))
+      .groupBy(col("n_agree"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jac_scaled")).as("jsum"))
+      .select(col("n_agree"),
+        round(col("n_agree").cast("double") / MinhashK, 4).as("est_jaccard"),
+        col("n_pairs"),
+        round(col("jsum").cast("double") / col("n_pairs") / 10000.0, 4)
+          .as("mean_exact_jaccard"))
+      .orderBy(col("n_agree"))
+  }
+
   /** DuckDB oracle for [[dedupContainment]] (representative-collapsed). */
   def containmentOracleSql: String =
     """WITH reps AS (SELECT min(doc_id) AS doc_id,

@@ -75,6 +75,37 @@ object Media {
         countDistinct(col("width"), col("height")).as("n_geometries"))
       .orderBy(col("mime"))
 
+  /** §2.6#286 — payload size outliers per mime: assets whose byte
+    * length sits more than 2σ from their container's mean — the
+    * truncated-upload / runaway-transcode detector a media lake runs
+    * after every ingest batch. Mean/σ come from exact integer
+    * sufficient sums (n, Σx, Σx²) on the bounded mime axis,
+    * broadcast back over one narrow metadata pass; the z-test is
+    * the identical IEEE expression in both engines.
+    */
+  def mmSizeOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val sized = mediaTable(spark, dir)
+      .select(col("meta.mime").as("mime"),
+        length(col("media")).cast("long").as("n_bytes"))
+    val stats = sized.groupBy(col("mime"))
+      .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("s1"),
+        sum(col("n_bytes") * col("n_bytes")).as("s2"))
+      .select(col("mime"), col("n"),
+        (col("s1").cast("double") / col("n")).as("mean_b"),
+        sqrt((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1") / col("n")) /
+          (col("n") - 1)).as("sd_b"))
+    sized.join(broadcast(stats), Seq("mime"))
+      .groupBy(col("mime"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(when(abs(col("n_bytes") - col("mean_b")) > lit(2.0) * col("sd_b"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("mime"), col("n_assets"), col("n_outliers"),
+        round(col("n_outliers").cast("double") / col("n_assets"), 4)
+          .as("outlier_rate"))
+      .orderBy(col("mime"))
+  }
+
   /** §2.6#183 — exact payload dedup over the binary column: one
     * digest shuffle with map-side combine (the media twin of
     * dedup_exact), plus the cross-container signal — identical bytes

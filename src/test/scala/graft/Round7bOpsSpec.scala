@@ -236,6 +236,39 @@ class Round7bOpsSpec extends GraftSpec {
     }
   }
 
+  test("minhash calibration: estimates bounded, pair count matches candidates") {
+    val rows = graft.dedup.Dedup.dedupMinhashCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val k = graft.dedup.Dedup.MinhashK
+    rows.foreach { r =>
+      val agree = r.getAs[Long]("n_agree")
+      assert(agree >= 0 && agree <= k)
+      val est = r.getAs[Double]("est_jaccard")
+      assert(math.abs(est - agree.toDouble / k) < 5e-5) // est rounded to 4dp
+      val mj = r.getAs[Double]("mean_exact_jaccard")
+      assert(mj >= 0 && mj <= 1.0)
+    }
+    // buckets partition the candidate-pair set (over representatives)
+    val reps = graft.dedup.Dedup.minhashSignaturesOf(
+      Tables.documents(spark, sf).groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id")))
+    val nCand = graft.dedup.Dedup.minhashCandidatePairsOf(reps).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === nCand)
+  }
+
+  test("size outliers: bounded rate, chebyshev cap for 2-sigma") {
+    val rows = Media.mmSizeOutliers(spark, sf).collect()
+    assert(rows.length === 3)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_assets")).sum === nDocs)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("outlier_rate")
+      // Chebyshev: P(|X-mu| > 2 sigma) <= 1/4
+      assert(rate >= 0 && rate <= 0.25 + 1e-9)
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n_assets"))
+    }
+  }
+
   test("format profile: byte accounting conserved across mimes") {
     val rows = Media.mmFormatProfile(spark, sf).collect()
     assert(rows.map(_.getString(0)).sorted.toSeq
