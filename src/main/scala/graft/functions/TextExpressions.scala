@@ -381,7 +381,69 @@ object NGramDupStats {
   }
 }
 
+/** One-pass per-document code-point histogram statistics: total code
+  * points, distinct code points, and Σ round(c·log2 c · 10⁶) over the
+  * per-code-point counts as an exact long (so the entropy derived
+  * from it is immune to float summation order — the same fence the
+  * HOF formulation used, minus its O(distinct × length) counting
+  * loop). Semantics match substr-per-code-point counting exactly:
+  * `length()` and `substr()` in both engines address code points.
+  */
+case class CharHistStats(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("k", LongType, nullable = false),
+    StructField("sum_scaled", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    CharHistStats.stats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val kernel = ctx.addReferenceObj("charHistKernel", CharHistStats,
+      "graft.functions.CharHistStats$")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $kernel.stats($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharHistStats {
+  private val Log2 = math.log(2.0)
+
+  def stats(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var sumScaled = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      // Math.round == HALF_UP for the non-negative c·log2(c) terms,
+      // matching both engines' round() on the same IEEE product
+      sumScaled += Math.round(c * (math.log(c) / Log2) * 1e6)
+    }
+    org.apache.spark.sql.catalyst.InternalRow(n, counts.size.toLong, sumScaled)
+  }
+}
+
 object TextFunctions {
+  def char_hist_stats(text: Column): Column =
+    Shim.toColumn(CharHistStats(Shim.toExpression(text)))
+
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     Shim.toColumn(WinnowFingerprints(Shim.toExpression(text), k, w))
 

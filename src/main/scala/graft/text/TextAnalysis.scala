@@ -85,25 +85,24 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
-  def textCharEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val chars = transform(sequence(lit(1), length(col("text"))),
-      i => col("text").substr(i, lit(1)))
+  def textCharEntropy(spark: SparkSession, dir: String): DataFrame =
+    // the histogram runs in the native one-pass CharHistStats kernel:
+    // the first HOF formulation (per-distinct-char `filter` counting)
+    // was O(distinct x length) per document and surfaced as the
+    // slowest query of the 10x stress pass (82 s at sf1); the kernel
+    // is one HashMap pass per row, O(length), same scaled-long fence
     graft.sources.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), chars.as("ch"))
       .select(col("doc_id"), col("lang"),
-        size(col("ch")).cast("long").as("n_chars_counted"),
-        transform(array_distinct(col("ch")),
-          c => size(filter(col("ch"), x => x === c)).cast("double")).as("counts"))
-      .select(col("doc_id"), col("lang"), col("n_chars_counted"),
-        size(col("counts")).cast("long").as("n_distinct_chars"),
+        graft.functions.TextFunctions.char_hist_stats(col("text")).as("st"))
+      .select(col("doc_id"), col("lang"),
+        col("st.n").as("n_chars_counted"),
+        col("st.k").as("n_distinct_chars"),
         round(
-          log2(col("n_chars_counted").cast("double")) -
-            (aggregate(col("counts"), lit(0L),
-              (acc, c) => acc + round(c * log2(c) * 1e6).cast("long"))
-              .cast("double") / 1e6) / col("n_chars_counted").cast("double"),
+          log2(col("st.n").cast("double")) -
+            (col("st.sum_scaled").cast("double") / 1e6) /
+              col("st.n").cast("double"),
           4).as("char_entropy"))
       .orderBy(col("doc_id"))
-  }
 
   /** 1..n index sequence that degrades to an empty array when n < 1.
     * Bare `sequence(lit(1), n)` defaults to step -1 when n < 1 and
