@@ -2577,8 +2577,8 @@ object SparkEntry {
     "dedup_pipeline_verified" -> Dedup.pipelineVerifiedOracleSql,
     "dedup_ngram_jaccard" ->
       """WITH reps AS (SELECT min(doc_id) AS doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_copies, min(lang) AS lang,
-        |  min(n_chars) AS n_chars, text FROM documents GROUP BY text),
+        |  CAST(count(*) AS BIGINT) AS n_copies, lang,
+        |  n_chars, text FROM documents GROUP BY text, lang, n_chars),
         |t AS (SELECT doc_id, lang, n_chars, n_copies,
         |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM reps),
         |d AS (SELECT doc_id, lang, n_copies,
@@ -2594,8 +2594,8 @@ object SparkEntry {
         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_threshold_sweep" ->
       """WITH reps AS (SELECT min(doc_id) AS doc_id,
-        |  CAST(count(*) AS BIGINT) AS n_copies, min(lang) AS lang,
-        |  min(n_chars) AS n_chars, text FROM documents GROUP BY text),
+        |  CAST(count(*) AS BIGINT) AS n_copies, lang,
+        |  n_chars, text FROM documents GROUP BY text, lang, n_chars),
         |t AS (SELECT doc_id, lang, n_chars, n_copies,
         |  string_split_regex(trim(lower(text)), '\s+') AS toks FROM reps),
         |d AS (SELECT doc_id, lang, n_copies,
@@ -2989,10 +2989,13 @@ object SparkEntry {
         |        i -> list_avg(by[(i*n)//33 + 1 : ((i+1)*n)//33])) AS av FROM b),
         |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(0,32),
         |        i -> CASE WHEN av[i+1] > av[i+2] THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS phash FROM m),
-        |bk AS (SELECT doc_id, phash, j, (phash >> CAST(8*j AS INT)) & 255 AS band
-        |       FROM (SELECT doc_id, phash, unnest(range(0,4)) AS j FROM h))
+        |hr AS (SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies,
+        |       phash FROM h GROUP BY phash),
+        |bk AS (SELECT doc_id, phash, n_copies, j, (phash >> CAST(8*j AS INT)) & 255 AS band
+        |       FROM (SELECT doc_id, phash, n_copies, unnest(range(0,4)) AS j FROM hr))
         |SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id,
-        |  CAST(bit_count(xor(a.phash, b2.phash)) AS BIGINT) AS hamming
+        |  CAST(bit_count(xor(a.phash, b2.phash)) AS BIGINT) AS hamming,
+        |  a.n_copies * b2.n_copies AS n_pairs
         |FROM bk a JOIN bk b2 ON a.j = b2.j AND a.band = b2.band AND a.doc_id < b2.doc_id
         |WHERE bit_count(xor(a.phash, b2.phash)) <= 3
         |ORDER BY a_id, b_id""".stripMargin,
@@ -3765,13 +3768,15 @@ object SparkEntry {
       val agree = (0 until graft.dedup.Dedup.MinhashK)
         .map(k => s"(CASE WHEN sa.sig$k = sb.sig$k THEN 1 ELSE 0 END)")
         .mkString(" + ")
-      "WITH reps AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),\n" +
+      "WITH " + graft.dedup.Dedup.repsOracleCte + ",\n" +
         graft.dedup.Dedup.candOracleBodyFrom("reps") + s""",
         |sets AS (SELECT doc_id, list_sort(list_distinct(sh)) AS shs FROM s),
         |pj AS (SELECT CAST($agree AS BIGINT) AS n_agree,
-        |  CAST(round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-        |    / CAST(len(list_distinct(list_concat(a.shs, b.shs))) AS DOUBLE)
-        |    * 10000) AS BIGINT) AS jac_scaled
+        |  CASE WHEN len(list_distinct(list_concat(a.shs, b.shs))) > 0
+        |    THEN CAST(round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.shs, b.shs))) AS DOUBLE)
+        |      * 10000) AS BIGINT)
+        |    ELSE CAST(10000 AS BIGINT) END AS jac_scaled
         |  FROM cand JOIN sets a ON cand.doc_a = a.doc_id
         |  JOIN sets b ON cand.doc_b = b.doc_id
         |  JOIN sig sa ON cand.doc_a = sa.doc_id

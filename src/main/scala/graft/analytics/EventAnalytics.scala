@@ -39,9 +39,13 @@ object EventAnalytics {
     val firstDay = Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(min(to_date(col("ts"))).as("cohort_day"))
+    // the per-user first-seen frame scales with the user axis — no
+    // broadcast hint; both sides hash on user_id (the distinct's
+    // partitioning is reused) and AQE still picks broadcast when the
+    // user set is actually small
     Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("active_day")).distinct()
-      .join(broadcast(firstDay), Seq("user_id"))
+      .join(firstDay, Seq("user_id"))
       .groupBy(col("cohort_day"),
         datediff(col("active_day"), col("cohort_day")).cast("long").as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_active"))
@@ -150,10 +154,14 @@ object EventAnalytics {
     val ev = Tables.events(spark, dir)
     val v = ev.groupBy(col("user_id"))
       .agg(min(when(col("event_type") === "view", col("ts"))).as("v_ts"))
-    val c = ev.join(broadcast(v), Seq("user_id"))
+    // stage frames are per-USER — entity scale, never hint-broadcast:
+    // every join and groupBy here keys on user_id, so the three passes
+    // reuse one hash partitioning and degrade to co-partitioned
+    // shuffles at scale (AQE broadcasts when a side is truly small)
+    val c = ev.join(v, Seq("user_id"))
       .groupBy(col("user_id"), col("v_ts"))
       .agg(min(when(col("event_type") === "click" && col("ts") >= col("v_ts"), col("ts"))).as("c_ts"))
-    val p = ev.join(broadcast(c.select(col("user_id"), col("v_ts"), col("c_ts"))), Seq("user_id"))
+    val p = ev.join(c.select(col("user_id"), col("v_ts"), col("c_ts")), Seq("user_id"))
       .groupBy(col("user_id"), col("v_ts"), col("c_ts"))
       .agg(min(when(col("event_type") === "purchase" && col("ts") >= col("c_ts"), col("ts"))).as("p_ts"))
     p.agg(count(lit(1)).as("n_users"),
@@ -684,8 +692,10 @@ object EventAnalytics {
       .filter(col("sup_ab") >= 3)
     val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
     pairs
-      .join(broadcast(sup.select(col("pk").as("pa"), col("sup").as("sup_a"))), Seq("pa"))
-      .join(broadcast(sup.select(col("pk").as("pb"), col("sup").as("sup_b"))), Seq("pb"))
+      // per-part supports scale with the catalog — shuffle-join them
+      // (the copurchaseJaccard shape); AQE broadcasts small catalogs
+      .join(sup.select(col("pk").as("pa"), col("sup").as("sup_a")), Seq("pa"))
+      .join(sup.select(col("pk").as("pb"), col("sup").as("sup_b")), Seq("pb"))
       .filter(col("sup_a") >= 20 && col("sup_b") >= 20)
       .crossJoin(broadcast(nOrders))
       .select(col("pa"), col("pb"), col("sup_ab"), col("sup_a"), col("sup_b"),
@@ -777,11 +787,12 @@ object EventAnalytics {
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
     val v = ev.groupBy(col("user_id"))
       .agg(min(when(col("event_type") === "view", col("us"))).as("v_us"))
-    val c = ev.join(broadcast(v), Seq("user_id"))
+    // per-user stage frames, same no-hint contract as [[qFunnel]]
+    val c = ev.join(v, Seq("user_id"))
       .groupBy(col("user_id"), col("v_us"))
       .agg(min(when(col("event_type") === "click" && col("us") >= col("v_us"),
         col("us"))).as("c_us"))
-    val p = ev.join(broadcast(c.select(col("user_id"), col("v_us"), col("c_us"))),
+    val p = ev.join(c.select(col("user_id"), col("v_us"), col("c_us")),
         Seq("user_id"))
       .groupBy(col("user_id"), col("v_us"), col("c_us"))
       .agg(min(when(col("event_type") === "purchase" && col("us") >= col("c_us"),

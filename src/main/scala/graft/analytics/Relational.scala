@@ -53,7 +53,8 @@ object Relational {
     val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
     val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // filtered customer still scales with SF — no hint, AQE decides
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(dollars(sum(netE4), 10000.0).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -74,8 +75,10 @@ object Relational {
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val li = Tables.lineitem(spark, dir)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      // customer/supplier scale with SF — un-hinted (AQE broadcasts
+      // them while they fit); nation/region are bounded dims
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -460,7 +463,8 @@ object Relational {
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      // customer scales with SF — no hint (AQE decides); nation is bounded
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(dollars(sum(netE4), 10000.0).as("revenue"),
@@ -909,7 +913,8 @@ object Relational {
     */
   def qPercentOfTotal(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      // supplier scales with SF — no hint (AQE decides); nation is bounded
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(netE4).as("rev_e4"))

@@ -42,8 +42,10 @@ object Windows {
     * the cut is deterministic.
     */
   def qWindowTopn(spark: SparkSession, dir: String): DataFrame = {
+    // part is an SF-scaling dim — no forced broadcast; stats/AQE pick
+    // broadcast when it fits, shuffle on partkey when it doesn't
     val rev = Tables.lineitem(spark, dir)
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_partkey"))
       .agg(dollars(sum(netE4), 10000.0).as("revenue"))
     val w = Window.partitionBy(col("p_brand")).orderBy(col("revenue").desc, col("p_partkey"))

@@ -63,13 +63,17 @@ object Dedup {
     * explode + distinct), then one bounded per-source rollup.
     */
   def corpusNearDupBySource(spark: SparkSession, dir: String): DataFrame = {
-    val involved = minhashCandidatePairs(spark, dir)
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-      .withColumn("near_dup", lit(1L))
+    // a document sits in a candidate pair ⟺ its rep group is a node of
+    // the rep graph (a cross-rep neighbor, or ≥2 verbatim copies that
+    // pair with each other) — so involvement joins on the group key,
+    // never on an exploded full pair list that cliques over copies
+    val (nodes, _) = repGraph(spark, dir)
+    val involved = nodes
+      .select(col("tdig"), col("lang"), col("n_chars"), lit(1L).as("near_dup"))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"))
-      .join(involved, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("tdig"),
+        col("lang"), col("n_chars"))
+      .join(involved, Seq("tdig", "lang", "n_chars"), "left_outer")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("near_dup")), lit(0L)).as("n_near_dup"))
@@ -118,21 +122,24 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     minhashSignaturesOf(Tables.rebalanced(Tables.documents(spark, dir)))
 
-  /** One representative per distinct text — the exact-dedup collapse
-    * that a pipeline runs BEFORE near-dup verification. Verbatim
-    * copies are the degenerate near-dups (similarity exactly 1);
-    * re-verifying every copy-pair is quadratic in duplicate-cluster
-    * depth, which is precisely what explodes under a cloned-corpus
-    * stress load. Collapsing to representatives first keeps the
-    * verification joins quadratic only in DISTINCT near-dup texts,
-    * with `n_copies` carried so pair multiplicities stay exact.
-    * One text-keyed shuffle with map-side combine.
+  /** One representative per distinct (text, lang, n_chars) group — the
+    * exact-dedup collapse that a pipeline runs BEFORE near-dup
+    * verification. Verbatim copies are the degenerate near-dups
+    * (similarity exactly 1); re-verifying every copy-pair is quadratic
+    * in duplicate-cluster depth, which is precisely what explodes
+    * under a cloned-corpus stress load. Collapsing to representatives
+    * first keeps the verification joins quadratic only in DISTINCT
+    * near-dup texts, with `n_copies` carried so pair multiplicities
+    * stay exact. Grouping includes the carried metadata so copies with
+    * inconsistent lang/n_chars stay separate instead of silently
+    * adopting the min (they still pair with each other through the
+    * band join — identical text means identical signatures). One
+    * text-keyed shuffle with map-side combine.
     */
   private[graft] def textReps(spark: SparkSession, dir: String): DataFrame =
     Tables.rebalanced(Tables.documents(spark, dir))
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
-        min(col("lang")).as("lang"), min(col("n_chars")).as("n_chars"))
+      .groupBy(col("text"), col("lang"), col("n_chars"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
   /** [[minhashSignatures]] over an arbitrary (doc_id, text) input —
     * lets the verification path run LSH on exact-dedup
@@ -194,6 +201,87 @@ object Dedup {
       .distinct()
   }
 
+  // ---- Rep-collapsed candidate graph ----
+
+  /** Compact equality proxy for the (text, lang, n_chars) rep-group
+    * key: per-doc expansions join on a 32-char digest plus the
+    * metadata, never on the full payload (the same md5-equals-equality
+    * assumption [[dedupExact]] already makes).
+    */
+  private def repKey(df: DataFrame): DataFrame =
+    df.withColumn("tdig", md5(col("text")))
+
+  /** doc_id → representative id for every document. One co-partitioned
+    * shuffle join on the digest key — linear, no windows over
+    * unbounded text partitions.
+    */
+  private[graft] def docRepMap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = repKey(Tables.rebalanced(Tables.documents(spark, dir)))
+      .select(col("doc_id"), col("tdig"), col("lang"), col("n_chars"))
+    val reps = repKey(textReps(spark, dir))
+      .select(col("doc_id").as("rep_id"), col("tdig"), col("lang"), col("n_chars"))
+    docs.join(reps, Seq("tdig", "lang", "n_chars"))
+      .select(col("doc_id"), col("rep_id"))
+  }
+
+  /** The candidate graph COLLAPSED to one node per rep group, with
+    * copy multiplicities carried — the scale form every graph/cluster
+    * consumer reads.
+    *
+    * The full-corpus candidate graph is exactly the clique blow-up of
+    * this graph: verbatim copies share every LSH band hash, so a group
+    * of n copies expands to an n-clique and a rep adjacency (a, b) to
+    * a complete na×nb bipartite edge set. Degree, triangle, PageRank,
+    * k-core, component and label-propagation readouts over the full
+    * graph all have closed forms over (nodes, edges) + multiplicities,
+    * so a boilerplate text duplicated n times costs O(n) here instead
+    * of the O(n²) clique edges the full band self-join would
+    * materialize — the 100 TB shape, where million-copy boilerplate
+    * clusters are the norm.
+    *
+    * nodes: (doc_id, n_copies, tdig, lang, n_chars) — rep groups that
+    * appear in the full graph (n_copies ≥ 2 makes the copies mutual
+    * candidates even without cross-text neighbors).
+    * edges: (doc_a, doc_b, na, nb) — cross-rep candidate pairs,
+    * doc_a < doc_b. Both sides are eagerly materialized
+    * (localCheckpoint) because every consumer walks them repeatedly.
+    */
+  private[graft] def repGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val reps = repKey(textReps(spark, dir))
+      .select(col("doc_id"), col("n_copies"), col("text"),
+        col("tdig"), col("lang"), col("n_chars"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = minhashCandidatePairsOf(
+        minhashSignaturesOf(reps.select(col("doc_id"), col("text"))))
+      .join(reps.select(col("doc_id").as("doc_a"), col("n_copies").as("na")), Seq("doc_a"))
+      .join(reps.select(col("doc_id").as("doc_b"), col("n_copies").as("nb")), Seq("doc_b"))
+      .localCheckpoint()
+    val endpoints = edges
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+      .withColumn("in_pair", lit(true))
+    val nodes = reps
+      .join(endpoints, Seq("doc_id"), "left_outer")
+      .filter(col("n_copies") >= 2 || col("in_pair"))
+      .select(col("doc_id"), col("n_copies"), col("tdig"), col("lang"), col("n_chars"))
+      .localCheckpoint()
+    reps.unpersist(blocking = false)
+    (nodes, edges)
+  }
+
+  /** Cluster labels over the rep graph: CC labels for reps with cross
+    * edges, self labels for isolated multi-copy groups (whose copies
+    * form a clique on their own). Because a group's rep id is the min
+    * doc_id of its copies, the min-reachable-rep label IS the
+    * min-reachable-doc label of the blown-up graph.
+    */
+  private def repClusterLabels(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val cc = connectedComponents(edges.select(col("doc_a"), col("doc_b")), maxIter = 50)
+    cc.union(
+      nodes.join(cc.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("cluster_id")))
+  }
+
   /** §2.3#73 — duplicate-cluster collapse: connected components over
     * a candidate-pair edge list by iterative min-label propagation
     * (each node adopts the smallest label in its neighborhood until
@@ -240,24 +328,39 @@ object Dedup {
   }
 
   /** §2.3#73 oracle surface: cluster collapse over the LSH candidate
-    * pairs — (doc_id, cluster_id = min reachable doc_id). maxIter 50
-    * (converges in a handful of rounds on shallow near-dup clusters;
-    * the early-exit check stops the loop at fixpoint).
+    * pairs — (doc_id, cluster_id = min reachable doc_id) for every
+    * document of the full graph. The iteration runs on the
+    * rep-collapsed graph ([[repGraph]] — maxIter 50, early exit at
+    * fixpoint), then labels fan back out per document through
+    * [[docRepMap]]: copies inherit their rep's label, which is exactly
+    * the full-graph answer because verbatim copies are always in their
+    * rep's component. The oracle stays the FULL-graph transitive
+    * closure, so the blow-up equivalence is checked, not assumed.
     */
-  def dedupCcClusters(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(minhashCandidatePairs(spark, dir), maxIter = 50)
+  def dedupCcClusters(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = repGraph(spark, dir)
+    docRepMap(spark, dir)
+      .join(repClusterLabels(nodes, edges).withColumnRenamed("doc_id", "rep_id"),
+        Seq("rep_id"))
+      .select(col("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
+  }
 
   /** §2.3#116 — cluster-size profile of the near-dup components: how
     * many clusters of each size exist (the dedup-savings readout a
-    * pipeline reports after clustering). Bounded two-level aggregate
-    * on top of [[dedupCcClusters]]'s labels.
+    * pipeline reports after clustering). Rep-collapsed: cluster sizes
+    * in DOCUMENTS are the sum of copy multiplicities over member reps
+    * — no per-document fan-out at all, just two bounded aggregates
+    * over the rep labels.
     */
-  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame =
-    connectedComponents(minhashCandidatePairs(spark, dir), maxIter = 50)
-      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = repGraph(spark, dir)
+    repClusterLabels(nodes, edges)
+      .join(nodes.select(col("doc_id"), col("n_copies")), Seq("doc_id"))
+      .groupBy(col("cluster_id")).agg(sum(col("n_copies")).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("cluster_size"))
+  }
 
   /** Shared CTE body: md5 band construction → candidate pairs (the
     * SQL twin of [[minhashCandidatePairs]]). Used by the CC oracles
@@ -448,52 +551,56 @@ object Dedup {
         (0 until MinhashK).map(k => element_at(col("sigs"), k + 1).as(s"sig$k")): _*)
       .orderBy(col("lang"))
 
-  /** §2.3#89 — the full near-dup pipeline in one plan: LSH candidate
-    * generation (linear band join) → exact Jaccard verification only
-    * on candidates. This is the production composition — the O(n²)
-    * verify work collapses to the candidate set the bands surface.
+  /** §2.3#89 — the full near-dup pipeline in one plan: exact-dedup
+    * rep collapse → LSH candidate generation (linear band join) →
+    * exact Jaccard verification only on cross-rep candidates. This is
+    * the production composition — verbatim-copy pairs (similarity 1 by
+    * construction, #27's job) never re-verify, and `n_doc_pairs`
+    * carries how many underlying document pairs each verified rep pair
+    * stands for, so the verify join is quadratic only in the DISTINCT
+    * near-dup core.
     */
   def dedupPipelineVerified(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val cand = minhashCandidatePairs(spark, dir)
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_sort(array_distinct(tokensCol(col("text")))).as("tokset"))
+    val reps = textReps(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_copies"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = minhashCandidatePairsOf(minhashSignaturesOf(reps))
+    val toks = reps.select(col("doc_id"), col("n_copies"),
+      array_sort(array_distinct(tokensCol(col("text")))).as("tokset"))
     cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("tokset").as("ta")), Seq("doc_a"))
-      .join(toks.select(col("doc_id").as("doc_b"), col("tokset").as("tb")), Seq("doc_b"))
+      .join(toks.select(col("doc_id").as("doc_a"), col("tokset").as("ta"),
+        col("n_copies").as("na")), Seq("doc_a"))
+      .join(toks.select(col("doc_id").as("doc_b"), col("tokset").as("tb"),
+        col("n_copies").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(jaccard_sorted(col("ta"), col("tb")), 4).as("jaccard"))
+        round(jaccard_sorted(col("ta"), col("tb")), 4).as("jaccard"),
+        (col("na") * col("nb")).as("n_doc_pairs"))
       .filter(col("jaccard") >= threshold)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** DuckDB oracle for [[dedupPipelineVerified]]. */
-  def pipelineVerifiedOracleSql: String = {
-    val sigExprs = (0 until MinhashK).map { k =>
-      s"list_aggregate(list_transform(sh, x -> md5('$k|' || x)), 'min') AS sig$k"
-    }.mkString(",\n  ")
-    val bandSelects = (0 until LshBands).map { b =>
-      val cat = (0 until 3).map(r => s"sig${3 * b + r}").mkString(" || ")
-      s"SELECT doc_id, CAST($b AS BIGINT) AS band_idx, md5($cat) AS band_hash FROM sig"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
-       |s AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
-       |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS sh FROM t),
-       |sig AS (SELECT doc_id,
-       |  $sigExprs
-       |  FROM s),
-       |bands AS ($bandSelects),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
-       |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
-       |tok AS (SELECT doc_id, list_distinct(toks) AS tokset FROM t)
-       |SELECT doc_a, doc_b, jaccard FROM (
-       |  SELECT doc_a, doc_b,
-       |    round(CAST(len(list_filter(ta.tokset, x -> list_contains(tb.tokset, x))) AS DOUBLE)
-       |      / CAST(len(list_distinct(list_concat(ta.tokset, tb.tokset))) AS DOUBLE), 4) AS jaccard
-       |  FROM cand JOIN tok ta ON cand.doc_a = ta.doc_id
-       |    JOIN tok tb ON cand.doc_b = tb.doc_id)
-       |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
-  }
+  /** Shared reps CTE for the rep-collapsed oracles — the SQL twin of
+    * [[textReps]] (grouped by text AND the carried metadata).
+    */
+  def repsOracleCte: String =
+    """reps AS (SELECT min(doc_id) AS doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_copies, text, lang, n_chars
+      |  FROM documents GROUP BY text, lang, n_chars)""".stripMargin
+
+  /** DuckDB oracle for [[dedupPipelineVerified]] (rep-collapsed). */
+  def pipelineVerifiedOracleSql: String =
+    "WITH " + repsOracleCte + ",\n" + candOracleBodyFrom("reps") + """,
+      |tok AS (SELECT doc_id, list_distinct(toks) AS tokset FROM t)
+      |SELECT doc_a, doc_b, jaccard, n_doc_pairs FROM (
+      |  SELECT doc_a, doc_b,
+      |    round(CAST(len(list_filter(ta.tokset, x -> list_contains(tb.tokset, x))) AS DOUBLE)
+      |      / CAST(len(list_distinct(list_concat(ta.tokset, tb.tokset))) AS DOUBLE), 4) AS jaccard,
+      |    ca.n_copies * cb.n_copies AS n_doc_pairs
+      |  FROM cand JOIN tok ta ON cand.doc_a = ta.doc_id
+      |    JOIN tok tb ON cand.doc_b = tb.doc_id
+      |    JOIN reps ca ON cand.doc_a = ca.doc_id
+      |    JOIN reps cb ON cand.doc_b = cb.doc_id)
+      |WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
   /** DuckDB oracle for [[dedupMinhashByLang]]. */
   def minhashByLangOracleSql: String = {
@@ -578,9 +685,15 @@ object Dedup {
     * max-of-struct, so there is no per-cluster sort/window pass.
     */
   def dedupQualitySurvivors(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = dedupCcClusters(spark, dir)
-    val quality = graft.text.TextAnalysis.textQuality(spark, dir)
-      .select(col("doc_id"), col("quality_score"))
+    // rep-collapsed end-to-end: the quality score is a pure function
+    // of the text, so every copy shares its rep's score and the
+    // (max quality, min doc_id) survivor of a cluster is always a rep
+    // id — the per-document fan-out never has to exist. cluster_size
+    // in DOCUMENTS is the sum of copy multiplicities.
+    val (nodes, edges) = repGraph(spark, dir)
+    val quality = textReps(spark, dir)
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.qualityScoreCol(col("text")).as("quality_score"))
     // survivor = max of ONE packed long inside the groupBy the
     // readout needs anyway — no per-cluster sort/window pass. The
     // quality score is already quantized to 4 decimals, so
@@ -590,12 +703,14 @@ object Dedup {
     // fast path into SortAggregate — measured 30% slower; the packed
     // key keeps both aggregate passes in whole-stage codegen.)
     val M = (1L << 40) - 1 // doc ids fit 40 bits; key ≤ 10⁴·2⁴⁰ < 2⁵⁴
-    clusters.join(quality, Seq("doc_id"))
+    repClusterLabels(nodes, edges)
+      .join(nodes.select(col("doc_id"), col("n_copies")), Seq("doc_id"))
+      .join(quality, Seq("doc_id"))
       .withColumn("skey",
         round(col("quality_score") * 10000).cast("long") * (M + 1) +
           (lit(M) - col("doc_id")))
       .groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"),
+      .agg(sum(col("n_copies")).as("cluster_size"),
         max(col("skey")).as("k"),
         max(col("quality_score")).as("survivor_quality"))
       .select(col("cluster_id"), col("cluster_size"),
@@ -689,11 +804,17 @@ object Dedup {
         aggregate(zip_with(col("siga"), col("sigb"),
           (a, b) => when(a === b, 1L).otherwise(0L)), lit(0L), _ + _)
           .as("n_agree"),
-        round(
-          size(array_intersect(col("sha"), col("shb"))).cast("double") /
-            size(array_distinct(concat(col("sha"), col("shb")))).cast("double")
-            * 10000)
-          .cast("long").as("jac_scaled"))
+        // empty-shingle guard (both texts < 3 tokens): the Jaccard of
+        // two empty sets is taken as 1 — identical-by-vacuity, the
+        // same convention dedupContainment uses — instead of a NULL
+        // (Spark 0/0) that would silently drop the pair from the mean
+        // while still counting it, or an engine-divergent NaN cast.
+        when(size(array_distinct(concat(col("sha"), col("shb")))) > 0,
+          round(
+            size(array_intersect(col("sha"), col("shb"))).cast("double") /
+              size(array_distinct(concat(col("sha"), col("shb")))).cast("double")
+              * 10000).cast("long"))
+          .otherwise(lit(10000L)).as("jac_scaled"))
       .groupBy(col("n_agree"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("jac_scaled")).as("jsum"))
       .select(col("n_agree"),
@@ -706,10 +827,7 @@ object Dedup {
 
   /** DuckDB oracle for [[dedupContainment]] (representative-collapsed). */
   def containmentOracleSql: String =
-    """WITH reps AS (SELECT min(doc_id) AS doc_id,
-      |  CAST(count(*) AS BIGINT) AS n_copies, text
-      |  FROM documents GROUP BY text),
-      |""".stripMargin + candOracleBodyFrom("reps") + """,
+    "WITH " + repsOracleCte + ",\n" + candOracleBodyFrom("reps") + """,
       |sets AS (SELECT doc_id, list_sort(list_distinct(sh)) AS shs FROM s)
       |SELECT doc_a, doc_b,
       |  CAST(len(a.shs) AS BIGINT) AS n_a,

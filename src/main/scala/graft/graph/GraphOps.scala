@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -9,45 +9,80 @@ import graft.dedup.Dedup
   * candidate pairs form a graph whose shape a dedup pipeline monitors
   * — degree distribution (is any doc a hub that will blow up
   * verification?) and triangle count (how clique-like are the
-  * clusters?). Both stay distributed: degree is one explode + two
-  * bounded aggregations; triangles use the ordered-edge join (each
-  * triangle counted exactly once at its smallest vertex), never an
-  * all-pairs pass. LSH band width bounds bucket sizes and therefore
-  * node degree, which is what keeps the e1⋈e2 wedge join from
-  * exploding at 100 TB.
+  * clusters?).
+  *
+  * Every operator here runs on the REP-COLLAPSED candidate graph
+  * ([[Dedup.repGraph]]): one node per distinct text group with its
+  * copy multiplicity, cross-rep candidate edges with both
+  * multiplicities. The full-corpus graph is exactly the clique
+  * blow-up of that graph (verbatim copies share every LSH band), so
+  * degree/triangle/PageRank/k-core/label readouts are recovered in
+  * CLOSED FORM from multiplicities — a boilerplate text duplicated n
+  * times costs O(n), never the O(n²) clique edges the full band
+  * self-join would materialize. The DuckDB oracles (except PageRank,
+  * whose float iteration must replay the same operation multiset)
+  * still compute over the FULL graph, so the blow-up equivalence is
+  * verified per run, not assumed.
   */
 object GraphOps {
 
-  private def pairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidatePairs(spark, dir)
+  /** Rep-collapsed candidate graph: (nodes, edges) per [[Dedup.repGraph]]. */
+  private def graphOf(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    Dedup.repGraph(spark, dir)
 
-  /** §2.3#128 — degree histogram of the candidate graph. */
-  def graphDegreeHist(spark: SparkSession, dir: String): DataFrame =
-    pairs(spark, dir)
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("degree"))
-      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+  /** Per-rep full-graph degree: every copy of rep r has degree
+    * (n_r − 1) + Σ_{s~r} n_s — its own clique siblings plus every copy
+    * of every adjacent rep. One explode + bounded agg on the rep
+    * edges. Returns (doc_id, n_copies, deg).
+    */
+  private def repDegrees(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("doc_a").as("doc_id"), col("nb").as("w"))
+      .union(edges.select(col("doc_b").as("doc_id"), col("na").as("w")))
+    val nbr = sym.groupBy(col("doc_id")).agg(sum(col("w")).as("nbr_n"))
+    nodes.join(nbr, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_copies"),
+        (col("n_copies") - 1 + coalesce(col("nbr_n"), lit(0L))).as("deg"))
+  }
+
+  /** §2.3#128 — degree histogram of the candidate graph: all n_r
+    * copies of a rep share one degree, so the histogram weights each
+    * rep's degree cell by its multiplicity.
+    */
+  def graphDegreeHist(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = graphOf(spark, dir)
+    repDegrees(nodes, edges)
+      .groupBy(col("deg").as("degree"))
+      .agg(sum(col("n_copies")).as("n_nodes"))
       .orderBy(col("degree"))
+  }
 
-  /** §2.3#129 — global graph profile: nodes, edges, triangles. The
-    * triangle pass joins ordered edges (doc_a < doc_b everywhere):
-    * wedges e1=(a,b), e2=(b,c) close iff (a,c) is an edge.
+  /** §2.3#129 — global graph profile: nodes, edges, triangles of the
+    * full graph, in closed form over the rep graph. Triangles
+    * decompose by how many vertices share a clique: three distinct
+    * reps (ordered wedge join, multiplicity product n_a·n_b·n_c), two
+    * in one clique + one adjacent (C(n,2)·n_other per rep edge), or
+    * all three in one clique (C(n,3) per rep).
     */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    // localCheckpoint (eager) instead of cache(): the pair set is
-    // materialized once for its three consumers, and the blocks are
-    // released by the ContextCleaner when the plan is GC'd — a
-    // .cache() here leaked CacheManager entries on every invocation
-    val e = pairs(spark, dir).localCheckpoint()
-    val tri = e.as("e1")
+    val (nodes, e) = graphOf(spark, dir)
+    val t1 = e.as("e1")
       .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
       .join(e.as("e3"),
         col("e3.doc_a") === col("e1.doc_a") && col("e3.doc_b") === col("e2.doc_b"))
-      .agg(count(lit(1)).as("n_triangles"))
-    val nodes = e.select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
-      .agg(countDistinct(col("d")).as("n_nodes"))
-    val edges = e.agg(count(lit(1)).as("n_edges"))
-    nodes.crossJoin(edges).crossJoin(tri)
+      .agg(coalesce(sum(col("e1.na") * col("e1.nb") * col("e2.nb")), lit(0L)).as("t1"))
+    val t2 = e.agg(coalesce(sum(
+        expr("na * (na - 1) div 2") * col("nb") +
+          expr("nb * (nb - 1) div 2") * col("na")), lit(0L)).as("t2"))
+    val t3 = nodes.agg(coalesce(
+      sum(expr("n_copies * (n_copies - 1) * (n_copies - 2) div 6")), lit(0L)).as("t3"))
+    val nNodes = nodes.agg(coalesce(sum(col("n_copies")), lit(0L)).as("n_nodes"))
+    val nEdges = e.agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("cross_e"))
+      .crossJoin(nodes.agg(coalesce(
+        sum(expr("n_copies * (n_copies - 1) div 2")), lit(0L)).as("within_e")))
+      .select((col("cross_e") + col("within_e")).as("n_edges"))
+    nNodes.crossJoin(nEdges).crossJoin(t1).crossJoin(t2).crossJoin(t3)
+      .select(col("n_nodes"), col("n_edges"),
+        (col("t1") + col("t2") + col("t3")).as("n_triangles"))
   }
 
   /** §2.3 `graph_assortativity` — degree assortativity of the
@@ -55,25 +90,51 @@ object GraphOps {
     * the symmetric edge incidence (each undirected edge counted both
     * directions). Positive r = hubs pair with hubs (clique-like
     * near-dup clusters, the verification hotspots); negative = star
-    * families around one template doc. Degrees are one explode +
-    * bounded agg; the corr is a single-pass moment aggregate after
-    * two bounded-key joins.
+    * families around one template doc.
+    *
+    * Computed from EXACT integer sufficient sums over the rep graph
+    * (degrees and multiplicities are integers; sums accumulate in
+    * decimal so nothing wraps), with one IEEE division at the end —
+    * the same engine-exact contract as the money paths. A cross edge
+    * (a,b) stands for n_a·n_b full edges with endpoint degrees
+    * (d_a, d_b); a clique contributes C(n,2) edges with (d, d). By
+    * symmetry Σx = Σy, so r = (N·Σxy − (Σx)²) / (N·Σx² − (Σx)²).
     */
   def graphAssortativity(spark: SparkSession, dir: String): DataFrame = {
-    val e = pairs(spark, dir).localCheckpoint()
-    val deg = e.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
-    val sym = e.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(e.select(col("doc_b").as("u"), col("doc_a").as("v")))
-    sym
-      .join(deg.select(col("doc_id").as("u"), col("deg").as("du")), Seq("u"))
-      .join(deg.select(col("doc_id").as("v"), col("deg").as("dv")), Seq("v"))
-      .agg(count(lit(1)).as("n_endpoints"),
-        round(corr(col("du").cast("double"), col("dv").cast("double")), 4)
+    val (nodes, edges) = graphOf(spark, dir)
+    val dm = repDegrees(nodes, edges)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // per-row exact contributions (longs — magnitudes bounded by
+    // w·d² ≤ 1e6·(1e4)² ≈ 1e14 at stress scale), summed in decimal
+    val crossC = edges
+      .join(dm.select(col("doc_id").as("doc_a"), col("deg").as("da")), Seq("doc_a"))
+      .join(dm.select(col("doc_id").as("doc_b"), col("deg").as("db")), Seq("doc_b"))
+      .select((col("na") * col("nb")).as("w"), col("da"), col("db"))
+      .select((col("w") * 2).as("n"),
+        (col("w") * (col("da") + col("db"))).as("sx"),
+        (col("w") * (col("da") * col("da") + col("db") * col("db"))).as("sxx"),
+        (col("w") * 2 * col("da") * col("db")).as("sxy"))
+    val withinC = dm.filter(col("n_copies") >= 2)
+      .select(expr("n_copies * (n_copies - 1)").as("c2"), col("deg"))
+      .select(col("c2").as("n"), (col("c2") * col("deg")).as("sx"),
+        (col("c2") * col("deg") * col("deg")).as("sxx"),
+        (col("c2") * col("deg") * col("deg")).as("sxy"))
+    crossC.union(withinC)
+      .agg(sum(dec(col("n"))).as("n"), sum(dec(col("sx"))).as("sx"),
+        sum(dec(col("sxx"))).as("sxx"), sum(dec(col("sxy"))).as("sxy"))
+      .select(col("n").cast("long").as("n_endpoints"),
+        when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(null))
+          .otherwise(round(
+            (col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 4))
           .as("assortativity"))
   }
 
-  /** DuckDB oracle for [[graphAssortativity]]. */
+  /** DuckDB oracle for [[graphAssortativity]] — the FULL graph, same
+    * exact-integer moment formula (DuckDB sums BIGINT into HUGEINT, so
+    * both engines form the identical exact integers before the one
+    * double division).
+    */
   def assortativityOracleSql: String =
     "WITH " + Dedup.candOracleBody +
       """,
@@ -81,73 +142,115 @@ object GraphOps {
         |  SELECT doc_a AS d FROM cand UNION ALL SELECT doc_b FROM cand)
         |  GROUP BY 1),
         |sym AS (SELECT doc_a AS u, doc_b AS v FROM cand
-        |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM cand)
-        |SELECT count(*) AS n_endpoints,
-        |  round(corr(a.deg, b.deg), 4) AS assortativity
-        |FROM sym JOIN deg a ON sym.u = a.d JOIN deg b ON sym.v = b.d""".stripMargin
+        |  UNION ALL SELECT doc_b AS u, doc_a AS v FROM cand),
+        |j AS (SELECT a.deg AS du, b.deg AS dv
+        |  FROM sym JOIN deg a ON sym.u = a.d JOIN deg b ON sym.v = b.d),
+        |st AS (SELECT count(*) AS n, sum(du) AS sx,
+        |  sum(du * du) AS sxx, sum(du * dv) AS sxy FROM j)
+        |SELECT CAST(n AS BIGINT) AS n_endpoints,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE round(CAST(n * sxy - sx * sx AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE), 4) END AS assortativity
+        |FROM st""".stripMargin
 
   /** §2.3#149 — PageRank over the undirected candidate graph: five
-    * fixed damped iterations (d = 0.85) of the pregel-style
-    * message-passing layout — each step joins ranks to the edge list
-    * on the source key and re-aggregates on the destination, so one
-    * iteration is exactly two shuffles on node id and nothing is ever
-    * driver-resident except the node count (a scalar). Lineage is cut
-    * per step with an eager localCheckpoint exactly like the
-    * connected-components loop. Fixed iteration count keeps the
-    * result a deterministic function the SQL oracle replays unrolled.
+    * fixed damped iterations (d = 0.85) of pregel-style message
+    * passing ON THE REP GRAPH. In the clique blow-up every copy of a
+    * rep is symmetric, so all copies share one rank value and the
+    * full-graph update collapses exactly to
+    * p'_t = (1−d)/N + d·[(n_t−1)·p_t/deg_t + Σ_{s~t} n_s·p_s/deg_s]
+    * with N = Σ n_r full nodes and deg the blown-up degree — one
+    * join + re-aggregate shuffle pair per iteration, lineage cut per
+    * step, and only the scalar N driver-resident. The per-doc output
+    * fans the rep ranks back out through the doc→rep map (linear).
     */
   def graphPagerank(spark: SparkSession, dir: String, iters: Int = 5,
       damp: Double = 0.85): DataFrame = {
-    val p = pairs(spark, dir)
-    val e = p.select(col("doc_a").as("s"), col("doc_b").as("t"))
-      .union(p.select(col("doc_b").as("s"), col("doc_a").as("t")))
+    val (nodes, edges) = graphOf(spark, dir)
+    val stat = repDegrees(nodes, edges).localCheckpoint()
+    val n = nodes.agg(coalesce(sum(col("n_copies")), lit(0L)))
+      .first().getLong(0) // scalar full-node count, the only driver-side value
+    val adj = edges.select(col("doc_a").as("s"), col("doc_b").as("t"), col("na").as("ns"))
+      .union(edges.select(col("doc_b").as("s"), col("doc_a").as("t"), col("nb").as("ns")))
       .localCheckpoint()
-    val deg = e.groupBy(col("s")).agg(count(lit(1)).as("d"))
-    val n = deg.count() // scalar node count, the only driver-side value
-    var r = deg.select(col("s").as("node"), lit(1.0 / n).as("r"))
+    var r = stat.select(col("doc_id").as("node"), lit(1.0 / n).as("r"))
     var it = 0
     while (it < iters) {
-      r = e.join(r, e("s") === r("node"))
-        .join(deg, "s")
-        .groupBy(col("t"))
-        .agg(sum(col("r") / col("d")).as("contrib"))
-        .select(col("t").as("node"),
+      val msgs = adj
+        .join(r.withColumnRenamed("node", "s"), Seq("s"))
+        .join(stat.select(col("doc_id").as("s"), col("deg").as("ds")), Seq("s"))
+        .select(col("t").as("node"), (col("ns") * col("r") / col("ds")).as("m"))
+      val self = r
+        .join(stat.select(col("doc_id").as("node"), col("n_copies"), col("deg")),
+          Seq("node"))
+        .select(col("node"),
+          ((col("n_copies") - 1) * col("r") / col("deg")).as("m"))
+      r = msgs.union(self)
+        .groupBy(col("node"))
+        .agg(sum(col("m")).as("contrib"))
+        .select(col("node"),
           (lit((1 - damp) / n) + lit(damp) * col("contrib")).as("r"))
         .localCheckpoint()
       it += 1
     }
-    r.select(col("node").as("doc_id"),
-        (round(col("r"), 6) + lit(0.0)).as("pagerank"))
+    Dedup.docRepMap(spark, dir)
+      .join(r.select(col("node").as("rep_id"),
+        (round(col("r"), 6) + lit(0.0)).as("pagerank")), Seq("rep_id"))
+      .select(col("doc_id"), col("pagerank"))
       .orderBy(col("doc_id"))
   }
 
-  /** DuckDB oracle for [[graphPagerank]]: the same five damped
-    * iterations unrolled, every CTE MATERIALIZED (multiply-referenced
-    * plain CTEs re-inline their whole prefix per reference).
+  /** DuckDB oracle for [[graphPagerank]]: the same rep-collapsed
+    * closed-form iterations unrolled (the float sums must replay the
+    * same operation multiset — the full-graph restatement would add
+    * p/d to itself n times where the collapsed form multiplies once,
+    * an ulp-level divergence that compounds across iterations), with
+    * the per-doc fan-out through the same doc→rep join. Every CTE
+    * MATERIALIZED (multiply-referenced plain CTEs re-inline their
+    * whole prefix per reference).
     */
   def pagerankOracleSql(iters: Int = 5): String = {
     val sb = new StringBuilder
-    sb ++= "WITH " + Dedup.candOracleBody
+    sb ++= "WITH " + Dedup.repsOracleCte + ",\n" + Dedup.candOracleBodyFrom("reps")
     sb ++= """,
-             |ed AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM cand
-             |  UNION ALL SELECT doc_b AS s, doc_a AS t FROM cand),
-             |deg AS MATERIALIZED (SELECT s, CAST(count(*) AS DOUBLE) AS d FROM ed GROUP BY 1),
-             |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
-             |r0 AS MATERIALIZED (SELECT s AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg)""".stripMargin
+             |ed AS MATERIALIZED (
+             |  SELECT c.doc_a AS s, c.doc_b AS t, ra.n_copies AS ns FROM cand c
+             |    JOIN reps ra ON c.doc_a = ra.doc_id
+             |  UNION ALL
+             |  SELECT c.doc_b AS s, c.doc_a AS t, rb.n_copies AS ns FROM cand c
+             |    JOIN reps rb ON c.doc_b = rb.doc_id),
+             |nodes AS MATERIALIZED (SELECT r.doc_id AS node, r.n_copies FROM reps r
+             |  WHERE r.n_copies >= 2 OR r.doc_id IN (
+             |    SELECT doc_a FROM cand UNION ALL SELECT doc_b FROM cand)),
+             |deg AS MATERIALIZED (SELECT n.node, n.n_copies,
+             |  CAST(n.n_copies - 1 + coalesce((SELECT sum(e.ns) FROM ed e
+             |    WHERE e.t = n.node), 0) AS DOUBLE) AS d
+             |  FROM nodes n),
+             |nn AS MATERIALIZED (SELECT CAST(sum(n_copies) AS DOUBLE) AS n FROM nodes),
+             |r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM deg)""".stripMargin
     for (k <- 1 to iters) {
       sb ++= s""",
-                |r$k AS MATERIALIZED (SELECT ed.t AS node,
-                |  0.15 / (SELECT n FROM nn) + 0.85 * sum(r${k - 1}.r / deg.d) AS r
-                |  FROM ed JOIN r${k - 1} ON ed.s = r${k - 1}.node
-                |  JOIN deg ON ed.s = deg.s GROUP BY 1)""".stripMargin
+                |r$k AS MATERIALIZED (SELECT node,
+                |  0.15 / (SELECT n FROM nn) + 0.85 * sum(m) AS r FROM (
+                |  SELECT ed.t AS node, ed.ns * p.r / deg.d AS m
+                |    FROM ed JOIN r${k - 1} p ON ed.s = p.node
+                |    JOIN deg ON ed.s = deg.node
+                |  UNION ALL
+                |  SELECT p.node AS node, (deg.n_copies - 1) * p.r / deg.d AS m
+                |    FROM r${k - 1} p JOIN deg ON p.node = deg.node)
+                |  GROUP BY node)""".stripMargin
     }
     sb ++= s"""
-              |SELECT node AS doc_id, round(r, 6) + 0.0 AS pagerank
-              |FROM r$iters ORDER BY doc_id""".stripMargin
+              |SELECT d.doc_id, round(r$iters.r, 6) + 0.0 AS pagerank
+              |FROM documents d
+              |JOIN reps ON d.text = reps.text AND d.lang = reps.lang
+              |  AND d.n_chars = reps.n_chars
+              |JOIN r$iters ON reps.doc_id = r$iters.node
+              |ORDER BY d.doc_id""".stripMargin
     sb.toString
   }
 
-  /** DuckDB oracle for [[graphDegreeHist]]. */
+  /** DuckDB oracle for [[graphDegreeHist]] (full graph). */
   def degreeHistOracleSql: String =
     "WITH " + Dedup.candOracleBody +
       """,
@@ -158,22 +261,29 @@ object GraphOps {
         |SELECT degree, count(*) AS n_nodes FROM deg
         |GROUP BY degree ORDER BY degree""".stripMargin
 
-  /** §2.3#168 — multi-source BFS layers: frontier expansion from the
-    * deterministic seed set (node % 29 == 0) over the candidate
-    * graph, k fixed rounds. Each round is ONE equi-join of the
-    * current frontier to the edge list plus an anti-join against the
-    * visited set — the textbook distributed BFS where work per round
-    * is proportional to the frontier, never the whole graph; lineage
-    * is cut per round like the pagerank/CC loops. Output is the
-    * bounded per-level node count (reachability profile).
+  /** §2.3#168 — multi-source BFS layers from the deterministic seed
+    * set (doc_id % 29 == 0 over graph nodes), k fixed rounds, on the
+    * rep graph. Copies of one rep are symmetric except for seedhood,
+    * so the doc-level layers have a closed form: a seeded rep's seed
+    * copies sit at distance 0 and its remaining copies at distance 1
+    * (clique edge to a seed); every copy of a rep first reached at
+    * rep-round k sits at distance k. Each round is one frontier join
+    * + anti-join, work proportional to the frontier.
     */
   def graphBfsLayers(spark: SparkSession, dir: String, iters: Int = 4): DataFrame = {
-    val p = pairs(spark, dir)
-    val e = p.select(col("doc_a").as("s"), col("doc_b").as("t"))
-      .union(p.select(col("doc_b").as("s"), col("doc_a").as("t")))
+    val (nodes, edges) = graphOf(spark, dir)
+    val seeds = Dedup.docRepMap(spark, dir)
+      .filter(col("doc_id") % 29 === 0)
+      .groupBy(col("rep_id")).agg(count(lit(1)).as("n_seeds"))
+    val st = nodes
+      .join(seeds.withColumnRenamed("rep_id", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id").as("node"), col("n_copies"),
+        coalesce(col("n_seeds"), lit(0L)).as("n_seeds"))
       .localCheckpoint()
-    var visited = e.select(col("s").as("node")).distinct()
-      .filter(col("node") % 29 === 0)
+    val e = edges.select(col("doc_a").as("s"), col("doc_b").as("t"))
+      .union(edges.select(col("doc_b").as("s"), col("doc_a").as("t")))
+      .localCheckpoint()
+    var visited = st.filter(col("n_seeds") > 0)
       .select(col("node"), lit(0L).as("dist"))
       .localCheckpoint()
     var frontier = visited
@@ -189,11 +299,22 @@ object GraphOps {
       frontier = next
       it += 1
     }
-    visited.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+    val repDist = visited.join(st, Seq("node"))
+    val zero = repDist.filter(col("dist") === 0)
+      .select(lit(0L).as("dist"), col("n_seeds").as("w"))
+    val cliqueOne = repDist.filter(col("dist") === 0)
+      .select(lit(1L).as("dist"), (col("n_copies") - col("n_seeds")).as("w"))
+    val rest = repDist.filter(col("dist") >= 1)
+      .select(col("dist"), col("n_copies").as("w"))
+    zero.union(cliqueOne).union(rest)
+      .groupBy(col("dist")).agg(sum(col("w")).as("n_nodes"))
+      .filter(col("n_nodes") > 0)
       .orderBy(col("dist"))
   }
 
-  /** DuckDB oracle for [[graphBfsLayers]] — the same rounds unrolled. */
+  /** DuckDB oracle for [[graphBfsLayers]] — the FULL graph rounds
+    * unrolled (checks the closed-form layer expansion).
+    */
   def bfsOracleSql(iters: Int = 4): String = {
     val sb = new StringBuilder
     sb ++= "WITH " + Dedup.candOracleBody
@@ -218,41 +339,50 @@ object GraphOps {
   }
 
   /** §2.3#194 — k-core peeling profile: repeatedly drop nodes of
-    * degree < k and restrict the edge list to survivors, a fixed
-    * number of rounds (the dense-community filter used to pick
-    * high-connectivity dup clusters). Each round is one partial-agg
-    * degree count plus two semi-joins — work shrinks with the
-    * surviving subgraph, nothing driver-resident but two per-round
-    * scalars, lineage cut per round like the CC/PageRank loops. Fixed
-    * rounds keep it a deterministic function the oracle unrolls.
+    * degree < k, a fixed number of rounds, on the rep graph. Copies
+    * of a rep share one degree at every round, so whole rep groups
+    * peel together and the per-round removed/remaining counts are
+    * multiplicity sums. Work shrinks with the surviving subgraph;
+    * only two per-round scalars are driver-resident; lineage cut per
+    * round like the CC/PageRank loops.
     */
   def graphKcore(spark: SparkSession, dir: String, k: Int = 3,
       rounds: Int = 4): DataFrame = {
     import spark.implicits._
-    val p = pairs(spark, dir)
-    var edges = p.select(col("doc_a").as("s"), col("doc_b").as("t"))
-      .union(p.select(col("doc_b").as("s"), col("doc_a").as("t")))
-      .localCheckpoint()
+    val (nodes0, edges0) = graphOf(spark, dir)
+    var cur = nodes0.select(col("doc_id"), col("n_copies"))
+    var edges = edges0.select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
     val profile = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     var r = 1
     while (r <= rounds) {
-      val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("d"))
+      val sym = edges.select(col("doc_a").as("doc_id"), col("nb").as("w"))
+        .union(edges.select(col("doc_b").as("doc_id"), col("na").as("w")))
+      val nbr = sym.groupBy(col("doc_id")).agg(sum(col("w")).as("nbr_n"))
+      // present = still carries ≥1 edge (a clique of its own copies
+      // counts); nodes whose edges all vanished drop out uncounted,
+      // exactly like the full-graph edge-list degree scan
+      val present = cur.join(nbr, Seq("doc_id"), "left_outer")
+        .filter(col("n_copies") >= 2 || col("nbr_n").isNotNull)
+        .select(col("doc_id"), col("n_copies"),
+          (col("n_copies") - 1 + coalesce(col("nbr_n"), lit(0L))).as("deg"))
         .localCheckpoint()
-      val keep = deg.filter(col("d") >= k).select(col("s").as("node"))
-        .localCheckpoint()
-      val nKeep = keep.count()
-      val nRemoved = deg.count() - nKeep
+      val keep = present.filter(col("deg") >= k).localCheckpoint()
+      val nKeep = keep.agg(coalesce(sum(col("n_copies")), lit(0L))).first().getLong(0)
+      val nPresent = present.agg(coalesce(sum(col("n_copies")), lit(0L))).first().getLong(0)
       edges = edges
-        .join(keep.select(col("node").as("ks")), col("s") === col("ks"), "left_semi")
-        .join(keep.select(col("node").as("kt")), col("t") === col("kt"), "left_semi")
+        .join(keep.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(keep.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
         .localCheckpoint()
-      profile += ((r.toLong, nRemoved, nKeep))
+      cur = keep.select(col("doc_id"), col("n_copies"))
+      profile += ((r.toLong, nPresent - nKeep, nKeep))
       r += 1
     }
     profile.toSeq.toDF("round", "n_removed", "n_remaining")
   }
 
-  /** DuckDB oracle for [[graphKcore]] — the same peel rounds unrolled. */
+  /** DuckDB oracle for [[graphKcore]] — the FULL graph peel rounds
+    * unrolled (checks the grouped-peel closed form).
+    */
   def kcoreOracleSql(k: Int = 3, rounds: Int = 4): String = {
     val sb = new StringBuilder
     sb ++= "WITH " + Dedup.candOracleBody
@@ -276,24 +406,21 @@ object GraphOps {
     sb.toString
   }
 
-  /** §2.3 `graph_label_prop` — bounded-round min-label propagation
-    * over the candidate graph: every node starts as its own label and
-    * each round takes the min of its own and its neighbors' labels.
-    * Full connected components ([[graft.dedup.Dedup.dedupCcClusters]])
-    * iterates this to fixpoint; at 100 TB you cap the rounds — label
-    * propagation converges within the graph diameter, and near-dup
-    * cluster diameters are small — and read off the cluster-size
-    * histogram. Each round is one keyed join + partial-agg min, the
-    * lineage cut per round (the PageRank/BFS loop shape); nothing is
-    * ever driver-resident.
+  /** §2.3 `graph_label_prop` — bounded-round min-label propagation on
+    * the rep graph. After t ≥ 1 rounds a node's label is the minimum
+    * id within its radius-t ball; in the blow-up every copy's ball
+    * covers its whole group (distance ≤ 1) plus all groups within
+    * rep-distance t, so every copy inherits exactly the rep-graph
+    * label and cluster sizes are multiplicity sums. Each round is one
+    * keyed join + partial-agg min, lineage cut per round.
     */
   def graphLabelProp(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    val p = pairs(spark, dir)
-    val e = p.select(col("doc_a").as("s"), col("doc_b").as("t"))
-      .union(p.select(col("doc_b").as("s"), col("doc_a").as("t")))
+    val (nodes, edges) = graphOf(spark, dir)
+    val e = edges.select(col("doc_a").as("s"), col("doc_b").as("t"))
+      .union(edges.select(col("doc_b").as("s"), col("doc_a").as("t")))
       .localCheckpoint()
-    var labels = e.select(col("s").as("node")).distinct()
-      .withColumn("label", col("node"))
+    var labels = nodes
+      .select(col("doc_id").as("node"), col("doc_id").as("label"), col("n_copies"))
       .localCheckpoint()
     var it = 0
     while (it < rounds) {
@@ -302,16 +429,19 @@ object GraphOps {
         .groupBy(col("t").as("node")).agg(min(col("nl")).as("nbr_min"))
       labels = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          col("n_copies"))
         .localCheckpoint()
       it += 1
     }
-    labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.groupBy(col("label")).agg(sum(col("n_copies")).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("cluster_size"))
   }
 
-  /** DuckDB oracle for [[graphLabelProp]] — the same rounds unrolled. */
+  /** DuckDB oracle for [[graphLabelProp]] — the FULL graph rounds
+    * unrolled (checks the ball-radius closed form).
+    */
   def labelPropOracleSql(rounds: Int = 3): String = {
     val sb = new StringBuilder
     sb ++= "WITH " + Dedup.candOracleBody
@@ -388,7 +518,7 @@ object GraphOps {
       |FROM p JOIN n na ON p.pa = na.part JOIN n nb ON p.pb = nb.part
       |ORDER BY jaccard DESC, pa, pb LIMIT 20""".stripMargin
 
-  /** DuckDB oracle for [[graphTriangles]]. */
+  /** DuckDB oracle for [[graphTriangles]] (full graph). */
   def trianglesOracleSql: String =
     "WITH " + Dedup.candOracleBody +
       """,

@@ -87,9 +87,14 @@ object Media {
     val sized = mediaTable(spark, dir)
       .select(col("meta.mime").as("mime"),
         length(col("media")).cast("long").as("n_bytes"))
+    // s2 accumulates in decimal: per-row squares fit a long (payloads
+    // < 2³¹ bytes), but their SUM crosses 2⁶³ at ~10⁷ megabyte-scale
+    // assets — exactly the design point — and non-ANSI long sums wrap
+    // silently. Decimal(38) is exact to 10³⁸ and the oracle's HUGEINT
+    // sum matches it bit-for-bit after the one double cast.
     val stats = sized.groupBy(col("mime"))
       .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("s1"),
-        sum(col("n_bytes") * col("n_bytes")).as("s2"))
+        sum((col("n_bytes") * col("n_bytes")).cast("decimal(38,0)")).as("s2"))
       .select(col("mime"), col("n"),
         (col("s1").cast("double") / col("n")).as("mean_b"),
         sqrt((col("s2").cast("double") -
@@ -461,20 +466,33 @@ object Media {
     * on band value and stays linear in candidates.
     */
   def mmPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    // exact-collapse BEFORE banding: the candidate relation is a pure
+    // function of the phash (band share ∧ hamming ≤ 3), so payloads
+    // with identical fingerprints — every byte-identical duplicate
+    // included — collapse to one representative with a multiplicity,
+    // and the band self-join is quadratic only in DISTINCT
+    // fingerprints per bucket, never in duplicate-cluster depth (the
+    // 9.4× stress tail this op carried before). `n_pairs` reports how
+    // many underlying payload pairs each rep pair stands for;
+    // byte-identical clusters themselves are mm_payload_dedup's
+    // readout, exactly as exact text dups are dedup_exact's.
     val hashed = mediaTable(spark, dir)
       .select(col("doc_id"),
         graft.functions.MediaFunctions.dhash32(col("media")).as("phash"))
-    val banded = hashed.select(col("doc_id"), col("phash"),
+      .groupBy(col("phash"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+    val banded = hashed.select(col("doc_id"), col("phash"), col("n_copies"),
         explode(sequence(lit(0), lit(3))).as("j"))
       .withColumn("band", expr("shiftright(phash, cast(j * 8 as int)) & 255"))
     val a = banded.select(col("j"), col("band"), col("doc_id").as("a_id"),
-      col("phash").as("a_hash"))
+      col("phash").as("a_hash"), col("n_copies").as("na"))
     val b = banded.select(col("j"), col("band"), col("doc_id").as("b_id"),
-      col("phash").as("b_hash"))
+      col("phash").as("b_hash"), col("n_copies").as("nb"))
     a.join(b, Seq("j", "band"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).cast("long").as("hamming"))
+        bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).cast("long").as("hamming"),
+        (col("na") * col("nb")).as("n_pairs"))
       .filter(col("hamming") <= 3)
       .distinct()
       .orderBy(col("a_id"), col("b_id"))

@@ -738,7 +738,11 @@ object SyncOps {
     // the (row_key, rk) shuffle; the replicas dim broadcasts)
     val wLww = Window.partitionBy(col("row_key"), col("rk"))
       .orderBy(col("write_ts").desc, col("generation").desc)
-    val heads = cells.join(broadcast(replicas), Seq("row_key"))
+    // replicas is |keys|·RF-scale — row_key-keyed shuffle join (the
+    // window above already partitioned it on row_key; no hint, so at
+    // scale this degrades to a co-partitioned shuffle instead of
+    // broadcasting a key-scale frame)
+    val heads = cells.join(replicas, Seq("row_key"))
       .filter((col("generation") + col("rk")) % 5 =!= 0)
       .withColumn("rn", row_number().over(wLww))
       .filter(col("rn") === 1)
@@ -756,11 +760,12 @@ object SyncOps {
     val winner = heads.withColumn("wn", row_number().over(wWin))
       .filter(col("wn") === 1)
       .select(col("row_key"), col("head_gen").as("win_gen"))
-    // heads/winner are ≤ |keys|·RF rows behind a checkpoint (no stats
-    // for the planner) — declare the broadcast the sizes guarantee
+    // heads/winner are |keys|·RF-scale — key-keyed shuffle joins, no
+    // broadcast hints (AQE reads the checkpointed sizes at runtime and
+    // still broadcasts while they are actually small)
     replicas
-      .join(broadcast(heads), Seq("row_key", "rk"), "left")
-      .join(broadcast(winner), Seq("row_key"))
+      .join(heads, Seq("row_key", "rk"), "left")
+      .join(winner, Seq("row_key"))
       .withColumn("stale",
         col("head_gen").isNull || col("head_gen") =!= col("win_gen"))
       .groupBy(col("node"))

@@ -103,11 +103,20 @@ class PlanAuditSpec extends GraftSpec {
     "q_survival_curve" -> "≤|days| event-time series",
     "sync_bandwidth_windows" -> "hourly transfer windows (calendar axis)")
 
+  /** One optimized plan per registry query, built once and shared by
+    * the whole-registry gates below (plan construction is the
+    * expensive part — some queries walk filesystems or replay bounded
+    * streams while analyzing).
+    */
+  private lazy val registryPlans: Seq[(String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) => name -> fn(spark, sf).queryExecution.optimizedPlan
+    }
+
   test("no unpartitioned window over an unbounded entity axis") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit}
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        val plan = fn(spark, sf).queryExecution.optimizedPlan
+    val offenders = registryPlans.flatMap {
+      case (name, plan) =>
         val empties = plan.collect {
           case w: LWindow if w.partitionSpec.isEmpty => w
           case w: WindowGroupLimit if w.partitionSpec.isEmpty => w
@@ -121,6 +130,69 @@ class PlanAuditSpec extends GraftSpec {
     // still HAS an unpartitioned window (stale entries rot the gate)
     val stale = unpartitionedWindowAllowlist.keySet -- offenders.toSet
     assert(stale.isEmpty, s"stale allowlist entries: ${stale.mkString(", ")}")
+  }
+
+  /** Queries allowed to keep a broadcast HINT on a frame whose lineage
+    * touches an SF-scaling table, each with the documented reason the
+    * hinted side is in fact bounded (the size-boundedness just isn't
+    * visible to the name-based heuristic below).
+    */
+  private val broadcastHintAllowlist: Map[String, String] = Map(
+    "vec_cosine_hist" -> "deterministic 1/19 QA sample on BOTH sides of the pair histogram — the accepted sampled-readout shape; a production run feeds a bounded probe set instead")
+
+  test("no broadcast hint on a frame derived from an unbounded entity axis") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, Join, LogicalPlan, BROADCAST}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val sfTables = Set("customer", "supplier", "part", "orders", "lineitem",
+      "events", "documents", "embeddings")
+    // axes that grow with the data: any aggregate still keyed by one of
+    // these does NOT bound its output, so hint-broadcasting it ships an
+    // entity-scale frame to every executor and OOMs at 100×
+    val unbounded = Set("user_id", "doc_id", "event_id", "vec_id", "row_key",
+      "c_custkey", "o_custkey", "s_suppkey", "l_suppkey", "p_partkey",
+      "l_partkey", "o_orderkey", "l_orderkey", "text", "tdig", "digest",
+      "path", "phash", "cluster_id", "pk", "pa", "pb", "doc_a", "doc_b")
+    def scansSfTable(p: LogicalPlan): Boolean = p.collectLeaves().exists {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.exists(rp =>
+          sfTables.exists(t => rp.toString.contains(s"/$t.parquet")))
+        case _ => false
+      }
+      case _ => false
+    }
+    // a literal upper bound on an id axis (vec_id < 5: the ANN
+    // query-set pattern) bounds cardinality at ANY corpus size —
+    // unlike a date/fraction predicate, which bounds nothing
+    val idAxes = Set("vec_id", "doc_id", "event_id", "user_id")
+    def boundedSomewhere(p: LogicalPlan): Boolean = p.exists {
+      case a: Aggregate => a.groupingExpressions
+        .flatMap(_.references.toSeq).map(_.name)
+        .forall(n => !unbounded.contains(n))
+      case _: GlobalLimit => true
+      case f: Filter => f.condition.exists {
+        case LessThan(a: AttributeReference, _: Literal) => idAxes.contains(a.name)
+        case LessThanOrEqual(a: AttributeReference, _: Literal) => idAxes.contains(a.name)
+        case _ => false
+      }
+      case _ => false
+    }
+    val offenders = registryPlans.flatMap { case (name, plan) =>
+      val bad = plan.exists {
+        case j: Join =>
+          Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right).exists {
+            case (h, side) => h.exists(_.strategy.contains(BROADCAST)) &&
+              scansSfTable(side) && !boundedSomewhere(side)
+          }
+        case _ => false
+      }
+      if (bad) Some(name) else None
+    }
+    val unlisted = offenders.filterNot(broadcastHintAllowlist.contains)
+    assert(unlisted.isEmpty,
+      s"entity-scale broadcast hints outside the allowlist: ${unlisted.mkString(", ")}")
+    val stale = broadcastHintAllowlist.keySet -- offenders.toSet
+    assert(stale.isEmpty, s"stale broadcast allowlist entries: ${stale.mkString(", ")}")
   }
 
   test("AQE is active: adaptive plans appear after execution") {

@@ -125,17 +125,25 @@ class TextAndMediaSpec extends GraftSpec {
     assert(r(3L) === 0L)            // < 33 bytes: no meaningful gradient
   }
 
-  test("phash dedup pairs are deduped, ordered, and genuinely within the hamming radius") {
+  test("phash dedup pairs are deduped, ordered, within radius, with exact multiplicities") {
     val hashes = Media.mmPhash(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // phash-group sizes and representatives (min doc id per fingerprint)
+    val groups = hashes.toSeq.groupBy(_._2)
+      .map { case (h, ds) => h -> (ds.map(_._1).min, ds.size.toLong) }
     val pairs = Media.mmPhashDedup(spark, sf).collect()
     val seen = scala.collection.mutable.Set.empty[(Long, Long)]
     pairs.foreach { p =>
-      val (a, b, h) = (p.getLong(0), p.getLong(1), p.getLong(2))
+      val (a, b, h, np) = (p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3))
       assert(a < b)
       assert(seen.add((a, b)), s"duplicate pair ($a,$b)")
       assert(h === java.lang.Long.bitCount(hashes(a) ^ hashes(b)).toLong)
       assert(h <= 3L)
+      // endpoints are fingerprint-group representatives, and the pair
+      // multiplicity is exactly the product of the two group depths
+      assert(groups(hashes(a))._1 === a, s"$a is not its fingerprint group's rep")
+      assert(groups(hashes(b))._1 === b, s"$b is not its fingerprint group's rep")
+      assert(np === groups(hashes(a))._2 * groups(hashes(b))._2)
     }
   }
 
