@@ -38,10 +38,15 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    // best-of-2 per query: steady-state timing, resistant to the
-    // one-off JIT/IO noise a single pass picks up
+    // median-of-N per query (default 3, SPARK_GRAFT_BENCH_RUNS
+    // overrides): the committed artifacts at identical HEAD/SF were
+    // drifting ~10% on best-of-2 under machine noise; the median is
+    // the stable order statistic, and the per-query spread (max−min)
+    // is emitted alongside so the residual variance is visible in the
+    // artifact instead of asserted in prose.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = selected.map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to runs).flatMap { _ =>
         settle()
         val t0 = System.nanoTime()
         try {
@@ -53,11 +58,18 @@ object Bench {
       }
       // -1 marks a query whose every run threw — its wall time must
       // not masquerade as a (fast) success in the totals
-      name -> times.minOption.getOrElse(-1.0)
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      if (times.isEmpty) name -> (-1.0, 0.0)
+      else {
+        val sorted = times.sorted
+        name -> (sorted(sorted.size / 2), sorted.last - sorted.head)
+      }
+    }.map { case (k, (med, spread)) => (k, med, spread) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => s"\"" + k + "\"" }
+    val spreads = results.map { case (k, _, s) =>
+      s"\"" + k + "\":" + BigDecimal(s).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v, _) if v < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // r5-verdict item 4 (streaming replay r3→r4 doubling), measured with
@@ -71,8 +83,10 @@ object Bench {
     // replay checkpoint (offset/commit/state-delta fsyncs) on tmpfs.
     val notes = "streaming replay times are cold-isolated (settle() before " +
       "each run); r3-vs-r4 delta is warm-vs-cold accounting, verified by " +
-      "SPARK_GRAFT_ONLY singles; replay checkpoints on tmpfs since r6"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$failed,"notes":"$notes","sf":"$sfDir"}"""
+      "SPARK_GRAFT_ONLY singles; replay checkpoints on tmpfs since r6; " +
+      s"since r8 each value is the median of $runs isolated runs and " +
+      "'spread' records that query's max-min across them"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"spread":$spreads,"errors":$failed,"notes":"$notes","sf":"$sfDir"}"""
     println(line)
     // the driver keeps only the tail of stdout (BENCH_r06 lost 206 of
     // 261 per-query timings), so the full line also lands in a file —

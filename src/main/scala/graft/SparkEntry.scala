@@ -252,6 +252,7 @@ object SparkEntry {
     "stream_retry_queue" -> (StreamWatcher.streamRetryQueueQuery(_, _)),
     "stream_change_feed" -> (StreamWatcher.streamChangeFeedQuery(_, _)),
     "stream_interval_join" -> (StreamWatcher.streamIntervalJoinQuery(_, _)),
+    "stream_interval_join_outer" -> (StreamWatcher.streamIntervalJoinOuterQuery(_, _)),
     "stream_dedup" -> (StreamWatcher.streamDedupQuery(_, _)),
     "stream_static_join" -> (StreamWatcher.streamStaticJoinQuery(_, _)),
     "stream_append_windows" -> (StreamWatcher.streamAppendWindowsQuery(_, _)),
@@ -3371,6 +3372,24 @@ object SparkEntry {
         |SELECT user_id, purchase_id, click_id
         |FROM p JOIN c ON user_id = c_user
         |  AND c_us >= p_us - 1800000000 AND c_us <= p_us
+        |ORDER BY user_id, purchase_id, click_id""".stripMargin,
+    "stream_interval_join_outer" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS p_us FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, event_id AS click_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS c_us FROM events WHERE event_type = 'click'),
+        |wm AS (SELECT least((SELECT max(p_us) FROM p), (SELECT max(c_us) FROM c))
+        |  - 3600000000 AS w),
+        |m AS (SELECT user_id, purchase_id, click_id
+        |  FROM p JOIN c ON user_id = c_user
+        |    AND c_us >= p_us - 1800000000 AND c_us <= p_us),
+        |u AS (SELECT p.user_id AS user_id, p.purchase_id AS purchase_id,
+        |  CAST(NULL AS BIGINT) AS click_id FROM p
+        |  WHERE p.p_us < (SELECT w FROM wm)
+        |    AND NOT EXISTS (SELECT 1 FROM c WHERE c.c_user = p.user_id
+        |      AND c.c_us >= p.p_us - 1800000000 AND c.c_us <= p.p_us))
+        |SELECT user_id, purchase_id, click_id FROM m
+        |UNION ALL SELECT user_id, purchase_id, click_id FROM u
         |ORDER BY user_id, purchase_id, click_id""".stripMargin,
     "q_distinct_hll_sketch" ->
       """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),

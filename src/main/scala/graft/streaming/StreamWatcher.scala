@@ -157,6 +157,15 @@ object StreamWatcher {
     // partition-count independent either way.
     val replaySession = ds.sparkSession.newSession()
     replaySession.conf.set("spark.sql.shuffle.partitions", "8")
+    // the state-store provider is part of the replayed surface:
+    // propagate the caller's choice onto the isolated clone
+    // (newSession starts from defaults), so the same pipeline runs
+    // under the HDFS-backed provider or RocksDB — at 100 TB/day the
+    // retry/CDC/session state outgrows executor heap and RocksDB is
+    // the production provider.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    ds.sparkSession.conf.getOption(providerKey)
+      .foreach(replaySession.conf.set(providerKey, _))
     val name = s"graft_replay_${replaySeq.incrementAndGet()}"
     // A bounded replay has no durability requirement — its checkpoint
     // (offset log, commit log, and one state delta file per store per
@@ -314,6 +323,46 @@ object StreamWatcher {
     */
   def streamIntervalJoinQuery(spark: SparkSession, dir: String): DataFrame =
     replayToBatch(intervalJoinStream(spark, dir), "append")
+      .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
+
+  /** Stream-stream OUTER interval join — the watermark-driven null
+    * emission the inner form can't express: every purchase matched to
+    * the same user's clicks in the preceding 30 minutes, and a
+    * purchase with NO such click emitted once with a NULL click id
+    * when the watermark proves the match window closed (any matching
+    * click needs c_ts ≤ p_ts, so once the global watermark passes
+    * p_ts none can still arrive; Spark evicts the row and emits the
+    * null side). This is the "upload with no matching ack inside the
+    * horizon" alert shape — the null rows ARE the product, and state
+    * on both sides stays bounded by the watermark exactly as in the
+    * inner join.
+    */
+  def intervalJoinOuterStream(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = eventStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = eventStream(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks, expr(
+        "user_id = c_user AND c_ts >= p_ts - interval 30 minutes AND c_ts <= p_ts"),
+        "left_outer")
+      .select(col("user_id"), col("purchase_id"), col("click_id"))
+  }
+
+  /** §2.7 oracle surface: the OUTER interval join replayed on the
+    * bounded source. Matched pairs equal the batch join; the null
+    * rows are exactly the unmatched purchases whose p_ts the final
+    * watermark (min of the two sides' max event times, minus the
+    * 1-hour delay) has passed — the same arithmetic-cutoff contract
+    * as the append-window replay, applied to join-state eviction.
+    */
+  def streamIntervalJoinOuterQuery(spark: SparkSession, dir: String): DataFrame =
+    replayToBatch(intervalJoinOuterStream(spark, dir), "append")
       .orderBy(col("user_id"), col("purchase_id"), col("click_id"))
 
   /** Stream-static enrichment join: the event stream joined to the

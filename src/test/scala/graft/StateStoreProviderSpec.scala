@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.streaming.StreamWatcher
+
+/** §2.7 under the production state-store provider: the HDFS-backed
+  * in-memory provider keeps every key's state on the executor heap,
+  * which caps total streaming state at JVM memory; at 100 TB/day the
+  * retry/CDC/session/join state outgrows that, and the production
+  * provider is RocksDB (off-heap, spillable, incremental-checkpoint).
+  * Each stateful family below replays — unchanged — under BOTH
+  * providers and must produce row-identical results; the provider
+  * choice rides the caller's session conf through
+  * [[StreamWatcher.replayToBatch]]'s isolated clone.
+  */
+class StateStoreProviderSpec extends GraftSpec {
+
+  private val Key = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withProvider[T](provider: Option[String])(body: => T): T = {
+    val prev = spark.conf.getOption(Key)
+    provider match {
+      case Some(p) => spark.conf.set(Key, p)
+      case None    => spark.conf.unset(Key)
+    }
+    try body
+    finally prev match {
+      case Some(p) => spark.conf.set(Key, p)
+      case None    => spark.conf.unset(Key)
+    }
+  }
+
+  // one representative per stateful-operator family: arbitrary
+  // user state (map/flatMapGroupsWithState), watermarked dedup state,
+  // session-window state, and stream-stream outer-join state
+  private val statefulQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "mapGroupsWithState retry queue" -> (StreamWatcher.streamRetryQueueQuery(_, _)),
+    "flatMapGroupsWithState change feed" -> (StreamWatcher.streamChangeFeedQuery(_, _)),
+    "watermarked stream dedup" -> (StreamWatcher.streamDedupQuery(_, _)),
+    "session window" -> (StreamWatcher.streamSessionWindowQuery(_, _)),
+    "stream-stream outer interval join" -> (StreamWatcher.streamIntervalJoinOuterQuery(_, _)))
+
+  statefulQueries.foreach { case (name, fn) =>
+    test(s"$name: identical results under HDFS-backed and RocksDB state stores") {
+      val default = withProvider(None)(fn(spark, sf).collect().map(_.toSeq).toSeq)
+      val rocks = withProvider(Some(RocksDb))(fn(spark, sf).collect().map(_.toSeq).toSeq)
+      assert(rocks === default)
+    }
+  }
+}

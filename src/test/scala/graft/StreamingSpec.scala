@@ -123,6 +123,34 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("outer interval join: matches emit as inner, nulls only past the watermark cutoff") {
+    import org.apache.spark.sql.functions.{expr, unix_micros, max => fmax}
+    val rows = StreamWatcher.streamIntervalJoinOuterQuery(spark, sf).collect()
+    val (matched, nulls) = rows.partition(r => !r.isNullAt(2))
+    // batch model of the same pipeline
+    val ev = graft.sources.Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
+    val inner = p.join(c,
+      expr("p_user = c_user AND c_us >= p_us - 1800000000 AND c_us <= p_us"))
+    assert(matched.length.toLong === inner.count())
+    // the null rows: unmatched purchases whose p_ts the final global
+    // watermark (min of both sides' max event time, − 1 hour) passed
+    val cutoff = math.min(
+      p.agg(fmax(col("p_us"))).first().getLong(0),
+      c.agg(fmax(col("c_us"))).first().getLong(0)) - 3600000000L
+    val expectedNulls = p
+      .join(c, expr("p_user = c_user AND c_us >= p_us - 1800000000 AND c_us <= p_us"),
+        "left_anti")
+      .filter(col("p_us") < cutoff)
+      .count()
+    assert(nulls.length.toLong === expectedNulls)
+    assert(nulls.nonEmpty, "the outer (null) path must actually be exercised")
+  }
+
   test("append-mode windows: only watermark-finalized windows emit, counts match batch") {
     import org.apache.spark.sql.functions.{date_trunc, max => fmax}
     val out = StreamWatcher.streamAppendWindowsQuery(spark, sf)
