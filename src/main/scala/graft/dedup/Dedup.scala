@@ -63,17 +63,18 @@ object Dedup {
     * explode + distinct), then one bounded per-source rollup.
     */
   def corpusNearDupBySource(spark: SparkSession, dir: String): DataFrame = {
-    // a document sits in a candidate pair ⟺ its rep group is a node of
-    // the rep graph (a cross-rep neighbor, or ≥2 verbatim copies that
-    // pair with each other) — so involvement joins on the group key,
-    // never on an exploded full pair list that cliques over copies
-    val (nodes, _) = repGraph(spark, dir)
-    val involved = nodes
-      .select(col("tdig"), col("lang"), col("n_chars"), lit(1L).as("near_dup"))
+    // a document sits in a candidate pair ⟺ its signature group is a
+    // node of the collapsed graph (a cross-rep neighbor, or ≥2 docs
+    // sharing the signature, which pair with each other) — so
+    // involvement is two doc_id-keyed joins, never an exploded full
+    // pair list that cliques over copies
+    val g = candGraph(spark, dir)
+    val involved = g.nodes
+      .select(col("doc_id").as("rep_id"), lit(1L).as("near_dup"))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), md5(col("text")).as("tdig"),
-        col("lang"), col("n_chars"))
-      .join(involved, Seq("tdig", "lang", "n_chars"), "left_outer")
+      .select(col("doc_id"), col("source"))
+      .join(g.docMap, Seq("doc_id"))
+      .join(involved, Seq("rep_id"), "left_outer")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("near_dup")), lit(0L)).as("n_near_dup"))
@@ -181,8 +182,12 @@ object Dedup {
       .orderBy(col("band_idx"))
   }
 
-  /** Candidate near-dup pairs: docs sharing any LSH band bucket.
-    * Linear explode + bucket self-join — never a full cross join.
+  /** Candidate near-dup pairs over the FULL corpus: docs sharing any
+    * LSH band bucket. Linear explode + bucket self-join — never a
+    * full cross join — but verbatim-duplicate clusters clique
+    * (n copies → C(n,2) pairs), so every scale consumer reads
+    * [[candGraph]] instead and this full form remains as the reference
+    * semantics the rep-collapse equivalence specs compare against.
     */
   def minhashCandidatePairs(spark: SparkSession, dir: String): DataFrame =
     minhashCandidatePairsOf(minhashSignatures(spark, dir))
@@ -203,59 +208,67 @@ object Dedup {
 
   // ---- Rep-collapsed candidate graph ----
 
-  /** Compact equality proxy for the (text, lang, n_chars) rep-group
-    * key: per-doc expansions join on a 32-char digest plus the
-    * metadata, never on the full payload (the same md5-equals-equality
-    * assumption [[dedupExact]] already makes).
-    */
-  private def repKey(df: DataFrame): DataFrame =
-    df.withColumn("tdig", md5(col("text")))
-
-  /** doc_id → representative id for every document. One co-partitioned
-    * shuffle join on the digest key — linear, no windows over
-    * unbounded text partitions.
-    */
-  private[graft] def docRepMap(spark: SparkSession, dir: String): DataFrame = {
-    val docs = repKey(Tables.rebalanced(Tables.documents(spark, dir)))
-      .select(col("doc_id"), col("tdig"), col("lang"), col("n_chars"))
-    val reps = repKey(textReps(spark, dir))
-      .select(col("doc_id").as("rep_id"), col("tdig"), col("lang"), col("n_chars"))
-    docs.join(reps, Seq("tdig", "lang", "n_chars"))
-      .select(col("doc_id"), col("rep_id"))
-  }
-
-  /** The candidate graph COLLAPSED to one node per rep group, with
-    * copy multiplicities carried — the scale form every graph/cluster
-    * consumer reads.
+  /** The candidate graph collapsed to its distinct nodes, with copy
+    * multiplicities — the scale form every graph/cluster consumer
+    * reads.
     *
-    * The full-corpus candidate graph is exactly the clique blow-up of
-    * this graph: verbatim copies share every LSH band hash, so a group
-    * of n copies expands to an n-clique and a rep adjacency (a, b) to
-    * a complete na×nb bipartite edge set. Degree, triangle, PageRank,
-    * k-core, component and label-propagation readouts over the full
-    * graph all have closed forms over (nodes, edges) + multiplicities,
-    * so a boilerplate text duplicated n times costs O(n) here instead
-    * of the O(n²) clique edges the full band self-join would
-    * materialize — the 100 TB shape, where million-copy boilerplate
-    * clusters are the norm.
-    *
-    * nodes: (doc_id, n_copies, tdig, lang, n_chars) — rep groups that
-    * appear in the full graph (n_copies ≥ 2 makes the copies mutual
-    * candidates even without cross-text neighbors).
-    * edges: (doc_a, doc_b, na, nb) — cross-rep candidate pairs,
-    * doc_a < doc_b. Both sides are eagerly materialized
-    * (localCheckpoint) because every consumer walks them repeatedly.
+    * nodes: (doc_id, n_copies, sig_digest) — signature groups that
+    * appear in the full graph; edges: (doc_a, doc_b, na, nb) —
+    * cross-rep candidate pairs, doc_a < doc_b; docMap: (doc_id,
+    * rep_id) for every document.
     */
-  private[graft] def repGraph(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val reps = repKey(textReps(spark, dir))
-      .select(col("doc_id"), col("n_copies"), col("text"),
-        col("tdig"), col("lang"), col("n_chars"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val edges = minhashCandidatePairsOf(
-        minhashSignaturesOf(reps.select(col("doc_id"), col("text"))))
+  private[graft] case class CandGraph(nodes: DataFrame, edges: DataFrame,
+      docMap: DataFrame)
+
+  /** Builds [[CandGraph]]: the candidate graph COLLAPSED to one node
+    * per distinct 12-signature vector (keyed by its md5 digest).
+    *
+    * The candidate relation — sharing an LSH band bucket — is a pure
+    * function of the signature vector, so docs with identical
+    * signatures (every verbatim copy included, plus texts with equal
+    * shingle SETS) are mutual candidates with identical external
+    * adjacency, and the full-corpus graph is exactly the clique
+    * blow-up of this one: a group of n copies expands to an n-clique,
+    * a rep adjacency (a, b) to a complete na×nb bipartite edge set.
+    * Degree, triangle, PageRank, k-core, component and
+    * label-propagation readouts over the full graph all have closed
+    * forms over (nodes, edges) + multiplicities, so boilerplate
+    * duplicated n times costs O(n) here instead of the O(n²) clique
+    * edges the full band self-join would materialize — the 100 TB
+    * shape, where million-copy boilerplate clusters are the norm.
+    *
+    * Collapsing on the SIGNATURE digest (not raw text) keeps the cost
+    * profile of the uncollapsed r7 path: one narrow scan computes
+    * per-doc signatures (the same hashing the full band join already
+    * paid), and every downstream shuffle — the group-by, the band
+    * join, the per-doc fan-outs — carries ~200-byte digest rows,
+    * never document text.
+    */
+  /** Builds [[CandGraph]]. The shared prefixes (per-doc signatures,
+    * rep aggregation, edge list) carry LAZY local checkpoints
+    * (`eager = false`): nothing schedules a dedicated materialization
+    * job, but the first consuming job persists the partitions and
+    * truncates the lineage, so a single-pass consumer pays exactly
+    * one signature scan and the iterative consumers (CC, PageRank,
+    * BFS, k-core, label propagation) loop over materialized edges —
+    * the same one-materialization shape the uncollapsed path had.
+    */
+  private[graft] def candGraph(spark: SparkSession, dir: String): CandGraph = {
+    val perDoc = minhashSignaturesOf(
+        Tables.rebalanced(Tables.documents(spark, dir)).select(col("doc_id"), col("text")))
+      .localCheckpoint(eager = false)
+    // band hashes are functions of the signature vector: grouping by
+    // digest + bands collapses exactly the signature groups while
+    // keeping the band columns for the candidate join
+    val bandCols = (0 until LshBands).map(b => col(s"band$b"))
+    val reps = perDoc
+      .groupBy(col("sig_digest") +: bandCols: _*)
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .localCheckpoint(eager = false)
+    val edges = minhashCandidatePairsOf(reps)
       .join(reps.select(col("doc_id").as("doc_a"), col("n_copies").as("na")), Seq("doc_a"))
       .join(reps.select(col("doc_id").as("doc_b"), col("n_copies").as("nb")), Seq("doc_b"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val endpoints = edges
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
@@ -263,10 +276,12 @@ object Dedup {
     val nodes = reps
       .join(endpoints, Seq("doc_id"), "left_outer")
       .filter(col("n_copies") >= 2 || col("in_pair"))
-      .select(col("doc_id"), col("n_copies"), col("tdig"), col("lang"), col("n_chars"))
-      .localCheckpoint()
-    reps.unpersist(blocking = false)
-    (nodes, edges)
+      .select(col("doc_id"), col("n_copies"), col("sig_digest"))
+    val docMap = perDoc.select(col("doc_id"), col("sig_digest"))
+      .join(reps.select(col("sig_digest"), col("doc_id").as("rep_id")),
+        Seq("sig_digest"))
+      .select(col("doc_id"), col("rep_id"))
+    CandGraph(nodes, edges, docMap)
   }
 
   /** Cluster labels over the rep graph: CC labels for reps with cross
@@ -330,17 +345,17 @@ object Dedup {
   /** §2.3#73 oracle surface: cluster collapse over the LSH candidate
     * pairs — (doc_id, cluster_id = min reachable doc_id) for every
     * document of the full graph. The iteration runs on the
-    * rep-collapsed graph ([[repGraph]] — maxIter 50, early exit at
+    * rep-collapsed graph ([[candGraph]] — maxIter 50, early exit at
     * fixpoint), then labels fan back out per document through
-    * [[docRepMap]]: copies inherit their rep's label, which is exactly
+    * the doc→rep map: copies inherit their rep's label, which is exactly
     * the full-graph answer because verbatim copies are always in their
     * rep's component. The oracle stays the FULL-graph transitive
     * closure, so the blow-up equivalence is checked, not assumed.
     */
   def dedupCcClusters(spark: SparkSession, dir: String): DataFrame = {
-    val (nodes, edges) = repGraph(spark, dir)
-    docRepMap(spark, dir)
-      .join(repClusterLabels(nodes, edges).withColumnRenamed("doc_id", "rep_id"),
+    val g = candGraph(spark, dir)
+    g.docMap
+      .join(repClusterLabels(g.nodes, g.edges).withColumnRenamed("doc_id", "rep_id"),
         Seq("rep_id"))
       .select(col("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
@@ -354,9 +369,9 @@ object Dedup {
     * over the rep labels.
     */
   def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
-    val (nodes, edges) = repGraph(spark, dir)
-    repClusterLabels(nodes, edges)
-      .join(nodes.select(col("doc_id"), col("n_copies")), Seq("doc_id"))
+    val g = candGraph(spark, dir)
+    repClusterLabels(g.nodes, g.edges)
+      .join(g.nodes.select(col("doc_id"), col("n_copies")), Seq("doc_id"))
       .groupBy(col("cluster_id")).agg(sum(col("n_copies")).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("cluster_size"))
@@ -661,7 +676,11 @@ object Dedup {
 
   /** Hamming-band candidates: docs sharing either 16-bit half of the
     * fingerprint (pigeonhole: hamming distance ≤ 1 guarantees a
-    * shared half). Bucket join, linear.
+    * shared half). Bucket join, linear. Like [[minhashCandidatePairs]]
+    * this is the full-corpus reference form; a scale consumer
+    * collapses identical fingerprints first (the candidate relation
+    * is a pure function of the fingerprint — the
+    * [[graft.multimodal.Media.mmPhashDedup]] pattern).
     */
   def simhashCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
     val fp = dedupSimhash(spark, dir)
@@ -685,15 +704,16 @@ object Dedup {
     * max-of-struct, so there is no per-cluster sort/window pass.
     */
   def dedupQualitySurvivors(spark: SparkSession, dir: String): DataFrame = {
-    // rep-collapsed end-to-end: the quality score is a pure function
-    // of the text, so every copy shares its rep's score and the
-    // (max quality, min doc_id) survivor of a cluster is always a rep
-    // id — the per-document fan-out never has to exist. cluster_size
-    // in DOCUMENTS is the sum of copy multiplicities.
-    val (nodes, edges) = repGraph(spark, dir)
-    val quality = textReps(spark, dir)
-      .select(col("doc_id"),
-        graft.text.TextAnalysis.qualityScoreCol(col("text")).as("quality_score"))
+    // clustering runs on the collapsed graph (no clique edges); the
+    // quality pass stays per-document — one narrow scoring scan and a
+    // doc_id-keyed join, linear at any duplicate depth
+    val g = candGraph(spark, dir)
+    val perDocCluster = g.docMap
+      .join(repClusterLabels(g.nodes, g.edges).withColumnRenamed("doc_id", "rep_id"),
+        Seq("rep_id"))
+      .select(col("doc_id"), col("cluster_id"))
+    val quality = graft.text.TextAnalysis.textQuality(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
     // survivor = max of ONE packed long inside the groupBy the
     // readout needs anyway — no per-cluster sort/window pass. The
     // quality score is already quantized to 4 decimals, so
@@ -703,14 +723,12 @@ object Dedup {
     // fast path into SortAggregate — measured 30% slower; the packed
     // key keeps both aggregate passes in whole-stage codegen.)
     val M = (1L << 40) - 1 // doc ids fit 40 bits; key ≤ 10⁴·2⁴⁰ < 2⁵⁴
-    repClusterLabels(nodes, edges)
-      .join(nodes.select(col("doc_id"), col("n_copies")), Seq("doc_id"))
-      .join(quality, Seq("doc_id"))
+    perDocCluster.join(quality, Seq("doc_id"))
       .withColumn("skey",
         round(col("quality_score") * 10000).cast("long") * (M + 1) +
           (lit(M) - col("doc_id")))
       .groupBy(col("cluster_id"))
-      .agg(sum(col("n_copies")).as("cluster_size"),
+      .agg(count(lit(1)).as("cluster_size"),
         max(col("skey")).as("k"),
         max(col("quality_score")).as("survivor_quality"))
       .select(col("cluster_id"), col("cluster_size"),

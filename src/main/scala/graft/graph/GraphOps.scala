@@ -12,7 +12,7 @@ import graft.dedup.Dedup
   * clusters?).
   *
   * Every operator here runs on the REP-COLLAPSED candidate graph
-  * ([[Dedup.repGraph]]): one node per distinct text group with its
+  * ([[Dedup.candGraph]]): one node per distinct signature group with its
   * copy multiplicity, cross-rep candidate edges with both
   * multiplicities. The full-corpus graph is exactly the clique
   * blow-up of that graph (verbatim copies share every LSH band), so
@@ -26,9 +26,11 @@ import graft.dedup.Dedup
   */
 object GraphOps {
 
-  /** Rep-collapsed candidate graph: (nodes, edges) per [[Dedup.repGraph]]. */
-  private def graphOf(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    Dedup.repGraph(spark, dir)
+  /** Rep-collapsed candidate graph per [[Dedup.candGraph]]. */
+  private def graphOf(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val g = Dedup.candGraph(spark, dir)
+    (g.nodes, g.edges)
+  }
 
   /** Per-rep full-graph degree: every copy of rep r has degree
     * (n_r − 1) + Σ_{s~r} n_s — its own clique siblings plus every copy
@@ -64,7 +66,10 @@ object GraphOps {
     * all three in one clique (C(n,3) per rep).
     */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
-    val (nodes, e) = graphOf(spark, dir)
+    val (nodes, edges) = graphOf(spark, dir)
+    // the wedge join reads the edge list three times — materialize it
+    // once instead of tripling the band join in one plan
+    val e = edges.localCheckpoint()
     val t1 = e.as("e1")
       .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
       .join(e.as("e3"),
@@ -166,13 +171,17 @@ object GraphOps {
     */
   def graphPagerank(spark: SparkSession, dir: String, iters: Int = 5,
       damp: Double = 0.85): DataFrame = {
-    val (nodes, edges) = graphOf(spark, dir)
-    val stat = repDegrees(nodes, edges).localCheckpoint()
-    val n = nodes.agg(coalesce(sum(col("n_copies")), lit(0L)))
+    val g = Dedup.candGraph(spark, dir)
+    val (nodes, edges) = (g.nodes, g.edges)
+    // one materialization of the edge list feeds the degree table,
+    // the adjacency and every iteration; the node-count scalar reads
+    // the checkpointed degrees, not the corpus again
+    val e = edges.localCheckpoint()
+    val stat = repDegrees(nodes, e).localCheckpoint()
+    val n = stat.agg(coalesce(sum(col("n_copies")), lit(0L)))
       .first().getLong(0) // scalar full-node count, the only driver-side value
-    val adj = edges.select(col("doc_a").as("s"), col("doc_b").as("t"), col("na").as("ns"))
-      .union(edges.select(col("doc_b").as("s"), col("doc_a").as("t"), col("nb").as("ns")))
-      .localCheckpoint()
+    val adj = e.select(col("doc_a").as("s"), col("doc_b").as("t"), col("na").as("ns"))
+      .union(e.select(col("doc_b").as("s"), col("doc_a").as("t"), col("nb").as("ns")))
     var r = stat.select(col("doc_id").as("node"), lit(1.0 / n).as("r"))
     var it = 0
     while (it < iters) {
@@ -193,7 +202,7 @@ object GraphOps {
         .localCheckpoint()
       it += 1
     }
-    Dedup.docRepMap(spark, dir)
+    g.docMap
       .join(r.select(col("node").as("rep_id"),
         (round(col("r"), 6) + lit(0.0)).as("pagerank")), Seq("rep_id"))
       .select(col("doc_id"), col("pagerank"))
@@ -210,24 +219,45 @@ object GraphOps {
     * whole prefix per reference).
     */
   def pagerankOracleSql(iters: Int = 5): String = {
+    val sigExprs = (0 until Dedup.MinhashK).map { k =>
+      s"list_aggregate(list_transform(sh, x -> md5('$k|' || x)), 'min') AS sig$k"
+    }.mkString(",\n  ")
+    val sigList = (0 until Dedup.MinhashK).map(k => s"sig$k").mkString(", ")
+    val bandSelects = (0 until Dedup.LshBands).map { b =>
+      val cat = (0 until 3).map(r => s"sig${3 * b + r}").mkString(" || ")
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band_idx, md5($cat) AS band_hash FROM srep"
+    }.mkString("\n  UNION ALL ")
     val sb = new StringBuilder
-    sb ++= "WITH " + Dedup.repsOracleCte + ",\n" + Dedup.candOracleBodyFrom("reps")
-    sb ++= """,
-             |ed AS MATERIALIZED (
-             |  SELECT c.doc_a AS s, c.doc_b AS t, ra.n_copies AS ns FROM cand c
-             |    JOIN reps ra ON c.doc_a = ra.doc_id
-             |  UNION ALL
-             |  SELECT c.doc_b AS s, c.doc_a AS t, rb.n_copies AS ns FROM cand c
-             |    JOIN reps rb ON c.doc_b = rb.doc_id),
-             |nodes AS MATERIALIZED (SELECT r.doc_id AS node, r.n_copies FROM reps r
-             |  WHERE r.n_copies >= 2 OR r.doc_id IN (
-             |    SELECT doc_a FROM cand UNION ALL SELECT doc_b FROM cand)),
-             |deg AS MATERIALIZED (SELECT n.node, n.n_copies,
-             |  CAST(n.n_copies - 1 + coalesce((SELECT sum(e.ns) FROM ed e
-             |    WHERE e.t = n.node), 0) AS DOUBLE) AS d
-             |  FROM nodes n),
-             |nn AS MATERIALIZED (SELECT CAST(sum(n_copies) AS DOUBLE) AS n FROM nodes),
-             |r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM deg)""".stripMargin
+    sb ++= s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+              |s AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+              |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS sh FROM t),
+              |sig AS MATERIALIZED (SELECT doc_id,
+              |  $sigExprs
+              |  FROM s),
+              |srep AS MATERIALIZED (SELECT min(doc_id) AS doc_id,
+              |  CAST(count(*) AS BIGINT) AS n_copies, $sigList
+              |  FROM sig GROUP BY $sigList),
+              |bands AS ($bandSelects),
+              |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+              |    AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+              |docmap AS MATERIALIZED (SELECT sig.doc_id AS doc_id, srep.doc_id AS rep
+              |  FROM sig JOIN srep USING ($sigList)),
+              |ed AS MATERIALIZED (
+              |  SELECT c.doc_a AS s, c.doc_b AS t, ra.n_copies AS ns FROM cand c
+              |    JOIN srep ra ON c.doc_a = ra.doc_id
+              |  UNION ALL
+              |  SELECT c.doc_b AS s, c.doc_a AS t, rb.n_copies AS ns FROM cand c
+              |    JOIN srep rb ON c.doc_b = rb.doc_id),
+              |nodes AS MATERIALIZED (SELECT r.doc_id AS node, r.n_copies FROM srep r
+              |  WHERE r.n_copies >= 2 OR r.doc_id IN (
+              |    SELECT doc_a FROM cand UNION ALL SELECT doc_b FROM cand)),
+              |deg AS MATERIALIZED (SELECT n.node, n.n_copies,
+              |  CAST(n.n_copies - 1 + coalesce((SELECT sum(e.ns) FROM ed e
+              |    WHERE e.t = n.node), 0) AS DOUBLE) AS d
+              |  FROM nodes n),
+              |nn AS MATERIALIZED (SELECT CAST(sum(n_copies) AS DOUBLE) AS n FROM nodes),
+              |r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM deg)""".stripMargin
     for (k <- 1 to iters) {
       sb ++= s""",
                 |r$k AS MATERIALIZED (SELECT node,
@@ -241,12 +271,9 @@ object GraphOps {
                 |  GROUP BY node)""".stripMargin
     }
     sb ++= s"""
-              |SELECT d.doc_id, round(r$iters.r, 6) + 0.0 AS pagerank
-              |FROM documents d
-              |JOIN reps ON d.text = reps.text AND d.lang = reps.lang
-              |  AND d.n_chars = reps.n_chars
-              |JOIN r$iters ON reps.doc_id = r$iters.node
-              |ORDER BY d.doc_id""".stripMargin
+              |SELECT docmap.doc_id, round(r$iters.r, 6) + 0.0 AS pagerank
+              |FROM docmap JOIN r$iters ON docmap.rep = r$iters.node
+              |ORDER BY docmap.doc_id""".stripMargin
     sb.toString
   }
 
@@ -271,8 +298,9 @@ object GraphOps {
     * + anti-join, work proportional to the frontier.
     */
   def graphBfsLayers(spark: SparkSession, dir: String, iters: Int = 4): DataFrame = {
-    val (nodes, edges) = graphOf(spark, dir)
-    val seeds = Dedup.docRepMap(spark, dir)
+    val g = Dedup.candGraph(spark, dir)
+    val (nodes, edges) = (g.nodes, g.edges)
+    val seeds = g.docMap
       .filter(col("doc_id") % 29 === 0)
       .groupBy(col("rep_id")).agg(count(lit(1)).as("n_seeds"))
     val st = nodes
@@ -352,6 +380,7 @@ object GraphOps {
     val (nodes0, edges0) = graphOf(spark, dir)
     var cur = nodes0.select(col("doc_id"), col("n_copies"))
     var edges = edges0.select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .localCheckpoint()
     val profile = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     var r = 1
     while (r <= rounds) {

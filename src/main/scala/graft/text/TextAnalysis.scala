@@ -130,19 +130,6 @@ object TextAnalysis {
     * ratios, mean token length, stopword ratio, and a composite score
     * in [0,1]. All pure arithmetic over one scan.
     */
-  /** The composite [0,1] quality score [[textQuality]] reports, as a
-    * pure column over any text attribute — a function of the text
-    * alone, so rep-collapsed consumers (dedup survivor selection)
-    * evaluate it once per distinct text and every verbatim copy
-    * inherits the identical value.
-    */
-  def qualityScoreCol(text: Column): Column = {
-    val toks = tokensCol(text)
-    val nToks = size(toks).cast("double")
-    val stopRatio = size(filter(toks, t => t === "the" || t === "a")).cast("double") / nToks
-    round((lit(1.0) - stopRatio) * least(lit(1.0), nToks / 50.0), 4)
-  }
-
   def textQuality(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokensCol(col("text"))
     val nToks = size(toks).cast("double")

@@ -18,14 +18,26 @@ class GraphBloomStreamSpec extends GraftSpec {
     pairs.unpersist()
   }
 
-  test("triangle profile is consistent with the edge list") {
+  test("triangle profile equals the full-graph computation (clique blow-up check)") {
     val row = GraphOps.graphTriangles(spark, sf).first()
     val nEdges = row.getAs[Long]("n_edges")
     val nNodes = row.getAs[Long]("n_nodes")
     val nTris = row.getAs[Long]("n_triangles")
-    assert(nEdges >= 0 && nTris >= 0)
-    // every edge touches 2 nodes; a graph with E edges has >= roughly
-    // (1+sqrt(1+8E))/2 nodes and triangles need at least 3 edges
+    // independent full-graph ground truth from the reference pair set
+    // (the pre-r8 algorithm) — the closed-form multiplicity
+    // corrections must reproduce it exactly
+    val e = graft.dedup.Dedup.minhashCandidatePairs(spark, sf).localCheckpoint()
+    val fullTris = e.as("e1")
+      .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .join(e.as("e3"),
+        col("e3.doc_a") === col("e1.doc_a") && col("e3.doc_b") === col("e2.doc_b"))
+      .count()
+    val fullNodes = e.select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .distinct().count()
+    val fullEdges = e.count()
+    assert(nNodes === fullNodes)
+    assert(nEdges === fullEdges)
+    assert(nTris === fullTris)
     if (nTris > 0) assert(nEdges >= 3 && nNodes >= 3)
   }
 
