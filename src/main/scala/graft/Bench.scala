@@ -61,7 +61,11 @@ object Bench {
       if (times.isEmpty) name -> (-1.0, 0.0)
       else {
         val sorted = times.sorted
-        name -> (sorted(sorted.size / 2), sorted.last - sorted.head)
+        // lower median: true median for odd N, MIN for N=2 (upper
+        // median would bill the noisier of two runs — at N=2 the
+        // faster run is the steady-state signal, same as the old
+        // best-of-2)
+        name -> (sorted((sorted.size - 1) / 2), sorted.last - sorted.head)
       }
     }.map { case (k, (med, spread)) => (k, med, spread) }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
