@@ -44,7 +44,18 @@ object Bench {
     // the stable order statistic, and the per-query spread (max−min)
     // is emitted alongside so the residual variance is visible in the
     // artifact instead of asserted in prose.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // tolerant parse: a typo'd env var must not crash a 50-minute
+    // bench, and runs ≤ 0 would silently mark every query failed
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption.orElse {
+        System.err.println(s"[bench] SPARK_GRAFT_BENCH_RUNS='$v' is not an int; using 3")
+        None
+      })
+      .map { n =>
+        require(n >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $n")
+        n
+      }
+      .getOrElse(3)
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).flatMap { _ =>
         settle()
@@ -58,22 +69,28 @@ object Bench {
       }
       // -1 marks a query whose every run threw — its wall time must
       // not masquerade as a (fast) success in the totals
-      if (times.isEmpty) name -> (-1.0, 0.0)
+      if (times.isEmpty) (name, -1.0, 0.0, -1.0)
       else {
         val sorted = times.sorted
         // lower median: true median for odd N, MIN for N=2 (upper
         // median would bill the noisier of two runs — at N=2 the
         // faster run is the steady-state signal, same as the old
-        // best-of-2)
-        name -> (sorted((sorted.size - 1) / 2), sorted.last - sorted.head)
+        // best-of-2). min is emitted too: on a contended disk the min
+        // is the cleanest "the plan can run this fast" signal, and the
+        // r8 verdict's four nominal 10×-cap breakers were unresolvable
+        // without it.
+        (name, sorted((sorted.size - 1) / 2), sorted.last - sorted.head, sorted.head)
       }
-    }.map { case (k, (med, spread)) => (k, med, spread) }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, s) =>
+    val spreads = results.map { case (k, _, s, _) =>
       s"\"" + k + "\":" + BigDecimal(s).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v, _) if v < 0 => s"\"" + k + "\"" }
+    val mins = results.map { case (k, _, _, m) =>
+      s"\"" + k + "\":" + BigDecimal(m).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v, _, _) if v < 0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // r5-verdict item 4 (streaming replay r3→r4 doubling), measured with
@@ -89,8 +106,9 @@ object Bench {
       "each run); r3-vs-r4 delta is warm-vs-cold accounting, verified by " +
       "SPARK_GRAFT_ONLY singles; replay checkpoints on tmpfs since r6; " +
       s"since r8 each value is the median of $runs isolated runs and " +
-      "'spread' records that query's max-min across them"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"spread":$spreads,"errors":$failed,"notes":"$notes","sf":"$sfDir"}"""
+      "'spread' records that query's max-min across them; since r9 'min' " +
+      "records the fastest run (plan-capability signal under disk noise)"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"spread":$spreads,"min":$mins,"errors":$failed,"notes":"$notes","sf":"$sfDir"}"""
     println(line)
     // the driver keeps only the tail of stdout (BENCH_r06 lost 206 of
     // 261 per-query timings), so the full line also lands in a file —

@@ -152,6 +152,7 @@ object SparkEntry {
     "q_upsert_merge" -> (Relational.qUpsertMerge(_, _)),
     "q_zscore_outliers" -> (EventAnalytics.qZscoreOutliers(_, _)),
     "q_retention_cohort" -> (EventAnalytics.qRetentionCohort(_, _)),
+    "q_rolling_retention_matrix" -> (EventAnalytics.qRollingRetentionMatrix(_, _)),
     "q_funnel" -> (EventAnalytics.qFunnel(_, _)),
     "q_transition_matrix" -> (EventAnalytics.qTransitionMatrix(_, _)),
     "q_ewma" -> (EventAnalytics.qEwma(_, _)),
@@ -180,6 +181,8 @@ object SparkEntry {
     "dedup_embedding_cos" -> ((s, d) => Ann.dedupEmbeddingCos(s, d)),
     "dedup_minhash_by_lang" -> (Dedup.dedupMinhashByLang(_, _)),
     "dedup_pipeline_verified" -> ((s, d) => Dedup.dedupPipelineVerified(s, d)),
+    "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
+    "dedup_semantic" -> ((s, d) => Ann.dedupSemantic(s, d)),
     "dedup_quality_survivors" -> (Dedup.dedupQualitySurvivors(_, _)),
     "dedup_containment" -> (Dedup.dedupContainment(_, _)),
     "ann_knn_classify" -> (Ann.annKnnClassify(_, _)),
@@ -247,6 +250,7 @@ object SparkEntry {
     // §2.7 streaming (bounded replay into a memory sink)
     "stream_windowed_agg" -> (StreamWatcher.streamWindowedAggQuery(_, _)),
     "stream_sketch_distinct" -> (StreamWatcher.streamSketchDistinctQuery(_, _)),
+    "stream_quantile_sketch" -> (StreamWatcher.streamQuantileSketchQuery(_, _)),
     "stream_file_watch" -> (StreamWatcher.streamFileWatchQuery(_, _)),
     "sync_watch_stream" -> (StreamWatcher.syncWatchStreamQuery(_, _)),
     "stream_retry_queue" -> (StreamWatcher.streamRetryQueueQuery(_, _)),
@@ -2479,6 +2483,19 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN absz > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |  round(max(absz), 4) AS max_abs_z
         |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_rolling_retention_matrix" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    date_trunc('week', CAST(ts AS TIMESTAMP)) AS week FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id),
+        |m AS (SELECT cohort_week,
+        |    CAST(floor(date_diff('day', cohort_week, week) / 7.0) AS BIGINT) AS week_offset,
+        |    count(*) AS n_users
+        |  FROM uw JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT m.cohort_week, m.week_offset, m.n_users,
+        |  round(CAST(m.n_users AS DOUBLE) / c.cohort_size, 4) AS retained_share
+        |FROM m JOIN (SELECT cohort_week, n_users AS cohort_size FROM m
+        |  WHERE week_offset = 0) c USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q_retention_cohort" ->
       """WITH first_day AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
         |  FROM events GROUP BY user_id),
@@ -2576,6 +2593,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> Dedup.minhashLshOracleSql,
     "dedup_minhash_by_lang" -> Dedup.minhashByLangOracleSql,
     "dedup_pipeline_verified" -> Dedup.pipelineVerifiedOracleSql,
+    "dedup_incremental" -> Dedup.incrementalOracleSql(),
+    "dedup_semantic" -> Ann.dedupSemanticOracleSql(),
     "dedup_ngram_jaccard" ->
       """WITH reps AS (SELECT min(doc_id) AS doc_id,
         |  CAST(count(*) AS BIGINT) AS n_copies, lang,
@@ -3429,6 +3448,11 @@ object SparkEntry {
         |  reg_digest
         |FROM ex JOIN est ON ex.event_type = est.event_type
         |ORDER BY event_type""".stripMargin,
+    "stream_quantile_sketch" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day_start,
+        |  event_type, count(*) AS n_events,
+        |  true AS p50_ok, true AS p90_ok
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_sketch_distinct" ->
       """WITH du AS (SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP))
         |    AS hs, event_type, user_id FROM events),

@@ -569,7 +569,7 @@ object EventAnalytics {
   def qNewVsReturning(spark: SparkSession, dir: String): DataFrame = {
     val days = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val firstDay = days.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
     days.join(firstDay, Seq("user_id"))
       .groupBy(col("day"))
@@ -679,7 +679,7 @@ object EventAnalytics {
     val baskets = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("parts"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val sup = baskets.select(explode(col("parts")).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("sup"))
     val pairsOf = expr(
@@ -797,7 +797,7 @@ object EventAnalytics {
       .groupBy(col("user_id"), col("v_us"), col("c_us"))
       .agg(min(when(col("event_type") === "purchase" && col("us") >= col("c_us"),
         col("us"))).as("p_us"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val steps = Seq(
       ("view_to_click", col("c_us") - col("v_us")),
       ("click_to_purchase", col("p_us") - col("c_us")))
@@ -958,6 +958,42 @@ object EventAnalytics {
           nullif(col("m.p").cast("double"), lit(0.0)) * 100, 2)
           .as("pct_change"))
       .orderBy(col("event_type"))
+  }
+
+  /** §2.2 `q_rolling_retention_matrix` — the full N×N cohort
+    * retention grid in ONE pass: users cohorted by first-activity
+    * week, each later active week counted into (cohort_week,
+    * week_offset) with its share of the cohort. This is the rolling
+    * retention heatmap every growth dashboard renders; the naive form
+    * runs one self-join per offset column (N scans), this runs one.
+    *
+    * Scale shape: one narrow distinct over (user, week) — map-side
+    * combine on the projected pair, never the event payload — then
+    * the cohort min and the matrix rollup BOTH group by user_id, so
+    * AQE/planner reuses one user-keyed exchange; the final grid is
+    * bounded by weeks² (calendar axis), and the cohort-size join for
+    * the share column joins grid-to-grid, never back to the corpus.
+    */
+  def qRollingRetentionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+      .localCheckpoint(eager = false) // feeds the cohort min AND the grid rollup
+    val first = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val grid = uw.join(first, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        floor(datediff(col("week"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"))
+      // (user, week) pairs are already distinct, so a plain count IS
+      // the distinct-user count — no second distinct shuffle
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = grid.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    grid.join(sizes, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_users"),
+        round(col("n_users").cast("double") / col("cohort_size"), 4)
+          .as("retained_share"))
+      .orderBy(col("cohort_week"), col("week_offset"))
   }
 
   def qModalHour(spark: SparkSession, dir: String): DataFrame =

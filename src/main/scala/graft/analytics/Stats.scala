@@ -65,7 +65,7 @@ object Stats {
   def qKsTest(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.events(spark, dir)
       .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val types = cells.select(col("event_type")).distinct()
     val values = cells.groupBy(col("value")).agg(sum(col("c")).as("c_all"))
     // dense (type × value) grid: |types| is bounded, so this explode

@@ -453,13 +453,16 @@ object Dedup {
     * representative pair stands for.
     */
   def dedupNgramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
-    // persisted: the self-join would otherwise re-execute the rep
+    // checkpointed: the self-join would otherwise re-execute the rep
     // collapse (text shuffle + tokenization) once per side
     val docs = textReps(spark, dir)
       .select(col("doc_id"), col("lang"), col("n_copies"),
         floor(col("n_chars") / 100).cast("long").as("len_band"),
         array_sort(array_distinct(tokensCol(col("text")))).as("tokset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // lazy localCheckpoint, not persist(): materializes once for its
+      // multiple consumers but the blocks die with the RDD — a persist
+      // here pins a session-lifetime cache entry outside Bench's settle()
+      .localCheckpoint(eager = false)
     val a = docs.as("a")
     val b = docs.as("b")
     a.join(b, col("a.lang") === col("b.lang") &&
@@ -491,7 +494,7 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("n_copies"),
         floor(col("n_chars") / 100).cast("long").as("len_band"),
         array_sort(array_distinct(tokensCol(col("text")))).as("tokset"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: see dedupNgramJaccard note
     val pairs = docs.as("a")
       .join(docs.as("b"), col("a.lang") === col("b.lang") &&
         col("a.len_band") === col("b.len_band") &&
@@ -499,11 +502,11 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n_copies").as("na"), col("b.n_copies").as("nb"),
         round(jaccard_sorted(col("a.tokset"), col("b.tokset")), 4).as("jaccard"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: see dedupNgramJaccard note
     val th = Seq(0.5, 0.7, 0.8, 0.9).toDF("threshold")
     val surviving = pairs.crossJoin(broadcast(th))
       .filter(col("jaccard") >= col("threshold"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: see dedupNgramJaccard note
     val nPairs = surviving.groupBy(col("threshold"))
       .agg(sum(col("na") * col("nb")).as("cross_pairs"))
     // internal verbatim pairs: C(n,2) per multi-copy group, at every
@@ -578,7 +581,7 @@ object Dedup {
   def dedupPipelineVerified(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val reps = textReps(spark, dir)
       .select(col("doc_id"), col("text"), col("n_copies"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: see dedupNgramJaccard note
     val cand = minhashCandidatePairsOf(minhashSignaturesOf(reps))
     val toks = reps.select(col("doc_id"), col("n_copies"),
       array_sort(array_distinct(tokensCol(col("text")))).as("tokset"))
@@ -772,7 +775,7 @@ object Dedup {
     // carries the underlying pair multiplicity
     val reps = textReps(spark, dir)
       .select(col("doc_id"), col("text"), col("n_copies"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: see dedupNgramJaccard note
     val docs = reps
       .select(col("doc_id"), col("n_copies"), tokensCol(col("text")).as("toks"))
       .select(col("doc_id"), col("n_copies"),
@@ -808,7 +811,7 @@ object Dedup {
     */
   def dedupMinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
     val reps = textReps(spark, dir).select(col("doc_id"), col("text"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: see dedupNgramJaccard note
     val toks = reps.select(col("doc_id"), tokensCol(col("text")).as("toks"))
     val sigSets = toks.select(col("doc_id"),
       minhash_sigs(shinglesOf(col("toks")), MinhashK).as("sigs"),
@@ -861,4 +864,151 @@ object Dedup {
       |JOIN reps ca ON cand.doc_a = ca.doc_id
       |JOIN reps cb ON cand.doc_b = cb.doc_id
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- Incremental (daily-drop) dedup ----
+
+  /** Band explode of a [[minhashSignaturesOf]] frame:
+    * (doc_id, band_idx, band_hash).
+    */
+  private def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      explode(map((0 until LshBands).flatMap(b =>
+        Seq(lit(b).cast("long"), col(s"band$b"))): _*))
+        .as(Seq("band_idx", "band_hash")))
+
+  /** §2.3 `dedup_incremental` — dedup of a NEW shard against an
+    * EXISTING deduped corpus, the daily-drop shape of a production
+    * 100 TB pipeline (and the dedup twin of `sync_diff_upload`'s
+    * full-vs-incremental split, cf. the reference's
+    * `isAFullBackupNeeded`, `bin/cassandra-syncer:154`): the standing
+    * corpus is indexed ONCE — an exact-digest table plus LSH
+    * band-bucket table over its text representatives — and each
+    * arriving shard probes that index instead of re-running dedup
+    * corpus-wide.
+    *
+    * The delta here is the deterministic `doc_id % 7 == 3` slice (the
+    * driver-checkable stand-in for "today's drop"); everything else is
+    * the base corpus. Per delta doc the verdict is:
+    *   - `exact` — its normalized-content digest already exists in the
+    *     base (matched_doc = the base cluster's keeper);
+    *   - `near`  — no exact hit, but an LSH band probe into the base
+    *     bucket table finds a base rep whose token-set Jaccard clears
+    *     the threshold (matched_doc = smallest such base doc);
+    *   - `new`   — neither; the doc enters the corpus (and, in
+    *     production, its digest + bands append to the index).
+    *
+    * Scale shape: index build is one text-keyed shuffle over the base
+    * (in production it is PERSISTED and amortized across drops — the
+    * lazy checkpoints below stand in for that materialization);
+    * the per-drop cost is |delta| digest lookups + |delta|·bands
+    * bucket probes + Jaccard verification on matched buckets only.
+    * Nothing rescans the base corpus per drop, and nothing is
+    * quadratic in either side.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.rebalanced(Tables.documents(spark, dir))
+    val base = docs.filter(col("doc_id") % 7 =!= 3)
+    val delta = docs.filter(col("doc_id") % 7 === 3)
+    // ---- standing index (build once, reuse per drop) ----
+    val baseDigests = base
+      .groupBy(md5(lower(col("text"))).as("digest"))
+      .agg(min(col("doc_id")).as("exact_keeper"))
+      .localCheckpoint(eager = false)
+    // near-dup side collapses to one rep per distinct text: band
+    // buckets and token-set Jaccard are functions of the text, so
+    // probing reps is equivalent to probing every base doc — with the
+    // rep keyed by its cluster-min doc_id the min-matching-doc
+    // readout is also preserved exactly
+    val baseReps = base.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .localCheckpoint(eager = false)
+    val baseBands = bandsOf(minhashSignaturesOf(baseReps))
+      .localCheckpoint(eager = false)
+    val baseToks = baseReps
+      .select(col("doc_id").as("b_id"),
+        array_sort(array_distinct(tokensCol(col("text")))).as("btok"))
+      .localCheckpoint(eager = false)
+    // ---- per-drop probe (touches |delta|·bands + matched buckets) ----
+    val withDigest = delta
+      .select(col("doc_id"), col("text"), md5(lower(col("text"))).as("digest"))
+      .join(baseDigests, Seq("digest"), "left_outer")
+      .localCheckpoint(eager = false)
+    val unmatched = withDigest.filter(col("exact_keeper").isNull)
+      .select(col("doc_id"), col("text"))
+    val cands = bandsOf(minhashSignaturesOf(unmatched))
+      .withColumnRenamed("doc_id", "d_id")
+      .join(baseBands.select(col("doc_id").as("b_id"),
+        col("band_idx"), col("band_hash")), Seq("band_idx", "band_hash"))
+      .select(col("d_id"), col("b_id")).distinct()
+    val dtoks = unmatched.select(col("doc_id").as("d_id"),
+      array_sort(array_distinct(tokensCol(col("text")))).as("dtok"))
+    val near = cands
+      .join(dtoks, Seq("d_id"))
+      .join(baseToks, Seq("b_id"))
+      .filter(round(jaccard_sorted(col("dtok"), col("btok")), 4) >= threshold)
+      .groupBy(col("d_id")).agg(min(col("b_id")).as("near_keeper"))
+    withDigest.select(col("doc_id"), col("exact_keeper"))
+      .join(near.withColumnRenamed("d_id", "doc_id"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("exact_keeper").isNotNull, lit("exact"))
+          .when(col("near_keeper").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("exact_keeper"), col("near_keeper")).as("matched_doc"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[dedupIncremental]] — identical split, digest,
+    * signature/band and token-set Jaccard construction; the near probe
+    * runs only for delta docs with no exact hit, like the engine.
+    */
+  def incrementalOracleSql(threshold: Double = 0.5): String = {
+    val sigExprs = (0 until MinhashK).map { k =>
+      s"list_aggregate(list_transform(sh, x -> md5('$k|' || x)), 'min') AS sig$k"
+    }.mkString(",\n  ")
+    def bandSelects(sigCte: String) = (0 until LshBands).map { b =>
+      val cat = (0 until 3).map(r => s"sig${3 * b + r}").mkString(" || ")
+      s"SELECT doc_id, CAST($b AS BIGINT) AS band_idx, md5($cat) AS band_hash FROM $sigCte"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH base AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
+       |delta AS (SELECT * FROM documents WHERE doc_id % 7 = 3),
+       |bdig AS (SELECT md5(lower(text)) AS digest, min(doc_id) AS exact_keeper
+       |  FROM base GROUP BY 1),
+       |brep AS (SELECT text, min(doc_id) AS doc_id FROM base GROUP BY text),
+       |bt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM brep),
+       |bs AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS sh FROM bt),
+       |bsig AS MATERIALIZED (SELECT doc_id,
+       |  $sigExprs
+       |  FROM bs),
+       |bbands AS MATERIALIZED (${bandSelects("bsig")}),
+       |btok AS MATERIALIZED (SELECT brep.doc_id AS b_id,
+       |  list_distinct(bt.toks) AS btok FROM brep JOIN bt USING (doc_id)),
+       |dd AS (SELECT d.doc_id, d.text, bdig.exact_keeper
+       |  FROM (SELECT doc_id, text, md5(lower(text)) AS digest FROM delta) d
+       |  LEFT JOIN bdig USING (digest)),
+       |unm AS (SELECT doc_id, text FROM dd WHERE exact_keeper IS NULL),
+       |dt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM unm),
+       |ds AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS sh FROM dt),
+       |dsig AS MATERIALIZED (SELECT doc_id,
+       |  $sigExprs
+       |  FROM ds),
+       |dbands AS (${bandSelects("dsig")}),
+       |cand AS (SELECT DISTINCT d.doc_id AS d_id, b.doc_id AS b_id
+       |  FROM dbands d JOIN bbands b
+       |    ON d.band_idx = b.band_idx AND d.band_hash = b.band_hash),
+       |nearm AS (SELECT d_id AS doc_id, min(b_id) AS near_keeper FROM cand
+       |  JOIN (SELECT doc_id AS d_id, list_distinct(toks) AS dtok FROM dt) USING (d_id)
+       |  JOIN btok USING (b_id)
+       |  WHERE round(CAST(len(list_filter(dtok, x -> list_contains(btok, x))) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(dtok, btok))) AS DOUBLE), 4) >= $threshold
+       |  GROUP BY d_id)
+       |SELECT dd.doc_id,
+       |  CASE WHEN dd.exact_keeper IS NOT NULL THEN 'exact'
+       |       WHEN nearm.near_keeper IS NOT NULL THEN 'near'
+       |       ELSE 'new' END AS verdict,
+       |  coalesce(dd.exact_keeper, nearm.near_keeper) AS matched_doc
+       |FROM dd LEFT JOIN nearm USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -70,24 +70,40 @@ object GraphOps {
     // the wedge join reads the edge list three times — materialize it
     // once instead of tripling the band join in one plan
     val e = edges.localCheckpoint()
+    // all multiplicity products run in decimal(38,0): a clique of n
+    // verbatim copies puts n³ in a single t1/t3 term, which wraps a
+    // long (non-ANSI) already at n ≈ 2.1M — inside the documented
+    // million-copy-boilerplate design point. The final counts cast
+    // back to long (null, never a wrapped value, if a corpus ever
+    // exceeds 2^63 triangles).
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     val t1 = e.as("e1")
       .join(e.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
       .join(e.as("e3"),
         col("e3.doc_a") === col("e1.doc_a") && col("e3.doc_b") === col("e2.doc_b"))
-      .agg(coalesce(sum(col("e1.na") * col("e1.nb") * col("e2.nb")), lit(0L)).as("t1"))
-    val t2 = e.agg(coalesce(sum(
-        expr("na * (na - 1) div 2") * col("nb") +
-          expr("nb * (nb - 1) div 2") * col("na")), lit(0L)).as("t2"))
+      .agg(coalesce(sum(dec(col("e1.na")) * col("e1.nb") * col("e2.nb")),
+        lit(0L).cast("decimal(38,0)")).as("t1"))
+    val t2 = e.agg(coalesce(
+      floor(sum(dec(col("na")) * (col("na") - 1) * col("nb") +
+        dec(col("nb")) * (col("nb") - 1) * col("na")) / 2).cast("decimal(38,0)"),
+      lit(0L).cast("decimal(38,0)")).as("t2"))
+    // n(n−1)(n−2) is divisible by 6 term-wise, so dividing the decimal
+    // SUM by 6 is exact; floor() strips the decimal scale the division
+    // introduces without touching the value
     val t3 = nodes.agg(coalesce(
-      sum(expr("n_copies * (n_copies - 1) * (n_copies - 2) div 6")), lit(0L)).as("t3"))
+      floor(sum(dec(col("n_copies")) * (col("n_copies") - 1) * (col("n_copies") - 2)) / 6)
+        .cast("decimal(38,0)"), lit(0L).cast("decimal(38,0)")).as("t3"))
     val nNodes = nodes.agg(coalesce(sum(col("n_copies")), lit(0L)).as("n_nodes"))
-    val nEdges = e.agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("cross_e"))
+    val nEdges = e.agg(coalesce(sum(dec(col("na")) * col("nb")),
+        lit(0L).cast("decimal(38,0)")).as("cross_e"))
       .crossJoin(nodes.agg(coalesce(
-        sum(expr("n_copies * (n_copies - 1) div 2")), lit(0L)).as("within_e")))
-      .select((col("cross_e") + col("within_e")).as("n_edges"))
+        floor(sum(dec(col("n_copies")) * (col("n_copies") - 1)) / 2)
+          .cast("decimal(38,0)"),
+        lit(0L).cast("decimal(38,0)")).as("within_e")))
+      .select((col("cross_e") + col("within_e")).cast("long").as("n_edges"))
     nNodes.crossJoin(nEdges).crossJoin(t1).crossJoin(t2).crossJoin(t3)
       .select(col("n_nodes"), col("n_edges"),
-        (col("t1") + col("t2") + col("t3")).as("n_triangles"))
+        (col("t1") + col("t2") + col("t3")).cast("long").as("n_triangles"))
   }
 
   /** §2.3 `graph_assortativity` — degree assortativity of the
@@ -109,18 +125,22 @@ object GraphOps {
     val (nodes, edges) = graphOf(spark, dir)
     val dm = repDegrees(nodes, edges)
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    // per-row exact contributions (longs — magnitudes bounded by
-    // w·d² ≤ 1e6·(1e4)² ≈ 1e14 at stress scale), summed in decimal
+    // per-row exact contributions computed IN DECIMAL, not long: for a
+    // million-copy clique deg ≈ n ≈ 1e6 and c2 ≈ 1e12, so c2·deg²
+    // ≈ 1e24 — far past 2^63. Casting the first factor to
+    // decimal(38,0) makes every subsequent multiply decimal, so the
+    // per-row products are exact at the documented design point
+    // instead of wrapping before the decimal sum ever sees them.
     val crossC = edges
       .join(dm.select(col("doc_id").as("doc_a"), col("deg").as("da")), Seq("doc_a"))
       .join(dm.select(col("doc_id").as("doc_b"), col("deg").as("db")), Seq("doc_b"))
-      .select((col("na") * col("nb")).as("w"), col("da"), col("db"))
+      .select((dec(col("na")) * col("nb")).as("w"), col("da"), col("db"))
       .select((col("w") * 2).as("n"),
         (col("w") * (col("da") + col("db"))).as("sx"),
-        (col("w") * (col("da") * col("da") + col("db") * col("db"))).as("sxx"),
+        (col("w") * (dec(col("da")) * col("da") + dec(col("db")) * col("db"))).as("sxx"),
         (col("w") * 2 * col("da") * col("db")).as("sxy"))
     val withinC = dm.filter(col("n_copies") >= 2)
-      .select(expr("n_copies * (n_copies - 1)").as("c2"), col("deg"))
+      .select((dec(col("n_copies")) * (col("n_copies") - 1)).as("c2"), col("deg"))
       .select(col("c2").as("n"), (col("c2") * col("deg")).as("sx"),
         (col("c2") * col("deg") * col("deg")).as("sxx"),
         (col("c2") * col("deg") * col("deg")).as("sxy"))
@@ -511,7 +531,7 @@ object GraphOps {
     val baskets = graft.sources.Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ord"), col("l_partkey").as("part"))
       .groupBy(col("ord")).agg(sort_array(collect_set(col("part"))).as("parts"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val nOrd = baskets.select(explode(col("parts")).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("n_ord"))
     val pairsOf = expr(

@@ -413,7 +413,7 @@ object Ann {
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val exact = annBruteforceTopk(spark, dir).filter(col("rnk") <= 5)
       .select(col("q_id"), col("vec_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     // score the nprobe=4 candidate superset ONCE; each sweep's
     // admitted set is then a filter on the admitting cell's rank —
     // one cells scan and one distance join for the whole curve
@@ -436,7 +436,7 @@ object Ann {
     val scored = cells.join(broadcast(probes), col("assigned_centroid") === col("probe"))
       .select(col("q_id"), col("vec_id"), col("rn"),
         round(cosine_sim(col("qv"), col("v")), 4).as("cos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val sweeps = Seq(1, 2, 4).map { np =>
       scored.filter(col("rn") <= np).withColumn("nprobe", lit(np.toLong))
     }.reduce(_ union _)
@@ -536,7 +536,9 @@ object Ann {
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     var i = 0
     while (i < iters) {
-      centroids = kmeansStep(e, centroids).cache()
+      // localCheckpoint, not cache(): cuts the Lloyd lineage per step
+      // without pinning a session-lifetime cache entry (k-row frame)
+      centroids = kmeansStep(e, centroids).localCheckpoint()
       i += 1
     }
     centroids
@@ -767,11 +769,11 @@ object Ann {
         col("vec_id") < col("vec_b"))
       .select(col("vec_id").as("vec_a"), col("vec_b"),
         round(cosine_sim(col("v"), col("vb")), 4).as("cos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val th = Seq(0.2, 0.4, 0.6, 0.8).toDF("threshold")
     val surviving = pairs.crossJoin(broadcast(th))
       .filter(col("cos") >= col("threshold"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val nEdges = surviving.groupBy(col("threshold"))
       .agg(count(lit(1)).as("n_edges"))
     val nNodes = surviving
@@ -798,5 +800,100 @@ object Ann {
         col("n_pairs"),
         round(col("n_pairs").cast("double") / col("tp"), 4).as("share"))
       .orderBy(col("band"))
+  }
+
+  /** §2.4 `dedup_semantic` — SemDeDup-shape embedding-cluster dedup:
+    * k-means cells first, then cosine pairs ONLY within a cell, and
+    * each near-duplicate group collapses to its centroid-nearest
+    * member. A vector is dropped iff some same-cell neighbor with
+    * cosine ≥ τ sits strictly closer to the shared centroid (rounded
+    * centroid-cos, vec_id tie-break) — a deterministic pairwise
+    * dominance rule, so the survivor set needs no iterative
+    * clustering. `dup_of` names the smallest dominating neighbor as
+    * the witness.
+    *
+    * Scale: k grows with the corpus at a fixed ~125-vector target
+    * cell size (k = ⌈n/125⌉), so the within-cell pair pass is LINEAR
+    * in corpus size at constant cell occupancy — never global
+    * all-pairs. The SQL twin computes the same k from the data, so
+    * the oracle equivalence holds at every SF. The cell assignment is
+    * one broadcast-centroid pass; the only corpus-scale shuffles are
+    * the cell-keyed pair join and the final left join.
+    */
+  def dedupSemantic(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val e = embeddings(spark, dir)
+    val n = e.count() // scalar: sizes k, the only driver-side value
+    val k = math.max(1, math.ceil(n / 125.0).toInt)
+    val cents = kmeans(spark, dir, k = k, iters = 2)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_id"))
+    val assigned = e.select(col("vec_id"), col("v"))
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("c_id"),
+        round(cosine_sim(col("v"), col("cv")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("cell"), col("cos").as("ccos"))
+      .localCheckpoint(eager = false)
+    // each unordered within-cell pair is scored once (a < b), then
+    // both orientations feed the dominance test
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"), col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(round(cosine_sim(col("a.v"), col("b.v")), 4) >= threshold)
+      .select(col("a.vec_id").as("x"), col("a.ccos").as("cx"),
+        col("b.vec_id").as("y"), col("b.ccos").as("cy"))
+    val dominated = pairs
+      .select(col("x").as("vec_id"), col("cx").as("c"), col("y").as("o"), col("cy").as("oc"))
+      .union(pairs.select(col("y"), col("cy"), col("x"), col("cx")))
+      .filter(col("oc") > col("c") ||
+        (col("oc") === col("c") && col("o") < col("vec_id")))
+      .groupBy(col("vec_id")).agg(min(col("o")).as("dup_of"))
+    assigned.join(dominated, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"),
+        (col("ccos") + lit(0.0)).as("centroid_cos"),
+        col("dup_of").isNull.as("is_kept"), col("dup_of"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** DuckDB oracle for [[dedupSemantic]]: the [[kmeansOracleSql]]
+    * Lloyd chain with the SAME data-scaled k (k enters the chain only
+    * through the seed predicate, so the SQL computes ⌈n/125⌉ itself
+    * and stays equivalent at every SF), the identical rounded-argmax
+    * cell assignment, within-cell pair scoring and the same dominance
+    * rule.
+    */
+  def dedupSemanticOracleSql(threshold: Double = 0.6): String = {
+    def assign(cent: String, out: String, keepCos: Boolean): String = {
+      val cosCol = if (keepCos) ", cos" else ""
+      s"$out AS (SELECT vec_id, v, c_id$cosCol FROM (\n" +
+        "  SELECT e.vec_id, e.v, c.c_id,\n" +
+        "    round(list_cosine_similarity(e.v, c.cv), 4) AS cos,\n" +
+        "    row_number() OVER (PARTITION BY e.vec_id\n" +
+        "      ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.c_id) AS rn\n" +
+        s"  FROM e CROSS JOIN $cent c) WHERE rn = 1)"
+    }
+    def recompute(asg: String, out: String): String =
+      s"$out AS (SELECT c_id, list(cx ORDER BY pos) AS cv FROM (\n" +
+        "  SELECT c_id, pos, avg(x) AS cx FROM (\n" +
+        s"    SELECT c_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM $asg)\n" +
+        "  GROUP BY c_id, pos) GROUP BY c_id)"
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n" +
+      "kk AS (SELECT greatest(1, CAST(ceil(count(*) / 125.0) AS BIGINT)) AS k FROM e),\n" +
+      "seed AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT k FROM kk)),\n" +
+      assign("seed", "asg1", keepCos = false) + ",\n" +
+      recompute("asg1", "cen1") + ",\n" +
+      assign("cen1", "asg2", keepCos = false) + ",\n" +
+      recompute("asg2", "cen2") + ",\n" +
+      assign("cen2", "fin", keepCos = true) + ",\n" +
+      s"""pairs AS (SELECT a.vec_id AS x, a.cos AS cx, b.vec_id AS y, b.cos AS cy
+         |  FROM fin a JOIN fin b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= $threshold),
+         |dom AS (SELECT vec_id, min(o) AS dup_of FROM (
+         |  SELECT x AS vec_id, cx AS c, y AS o, cy AS oc FROM pairs
+         |  UNION ALL SELECT y, cy, x, cx FROM pairs)
+         |  WHERE oc > c OR (oc = c AND o < vec_id) GROUP BY vec_id)
+         |SELECT fin.vec_id, fin.c_id AS cell, round(fin.cos, 4) + 0.0 AS centroid_cos,
+         |  dom.dup_of IS NULL AS is_kept, dom.dup_of
+         |FROM fin LEFT JOIN dom USING (vec_id) ORDER BY fin.vec_id""".stripMargin
   }
 }

@@ -376,7 +376,7 @@ object SyncOps {
     import spark.implicits._
     val state = syncLwwMerge(spark, dir)
       .select(col("row_key"), col("latest_value"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val index = state.select(
       floor(col("latest_value") / 50).cast("long").as("vbucket"), col("row_key"))
     val probes = Seq(0L, 1L).toDF("vbucket")

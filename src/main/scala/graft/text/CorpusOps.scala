@@ -165,7 +165,7 @@ object CorpusOps {
       .withColumn("bucket", bucket)
       .groupBy(col("doc_id"), col("lang"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     // raw and target bucket counts in ONE pass; corpus totals fold
     // from the 256-row bucket table, not from another data scan
     val bstats = pdb.groupBy(col("bucket"))

@@ -510,7 +510,7 @@ object TextAnalysis {
     // the whole corpus — the one pass that actually costs at 100 TB.
     val perDoc = tok.groupBy(col("word"), col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val tf = perDoc.groupBy(col("lang"), col("word")).agg(sum(col("c")).as("tf"))
     val df = perDoc.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
@@ -570,7 +570,7 @@ object TextAnalysis {
     val perDoc = docs
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("word"))
       .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val df = perDoc.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // three consumers (norms + both join sides) of one tokenize pass
@@ -578,7 +578,7 @@ object TextAnalysis {
       .filter(col("df") >= 2 && col("df") * 10 <= col("n_docs") && col("df") <= 256)
       .select(col("word"), col("doc_id"),
         (col("c") * log(col("n_docs").cast("double") / col("df"))).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val norms = postings.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val dots = postings.select(col("word"), col("doc_id").as("doc_a"), col("w").as("wa"))
@@ -644,14 +644,14 @@ object TextAnalysis {
     // never once per consumer
     val uni = docs.select(explode(col("toks")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val pairsOf = transform(idxSeq(size(col("toks")) - 1),
       i => struct(element_at(col("toks"), i).as("wa"),
         element_at(col("toks"), i + 1).as("wb")))
     val biAll = docs.select(explode(pairsOf).as("p"))
       .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
       .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_ab"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val bi = biAll.filter(col("n_ab") >= 5)
     val nUni = uni.agg(sum(col("n")).as("n_uni"))
     val nBi = biAll.agg(sum(col("n_ab")).as("n_bi"))
@@ -686,7 +686,7 @@ object TextAnalysis {
     // tokenized exactly once
     val perDoc = tok.groupBy(col("word"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val dl = perDoc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = perDoc.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))

@@ -41,6 +41,39 @@ class GraphBloomStreamSpec extends GraftSpec {
     if (nTris > 0) assert(nEdges >= 3 && nNodes >= 3)
   }
 
+  test("pagerank equals the full-graph iteration (clique blow-up check)") {
+    // graphPagerank's oracle replays the COLLAPSED iteration (float
+    // multiset reasons), so unlike triangles/BFS/k-core its blow-up
+    // equivalence is not oracle-verified — this is that check: the
+    // pre-r8 full-graph iteration over the uncollapsed candidate pair
+    // set must agree per doc to within end-rounding.
+    val collapsed = GraphOps.graphPagerank(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("pagerank")).toMap
+    val e = graft.dedup.Dedup.minhashCandidatePairs(spark, sf).localCheckpoint()
+    val sym = e.select(col("doc_a").as("s"), col("doc_b").as("t"))
+      .union(e.select(col("doc_b").as("s"), col("doc_a").as("t")))
+      .localCheckpoint()
+    val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("d")).localCheckpoint()
+    val n = deg.count() // full-graph node count (docs incident to an edge)
+    var r = deg.select(col("s").as("node"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to 5) {
+      r = sym.join(r.withColumnRenamed("node", "s"), Seq("s"))
+        .join(deg, Seq("s"))
+        .select(col("t").as("node"), (col("r") / col("d")).as("m"))
+        .groupBy(col("node")).agg(sum(col("m")).as("contrib"))
+        .select(col("node"),
+          (lit(0.15 / n) + lit(0.85) * col("contrib")).as("r"))
+        .localCheckpoint()
+    }
+    val full = r.collect().map(x => x.getAs[Long]("node") -> x.getAs[Double]("r")).toMap
+    assert(collapsed.keySet === full.keySet,
+      s"node sets differ: ${(collapsed.keySet diff full.keySet).take(5)} / ${(full.keySet diff collapsed.keySet).take(5)}")
+    // collapsed output is rounded to 6 decimals; the full iteration
+    // here is not — allow end-rounding plus fold-order ulp drift
+    val maxDiff = collapsed.map { case (k, v) => math.abs(v - full(k)) }.max
+    assert(maxDiff <= 2e-6, s"max pagerank divergence vs full graph: $maxDiff")
+  }
+
   test("bloom prefilter is invisible in the join result") {
     val withBloom = RuntimeFilters.qBloomPrefilter(spark, sf).collect()
     val plain = graft.sources.Tables.lineitem(spark, sf)

@@ -138,7 +138,14 @@ class PlanAuditSpec extends GraftSpec {
     * visible to the name-based heuristic below).
     */
   private val broadcastHintAllowlist: Map[String, String] = Map(
-    "vec_cosine_hist" -> "deterministic 1/19 QA sample on BOTH sides of the pair histogram — the accepted sampled-readout shape; a production run feeds a bounded probe set instead")
+    "vec_cosine_hist" -> "deterministic 1/19 QA sample on BOTH sides of the pair histogram — the accepted sampled-readout shape; a production run feeds a bounded probe set instead",
+    // surfaced by the r9 top-down boundedness walk (the r8 exists()
+    // walk acquitted them via the interior codebook aggregate): the
+    // PQ probe frames are deterministic 1/83 samples of the corpus —
+    // the same sampled-QA-readout shape as vec_cosine_hist; a
+    // production ANN serving path feeds a bounded query batch here
+    "ann_pq_adc" -> "deterministic 1/83 probe sample hint-broadcast against the PQ codes",
+    "ann_ivf_pq_search" -> "deterministic 1/83 probe sample hint-broadcast into the IVF+PQ index")
 
   test("no broadcast hint on a frame derived from an unbounded entity axis") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, LessThan, LessThanOrEqual, Literal}
@@ -165,18 +172,42 @@ class PlanAuditSpec extends GraftSpec {
     // query-set pattern) bounds cardinality at ANY corpus size —
     // unlike a date/fraction predicate, which bounds nothing
     val idAxes = Set("vec_id", "doc_id", "event_id", "user_id")
-    def boundedSomewhere(p: LogicalPlan): Boolean = p.exists {
+    // boundedness is checked from the TOP of the hinted side, walking
+    // down only through nodes that preserve (or reduce) output
+    // cardinality — an interior rollup BELOW a later entity-scale
+    // join/explode must not acquit the frame (the r8 gate's
+    // exists()-anywhere version had exactly that false negative)
+    def boundingFilter(f: Filter): Boolean = f.condition.exists {
+      case LessThan(a: AttributeReference, _: Literal) => idAxes.contains(a.name)
+      case LessThanOrEqual(a: AttributeReference, _: Literal) => idAxes.contains(a.name)
+      case _ => false
+    }
+    def boundedTop(p: LogicalPlan): Boolean = p match {
       case a: Aggregate => a.groupingExpressions
         .flatMap(_.references.toSeq).map(_.name)
         .forall(n => !unbounded.contains(n))
       case _: GlobalLimit => true
-      case f: Filter => f.condition.exists {
-        case LessThan(a: AttributeReference, _: Literal) => idAxes.contains(a.name)
-        case LessThanOrEqual(a: AttributeReference, _: Literal) => idAxes.contains(a.name)
-        case _ => false
-      }
+      case f: Filter => boundingFilter(f) || boundedTop(f.child)
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+        u.children.forall(boundedTop)
+      case j: Join => // a join of two bounded frames stays bounded
+        boundedTop(j.left) && boundedTop(j.right)
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate =>
+        // an explode multiplies its child's cardinality by the array
+        // size: only a LITERAL-shaped array (the quantile-grid /
+        // threshold-list pattern) is a constant fan-out — exploding a
+        // collected list would recover entity scale from a bounded
+        // aggregate and must NOT pass
+        val constantFanout = g.generator match {
+          case e: org.apache.spark.sql.catalyst.expressions.ExplodeBase =>
+            e.child.isInstanceOf[org.apache.spark.sql.catalyst.expressions.CreateArray]
+          case _ => false
+        }
+        constantFanout && boundedTop(g.child)
+      case p if p.children.size == 1 => boundedTop(p.children.head)
       case _ => false
     }
+    def boundedSomewhere(p: LogicalPlan): Boolean = boundedTop(p)
     val offenders = registryPlans.flatMap { case (name, plan) =>
       val bad = plan.exists {
         case j: Join =>

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.EventAnalytics
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.sources.Tables
+import graft.streaming.StreamWatcher
+
+/** Invariant coverage for the round-9 operators: incremental
+  * (daily-drop) dedup, SemDeDup-style embedding-cluster dedup, the
+  * streaming quantile sketch, and the rolling retention matrix. Each
+  * test cross-checks the distributed result against an independent
+  * local recomputation or a conservation law.
+  */
+class Round9OpsSpec extends GraftSpec {
+
+  test("incremental dedup: delta probe equals the full-corpus answer restricted to the delta") {
+    // ground truth from first principles: a delta doc is 'exact' iff
+    // some base doc shares its lowered text; 'near' iff an LSH band
+    // probe into base reps finds a token-set Jaccard >= 0.5 — computed
+    // here via the FULL uncollapsed candidate machinery (plus the
+    // base/base-rep split) instead of the engine's index probe.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val base = docs.filter(_._1 % 7 != 3)
+    val delta = docs.filter(_._1 % 7 == 3)
+    val byLower = base.groupBy(_._2.toLowerCase)
+      .map { case (t, ds) => t -> ds.map(_._1).min }
+    def tokset(t: String): Set[String] =
+      t.trim.toLowerCase.split("\\s+").toSet
+    def jacc(a: Set[String], b: Set[String]): Double = {
+      val u = (a ++ b).size
+      if (u == 0) 1.0
+      else BigDecimal(a.intersect(b).size.toDouble / u)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Dedup.dedupIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toSeq
+    assert(got.map(_._1).sorted === delta.map(_._1).sorted, "one verdict per delta doc")
+    // exact verdicts match the digest ground truth exactly
+    got.foreach { case (id, verdict, matched) =>
+      val text = delta.find(_._1 == id).get._2
+      byLower.get(text.toLowerCase) match {
+        case Some(keeper) =>
+          assert(verdict === "exact" && matched.contains(keeper), s"doc $id")
+        case None =>
+          assert(verdict !== "exact", s"doc $id claimed exact without a digest twin")
+          // a 'near' match must be backed by a real >=0.5 Jaccard pair
+          if (verdict == "near") {
+            val j = jacc(tokset(text), tokset(base.find(_._1 == matched.get).get._2))
+            assert(j >= 0.5, s"doc $id near match $matched has jaccard $j")
+          } else assert(matched.isEmpty)
+      }
+    }
+    // incremental-vs-full equivalence: running the union corpus-wide
+    // and asking "which delta docs have an exact/near partner in base"
+    // gives the same verdict classes
+    val fullPairs = Dedup.minhashCandidatePairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val baseIds = base.map(_._1).toSet
+    val deltaIds = delta.map(_._1).toSet
+    val nearByFull = fullPairs.flatMap { case (a, b) =>
+      Seq((a, b), (b, a))
+    }.filter { case (d, b) => deltaIds.contains(d) && baseIds.contains(b) }
+      .filter { case (d, b) =>
+        jacc(tokset(delta.find(_._1 == d).get._2),
+          tokset(base.find(_._1 == b).get._2)) >= 0.5
+      }.map(_._1).toSet
+    got.foreach { case (id, verdict, _) =>
+      val text = delta.find(_._1 == id).get._2
+      if (verdict == "new")
+        assert(!byLower.contains(text.toLowerCase) && !nearByFull.contains(id),
+          s"doc $id marked new but the full-corpus run finds a partner")
+      if (verdict == "near") assert(nearByFull.contains(id))
+    }
+  }
+
+  test("semantic dedup: pairs confined to cells, survivors dominate, verdict conservation") {
+    val rows = Ann.dedupSemantic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length.toLong === n, "one verdict per vector")
+    val byId = rows.map(r => r._1 -> r).toMap
+    rows.foreach { case (id, cell, ccos, kept, dupOf) =>
+      assert(kept === dupOf.isEmpty)
+      dupOf.foreach { w =>
+        val (wid, wcell, wccos, _, _) = byId(w)
+        assert(wcell === cell, s"witness $wid for $id crosses cells")
+        // the witness dominates: strictly closer to the centroid, or
+        // tied with a smaller id
+        assert(wccos > ccos || (wccos == ccos && wid < id),
+          s"witness $wid does not dominate $id")
+      }
+    }
+    // every cell keeps at least one vector (the cell-max cannot be
+    // dominated by anything in its own cell)
+    val cells = rows.groupBy(_._2)
+    cells.foreach { case (c, vs) =>
+      assert(vs.exists(_._4), s"cell $c lost every vector")
+    }
+    // and the max-(ccos, -id) member of each cell is always kept
+    cells.foreach { case (c, vs) =>
+      val top = vs.maxBy(v => (v._3, -v._1))
+      assert(top._4, s"cell $c's centroid-nearest vector ${top._1} was dropped")
+    }
+  }
+
+  test("streaming quantile sketch: replay equals batch approx_percentile contract per window") {
+    val got = StreamWatcher.streamQuantileSketchQuery(spark, sf).collect()
+    assert(got.nonEmpty)
+    // contract must hold on a bounded replay (the oracle asserts
+    // exactly this; a false here means the sketch state was corrupted
+    // across micro-batches)
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("p50_ok"), s"p50 contract failed: $r")
+      assert(r.getAs[Boolean]("p90_ok"), s"p90 contract failed: $r")
+    }
+    // window census: every (day, type) present in the batch data
+    // appears exactly once
+    val expect = Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts")).as("d"), col("event_type")).distinct().count()
+    assert(got.length.toLong === expect)
+  }
+
+  test("rolling retention matrix: offset-0 diagonal is full, counts never exceed cohort size") {
+    val rows = EventAnalytics.qRollingRetentionMatrix(spark, sf).collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, vs) =>
+      val d0 = vs.find(_._2 == 0L)
+      assert(d0.isDefined, s"cohort $c missing its offset-0 cell")
+      assert(d0.get._4 === 1.0, s"cohort $c offset-0 share != 1")
+      val size = d0.get._3
+      vs.foreach { case (_, off, cnt, share) =>
+        assert(cnt <= size, s"cohort $c offset $off exceeds cohort size")
+        assert(math.abs(share - cnt.toDouble / size) < 1e-3)
+      }
+    }
+    // conservation: total cohort sizes == distinct users
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum === users)
+  }
+}
