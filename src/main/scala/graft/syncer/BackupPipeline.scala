@@ -169,28 +169,46 @@ object BackupPipeline {
 
   /** Files already fetched by previous restore passes (empty before
     * the first pass — a fresh restore's remainder is the full set).
+    *
+    * The ledger is PARTITIONED by (cf, fetch_date) like the object
+    * inventory: at 10⁶–10⁹ restored files the ledger is itself a
+    * table, and a per-cf resume (the common operational ask: "finish
+    * restoring this one column family") must read only that cf's
+    * ledger partitions, not every append ever written.
     */
   def restoreLedger(spark: SparkSession, target: Target): DataFrame = {
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "path STRING, size_bytes BIGINT, dest STRING")
+      "path STRING, size_bytes BIGINT, dest STRING, cf STRING, fetch_date DATE")
     val p = new org.apache.hadoop.fs.Path(target.restoreLedgerPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).json(target.restoreLedgerPath)
+    else spark.read.schema(schema)
+      .option("basePath", target.restoreLedgerPath)
+      .json(target.restoreLedgerPath)
   }
 
   /** The files a resumed restore still has to fetch: the as-of
     * restore set minus the ledger (one broadcast-able anti-join —
-    * the ledger is tiny next to the object table).
+    * the ledger is tiny next to the object table). With `cfOnly` the
+    * resume is scoped to one column family and the cf predicate lands
+    * in the ledger scan's PartitionFilters (verified in
+    * BackupPipelineSpec), so a scoped resume reads only that cf's
+    * ledger partitions.
     */
-  def restoreRemainder(spark: SparkSession, targetUrl: String, asOf: String): DataFrame =
-    restoreSet(spark, targetUrl, asOf)
-      .join(restoreLedger(spark, Target.parse(targetUrl)).select(col("path")),
-        Seq("path"), "left_anti")
+  def restoreRemainder(spark: SparkSession, targetUrl: String, asOf: String,
+      cfOnly: Option[String] = None): DataFrame = {
+    val rs0 = restoreSet(spark, targetUrl, asOf)
+    val led0 = restoreLedger(spark, Target.parse(targetUrl))
+    val (rs, led) = cfOnly match {
+      case Some(c) => (rs0.filter(col("cf") === c), led0.filter(col("cf") === c))
+      case None => (rs0, led0)
+    }
+    rs.join(led.select(col("cf"), col("path")), Seq("cf", "path"), "left_anti")
       .select(col("cf"), col("node_id"), col("shard_id"),
         col("generation"), col("path"), col("size_bytes"))
+  }
 
   /** One bounded restore pass: fetch up to `maxFiles` of the
     * remainder (in path order — deterministic, so an interrupted run
@@ -210,11 +228,12 @@ object BackupPipeline {
     val target = Target.parse(targetUrl)
     val todo0 = restoreRemainder(spark, targetUrl, asOf)
     val todo = maxFiles.fold(todo0)(n => todo0.orderBy(col("path")).limit(n))
-    val fetched = todo.select(col("path"), col("size_bytes")).as[(String, Long)]
+    val fetched = todo.select(col("cf"), col("path"), col("size_bytes"))
+      .as[(String, String, Long)]
       .mapPartitions { it =>
         val conf = new org.apache.hadoop.conf.Configuration()
         val buf = new Array[Byte](8192)
-        it.map { case (rel, len) =>
+        it.map { case (cf, rel, len) =>
           val dst = new org.apache.hadoop.fs.Path(destDir, rel)
           val fs = dst.getFileSystem(conf)
           val out = fs.create(dst, true)
@@ -224,9 +243,9 @@ object BackupPipeline {
             out.write(buf, 0, w); left -= w
           }
           out.close()
-          (rel, len)
+          (cf, rel, len)
         }
-      }.toDF("path", "size_bytes")
+      }.toDF("cf", "path", "size_bytes")
     // the fetch is a side effect: an eager localCheckpoint is the
     // run-once fence — partitions materialize on EXECUTORS and the
     // lineage is cut, so the ledger append and the returned frame
@@ -238,8 +257,12 @@ object BackupPipeline {
     // anti-join — recomputing after the append would see an empty
     // remainder.
     val once = fetched.localCheckpoint(true)
+    // the pass date keys the layout only (operational retention /
+    // audit slicing); resume correctness never reads it
     val ledger = once.withColumn("dest", lit(destDir))
-    ledger.write.mode("append").json(target.restoreLedgerPath)
+      .withColumn("fetch_date", current_date())
+    ledger.write.mode("append").partitionBy("cf", "fetch_date")
+      .json(target.restoreLedgerPath)
     ledger
   }
 

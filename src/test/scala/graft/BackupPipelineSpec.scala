@@ -101,4 +101,35 @@ class BackupPipelineSpec extends GraftSpec {
     // sanity: it reclaims something at this cutoff
     assert(plan.count() > 0)
   }
+
+  test("restore ledger is (cf, fetch_date)-partitioned; a scoped resume prunes ledger partitions") {
+    val root = Files.createTempDirectory("graft-ledger-prune").toString
+    val url = s"directory://$root"
+    BackupPipeline.backup(spark, sf, url)
+    val dest = Files.createTempDirectory("graft-ledger-dest").toString
+    BackupPipeline.runRestorePass(spark, url, "2024-01-15", dest)
+    // layout: one directory per cf, then per fetch date
+    val ledgerDir = new java.io.File(Target.parse(url).restoreLedgerPath)
+    val cfDirs = ledgerDir.listFiles().filter(_.getName.startsWith("cf="))
+    assert(cfDirs.nonEmpty, "ledger not partitioned by cf")
+    assert(cfDirs.forall(d =>
+      d.listFiles().exists(_.getName.startsWith("fetch_date="))),
+      "ledger cf partitions not sub-partitioned by fetch_date")
+    // a cf-scoped resume pushes the cf predicate into the ledger
+    // scan's PartitionFilters — the scan reads ONE cf's partitions
+    val cf = cfDirs.head.getName.stripPrefix("cf=")
+    val scoped = BackupPipeline.restoreRemainder(spark, url, "2024-01-15", Some(cf))
+    // plan-string check (collect() does not descend into the AQE
+    // wrapper): the ledger FileScan line must carry the cf equality in
+    // its PartitionFilters, i.e. the scan reads ONE cf's partitions
+    val ledgerScanLine = scoped.queryExecution.executedPlan.toString
+      .linesIterator.find(l => l.contains("FileScan") && l.contains("restore_ledger"))
+    assert(ledgerScanLine.isDefined, "no ledger scan in the scoped remainder plan")
+    val pf = ledgerScanLine.get
+      .split("PartitionFilters: ", 2).lift(1).getOrElse("")
+    assert(pf.contains(s"cf#") && pf.contains(s"= $cf"),
+      s"ledger scan lacks the cf partition filter: $ledgerScanLine")
+    // scoped remainder is empty (the full pass fetched everything)
+    assert(scoped.count() === 0)
+  }
 }
