@@ -28,6 +28,7 @@ object Bench {
     // queries after it (BENCH_r03's per-query numbers were inflated
     // 5-10x by exactly this). Runs OUTSIDE the per-query timer.
     def settle(): Unit = {
+      CachePins.release()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       System.gc()

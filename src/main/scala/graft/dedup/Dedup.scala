@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.CachePins
 import graft.functions.MinHashAggFunctions.minhash_agg
 import graft.functions.TextFunctions.{jaccard_sorted, minhash_sigs, simhash32}
 import graft.sources.Tables
@@ -459,10 +460,11 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("n_copies"),
         floor(col("n_chars") / 100).cast("long").as("len_band"),
         array_sort(array_distinct(tokensCol(col("text")))).as("tokset"))
-      // lazy localCheckpoint, not persist(): materializes once for its
-      // multiple consumers but the blocks die with the RDD — a persist
-      // here pins a session-lifetime cache entry outside Bench's settle()
-      .localCheckpoint(eager = false)
+      // columnar pin, released via CachePins.release(): the self-join /
+      // verify join consumes this frame per side, and the InMemoryRelation
+      // (compressed text + token arrays, pruned scans) measured 2.3x faster
+      // than a lazy localCheckpoint across this family - see CachePins doc
+      .transform(CachePins.pin)
     val a = docs.as("a")
     val b = docs.as("b")
     a.join(b, col("a.lang") === col("b.lang") &&
@@ -494,7 +496,8 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("n_copies"),
         floor(col("n_chars") / 100).cast("long").as("len_band"),
         array_sort(array_distinct(tokensCol(col("text")))).as("tokset"))
-      .localCheckpoint(eager = false) // lazy: see dedupNgramJaccard note
+      // columnar pin: see CachePins / dedupNgramJaccard note
+      .transform(CachePins.pin)
     val pairs = docs.as("a")
       .join(docs.as("b"), col("a.lang") === col("b.lang") &&
         col("a.len_band") === col("b.len_band") &&
@@ -502,11 +505,13 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n_copies").as("na"), col("b.n_copies").as("nb"),
         round(jaccard_sorted(col("a.tokset"), col("b.tokset")), 4).as("jaccard"))
-      .localCheckpoint(eager = false) // lazy: see dedupNgramJaccard note
+      // columnar pin: see CachePins / dedupNgramJaccard note
+      .transform(CachePins.pin)
     val th = Seq(0.5, 0.7, 0.8, 0.9).toDF("threshold")
     val surviving = pairs.crossJoin(broadcast(th))
       .filter(col("jaccard") >= col("threshold"))
-      .localCheckpoint(eager = false) // lazy: see dedupNgramJaccard note
+      // columnar pin: see CachePins / dedupNgramJaccard note
+      .transform(CachePins.pin)
     val nPairs = surviving.groupBy(col("threshold"))
       .agg(sum(col("na") * col("nb")).as("cross_pairs"))
     // internal verbatim pairs: C(n,2) per multi-copy group, at every
@@ -581,7 +586,8 @@ object Dedup {
   def dedupPipelineVerified(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val reps = textReps(spark, dir)
       .select(col("doc_id"), col("text"), col("n_copies"))
-      .localCheckpoint(eager = false) // lazy: see dedupNgramJaccard note
+      // columnar pin: see CachePins / dedupNgramJaccard note
+      .transform(CachePins.pin)
     val cand = minhashCandidatePairsOf(minhashSignaturesOf(reps))
     val toks = reps.select(col("doc_id"), col("n_copies"),
       array_sort(array_distinct(tokensCol(col("text")))).as("tokset"))
@@ -775,7 +781,8 @@ object Dedup {
     // carries the underlying pair multiplicity
     val reps = textReps(spark, dir)
       .select(col("doc_id"), col("text"), col("n_copies"))
-      .localCheckpoint(eager = false) // lazy: see dedupNgramJaccard note
+      // columnar pin: see CachePins / dedupNgramJaccard note
+      .transform(CachePins.pin)
     val docs = reps
       .select(col("doc_id"), col("n_copies"), tokensCol(col("text")).as("toks"))
       .select(col("doc_id"), col("n_copies"),
@@ -811,7 +818,8 @@ object Dedup {
     */
   def dedupMinhashCalibration(spark: SparkSession, dir: String): DataFrame = {
     val reps = textReps(spark, dir).select(col("doc_id"), col("text"))
-      .localCheckpoint(eager = false) // lazy: see dedupNgramJaccard note
+      // columnar pin: see CachePins / dedupNgramJaccard note
+      .transform(CachePins.pin)
     val toks = reps.select(col("doc_id"), tokensCol(col("text")).as("toks"))
     val sigSets = toks.select(col("doc_id"),
       minhash_sigs(shinglesOf(col("toks")), MinhashK).as("sigs"),
