@@ -311,6 +311,7 @@ object SparkEntry {
     "q_repeat_interval" -> (Relational.qRepeatInterval(_, _)),
     "text_hapax_ratio" -> (TextAnalysis.textHapaxRatio(_, _)),
     "ann_cell_balance" -> (Ann.annCellBalance(_, _)),
+    "ann_ivf_incremental" -> (Ann.annIvfIncremental(_, _)),
     "vec_dim_stats" -> (Ann.vecDimStats(_, _)),
     "sync_oldest_pending" -> (SyncOps.syncOldestPending(_, _)),
     "corpus_token_budget" -> (graft.text.CorpusOps.corpusTokenBudget(_, _)),
@@ -3616,6 +3617,36 @@ object SparkEntry {
          |  round(CAST(n_vecs AS DOUBLE) / n_total, 4) AS share,
          |  round(CAST(n_vecs AS DOUBLE) * n_cells / n_total, 4) AS imbalance
          |FROM cells, t ORDER BY assigned_centroid""".stripMargin,
+    "ann_ivf_incremental" ->
+      s"""WITH $embCte,
+         |b AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+         |d AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+         |comp AS (SELECT label AS c_id, pos - 1 AS pos, x FROM (
+         |  SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM b)),
+         |cent AS (SELECT c_id, list(cx ORDER BY pos) AS cv FROM (
+         |  SELECT c_id, pos, avg(x) AS cx FROM comp GROUP BY c_id, pos) GROUP BY c_id),
+         |ba AS (SELECT vec_id, c_id AS assigned_centroid, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+         |  FROM (SELECT vec_id, c_id,
+         |    round(list_cosine_similarity(v, cv), 4) + 0.0 AS cos
+         |    FROM b CROSS JOIN cent)) WHERE rn = 1),
+         |da AS (SELECT vec_id, c_id AS assigned_centroid, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id) AS rn
+         |  FROM (SELECT vec_id, c_id,
+         |    round(list_cosine_similarity(v, cv), 4) + 0.0 AS cos
+         |    FROM d CROSS JOIN cent)) WHERE rn = 1),
+         |bc AS (SELECT assigned_centroid, count(*) AS n_base,
+         |  sum(CAST(round(cos * 10000) AS BIGINT)) AS sb FROM ba GROUP BY 1),
+         |dc AS (SELECT assigned_centroid, count(*) AS n_delta,
+         |  sum(CAST(round(cos * 10000) AS BIGINT)) AS sd FROM da GROUP BY 1)
+         |SELECT assigned_centroid,
+         |  coalesce(n_base, 0) AS n_base, coalesce(n_delta, 0) AS n_delta,
+         |  round(coalesce(n_delta, 0) / CAST(coalesce(n_base, 0) + coalesce(n_delta, 0) AS DOUBLE), 4) + 0.0 AS delta_share,
+         |  round(sb / n_base / 10000.0, 4) + 0.0 AS base_fit,
+         |  round(sd / n_delta / 10000.0, 4) + 0.0 AS delta_fit,
+         |  round(round(sb / n_base / 10000.0, 4) - round(sd / n_delta / 10000.0, 4), 4) + 0.0 AS fit_drop
+         |FROM bc FULL JOIN dc USING (assigned_centroid)
+         |ORDER BY assigned_centroid""".stripMargin,
     "vec_dim_stats" ->
       s"""WITH $embCte,
          |comp AS (SELECT pos - 1 AS dim, x FROM (

@@ -727,6 +727,52 @@ object Ann {
       .orderBy(col("assigned_centroid"))
   }
 
+  /** §2.4#292 — incremental IVF maintenance for a daily embedding
+    * drop: the corpus splits into a BASE (vec_id % 10 ≠ 0 — the
+    * indexed snapshot) and a DELTA (vec_id % 10 = 0 — today's
+    * arrivals). Centroids are computed from the base ONLY and frozen;
+    * the delta is nearest-centroid assigned against that broadcast
+    * table, so the per-drop cost is |delta| × cells of distance math —
+    * never a re-cluster and never an all-corpus re-scan (the base
+    * cell census is the index build's own byproduct, mirrored here).
+    * The readout is the re-train monitor: per-cell base/delta
+    * occupancy, the delta's share, and the fit drop (mean base
+    * centroid-cos minus mean delta centroid-cos — a drop means the
+    * arrivals sit farther from the frozen centroids than the indexed
+    * corpus does, i.e. the distribution is drifting off the index).
+    * The incremental twin of [[graft.dedup.Dedup.dedupIncremental]]
+    * on the similarity side — the same full-vs-incremental contract
+    * as the reference's `isAFullBackupNeeded` split
+    * (bin/cassandra-syncer:154). Fit means are exact: the rounded
+    * cosines are summed as ×10⁴ longs, so no float fold-order drift.
+    */
+  def annIvfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    val base = e.filter(col("vec_id") % 10 =!= 0)
+    val delta = e.filter(col("vec_id") % 10 === 0)
+    val centroids = centroidsOf(base)
+    def census(part: DataFrame, n: String, fit: String): DataFrame =
+      assignTo(part, centroids)
+        .groupBy(col("assigned_centroid"))
+        .agg(count(lit(1)).as(n),
+          sum(round(col("cos") * 10000).cast("long")).as(s"${fit}_s"))
+        .withColumn(fit,
+          round(col(s"${fit}_s") / col(n) / 10000.0, 4))
+        .drop(s"${fit}_s")
+    census(base, "n_base", "base_fit")
+      .join(census(delta, "n_delta", "delta_fit"),
+        Seq("assigned_centroid"), "full_outer")
+      .select(col("assigned_centroid"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        round(coalesce(col("n_delta"), lit(0L)).cast("double") /
+          (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_delta"), lit(0L))), 4)
+          .as("delta_share"),
+        col("base_fit"), col("delta_fit"),
+        round(col("base_fit") - col("delta_fit"), 4).as("fit_drop"))
+      .orderBy(col("assigned_centroid"))
+  }
+
   /** §2.4#271 — per-dimension embedding statistics (mean / stddev /
     * min / max): the whitening-QA pass that catches dead dimensions,
     * scale drift between embedding-model versions, and un-normalized
@@ -833,6 +879,9 @@ object Ann {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(col("vec_id"), col("v"), col("c_id").as("cell"), col("cos").as("ccos"))
+      // lazy checkpoint, deliberately NOT a CachePins pin: an A/B at
+      // sf0.1 showed no gain (the Lloyd chain dominates, and the frame
+      // feeds cheap consumers), unlike the dedup tokset self-joins
       .localCheckpoint(eager = false)
     // each unordered within-cell pair is scored once (a < b), then
     // both orientations feed the dominance test

@@ -65,4 +65,36 @@ class AnnSpec extends GraftSpec {
       assert(row.getAs[Long]("code_max") === 255L) // x == hi maps to 255
     }
   }
+
+  test("ivf incremental: counts conserve the corpus split and fits are sane") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val nDelta = e.filter(col("vec_id") % 10 === 0).count()
+    val nBase = e.count() - nDelta
+    val r = Ann.annIvfIncremental(spark, sf).collect()
+    // every vector lands in exactly one cell, on its own side
+    assert(r.map(_.getAs[Long]("n_base")).sum === nBase)
+    assert(r.map(_.getAs[Long]("n_delta")).sum === nDelta)
+    r.foreach { row =>
+      val share = row.getAs[Double]("delta_share")
+      assert(share >= 0.0 && share <= 1.0)
+      // cosine means stay in [-1, 1]; fit_drop defined only when both
+      // sides populate the cell
+      Seq("base_fit", "delta_fit").foreach { c =>
+        if (!row.isNullAt(row.fieldIndex(c))) {
+          val f = row.getAs[Double](c); assert(f >= -1.0 && f <= 1.0)
+        }
+      }
+      if (!row.isNullAt(row.fieldIndex("base_fit")) &&
+          !row.isNullAt(row.fieldIndex("delta_fit"))) {
+        val drop = row.getAs[Double]("fit_drop")
+        assert(math.abs(drop -
+          (row.getAs[Double]("base_fit") - row.getAs[Double]("delta_fit"))) < 1e-9)
+      }
+    }
+    // the frozen-centroid contract: cells are exactly the base labels
+    // (label-seeded centroids), so the delta never creates a new cell
+    val labels = e.filter(col("vec_id") % 10 =!= 0)
+      .select(col("label")).distinct().count()
+    assert(r.length <= labels)
+  }
 }
