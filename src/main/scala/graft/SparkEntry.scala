@@ -244,6 +244,7 @@ object SparkEntry {
     "mm_resize_frames" -> (Media.mmResizeFrames(_, _)),
     "mm_phash" -> (Media.mmPhash(_, _)),
     "mm_vad_segments" -> (Media.mmVadSegments(_, _)),
+    "mm_audio_fingerprint" -> (Media.mmAudioFingerprint(_, _)),
     "mm_scene_detect" -> (Media.mmSceneDetect(_, _)),
     "mm_payload_dedup" -> (Media.mmPayloadDedup(_, _)),
     "mm_phash_dedup" -> (Media.mmPhashDedup(_, _)),
@@ -2955,6 +2956,25 @@ object SparkEntry {
         |SELECT doc_id, CAST(list_sum(list_transform(range(0,32),
         |    i -> CASE WHEN av[i+1] > av[i+2] THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS phash
         |FROM m ORDER BY doc_id""".stripMargin,
+    "mm_audio_fingerprint" ->
+      """WITH ch AS (SELECT doc_id,
+        |    list_transform(string_split(text, ''), x -> ascii(x)) AS by,
+        |    length(text) AS n FROM documents WHERE doc_id % 3 = 1),
+        |e AS (SELECT doc_id, CAST((n + 15) // 16 AS BIGINT) AS n_frames,
+        |  list_transform(range(0, (n + 15) // 16),
+        |    idx -> list_sum(by[idx * 16 + 1 : (idx + 1) * 16]) * 1.0 /
+        |      len(by[idx * 16 + 1 : (idx + 1) * 16])) AS es FROM ch),
+        |f AS (SELECT doc_id, n_frames,
+        |  CASE WHEN n_frames > 1 THEN
+        |    CAST(list_sum(list_transform(range(0, least(n_frames - 1, 32)),
+        |      i -> CASE WHEN es[i + 2] > es[i + 1]
+        |        THEN CAST(2 ** i AS BIGINT) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+        |  ELSE 0 END AS fingerprint FROM e),
+        |g AS (SELECT fingerprint, min(doc_id) AS keeper,
+        |  count(*) AS n_cluster FROM f GROUP BY 1)
+        |SELECT f.doc_id AS doc_id, n_frames, fingerprint, keeper, n_cluster,
+        |  f.doc_id = keeper AS is_keeper
+        |FROM f JOIN g USING (fingerprint) ORDER BY doc_id""".stripMargin,
     "mm_vad_segments" ->
       """WITH ch AS (SELECT doc_id,
         |    list_transform(string_split(text, ''), x -> ascii(x)) AS by,

@@ -263,6 +263,48 @@ object Media {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.6#293 — acoustic fingerprint + exact-fingerprint dedup census
+    * over the audio payloads: the energy-delta-sign fingerprint (the
+    * published Shazam/Chromaprint family's core idea — bit i is set
+    * iff frame i+1 is louder than frame i, over the first 32 deltas of
+    * the 16-byte-frame energy envelope from the same kernel as
+    * [[mmVadSegments]]), then payloads collapse on the fingerprint.
+    * The acoustic twin of [[mmPayloadDedup]] (byte-identical) and
+    * [[mmPhash]] (image gradient): clips whose byte containers differ
+    * but whose loudness envelope matches still share a signature. Per
+    * doc: frame count, fingerprint, the cluster keeper and its size.
+    * Scale shape: one kernel pass, one fingerprint-keyed shuffle for
+    * the census, one same-key join back — nothing pairwise, and no
+    * broadcast (distinct fingerprints scale with the corpus).
+    */
+  def mmAudioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val audio = mediaTable(spark, dir)
+      .filter(col("meta").getField("mime") === "audio/wav")
+    // sequence(0, n-2) is DESCENDING when n < 2 — guard single-frame
+    // payloads to the empty fingerprint instead
+    val nd = least(size(col("energies")) - 1, lit(32))
+    val fp = frameEnergies(audio)
+      .select(col("doc_id"),
+        size(col("energies")).cast("long").as("n_frames"),
+        when(size(col("energies")) > 1,
+          aggregate(
+            transform(sequence(lit(0), nd - 1),
+              i => when(
+                element_at(col("energies"), i + 2) >
+                  element_at(col("energies"), i + 1),
+                // 2^i exact in double for i <= 31, cast back to long
+                pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+            lit(0L), _ + _))
+          .otherwise(lit(0L)).as("fingerprint"))
+    val census = fp.groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_cluster"))
+    fp.join(census, Seq("fingerprint"))
+      .select(col("doc_id"), col("n_frames"), col("fingerprint"),
+        col("keeper"), col("n_cluster"),
+        (col("doc_id") === col("keeper")).as("is_keeper"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PNG / JPEG magic-byte sniff — cheap pre-filter so non-image
     * payloads never pay a decode attempt.
     */

@@ -198,4 +198,34 @@ class TextAndMediaSpec extends GraftSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach(r => assert(r.getLong(1) === expFrames(r.getLong(0))))
   }
+
+  test("audio fingerprint: only audio payloads; census is consistent; bits bounded") {
+    val rows = graft.multimodal.Media.mmAudioFingerprint(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byFp = rows.groupBy(_.getAs[Long]("fingerprint"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 3 === 1L, "non-audio doc fingerprinted")
+      // <= 32 delta bits -> fingerprint < 2^32
+      assert(r.getAs[Long]("fingerprint") >= 0L)
+      assert(r.getAs[Long]("fingerprint") < (1L << 32))
+      val cluster = byFp(r.getAs[Long]("fingerprint"))
+      assert(r.getAs[Long]("n_cluster") === cluster.length.toLong)
+      assert(r.getAs[Long]("keeper") === cluster.map(_.getAs[Long]("doc_id")).min)
+      assert(r.getAs[Boolean]("is_keeper") ===
+        (r.getAs[Long]("doc_id") === r.getAs[Long]("keeper")))
+    }
+    // identical payloads share a fingerprint: re-fingerprint one doc's
+    // energies by hand and check the bit rule on a sample row
+    val one = rows.minBy(_.getAs[Long]("doc_id"))
+    val es = graft.multimodal.Media.frameEnergies(
+        graft.multimodal.Media.mediaTable(spark, sf)
+          .filter(org.apache.spark.sql.functions.col("doc_id") ===
+            one.getAs[Long]("doc_id")))
+      .collect().head.getSeq[Double](1)
+    val expected = es.sliding(2).take(32).zipWithIndex.collect {
+      case (Seq(a, b), i) if b > a => 1L << i
+    }.sum
+    assert(one.getAs[Long]("fingerprint") === expected)
+    assert(one.getAs[Long]("n_frames") === es.length.toLong)
+  }
 }
