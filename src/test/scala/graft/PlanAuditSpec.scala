@@ -140,11 +140,11 @@ class PlanAuditSpec extends GraftSpec {
   private val broadcastHintAllowlist: Map[String, String] = Map(
     "vec_cosine_hist" -> "deterministic 1/19 QA sample on BOTH sides of the pair histogram — the accepted sampled-readout shape; a production run feeds a bounded probe set instead",
     // surfaced by the r9 top-down boundedness walk (the r8 exists()
-    // walk acquitted them via the interior codebook aggregate): the
-    // PQ probe frames are deterministic 1/83 samples of the corpus —
-    // the same sampled-QA-readout shape as vec_cosine_hist; a
-    // production ANN serving path feeds a bounded query batch here
-    "ann_pq_adc" -> "deterministic 1/83 probe sample hint-broadcast against the PQ codes",
+    // walk acquitted it via the interior codebook aggregate). NOTE:
+    // ann_pq_adc left this list when its probe slice gained the
+    // AdcProbeCap literal id bound (≤60 probes at any SF) — the gate
+    // now proves that side bounded on its own, which is the intended
+    // end-state for sampled readouts.
     "ann_ivf_pq_search" -> "deterministic 1/83 probe sample hint-broadcast into the IVF+PQ index")
 
   test("no broadcast hint on a frame derived from an unbounded entity axis") {
