@@ -236,6 +236,7 @@ object SparkEntry {
     "text_pack_chunks" -> ((s, d) => graft.text.CorpusOps.textPackChunks(s, d)),
     "text_contamination" -> ((s, d) => graft.text.CorpusOps.textContamination(s, d)),
     "corpus_mixture" -> (graft.text.CorpusOps.corpusMixture(_, _)),
+    "corpus_source_overlap" -> (graft.text.CorpusOps.corpusSourceOverlap(_, _)),
     "corpus_dsir_select" -> (graft.text.CorpusOps.corpusDsirSelect(_, _)),
     "dedup_url_norm" -> (graft.text.CorpusOps.dedupUrlNorm(_, _)),
     // §2.6 multimodal
@@ -1355,6 +1356,25 @@ object SparkEntry {
          |  CAST(coalesce(h.n_contam_spans, 0) AS BIGINT) AS n_contam_spans,
          |  coalesce(h.n_contam_spans, 0) > 0 AS contaminated
          |FROM c LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "corpus_source_overlap" ->
+      """WITH ss AS (SELECT DISTINCT source, sh FROM (
+        |  SELECT source, unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS sh
+        |  FROM (SELECT source,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents))),
+        |vocab AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY 1),
+        |shared AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_shared
+        |  FROM ss a JOIN ss b USING (sh) WHERE a.source < b.source GROUP BY 1, 2),
+        |grid AS (SELECT va.source AS source_a, vb.source AS source_b,
+        |    va.n_sh AS sh_a, vb.n_sh AS sh_b
+        |  FROM vocab va, vocab vb WHERE va.source < vb.source)
+        |SELECT source_a, source_b, sh_a, sh_b,
+        |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+        |  round(coalesce(n_shared, 0) /
+        |    CAST(sh_a + sh_b - coalesce(n_shared, 0) AS DOUBLE), 4) + 0.0 AS jaccard
+        |FROM grid LEFT JOIN shared USING (source_a, source_b)
+        |ORDER BY source_a, source_b""".stripMargin,
     "corpus_mixture" ->
       """WITH t AS (SELECT lang, source,
         |  len(string_split_regex(trim(lower(text)), '\s+')) AS n_toks FROM documents),

@@ -80,4 +80,20 @@ class CorpusOpsSpec extends GraftSpec {
     assert(scores.sameElements(scores.sorted(Ordering[Long].reverse)))
     top.unpersist()
   }
+
+  test("source overlap: full C(n,2) grid, symmetric-free, jaccard bounded by counts") {
+    val r = graft.text.CorpusOps.corpusSourceOverlap(spark, sf).collect()
+    val sources = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source")).distinct().count().toInt
+    assert(r.length === sources * (sources - 1) / 2, "grid must be complete")
+    r.foreach { row =>
+      assert(row.getAs[String]("source_a") < row.getAs[String]("source_b"))
+      val shared = row.getAs[Long]("n_shared")
+      val (a, b) = (row.getAs[Long]("sh_a"), row.getAs[Long]("sh_b"))
+      assert(shared <= math.min(a, b), "shared vocab exceeds a side's vocab")
+      val j = row.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      if (shared == 0) assert(j === 0.0)
+    }
+  }
 }
