@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.Ckpt.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -569,7 +570,7 @@ object EventAnalytics {
   def qNewVsReturning(spark: SparkSession, dir: String): DataFrame = {
     val days = Tables.events(spark, dir)
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
+      .cutLineage(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val firstDay = days.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
     days.join(firstDay, Seq("user_id"))
       .groupBy(col("day"))
@@ -679,7 +680,7 @@ object EventAnalytics {
     val baskets = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .groupBy(col("ok")).agg(sort_array(collect_set(col("pk"))).as("parts"))
-      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
+      .cutLineage(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val sup = baskets.select(explode(col("parts")).as("pk"))
       .groupBy(col("pk")).agg(count(lit(1)).as("sup"))
     val pairsOf = expr(
@@ -797,7 +798,7 @@ object EventAnalytics {
       .groupBy(col("user_id"), col("v_us"), col("c_us"))
       .agg(min(when(col("event_type") === "purchase" && col("us") >= col("c_us"),
         col("us"))).as("p_us"))
-      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
+      .cutLineage(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val steps = Seq(
       ("view_to_click", col("c_us") - col("v_us")),
       ("click_to_purchase", col("p_us") - col("c_us")))
@@ -978,7 +979,7 @@ object EventAnalytics {
     val uw = Tables.events(spark, dir)
       .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
       .distinct()
-      .localCheckpoint(eager = false) // feeds the cohort min AND the grid rollup
+      .cutLineage(eager = false) // feeds the cohort min AND the grid rollup
     val first = uw.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
     val grid = uw.join(first, Seq("user_id"))
       .groupBy(col("cohort_week"),

@@ -1,5 +1,6 @@
 package graft.analytics
 
+import graft.Ckpt.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -65,7 +66,7 @@ object Stats {
   def qKsTest(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.events(spark, dir)
       .groupBy(col("event_type"), col("value")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
+      .cutLineage(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val types = cells.select(col("event_type")).distinct()
     val values = cells.groupBy(col("value")).agg(sum(col("c")).as("c_all"))
     // dense (type × value) grid: |types| is bounded, so this explode

@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.Ckpt.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -257,7 +258,7 @@ object Dedup {
   private[graft] def candGraph(spark: SparkSession, dir: String): CandGraph = {
     val perDoc = minhashSignaturesOf(
         Tables.rebalanced(Tables.documents(spark, dir)).select(col("doc_id"), col("text")))
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
     // band hashes are functions of the signature vector: grouping by
     // digest + bands collapses exactly the signature groups while
     // keeping the band columns for the candidate join
@@ -265,11 +266,11 @@ object Dedup {
     val reps = perDoc
       .groupBy(col("sig_digest") +: bandCols: _*)
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
     val edges = minhashCandidatePairsOf(reps)
       .join(reps.select(col("doc_id").as("doc_a"), col("n_copies").as("na")), Seq("doc_a"))
       .join(reps.select(col("doc_id").as("doc_b"), col("n_copies").as("nb")), Seq("doc_b"))
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
     val endpoints = edges
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
@@ -334,7 +335,7 @@ object Dedup {
         .select(col("doc_id"), col("cluster_id").as("old_id"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint()
+        .cutLineage()
       val changed = next.filter(col("cluster_id") =!= col("old_id")).limit(1).count()
       labels = next.select(col("doc_id"), col("cluster_id"))
       converged = changed == 0
@@ -921,7 +922,7 @@ object Dedup {
     val baseDigests = base
       .groupBy(md5(lower(col("text"))).as("digest"))
       .agg(min(col("doc_id")).as("exact_keeper"))
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
     // near-dup side collapses to one rep per distinct text: band
     // buckets and token-set Jaccard are functions of the text, so
     // probing reps is equivalent to probing every base doc — with the
@@ -929,18 +930,18 @@ object Dedup {
     // readout is also preserved exactly
     val baseReps = base.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
     val baseBands = bandsOf(minhashSignaturesOf(baseReps))
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
     val baseToks = baseReps
       .select(col("doc_id").as("b_id"),
         array_sort(array_distinct(tokensCol(col("text")))).as("btok"))
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
     // ---- per-drop probe (touches |delta|·bands + matched buckets) ----
     val withDigest = delta
       .select(col("doc_id"), col("text"), md5(lower(col("text"))).as("digest"))
       .join(baseDigests, Seq("digest"), "left_outer")
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
     val unmatched = withDigest.filter(col("exact_keeper").isNull)
       .select(col("doc_id"), col("text"))
     val cands = bandsOf(minhashSignaturesOf(unmatched))

@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.Ckpt.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -69,7 +70,7 @@ object GraphOps {
     val (nodes, edges) = graphOf(spark, dir)
     // the wedge join reads the edge list three times — materialize it
     // once instead of tripling the band join in one plan
-    val e = edges.localCheckpoint()
+    val e = edges.cutLineage()
     // all multiplicity products run in decimal(38,0): a clique of n
     // verbatim copies puts n³ in a single t1/t3 term, which wraps a
     // long (non-ANSI) already at n ≈ 2.1M — inside the documented
@@ -196,8 +197,8 @@ object GraphOps {
     // one materialization of the edge list feeds the degree table,
     // the adjacency and every iteration; the node-count scalar reads
     // the checkpointed degrees, not the corpus again
-    val e = edges.localCheckpoint()
-    val stat = repDegrees(nodes, e).localCheckpoint()
+    val e = edges.cutLineage()
+    val stat = repDegrees(nodes, e).cutLineage()
     val n = stat.agg(coalesce(sum(col("n_copies")), lit(0L)))
       .first().getLong(0) // scalar full-node count, the only driver-side value
     val adj = e.select(col("doc_a").as("s"), col("doc_b").as("t"), col("na").as("ns"))
@@ -219,7 +220,7 @@ object GraphOps {
         .agg(sum(col("m")).as("contrib"))
         .select(col("node"),
           (lit((1 - damp) / n) + lit(damp) * col("contrib")).as("r"))
-        .localCheckpoint()
+        .cutLineage()
       it += 1
     }
     g.docMap
@@ -327,13 +328,13 @@ object GraphOps {
       .join(seeds.withColumnRenamed("rep_id", "doc_id"), Seq("doc_id"), "left_outer")
       .select(col("doc_id").as("node"), col("n_copies"),
         coalesce(col("n_seeds"), lit(0L)).as("n_seeds"))
-      .localCheckpoint()
+      .cutLineage()
     val e = edges.select(col("doc_a").as("s"), col("doc_b").as("t"))
       .union(edges.select(col("doc_b").as("s"), col("doc_a").as("t")))
-      .localCheckpoint()
+      .cutLineage()
     var visited = st.filter(col("n_seeds") > 0)
       .select(col("node"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .cutLineage()
     var frontier = visited
     var it = 0
     while (it < iters) {
@@ -342,8 +343,8 @@ object GraphOps {
         .join(visited.select(col("node").as("seen")),
           col("node") === col("seen"), "left_anti")
         .select(col("node"), lit(it + 1L).as("dist"))
-        .localCheckpoint()
-      visited = visited.union(next).localCheckpoint()
+        .cutLineage()
+      visited = visited.union(next).cutLineage()
       frontier = next
       it += 1
     }
@@ -400,7 +401,7 @@ object GraphOps {
     val (nodes0, edges0) = graphOf(spark, dir)
     var cur = nodes0.select(col("doc_id"), col("n_copies"))
     var edges = edges0.select(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .localCheckpoint()
+      .cutLineage()
     val profile = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     var r = 1
     while (r <= rounds) {
@@ -414,14 +415,14 @@ object GraphOps {
         .filter(col("n_copies") >= 2 || col("nbr_n").isNotNull)
         .select(col("doc_id"), col("n_copies"),
           (col("n_copies") - 1 + coalesce(col("nbr_n"), lit(0L))).as("deg"))
-        .localCheckpoint()
-      val keep = present.filter(col("deg") >= k).localCheckpoint()
+        .cutLineage()
+      val keep = present.filter(col("deg") >= k).cutLineage()
       val nKeep = keep.agg(coalesce(sum(col("n_copies")), lit(0L))).first().getLong(0)
       val nPresent = present.agg(coalesce(sum(col("n_copies")), lit(0L))).first().getLong(0)
       edges = edges
         .join(keep.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
         .join(keep.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
-        .localCheckpoint()
+        .cutLineage()
       cur = keep.select(col("doc_id"), col("n_copies"))
       profile += ((r.toLong, nPresent - nKeep, nKeep))
       r += 1
@@ -467,10 +468,10 @@ object GraphOps {
     val (nodes, edges) = graphOf(spark, dir)
     val e = edges.select(col("doc_a").as("s"), col("doc_b").as("t"))
       .union(edges.select(col("doc_b").as("s"), col("doc_a").as("t")))
-      .localCheckpoint()
+      .cutLineage()
     var labels = nodes
       .select(col("doc_id").as("node"), col("doc_id").as("label"), col("n_copies"))
-      .localCheckpoint()
+      .cutLineage()
     var it = 0
     while (it < rounds) {
       val nbrMin = e
@@ -480,7 +481,7 @@ object GraphOps {
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
           col("n_copies"))
-        .localCheckpoint()
+        .cutLineage()
       it += 1
     }
     labels.groupBy(col("label")).agg(sum(col("n_copies")).as("cluster_size"))
@@ -531,7 +532,7 @@ object GraphOps {
     val baskets = graft.sources.Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ord"), col("l_partkey").as("part"))
       .groupBy(col("ord")).agg(sort_array(collect_set(col("part"))).as("parts"))
-      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
+      .cutLineage(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val nOrd = baskets.select(explode(col("parts")).as("part"))
       .groupBy(col("part")).agg(count(lit(1)).as("n_ord"))
     val pairsOf = expr(

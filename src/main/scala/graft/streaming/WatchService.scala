@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Ckpt.CutOps
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -133,7 +134,7 @@ object WatchService {
     // rows read the frozen blocks, and no driver collect means a
     // pathological first batch (bootstrap against a full keyspace)
     // can't blow the driver heap.
-    val results = copied.localCheckpoint(true)
+    val results = copied.cutLineage(true)
     results.write.mode("append").json(target.watchManifestsPath)
     results
   }

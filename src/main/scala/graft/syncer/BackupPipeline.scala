@@ -1,5 +1,6 @@
 package graft.syncer
 
+import graft.Ckpt.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -256,7 +257,7 @@ object BackupPipeline {
     // it, and this plan reads the ledger through the remainder
     // anti-join — recomputing after the append would see an empty
     // remainder.
-    val once = fetched.localCheckpoint(true)
+    val once = fetched.cutLineage(true)
     // the pass date keys the layout only (operational retention /
     // audit slicing); resume correctness never reads it
     val ledger = once.withColumn("dest", lit(destDir))

@@ -1,5 +1,6 @@
 package graft.syncer
 
+import graft.Ckpt.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -376,7 +377,7 @@ object SyncOps {
     import spark.implicits._
     val state = syncLwwMerge(spark, dir)
       .select(col("row_key"), col("latest_value"))
-      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
+      .cutLineage(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val index = state.select(
       floor(col("latest_value") / 50).cast("long").as("vbucket"), col("row_key"))
     val probes = Seq(0L, 1L).toDF("vbucket")
@@ -685,8 +686,8 @@ object SyncOps {
         .filter(col("rk") <= 3)
         .select(col("user_id"), col("node"))
     }
-    val before = placement(ringOf(RingNodes)).localCheckpoint()
-    val after = placement(ringOf(RingNodes + 1)).localCheckpoint()
+    val before = placement(ringOf(RingNodes)).cutLineage()
+    val after = placement(ringOf(RingNodes + 1)).cutLineage()
     val gained = after.join(before, Seq("user_id", "node"), "left_anti")
       .groupBy(col("node")).agg(count(lit(1)).as("keys_gained"))
     val lost = before.join(after, Seq("user_id", "node"), "left_anti")
@@ -750,7 +751,7 @@ object SyncOps {
         col("write_ts").as("head_ts"), col("generation").as("head_gen"))
       // two consumers (winner + compare) of one fact-scan result:
       // materialize the ≤150-row head set once, not the scan twice
-      .localCheckpoint()
+      .cutLineage()
     // quorum winner = newest (write_ts, generation) head across the
     // key's replicas; a replica with no surviving cells still serves
     // the key (left join → NULL head). Generation is globally unique,

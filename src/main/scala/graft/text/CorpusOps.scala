@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.Ckpt.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -165,7 +166,7 @@ object CorpusOps {
       .withColumn("bucket", bucket)
       .groupBy(col("doc_id"), col("lang"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
+      .cutLineage(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     // raw and target bucket counts in ONE pass; corpus totals fold
     // from the 256-row bucket table, not from another data scan
     val bstats = pdb.groupBy(col("bucket"))

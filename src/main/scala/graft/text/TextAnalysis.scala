@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.Ckpt.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -510,7 +511,7 @@ object TextAnalysis {
     // the whole corpus — the one pass that actually costs at 100 TB.
     val perDoc = tok.groupBy(col("word"), col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
+      .cutLineage(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val tf = perDoc.groupBy(col("lang"), col("word")).agg(sum(col("c")).as("tf"))
     val df = perDoc.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
@@ -570,7 +571,7 @@ object TextAnalysis {
     val perDoc = docs
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("word"))
       .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
+      .cutLineage(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val df = perDoc.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // three consumers (norms + both join sides) of one tokenize pass
@@ -578,7 +579,7 @@ object TextAnalysis {
       .filter(col("df") >= 2 && col("df") * 10 <= col("n_docs") && col("df") <= 256)
       .select(col("word"), col("doc_id"),
         (col("c") * log(col("n_docs").cast("double") / col("df"))).as("w"))
-      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
+      .cutLineage(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val norms = postings.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val dots = postings.select(col("word"), col("doc_id").as("doc_a"), col("w").as("wa"))
@@ -594,7 +595,7 @@ object TextAnalysis {
       .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("dot") / (col("na") * col("nb")), 4).as("cos"))
-      .localCheckpoint()
+      .cutLineage()
     val sym = cs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr_id"), col("cos"))
       .union(cs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr_id"), col("cos")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("cos").desc, col("nbr_id"))
@@ -644,14 +645,14 @@ object TextAnalysis {
     // never once per consumer
     val uni = docs.select(explode(col("toks")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
+      .cutLineage(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val pairsOf = transform(idxSeq(size(col("toks")) - 1),
       i => struct(element_at(col("toks"), i).as("wa"),
         element_at(col("toks"), i + 1).as("wb")))
     val biAll = docs.select(explode(pairsOf).as("p"))
       .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
       .groupBy(col("wa"), col("wb")).agg(count(lit(1)).as("n_ab"))
-      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
+      .cutLineage(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val bi = biAll.filter(col("n_ab") >= 5)
     val nUni = uni.agg(sum(col("n")).as("n_uni"))
     val nBi = biAll.agg(sum(col("n_ab")).as("n_bi"))
@@ -686,7 +687,7 @@ object TextAnalysis {
     // tokenized exactly once
     val perDoc = tok.groupBy(col("word"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
+      .cutLineage(eager = false) // lazy: blocks die with the RDD, no session-lifetime cache pin
     val dl = perDoc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val df = perDoc.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))

@@ -30,6 +30,19 @@ object Shim {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Measured materialized size of a logical plan: executes it and
+    * sums the UnsafeRow byte sizes. Plan-audit probe — row counts can
+    * hide growth inside nested arrays (a 1-row frame wrapping a
+    * corpus-linear collect_list), bytes cannot.
+    */
+  def measuredBytes(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Long =
+    ofRows(spark, plan).asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+      .queryExecution.toRdd.map {
+        case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow => u.getSizeInBytes.toLong
+        case _ => 0L
+      }.sum().toLong
+
   def experimentalStrategies(spark: org.apache.spark.sql.SparkSession):
       Seq[org.apache.spark.sql.execution.SparkStrategy] =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
