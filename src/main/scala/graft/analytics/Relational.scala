@@ -835,26 +835,67 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
-  /** Skew-resistant join: the fact side keeps a deterministic salt,
-    * the dimension side is exploded across all salt replicas, the join
-    * runs on (key, salt) so one hot key spreads over `salts`
-    * partitions. Result is provably identical to the unsalted join —
-    * the oracle IS the plain join. AQE's skew handling covers the
-    * runtime case; this operator is the explicit/static variant for
-    * engines or key distributions where AQE can't see the skew.
+  /** Skew-resistant join, hot-key-only (the production pattern; the
+    * r9 version exploded the ENTIRE dimension ×8, a self-inflicted 8×
+    * shuffle at 100 TB). A deterministic ~1/4 hash sample of the fact
+    * side estimates per-key frequencies; only keys above the hot
+    * threshold — capped at the top 64, so the hot set is bounded by a
+    * LITERAL, not by the corpus — are salted: hot fact rows take a
+    * row-derived salt, hot dimension rows alone are exploded across
+    * the salt replicas, and the cold long tail joins unsalted
+    * (salt 0). Result is provably identical to the unsalted join for
+    * ANY hot-key choice — the oracle IS the plain join, so the
+    * engine-specific sampling hash never leaks into correctness.
+    * AQE's skew handling covers the runtime case; this operator is
+    * the explicit/static variant for engines or key distributions
+    * where AQE can't see the skew.
     */
   def qJoinSkewSalt(spark: SparkSession, dir: String): DataFrame = {
     val salts = 8
     val li = Tables.lineitem(spark, dir)
-      .withColumn("salt", (col("l_linenumber") % salts).cast("int"))
     val ord = Tables.orders(spark, dir)
-      .withColumn("salt", explode(lit((0 until salts).toArray)))
-    li.join(ord, li("l_orderkey") === ord("o_orderkey") && li("salt") === ord("salt"))
+    val hot = hotKeys(li, col("l_orderkey"), col("l_linenumber"), salts)
+    val liS = li.join(broadcast(hot), li("l_orderkey") === hot("hot_key"), "left_outer")
+      .withColumn("salt",
+        when(col("hot_key").isNotNull, pmod(col("l_linenumber"), lit(salts)))
+          .otherwise(lit(0)).cast("int"))
+      .drop("hot_key")
+    val ordS = ord.join(broadcast(hot), ord("o_orderkey") === hot("hot_key"), "left_outer")
+      .withColumn("salt", explode(when(col("hot_key").isNotNull,
+        lit((0 until salts).toArray)).otherwise(array(lit(0)))))
+      .drop("hot_key")
+    liS.join(ordS, liS("l_orderkey") === ordS("o_orderkey") && liS("salt") === ordS("salt"))
       .groupBy(col("o_orderstatus"))
       .agg(dollars(sum(netE4), 10000.0).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("o_orderstatus"))
   }
+
+  /** The hot-key readout behind [[qJoinSkewSalt]]: per-key fact-side
+    * frequencies estimated by the Misra–Gries sketch on a
+    * deterministic 1/4 hash row-sample — ONE narrow pass with an
+    * O(capacity) buffer and map-side combine (no shuffle keyed by the
+    * key axis: the first cut of this readout ran a groupBy over every
+    * sampled key, a |keys|-cardinality shuffle that cost more than
+    * the salting saved). Any key above HotKeyRowThreshold is
+    * guaranteed to survive the sketch whenever threshold >
+    * sampled-rows/(capacity+1) — comfortably true for skew heavy
+    * enough to need salting — and the frame is bounded by the LITERAL
+    * capacity at any corpus size. MG undercounts by at most that same
+    * bound, so the estimate is scaled back up before the threshold
+    * cut; false negatives near the threshold are harmless (those keys
+    * simply join unsalted, exactly like AQE missing mild skew).
+    */
+  val HotKeyRowThreshold = 16L
+  val HotKeyCapacity = 256
+  def hotKeys(fact: DataFrame, key: Column, rowDiscriminator: Column,
+      salts: Int): DataFrame =
+    fact.filter(pmod(hash(key, rowDiscriminator), lit(4)) === 0)
+      .agg(graft.functions.FreqItemsAggFunctions
+        .freq_items_sketch(key.cast("string"), HotKeyCapacity).as("sketch"))
+      .select(explode(col("sketch")).as(Seq("hot_key_s", "est")))
+      .filter(col("est") * 4 >= HotKeyRowThreshold)
+      .select(col("hot_key_s").cast("long").as("hot_key"))
 
   /** §2.2#150 — unpivot (wide → long): the four lineitem money/qty
     * measures melt into (measure, cents) rows via the native

@@ -29,6 +29,33 @@ class SkewSpec extends GraftSpec {
     assert(plain("dim_1") === 50000L)
   }
 
+  test("hot-key detection salts the hot keys and ONLY the hot keys") {
+    import spark.implicits._
+    import graft.analytics.Relational
+    // two genuinely hot keys against a 500-key long tail: the sampled
+    // estimator must surface exactly the hot pair (no tail key can
+    // clear HotKeyRowThreshold even at full sampling variance), and
+    // the cap keeps the frame bounded by the 64-row literal
+    val fact = spark.range(40000).select(lit(7L).as("k"), col("id").as("rid"))
+      .union(spark.range(25000).select(lit(11L).as("k"), (col("id") + 50000).as("rid")))
+      .union(spark.range(1500).select((col("id") % 500 + 100).as("k"), (col("id") + 90000).as("rid")))
+    val hot = Relational.hotKeys(fact, col("k"), col("rid"), salts = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(hot === Set(7L, 11L), s"hot set was $hot")
+    // and the full operator's result stays EQUAL to the plain join on
+    // the real tables (the oracle asserts the same cross-engine)
+    val salted = Relational.qJoinSkewSalt(spark, sf).collect().map(_.toString).toSeq
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    val ord = graft.sources.Tables.orders(spark, sf)
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(graft.analytics.Money.dollars(
+          sum(graft.analytics.Money.netE4), 10000.0).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderstatus")).collect().map(_.toString).toSeq
+    assert(salted === plain)
+  }
+
   test("AQE skew-join safety net is configured") {
     assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
   }
