@@ -182,6 +182,7 @@ object SparkEntry {
     "dedup_minhash_by_lang" -> (Dedup.dedupMinhashByLang(_, _)),
     "dedup_pipeline_verified" -> ((s, d) => Dedup.dedupPipelineVerified(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
+    "dedup_substring" -> ((s, d) => Dedup.dedupSubstring(s, d)),
     "dedup_semantic" -> ((s, d) => Ann.dedupSemantic(s, d)),
     "dedup_quality_survivors" -> (Dedup.dedupQualitySurvivors(_, _)),
     "dedup_containment" -> (Dedup.dedupContainment(_, _)),
@@ -2616,6 +2617,7 @@ object SparkEntry {
     "dedup_minhash_by_lang" -> Dedup.minhashByLangOracleSql,
     "dedup_pipeline_verified" -> Dedup.pipelineVerifiedOracleSql,
     "dedup_incremental" -> Dedup.incrementalOracleSql(),
+    "dedup_substring" -> Dedup.dedupSubstringOracleSql(),
     "dedup_semantic" -> Ann.dedupSemanticOracleSql(),
     "dedup_ngram_jaccard" ->
       """WITH reps AS (SELECT min(doc_id) AS doc_id,

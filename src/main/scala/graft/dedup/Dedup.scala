@@ -1020,4 +1020,114 @@ object Dedup {
        |FROM dd LEFT JOIN nearm USING (doc_id)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** §2.3 `dedup_substring` — exact substring dedup ACROSS documents
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): a token span of length ≥ n appearing in ≥ 2
+    * distinct documents is a duplicated substring; overlapping
+    * duplicated windows merge into MAXIMAL duplicated regions, and
+    * each document reports its duplicated-region count, covered
+    * tokens, longest region, and ppm coverage — the readout the
+    * span-removal pass consumes. The published implementation builds
+    * a corpus suffix array; the Spark-native equivalent is sorted
+    * span-hash runs: every n-token window's md5 keyed by hash is a
+    * suffix-array bucket of depth n, and the shuffle IS the sort.
+    *
+    * Scale: verbatim copies collapse to one representative BEFORE
+    * span hashing (the house rep-collapse rule — a 1,250-copy cluster
+    * costs one doc of span work, with the copy count folded into the
+    * span's document multiplicity), so span volume is Σ tokens over
+    * DISTINCT texts — linear. The per-span multiplicity rollup, the
+    * dup-position join, and the per-rep region merge are all single
+    * hash shuffles; nothing is pairwise. Within-doc repetition alone
+    * (multiplicity from one document) does NOT count — that axis is
+    * [[graft.text.TextAnalysis.textRepetition]]'s job.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String, n: Int = 15): DataFrame = {
+    // rep-collapse on TOKEN-level identity (the axis spans are hashed
+    // over): whitespace variants with identical token streams share
+    // every span, so they must share one representative too
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .withColumn("digest", md5(array_join(col("toks"), " ")))
+    val reps = docs.groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_copies"))
+    val repDocs = docs.join(reps.withColumnRenamed("rep_id", "doc_id"), Seq("doc_id", "digest"))
+    val spans = repDocs.select(col("doc_id").as("rep_id"), col("n_copies"),
+      posexplode(graft.functions.TextFunctions.ngram_span_hashes_pos(col("toks"), n))
+        .as(Seq("pos", "h")))
+    // a span's document multiplicity: Σ copy-counts over the DISTINCT
+    // reps carrying it (≥2 ⇔ the span text lives in ≥2 documents)
+    val spanDocs = spans.select(col("h"), col("rep_id"), col("n_copies")).distinct()
+      .groupBy(col("h")).agg(sum(col("n_copies")).as("n_docs"))
+    val dupPos = spans.join(spanDocs.filter(col("n_docs") >= 2), Seq("h"))
+      .select(col("rep_id"), col("pos"))
+    // merge OVERLAPPING duplicated windows (start gap ≤ n−1) into
+    // maximal regions; union coverage is contiguous by construction
+    val wreg = Window.partitionBy(col("rep_id")).orderBy(col("pos"))
+    val regions = dupPos
+      .withColumn("prev", lag(col("pos"), 1).over(wreg))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") > col("prev") + (n - 1), 1L).otherwise(0L))
+      .withColumn("region", sum(col("brk")).over(
+        wreg.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("rep_id"), col("region"))
+      .agg((max(col("pos")) - min(col("pos")) + n).cast("long").as("region_toks"))
+    val perRep = regions.groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("n_dup_regions"), sum(col("region_toks")).as("dup_tokens"),
+        max(col("region_toks")).as("longest_dup_region"))
+    docs.select(col("doc_id"), col("digest"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(reps.select(col("digest"), col("rep_id")), Seq("digest"))
+      .join(perRep, Seq("rep_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_regions"), lit(0L)).as("n_dup_regions"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("longest_dup_region"), lit(0L)).as("longest_dup_region"))
+      .withColumn("dup_ppm", expr("(1000000 * dup_tokens) div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[dedupSubstring]]: identical rep-collapse,
+    * positioned span md5s (the same `md5(toks[i] || ' ' || …)` recipe
+    * as the contamination oracle), multiplicity rollup, overlap-merge
+    * region windows, and ppm floor-division.
+    */
+  def dedupSubstringOracleSql(n: Int = 15): String = {
+    val spanTerms = (0 until n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH t0 AS (SELECT doc_id,
+       |  string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+       |t AS (SELECT doc_id, toks, md5(array_to_string(toks, ' ')) AS digest FROM t0),
+       |reps AS (SELECT digest, min(doc_id) AS rep_id, count(*) AS n_copies
+       |  FROM t GROUP BY digest),
+       |rd AS (SELECT r.rep_id, r.n_copies, t.toks FROM reps r
+       |  JOIN t ON t.doc_id = r.rep_id),
+       |spans AS (SELECT rep_id, n_copies, sp['pos'] AS pos, sp['h'] AS h FROM (
+       |  SELECT rep_id, n_copies,
+       |    unnest(list_transform(range(1, greatest(len(toks) - ${n - 2}, 1)),
+       |      i -> {'pos': i - 1, 'h': md5($spanTerms)})) AS sp
+       |  FROM rd)),
+       |sd AS (SELECT h, sum(n_copies) AS n_docs FROM (
+       |  SELECT DISTINCT h, rep_id, n_copies FROM spans) GROUP BY h),
+       |dp AS (SELECT s.rep_id, s.pos FROM spans s JOIN sd USING (h)
+       |  WHERE sd.n_docs >= 2),
+       |brks AS (SELECT rep_id, pos,
+       |    CASE WHEN lag(pos) OVER w IS NULL
+       |         OR pos > lag(pos) OVER w + ${n - 1} THEN 1 ELSE 0 END AS brk
+       |  FROM dp WINDOW w AS (PARTITION BY rep_id ORDER BY pos)),
+       |regs AS (SELECT rep_id, pos,
+       |    sum(brk) OVER (PARTITION BY rep_id ORDER BY pos) AS region FROM brks),
+       |regions AS (SELECT rep_id, region, max(pos) - min(pos) + $n AS region_toks
+       |  FROM regs GROUP BY rep_id, region),
+       |pr AS (SELECT rep_id, count(*) AS n_dup_regions,
+       |    CAST(sum(region_toks) AS BIGINT) AS dup_tokens,
+       |    CAST(max(region_toks) AS BIGINT) AS longest_dup_region
+       |  FROM regions GROUP BY rep_id)
+       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(pr.n_dup_regions, 0) AS BIGINT) AS n_dup_regions,
+       |  coalesce(pr.dup_tokens, 0) AS dup_tokens,
+       |  coalesce(pr.longest_dup_region, 0) AS longest_dup_region,
+       |  (1000000 * coalesce(pr.dup_tokens, 0)) // len(t.toks) AS dup_ppm
+       |FROM t JOIN reps USING (digest) LEFT JOIN pr ON pr.rep_id = reps.rep_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
 }

@@ -310,6 +310,55 @@ case class NGramSpanHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Positioned variant of [[NGramSpanHashes]]: every n-token window's
+  * md5 IN POSITION ORDER, duplicates kept — the input to cross-doc
+  * substring dedup, which needs window POSITIONS to merge duplicated
+  * windows into maximal duplicated regions (Lee et al. 2022 shape).
+  * Same one-pass shared-buffer hashing; the oracle mirrors
+  * `md5(toks[i] || ' ' || …)` per position.
+  */
+case class NGramSpanHashesPos(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private val Space: Byte = ' '.toByte
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val tb = new Array[Array[Byte]](m)
+    var t = 0
+    while (t < m) { tb(t) = toks.getUTF8String(t).getBytes; t += 1 }
+    val md = Digests.threadMd5.get()
+    val out = new Array[Any](m - n + 1)
+    var i = 0
+    while (i <= m - n) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(Space)
+        md.update(tb(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = Digests.HexChars((d(b) >> 4) & 0xf)
+        hex(2 * b + 1) = Digests.HexChars(d(b) & 0xf)
+        b += 1
+      }
+      out(i) = UTF8String.fromString(new String(hex))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Fused repetition-diagnostic kernel: bigram/trigram totals and
   * exact distinct counts in ONE pass over the token array — replaces
   * two HOF `transform` + `array_distinct` pipelines that materialized
@@ -449,6 +498,9 @@ object TextFunctions {
 
   def ngram_span_hashes(tokens: Column, n: Int): Column =
     Shim.toColumn(NGramSpanHashes(Shim.toExpression(tokens), n))
+
+  def ngram_span_hashes_pos(tokens: Column, n: Int): Column =
+    Shim.toColumn(NGramSpanHashesPos(Shim.toExpression(tokens), n))
 
   def simhash32(tokens: Column): Column =
     Shim.toColumn(SimHash32(Shim.toExpression(tokens)))

@@ -185,4 +185,34 @@ class DedupSpec extends GraftSpec {
       assert(r.getLong(1) > 0)
     }
   }
+
+  test("substring dedup: copies fully covered, near-dup prefix region exact, coverage bounded") {
+    // dupDir: docs 0, 1 verbatim copies and 4 a case-dup -> all three
+    // are TOKEN-identical (19 tokens), collapse to rep 0 with
+    // n_copies = 3, and every span has multiplicity >= 3 -> full
+    // coverage. Doc 2 changes token index 17 ("vector" -> "tensor"),
+    // so windows 0..2 (of 0..4 at n = 15) still live in >= 2 docs ->
+    // exactly one maximal region of 2 - 0 + 15 = 17 tokens. Doc 3 is
+    // 10 tokens < n -> no spans at all.
+    val n = 15
+    val got = Dedup.dedupSubstring(spark, dupDir, n).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    for (id <- Seq(0L, 1L, 4L))
+      assert(got(id) === ((19L, 1L, 19L, 19L, 1000000L)), s"copy $id: ${got(id)}")
+    assert(got(2L) === ((19L, 1L, 17L, 17L, (17L * 1000000L) / 19L)), s"near-dup: ${got(2L)}")
+    assert(got(3L) === ((10L, 0L, 0L, 0L, 0L)), s"short doc: ${got(3L)}")
+    // and on the real corpus: one verdict per doc, coverage bounded,
+    // regions never under the window size
+    val rows = Dedup.dedupSubstring(spark, sf, n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length === graft.sources.Tables.documents(spark, sf).count())
+    assert(rows.exists(_._3 > 0), "corpus has near-dup families; some cross-doc span must surface")
+    rows.foreach { case (id, nTok, nReg, dupTok, longest, ppm) =>
+      assert(dupTok <= nTok, s"doc $id coverage exceeds its tokens")
+      assert((nReg == 0) == (dupTok == 0))
+      if (nReg > 0) assert(longest >= n && dupTok >= n, s"doc $id region under the window size")
+      assert(ppm <= 1000000L)
+    }
+  }
 }
