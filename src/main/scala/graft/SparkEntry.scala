@@ -318,6 +318,8 @@ object SparkEntry {
     "vec_dim_stats" -> (Ann.vecDimStats(_, _)),
     "sync_oldest_pending" -> (SyncOps.syncOldestPending(_, _)),
     "corpus_token_budget" -> (graft.text.CorpusOps.corpusTokenBudget(_, _)),
+    "text_bpe_tokens" -> (graft.text.CorpusOps.textBpeTokens(_, _)),
+    "corpus_token_budget_bpe" -> (graft.text.CorpusOps.corpusTokenBudgetBpe(_, _)),
     "vec_cosine_hist" -> (Ann.vecCosineHist(_, _)),
     "q_trend_slope" -> (Stats.qTrendSlope(_, _)),
     "sync_catchup_eta" -> (SyncOps.syncCatchupEta(_, _)),
@@ -3707,6 +3709,52 @@ object SparkEntry {
          |WHERE NOT EXISTS (SELECT 1 FROM dur t
          |  WHERE t.generation % 3 <> 0 AND t.node_id <> 3 AND t.path = s.path)
          |GROUP BY cf ORDER BY cf""".stripMargin,
+    "text_bpe_tokens" ->
+      s"""WITH $toksCte,
+         |w0 AS (SELECT unnest(toks) AS w FROM t),
+         |pp AS (SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS p
+         |  FROM w0 WHERE len(w) >= 2),
+         |mg AS (SELECT p FROM (SELECT p, count(*) AS c FROM pp GROUP BY p
+         |  ORDER BY c DESC, p LIMIT 256)),
+         |dw AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         |dp AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS p
+         |  FROM dw WHERE len(w) >= 2),
+         |brk AS (SELECT dp.doc_id, count(*) AS n_breaks FROM dp LEFT JOIN mg USING (p)
+         |  WHERE mg.p IS NULL GROUP BY dp.doc_id),
+         |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+         |  CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS n_tok_chars
+         |  FROM t)
+         |SELECT base.doc_id, n_ws_tokens, n_tok_chars,
+         |  n_ws_tokens + coalesce(brk.n_breaks, 0) AS n_bpe_tokens,
+         |  (1000000 * (n_ws_tokens + coalesce(brk.n_breaks, 0))) // n_ws_tokens AS pieces_per_word_ppm
+         |FROM base LEFT JOIN brk USING (doc_id) ORDER BY base.doc_id""".stripMargin,
+    "corpus_token_budget_bpe" ->
+      s"""WITH $toksCte,
+         |w0 AS (SELECT unnest(toks) AS w FROM t),
+         |pp AS (SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS p
+         |  FROM w0 WHERE len(w) >= 2),
+         |mg AS (SELECT p FROM (SELECT p, count(*) AS c FROM pp GROUP BY p
+         |  ORDER BY c DESC, p LIMIT 256)),
+         |dw AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         |dp AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS p
+         |  FROM dw WHERE len(w) >= 2),
+         |brk AS (SELECT dp.doc_id, count(*) AS n_breaks FROM dp LEFT JOIN mg USING (p)
+         |  WHERE mg.p IS NULL GROUP BY dp.doc_id),
+         |m AS (SELECT t.doc_id, t.lang,
+         |  CAST(len(toks) + coalesce(brk.n_breaks, 0) AS BIGINT) AS n_toks,
+         |  CAST(round(round((1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a')) / CAST(len(toks) AS DOUBLE)) * least(1.0, len(toks) / 50.0), 4) * 10000) AS BIGINT) AS qs
+         |  FROM t LEFT JOIN brk USING (doc_id)),
+         |tot AS (SELECT (CAST(sum(n_toks) AS BIGINT) * 6) // 10 AS budget FROM m),
+         |r AS (SELECT *, sum(n_toks) OVER (ORDER BY qs DESC, doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks FROM m),
+         |sel AS (SELECT r.* FROM r, tot WHERE cum_toks - n_toks < budget),
+         |lt AS (SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS lang_toks FROM m GROUP BY lang)
+         |SELECT lt.lang, lt.n_docs, count(*) AS n_selected, lt.lang_toks,
+         |  CAST(sum(sel.n_toks) AS BIGINT) AS toks_selected,
+         |  round(CAST(sum(sel.n_toks) AS DOUBLE) / lt.lang_toks, 4) AS tok_share
+         |FROM sel JOIN lt ON sel.lang = lt.lang
+         |GROUP BY lt.lang, lt.n_docs, lt.lang_toks ORDER BY lt.lang""".stripMargin,
     "corpus_token_budget" ->
       s"""WITH $toksCte,
          |m AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_toks,

@@ -359,6 +359,70 @@ case class NGramSpanHashesPos(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Subword token count under a pair-merge vocabulary (BPE truncated
+  * to one merge-rank class): a word splits BETWEEN two adjacent
+  * characters iff that character pair is NOT in the merges table, so
+  * pieces(word) = 1 + #non-merged adjacent pairs and the row value is
+  * Σ pieces over the token array. This closed form is what makes the
+  * tokenizer replayable in SQL (a greedy longest-match loop is
+  * sequential per word; a pair-connectivity split is one scan), while
+  * keeping the real BPE apply shape: a broadcast merges table + a
+  * narrow per-row kernel. Pairs step by CODE POINTS to match the
+  * oracle's substr() character semantics.
+  */
+case class BpeTokenCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  // the merges array arrives via a 1-row broadcast join, so every row
+  // in a task sees the same ArrayData instance: cache the decoded set
+  // per thread, keyed by reference (expressions may be shared across
+  // local-mode tasks, hence ThreadLocal rather than a plain field)
+  @transient private lazy val cache =
+    new ThreadLocal[(AnyRef, java.util.HashSet[String])]()
+
+  private def mergeSet(merges: ArrayData): java.util.HashSet[String] = {
+    val c = cache.get()
+    if (c != null && (c._1 eq merges)) return c._2
+    val s = new java.util.HashSet[String](merges.numElements() * 2)
+    var i = 0
+    while (i < merges.numElements()) { s.add(merges.getUTF8String(i).toString); i += 1 }
+    cache.set((merges, s))
+    s
+  }
+
+  override def nullSafeEval(toksAny: Any, mergesAny: Any): Any = {
+    val toks = toksAny.asInstanceOf[ArrayData]
+    val set = mergeSet(mergesAny.asInstanceOf[ArrayData])
+    var total = 0L
+    var t = 0
+    while (t < toks.numElements()) {
+      val s = toks.getUTF8String(t).toString
+      total += 1L
+      val cps = s.codePointCount(0, s.length)
+      if (cps >= 2) {
+        // pair at code point j = substring spanning code points j, j+1
+        var offJ = 0
+        var offJ1 = s.offsetByCodePoints(0, 1)
+        var j = 0
+        while (j <= cps - 2) {
+          val offJ2 = if (offJ1 < s.length) s.offsetByCodePoints(offJ1, 1) else s.length
+          if (!set.contains(s.substring(offJ, offJ2))) total += 1L
+          offJ = offJ1
+          offJ1 = offJ2
+          j += 1
+        }
+      }
+      t += 1
+    }
+    total
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Fused repetition-diagnostic kernel: bigram/trigram totals and
   * exact distinct counts in ONE pass over the token array — replaces
   * two HOF `transform` + `array_distinct` pipelines that materialized
@@ -501,6 +565,9 @@ object TextFunctions {
 
   def ngram_span_hashes_pos(tokens: Column, n: Int): Column =
     Shim.toColumn(NGramSpanHashesPos(Shim.toExpression(tokens), n))
+
+  def bpe_token_count(tokens: Column, merges: Column): Column =
+    Shim.toColumn(BpeTokenCount(Shim.toExpression(tokens), Shim.toExpression(merges)))
 
   def simhash32(tokens: Column): Column =
     Shim.toColumn(SimHash32(Shim.toExpression(tokens)))

@@ -254,6 +254,88 @@ object CorpusOps {
       .orderBy(col("lang"))
   }
 
+  /** Top-`k` character-pair merges by corpus frequency (ties broken
+    * on the pair string) — the data-derived merges table the BPE
+    * apply broadcasts. Bounded by the LITERAL k at any corpus size;
+    * one pair-keyed shuffle with map-side combine builds it.
+    */
+  def bpeMerges(spark: SparkSession, dir: String, k: Int = 256): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(toks).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("p"))
+      .limit(k)
+
+  /** §2.5 `text_bpe_tokens` — tokenizer-aware token accounting: every
+    * other token op counts whitespace words, but real training
+    * budgets are counted in SUBWORD tokens. This is the vocab-apply
+    * step of a pair-merge BPE (one merge-rank class): the corpus-
+    * derived top-256 pair merges broadcast as one array row, and a
+    * narrow native kernel ([[graft.functions.BpeTokenCount]]) splits
+    * each word between exactly the adjacent character pairs NOT in
+    * the merges table — pieces(word) = 1 + non-merged pairs, a closed
+    * form both engines can replay (a greedy longest-match loop is
+    * sequential per word; pair-connectivity splitting is one scan).
+    * Per doc: whitespace tokens, token characters, BPE tokens, and
+    * integer-ppm pieces-per-word (the budget conversion factor).
+    */
+  def textBpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(spark, dir).agg(collect_list(col("p")).as("merges"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .crossJoin(broadcast(merges))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_ws_tokens"),
+        aggregate(transform(col("tk"), w => length(w)), lit(0L),
+          (a, x) => a + x).as("n_tok_chars"),
+        graft.functions.TextFunctions.bpe_token_count(col("tk"), col("merges"))
+          .as("n_bpe_tokens"))
+      .withColumn("pieces_per_word_ppm",
+        expr("(1000000 * n_bpe_tokens) div n_ws_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2.5 `corpus_token_budget_bpe` — [[corpusTokenBudget]] re-based
+    * on SUBWORD counts: the greedy quality-ranked 60% budget is
+    * selected and accounted in BPE tokens (how a real pretraining
+    * budget is denominated), while the quality score keeps its
+    * whitespace-token definition so the two budget variants rank
+    * documents identically and differ ONLY in the accounting axis.
+    * The whitespace variant stays registered for the oracle lineage.
+    */
+  def corpusTokenBudgetBpe(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeMerges(spark, dir).agg(collect_list(col("p")).as("merges"))
+    val nToks = size(toks).cast("double")
+    val stopHits = size(filter(toks, t => t === "the" || t === "a")).cast("double")
+    val q = round((lit(1.0) - stopHits / nToks) * least(lit(1.0), nToks / 50.0), 4)
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), toks.as("tk"),
+        round(q * 10000).cast("long").as("qs"))
+      .crossJoin(broadcast(merges))
+      .select(col("doc_id"), col("lang"), col("qs"),
+        graft.functions.TextFunctions.bpe_token_count(col("tk"), col("merges"))
+          .as("n_toks"))
+    val budget = scored.agg(sum(col("n_toks")).as("tt"))
+      .selectExpr("(tt * 6) div 10 AS budget")
+    val ranked = graft.analytics.Ranks.globalRankCumSum(scored,
+      expr("(10000 - qs) div 500"), Seq(col("qs").desc, col("doc_id")),
+      col("n_toks"), "sel_rank", "cum_toks")
+    val selected = ranked.crossJoin(broadcast(budget))
+      .filter(col("cum_toks") - col("n_toks") < col("budget"))
+    val langTotals = scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("lang_toks"))
+    selected.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_selected"), sum(col("n_toks")).as("toks_selected"))
+      .join(broadcast(langTotals), Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_selected"),
+        col("lang_toks"), col("toks_selected"),
+        round(col("toks_selected").cast("double") / col("lang_toks"), 4)
+          .as("tok_share"))
+      .orderBy(col("lang"))
+  }
+
   /** §2.5#294 — cross-source content-overlap matrix: for every source
     * pair, how many distinct word-3-gram shingles they share, and the
     * Jaccard of their shingle vocabularies. This is the corpus-

@@ -96,4 +96,39 @@ class CorpusOpsSpec extends GraftSpec {
       if (shared == 0) assert(j === 0.0)
     }
   }
+
+  test("bpe tokens: counts bracketed by words and characters, merges actually apply") {
+    import org.apache.spark.sql.functions._
+    val merges = graft.text.CorpusOps.bpeMerges(spark, sf).collect()
+    assert(merges.length <= 256)
+    assert(merges.forall(_.getString(0).length == 2))
+    // the table is frequency-ranked: counts non-increasing
+    val counts = merges.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    val rows = graft.text.CorpusOps.textBpeTokens(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length === graft.sources.Tables.documents(spark, sf).count())
+    rows.foreach { case (id, ws, chars, bpe, ppm) =>
+      // one piece per word at least; never more pieces than characters
+      assert(bpe >= ws, s"doc $id: fewer pieces than words")
+      assert(bpe <= math.max(chars, ws), s"doc $id: more pieces than characters")
+      assert(ppm === 1000000L * bpe / ws)
+    }
+    // merges must actually merge: strictly fewer pieces than the
+    // no-merge worst case (one piece per character) corpus-wide
+    assert(rows.map(_._4).sum < rows.map(r => math.max(r._3, r._2)).sum)
+  }
+
+  test("bpe token budget: spends at least the 60% budget, shares bounded, ranking axis shared") {
+    val rows = graft.text.CorpusOps.corpusTokenBudgetBpe(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val spent = rows.map(_.getAs[Long]("toks_selected")).sum.toDouble
+    val total = rows.map(_.getAs[Long]("lang_toks")).sum.toDouble
+    assert(spent / total >= 0.6, "greedy prefix must reach the budget")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_selected") <= r.getAs[Long]("n_docs"))
+      val share = r.getAs[Double]("tok_share")
+      assert(share > 0.0 && share <= 1.0)
+    }
+  }
 }
