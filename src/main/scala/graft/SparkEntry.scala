@@ -200,6 +200,7 @@ object SparkEntry {
     "ann_dim_truncation" -> ((s, d) => Ann.annDimTruncation(s, d)),
     "ann_pq_codes" -> (graft.similarity.Pq.annPqCodes(_, _)),
     "ann_pq_adc" -> (graft.similarity.Pq.annPqAdc(_, _)),
+    "ann_pq_rerank" -> (graft.similarity.Pq.annPqRerank(_, _)),
     "ann_ivf_pq_search" -> (graft.similarity.Pq.annIvfPqSearch(_, _)),
     "ann_label_separation" -> (Ann.annLabelSeparation(_, _)),
     "vec_argmax" -> (Ann.vecArgmax(_, _)),
@@ -258,6 +259,7 @@ object SparkEntry {
     "sync_watch_stream" -> (StreamWatcher.syncWatchStreamQuery(_, _)),
     "stream_retry_queue" -> (StreamWatcher.streamRetryQueueQuery(_, _)),
     "stream_change_feed" -> (StreamWatcher.streamChangeFeedQuery(_, _)),
+    "stream_state_metrics" -> (StreamWatcher.streamStateMetrics(_, _)),
     "stream_interval_join" -> (StreamWatcher.streamIntervalJoinQuery(_, _)),
     "stream_interval_join_outer" -> (StreamWatcher.streamIntervalJoinOuterQuery(_, _)),
     "stream_dedup" -> (StreamWatcher.streamDedupQuery(_, _)),
@@ -1662,6 +1664,14 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_batch_twin" -> streamTwinSql,
     "stream_windowed_agg" -> streamTwinSql,
+    "stream_state_metrics" ->
+      """WITH wa AS (SELECT count(*) AS n FROM (
+        |  SELECT DISTINCT date_trunc('hour', ts), event_type FROM events)),
+        |cdc AS (SELECT count(DISTINCT user_id % 50) AS n FROM events)
+        |SELECT 'cdc_cells_mgws' AS operator, CAST(cdc.n AS BIGINT) AS state_rows FROM cdc
+        |UNION ALL
+        |SELECT 'windowed_agg_complete' AS operator, CAST(wa.n AS BIGINT) FROM wa
+        |ORDER BY operator""".stripMargin,
     "q_join_skew_salt" ->
       s"""WITH $lpCte
         |SELECT o_orderstatus,
@@ -1737,6 +1747,7 @@ object SparkEntry {
         |FROM t GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ann_pq_codes" -> graft.similarity.Pq.pqCodesOracleSql,
     "ann_pq_adc" -> graft.similarity.Pq.pqAdcOracleSql,
+    "ann_pq_rerank" -> graft.similarity.Pq.pqRerankOracleSql,
     "ann_ivf_pq_search" -> graft.similarity.Pq.ivfPqOracleSql,
     "graph_degree_hist" -> graft.graph.GraphOps.degreeHistOracleSql,
     "graph_triangles" -> graft.graph.GraphOps.trianglesOracleSql,

@@ -143,6 +143,83 @@ object Pq {
       .orderBy(col("probe_id"))
   }
 
+  val RerankDepth = 10 // ADC candidates fetched for exact re-ranking
+
+  /** §2.4 `ann_pq_rerank` — the standard production LAST stage after
+    * ADC (FAISS refine step): the PQ scan retrieves [[RerankDepth]]
+    * candidates by approximate distance, ONLY those ids fetch their
+    * full-precision vectors, and the final top-k is chosen by exact
+    * L2 among the candidates. Per probe the readout is recall@k of
+    * the raw ADC cut vs the re-ranked cut against the global exact
+    * top-k — the recall the 8-byte compression costs and the fraction
+    * the re-rank buys back. Quantization can only misORDER candidates
+    * it retrieved, so rerank recall ≥ raw recall row by row.
+    *
+    * Scale: probes are the AdcProbeCap-bounded QA slice; the
+    * candidate set is ≤ probes × RerankDepth rows (the literal-bound
+    * `.limit` makes that visible to the plan gate), broadcast into
+    * one full-precision fetch of just those ids — the corpus is
+    * never rescanned at full precision.
+    */
+  def annPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    val probes = withDistVectors(
+      e.filter(col("vec_id") % Probes === 0 && col("vec_id") < AdcProbeCap), e)
+      .select(col("vec_id").as("probe_id") +: col("v").as("q") +:
+        (0 until M).map(mi => col(s"d$mi").as(s"lut_$mi")): _*)
+    val codes = pqCodesDf(spark, dir)
+    val adc = (0 until M)
+      .map(mi => element_at(col(s"lut_$mi"), col(s"code_$mi").cast("int") + 1))
+      .reduce(_ + _)
+    val wAdc = Window.partitionBy(col("probe_id")).orderBy(col("adc"), col("vec_id"))
+    val candidates = codes.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("adc", adc)
+      .withColumn("rnk", row_number().over(wAdc))
+      .filter(col("rnk") <= RerankDepth)
+      .select(col("probe_id"), col("vec_id"), col("rnk"))
+      // semantic no-op (the rank cut already bounds the set); the
+      // literal makes the bound visible to the boundedness walk
+      .limit(AdcProbeCap / Probes * RerankDepth)
+    val l2 = aggregate(sequence(lit(1), lit(M * Sub)), lit(0.0), (acc, j) => {
+      val a = element_at(col("v"), j)
+      val b = element_at(col("q"), j)
+      acc + (a - b) * (a - b)
+    })
+    val qOnly = probes.select(col("probe_id"), col("q"))
+    // full-precision fetch of ONLY the candidate ids, then exact
+    // re-rank within each probe's candidate list
+    val wRr = Window.partitionBy(col("probe_id")).orderBy(col("l2"), col("vec_id"))
+    val reranked = e.join(broadcast(candidates), Seq("vec_id"))
+      .join(broadcast(qOnly), Seq("probe_id"))
+      .withColumn("l2", l2)
+      .withColumn("rr", row_number().over(wRr))
+    val rerankTop = reranked.filter(col("rr") <= AdcTopK)
+      .select(col("probe_id"), col("vec_id"))
+    val adcTop = candidates.filter(col("rnk") <= AdcTopK)
+      .select(col("probe_id"), col("vec_id"))
+    val wL2 = Window.partitionBy(col("probe_id")).orderBy(col("l2"), col("vec_id"))
+    val exactTop = e.crossJoin(broadcast(qOnly))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("l2", l2)
+      .withColumn("rnk", row_number().over(wL2))
+      .filter(col("rnk") <= AdcTopK)
+      .select(col("probe_id"), col("vec_id"))
+    def matches(top: DataFrame, name: String): DataFrame =
+      top.join(exactTop, Seq("probe_id", "vec_id"))
+        .groupBy(col("probe_id")).agg(count(lit(1)).as(name))
+    qOnly.select(col("probe_id"))
+      .join(matches(adcTop, "n_matched_adc"), Seq("probe_id"), "left")
+      .join(matches(rerankTop, "n_matched_rerank"), Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_matched_adc"), lit(0L)).as("n_matched_adc"),
+        coalesce(col("n_matched_rerank"), lit(0L)).as("n_matched_rerank"),
+        (coalesce(col("n_matched_rerank"), lit(0L)) -
+          coalesce(col("n_matched_adc"), lit(0L))).as("recall_gain"),
+        lit(AdcTopK.toLong).as("top_k"))
+      .orderBy(col("probe_id"))
+  }
+
   // ---- DuckDB oracles (identical float op order) ----
 
   private def subDistSql(vecExpr: String, mi: Int): String =
@@ -199,6 +276,48 @@ object Pq {
        |  CAST($AdcTopK AS BIGINT) AS top_k
        |FROM (SELECT DISTINCT probe_id FROM probes) p
        |LEFT JOIN m ON p.probe_id = m.probe_id ORDER BY p.probe_id""".stripMargin
+  }
+
+  def pqRerankOracleSql: String = {
+    val luts = (0 until M).map(mi => s"${subDistSql("q", mi)} AS lut_$mi").mkString(",\n  ")
+    val adcSum = (0 until M).map(mi => s"lut_$mi[code_$mi + 1]").mkString(" + ")
+    val l2 = s"list_sum(list_transform(range(1, ${M * Sub + 1}), " +
+      "j -> (v[j] - q[j]) * (v[j] - q[j])))"
+    s"""WITH $cbCtes,
+       |$codesCte,
+       |probes AS (SELECT vec_id AS probe_id, v AS q,
+       |  $luts
+       |  FROM e, cbl WHERE vec_id % $Probes = 0 AND vec_id < $AdcProbeCap),
+       |adc AS (SELECT probe_id, vec_id,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY ($adcSum), vec_id) AS rnk
+       |  FROM codes, probes WHERE vec_id <> probe_id),
+       |cand AS (SELECT probe_id, vec_id, rnk FROM adc WHERE rnk <= $RerankDepth),
+       |adc_top AS (SELECT probe_id, vec_id FROM cand WHERE rnk <= $AdcTopK),
+       |rr AS (SELECT c.probe_id, c.vec_id,
+       |  row_number() OVER (PARTITION BY c.probe_id ORDER BY $l2, c.vec_id) AS rr
+       |  FROM cand c JOIN e ON e.vec_id = c.vec_id
+       |  JOIN probes p ON p.probe_id = c.probe_id),
+       |rr_top AS (SELECT probe_id, vec_id FROM rr WHERE rr <= $AdcTopK),
+       |ex AS (SELECT probe_id, vec_id,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY $l2, vec_id) AS rnk
+       |  FROM e, probes WHERE vec_id <> probe_id),
+       |ex_top AS (SELECT probe_id, vec_id FROM ex WHERE rnk <= $AdcTopK),
+       |ma AS (SELECT a.probe_id, count(*) AS n_matched_adc
+       |      FROM adc_top a JOIN ex_top x
+       |        ON a.probe_id = x.probe_id AND a.vec_id = x.vec_id
+       |      GROUP BY a.probe_id),
+       |mr AS (SELECT r.probe_id, count(*) AS n_matched_rerank
+       |      FROM rr_top r JOIN ex_top x
+       |        ON r.probe_id = x.probe_id AND r.vec_id = x.vec_id
+       |      GROUP BY r.probe_id)
+       |SELECT p.probe_id,
+       |  CAST(coalesce(ma.n_matched_adc, 0) AS BIGINT) AS n_matched_adc,
+       |  CAST(coalesce(mr.n_matched_rerank, 0) AS BIGINT) AS n_matched_rerank,
+       |  CAST(coalesce(mr.n_matched_rerank, 0) - coalesce(ma.n_matched_adc, 0) AS BIGINT) AS recall_gain,
+       |  CAST($AdcTopK AS BIGINT) AS top_k
+       |FROM (SELECT DISTINCT probe_id FROM probes) p
+       |LEFT JOIN ma ON p.probe_id = ma.probe_id
+       |LEFT JOIN mr ON p.probe_id = mr.probe_id ORDER BY p.probe_id""".stripMargin
   }
 
   val IvfPqK = 5 // result depth of the composite search

@@ -145,7 +145,17 @@ object StreamWatcher {
     * bounded source a correct streaming query must converge to its
     * batch twin.
     */
-  def replayToBatch(ds: Dataset[_], mode: String): DataFrame = {
+  def replayToBatch(ds: Dataset[_], mode: String): DataFrame =
+    replayCollectingProgress(ds, mode)._1
+
+  /** [[replayToBatch]] plus the query's progress telemetry — the
+    * per-micro-batch state-store accounting (rows in state, rows
+    * updated/removed, bytes) a 100 TB/day deployment watches. The
+    * progress list is what [[streamStateMetrics]] surfaces as a
+    * queryable operator.
+    */
+  def replayCollectingProgress(ds: Dataset[_], mode: String):
+      (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     // Stateful replays pay per-partition state-store overhead on
     // every micro-batch (the HDFS-backed provider writes a delta file
     // per store per batch); a bounded replay over local test data
@@ -185,7 +195,7 @@ object StreamWatcher {
       replaySession, org.apache.spark.sql.graftshim.Shim.analyzedPlan(ds.toDF()))
     val q = rebound.writeStream.outputMode(mode).format("memory")
       .option("checkpointLocation", ckDir.toString).queryName(name).start()
-    try { q.processAllAvailable() } finally {
+    val progress = try { q.processAllAvailable(); q.recentProgress.toSeq } finally {
       q.stop()
       // best-effort recursive cleanup of the throwaway checkpoint
       try {
@@ -194,7 +204,40 @@ object StreamWatcher {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Exception => () }
     }
-    replaySession.table(name)
+    (replaySession.table(name), progress)
+  }
+
+  /** §2.7 `stream_state_metrics` — state-store observability as a
+    * queryable operator: the rows-in-state accounting a 100 TB/day
+    * stream watches (leaked state is THE way long-running stateful
+    * queries die). Two stateful shapes with engine-independent
+    * expected values replay under the session's configured provider
+    * (HDFS-backed or RocksDB) and report their FINAL state-operator
+    * row totals:
+    *   - `cdc_cells_mgws`: the flatMapGroupsWithState cell feed —
+    *     state rows = distinct row keys (NoTimeout: nothing ever
+    *     evicts), so the metric must equal count(distinct user_id%50);
+    *   - `windowed_agg_complete`: the watermarked hourly aggregate in
+    *     complete mode — state rows = distinct (hour, type) groups.
+    * The oracle computes both expectations from the events table, so
+    * a state leak (rows counted twice across store versions) or a
+    * lost-state regression fails the cross-engine hash, not a
+    * hardcoded boolean. Richer telemetry (memory bytes, updated rows)
+    * is asserted in StateStoreProviderSpec under BOTH providers —
+    * those values are provider-specific and not oracle-portable.
+    */
+  def streamStateMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def finalStateRows(ds: Dataset[_], mode: String): Long =
+      replayCollectingProgress(ds, mode)._2
+        .filter(p => p.stateOperators != null && p.stateOperators.nonEmpty)
+        .lastOption.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    Seq(
+      ("cdc_cells_mgws", finalStateRows(changeFeed(eventStream(spark, dir)), "append")),
+      ("windowed_agg_complete",
+        finalStateRows(windowedCounts(eventStream(spark, dir)), "complete")))
+      .toDF("operator", "state_rows")
+      .orderBy(col("operator"))
   }
 
   /** §2.7#43 oracle surface: watermarked hourly windowed aggregation

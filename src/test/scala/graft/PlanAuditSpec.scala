@@ -89,6 +89,7 @@ class PlanAuditSpec extends GraftSpec {
     "q_decile_report" -> "band offsets over $100k revenue cells (Ranks.ntileBanded)",
     "q_pareto_share" -> "band count+sum offsets over $100k revenue cells (Ranks.globalRankCumSum)",
     "corpus_token_budget" -> "band count+sum offsets over 21 quality-score cells (Ranks.globalRankCumSum)",
+    "corpus_token_budget_bpe" -> "same 21 quality-score band cells as corpus_token_budget (Ranks.globalRankCumSum; only the summed token axis changed)",
     "q_gini" -> "cumulative count over distinct per-user activity cells (closed-form tied-run ranks)",
     "q_acf" -> "lagged self-join over the ≤|days| daily series",
     "q_benford" -> "9 first-digit cells",
@@ -246,6 +247,9 @@ class PlanAuditSpec extends GraftSpec {
       "threshold tuning curve — a fixed sampling modulus, raised with scale"),
     "ann_pq_adc" -> ("probe slice hard-capped at AdcProbeCap (≤60 ids at ANY corpus size); " +
       "the measured growth is the sample filling toward that literal cap, not scaling"),
+    "ann_pq_rerank" -> ("probe slice and candidate set hard-capped by the AdcProbeCap and " +
+      "RerankDepth literals (≤60 probes × 10 candidates at ANY corpus size); growth is the " +
+      "sample filling toward the caps"),
     "q_cms_estimate" -> ("fixed 4×256 count-min sketch: capacity is 1024 cells at any " +
       "corpus size; the growth is empty cells filling in at tiny SF"),
     "q_churn_by_engagement" -> ("band offsets over DISTINCT per-user event counts — the " +

@@ -38,4 +38,18 @@ class PqSpec extends GraftSpec {
     val plan = Pq.annIvfPqSearch(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [assigned_centroid"), plan.take(3000))
   }
+
+  test("pq rerank: exact re-rank never loses recall, gains are the difference, candidates bound it") {
+    val rows = Pq.annPqRerank(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (adc, rr, gain, k) = (r.getAs[Long]("n_matched_adc"),
+        r.getAs[Long]("n_matched_rerank"), r.getAs[Long]("recall_gain"), r.getAs[Long]("top_k"))
+      // quantization can only misorder candidates it retrieved: the
+      // exact re-rank of a superset of the ADC cut dominates it
+      assert(rr >= adc, s"rerank lost recall on probe ${r.getLong(0)}")
+      assert(gain === rr - adc)
+      assert(adc >= 0 && rr <= k)
+    }
+  }
 }

@@ -50,4 +50,30 @@ class StateStoreProviderSpec extends GraftSpec {
       assert(rocks === default)
     }
   }
+
+  test("state metrics: identical row accounting under both providers, telemetry sane") {
+    // the oracle checks the deterministic row totals cross-engine;
+    // here the SAME metrics must agree across providers, and the
+    // provider-specific telemetry must be present and coherent
+    val default = withProvider(None)(
+      StreamWatcher.streamStateMetrics(spark, sf).collect().map(_.toSeq).toSeq)
+    val rocks = withProvider(Some(RocksDb))(
+      StreamWatcher.streamStateMetrics(spark, sf).collect().map(_.toSeq).toSeq)
+    assert(rocks === default)
+    // richer progress telemetry (not oracle-portable): bytes > 0,
+    // updated rows cover the final state, nothing dropped by the
+    // watermark on the complete-mode aggregate
+    for (provider <- Seq(None, Some(RocksDb))) withProvider(provider) {
+      val (_, progs) = StreamWatcher.replayCollectingProgress(
+        StreamWatcher.windowedCounts(StreamWatcher.eventStream(spark, sf)), "complete")
+      val stateful = progs.filter(p => p.stateOperators != null && p.stateOperators.nonEmpty)
+      assert(stateful.nonEmpty, s"no state telemetry under $provider")
+      val last = stateful.last.stateOperators
+      assert(last.map(_.memoryUsedBytes).sum > 0L, s"zero state memory under $provider")
+      assert(progs.flatMap(_.stateOperators).map(_.numRowsUpdated).sum >=
+        last.map(_.numRowsTotal).sum, "updated rows must cover the final state")
+      assert(last.map(_.numRowsRemoved).sum === 0L,
+        "complete-mode aggregate must never evict")
+    }
+  }
 }
