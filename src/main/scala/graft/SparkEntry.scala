@@ -3507,7 +3507,7 @@ object SparkEntry {
     "stream_quantile_sketch" ->
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day_start,
         |  event_type, count(*) AS n_events,
-        |  true AS p50_ok, true AS p90_ok
+        |  quantile_disc(value, 0.5) AS p50, quantile_disc(value, 0.9) AS p90
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_sketch_distinct" ->
       """WITH du AS (SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP))

@@ -647,40 +647,23 @@ object StreamWatcher {
         col("n_events"),
         element_at(col("ap"), 1).as("a50"), element_at(col("ap"), 2).as("a90"))
 
-  /** §2.7 oracle surface: [[quantileSketchStream]] replayed, then
-    * graded on the same rank-accuracy CONTRACT as
-    * `q_percentiles_approx` (sketch values are engine-specific; the
-    * realized rank of each sketched quantile within its window must
-    * sit within 1% of the requested rank — the oracle asserts the
-    * contract holds).
+  /** §2.7 oracle surface: [[quantileSketchStream]] replayed, emitting
+    * the sketched quantile VALUES themselves. Below the sketch's
+    * accuracy bound (10⁴ values per window — every test window)
+    * `approx_percentile` is exact and returns the same window element
+    * as a discrete quantile, so the oracle hash-compares the actual
+    * values (`quantile_disc` in DuckDB) — a sketch-state regression
+    * of any size flips the hash, where the former boolean-graded form
+    * let anything inside an empirically-tuned tolerance pass silently
+    * (the r9 ADVICE finding). Above the accuracy bound the values
+    * become approximate and the contract reverts to the 1% rank
+    * tolerance, which StreamingSpec asserts engine-side.
     */
-  def streamQuantileSketchQuery(spark: SparkSession, dir: String): DataFrame = {
-    val sk = replayToBatch(quantileSketchStream(eventStream(spark, dir)), "complete")
-    val ev = graft.sources.Tables.events(spark, dir)
-      .select(date_trunc("day", col("ts")).as("day_start"),
-        col("event_type"), col("value"))
-    val keys = Seq("day_start", "event_type")
-    val ranks = ev.join(sk.select(col("day_start"), col("event_type"),
-        col("a50"), col("a90")), keys)
-      .groupBy(col("day_start"), col("event_type"))
-      .agg((sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).cast("double")
-          / count(lit(1))).as("r50"),
-        (sum(when(col("value") <= col("a90"), 1L).otherwise(0L)).cast("double")
-          / count(lit(1))).as("r90"))
-    // tolerance floors at the window's rank granularity: with n values
-    // the sketched quantile is an actual ELEMENT of the window (the
-    // sketch is exact below its accuracy), so its realized rank sits
-    // up to ~1/n past the target — more when the boundary value is
-    // tied (observed 1.8/n on the sf0.01 corpus, which rounds values
-    // to cents). Small windows therefore grade against 2.5/n; large
-    // windows against the 1% sketch contract.
-    val tol = greatest(lit(0.01), lit(2.5) / col("n_events"))
-    sk.join(ranks, keys)
+  def streamQuantileSketchQuery(spark: SparkSession, dir: String): DataFrame =
+    replayToBatch(quantileSketchStream(eventStream(spark, dir)), "complete")
       .select(col("day_start"), col("event_type"), col("n_events"),
-        (abs(col("r50") - 0.5) <= tol).as("p50_ok"),
-        (abs(col("r90") - 0.9) <= tol).as("p90_ok"))
+        col("a50").as("p50"), col("a90").as("p90"))
       .orderBy(col("day_start"), col("event_type"))
-  }
 
   /** Streaming upload plan: new arrivals (non-temp) mapped to their
     * inventory entries — the continuous version of

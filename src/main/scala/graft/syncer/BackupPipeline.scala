@@ -185,9 +185,35 @@ object BackupPipeline {
     if (!fs.exists(p))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
-      .option("basePath", target.restoreLedgerPath)
-      .json(target.restoreLedgerPath)
+    else {
+      // legacy migration: pre-(cf, fetch_date)-layout ledgers were
+      // flat JSON appends with cf as a DATA column and no fetch_date.
+      // Left in place they poison resume twice over — Spark's
+      // partition discovery refuses a mixed flat+partitioned
+      // directory outright, and a schema-forced read gives legacy
+      // rows a null cf so the (cf, path) anti-join stops excluding
+      // already-fetched files (a full re-fetch plus duplicate ledger
+      // rows). Migrate flat files into the partitioned layout once,
+      // under the epoch fetch_date, then delete them; every later
+      // read and append sees one consistent layout.
+      val flat = fs.listStatus(p).filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      if (flat.nonEmpty) {
+        val legacySchema = org.apache.spark.sql.types.StructType.fromDDL(
+          "path STRING, size_bytes BIGINT, dest STRING, cf STRING")
+        spark.read.schema(legacySchema)
+          .json(flat.map(_.getPath.toString).toIndexedSeq: _*)
+          .withColumn("fetch_date", to_date(lit("1970-01-01")))
+          .write.mode("append").partitionBy("cf", "fetch_date")
+          .json(target.restoreLedgerPath)
+        flat.foreach(st => fs.delete(st.getPath, false))
+      }
+      spark.read.schema(schema)
+        .option("basePath", target.restoreLedgerPath)
+        .json(target.restoreLedgerPath)
+    }
   }
 
   /** The files a resumed restore still has to fetch: the as-of

@@ -132,4 +132,41 @@ class BackupPipelineSpec extends GraftSpec {
     // scoped remainder is empty (the full pass fetched everything)
     assert(scoped.count() === 0)
   }
+
+  test("legacy flat-JSON ledger migrates into the partitioned layout; resume keeps excluding") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ledger-migrate").toString
+    val url = s"directory://$root"
+    BackupPipeline.backup(spark, sf, url)
+    val target = Target.parse(url)
+    val full = BackupPipeline.restoreSet(spark, url, "2024-01-15")
+    val n = full.count().toInt
+    // simulate a pre-partitioning deployment: the first floor(n/2)
+    // fetched files recorded as FLAT json appends (cf as a data
+    // column, no fetch_date) directly under the ledger path
+    val legacy = full.orderBy(col("path")).limit(n / 2)
+      .select(col("path"), col("size_bytes"), lit("/old/dest").as("dest"), col("cf"))
+    legacy.write.mode("append").json(target.restoreLedgerPath)
+    // first partitioned-era read migrates: rows keep their cf (no
+    // null-cf re-fetch hole) and carry the epoch fetch_date
+    val led = BackupPipeline.restoreLedger(spark, target)
+    assert(led.count() === (n / 2).toLong)
+    assert(led.filter(col("cf").isNull).count() === 0, "migration lost cf")
+    assert(led.select(col("fetch_date")).distinct().collect()
+      .map(_.getDate(0).toString).toSeq === Seq("1970-01-01"))
+    // the flat files are gone: only partition dirs remain
+    val fs = new org.apache.hadoop.fs.Path(target.restoreLedgerPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(target.restoreLedgerPath))
+      .filter(st => !st.getPath.getName.startsWith("_")).forall(_.isDirectory),
+      "flat legacy files must be migrated away")
+    // resume correctness: the remainder excludes the legacy-fetched
+    // files, and a partitioned-era append next to the migrated rows
+    // still reads back as ONE consistent ledger
+    assert(BackupPipeline.restoreRemainder(spark, url, "2024-01-15").count() === (n - n / 2).toLong)
+    val dest = Files.createTempDirectory("graft-ledger-migrate-dest").toString
+    BackupPipeline.runRestorePass(spark, url, "2024-01-15", dest)
+    assert(BackupPipeline.restoreLedger(spark, target).count() === n.toLong)
+    assert(BackupPipeline.restoreRemainder(spark, url, "2024-01-15").count() === 0)
+  }
 }

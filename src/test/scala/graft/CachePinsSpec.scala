@@ -29,4 +29,32 @@ class CachePinsSpec extends GraftSpec {
         _.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE),
       "release + clearCache must leave no live cache entries")
   }
+
+  test("scoped release drops only the scope's pins; outside pins survive") {
+    CachePins.release()
+    val outside = CachePins.pin(spark.range(100).toDF("id"))
+    outside.count()
+    var insideRef: org.apache.spark.sql.DataFrame = null
+    CachePins.scoped {
+      insideRef = CachePins.pin(spark.range(200).toDF("id"))
+      assert(insideRef.count() === 200L)
+      assert(insideRef.storageLevel.useMemory)
+      // the concurrent embedder's pin is untouched while we work
+      assert(outside.storageLevel.useMemory)
+    }
+    // scope exit released ONLY its own pin
+    assert(insideRef.storageLevel === org.apache.spark.storage.StorageLevel.NONE,
+      "scope exit must unpersist the scope's pins")
+    assert(outside.storageLevel.useMemory,
+      "scope exit must not drop another caller's pins")
+    // nested scopes release innermost-only on inner exit
+    CachePins.scoped {
+      val mid = CachePins.pin(spark.range(50).toDF("id"))
+      CachePins.scoped { CachePins.pin(spark.range(10).toDF("id")).count() }
+      assert(mid.storageLevel.useMemory, "inner scope exit dropped the outer scope's pin")
+    }
+    // the global drain still clears everything (bench/verify hook)
+    CachePins.release()
+    assert(outside.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+  }
 }

@@ -113,12 +113,23 @@ class Round9OpsSpec extends GraftSpec {
   test("streaming quantile sketch: replay equals batch approx_percentile contract per window") {
     val got = StreamWatcher.streamQuantileSketchQuery(spark, sf).collect()
     assert(got.nonEmpty)
-    // contract must hold on a bounded replay (the oracle asserts
-    // exactly this; a false here means the sketch state was corrupted
-    // across micro-batches)
+    // the oracle hash-compares the sketched quantile VALUES against
+    // discrete quantiles (exact regime); here the engine-side 1% rank
+    // CONTRACT that still governs the above-accuracy regime is
+    // asserted on the realized ranks — moved from the former output
+    // booleans so a tolerance-sized regression can't hide behind a
+    // hardcoded oracle true (r9 ADVICE)
+    val values = Tables.events(spark, sf)
+      .select(date_trunc("day", col("ts")).as("d"), col("event_type"), col("value"))
+      .collect().groupBy(r => (r.getTimestamp(0), r.getString(1)))
+      .view.mapValues(_.map(_.getDouble(2)).sorted).toMap
     got.foreach { r =>
-      assert(r.getAs[Boolean]("p50_ok"), s"p50 contract failed: $r")
-      assert(r.getAs[Boolean]("p90_ok"), s"p90 contract failed: $r")
+      val vs = values((r.getTimestamp(0), r.getString(1)))
+      val n = vs.length.toDouble
+      def rank(q: Double): Double = vs.count(_ <= q) / n
+      val tol = math.max(0.01, 2.5 / n)
+      assert(math.abs(rank(r.getAs[Double]("p50")) - 0.5) <= tol, s"p50 contract failed: $r")
+      assert(math.abs(rank(r.getAs[Double]("p90")) - 0.9) <= tol, s"p90 contract failed: $r")
     }
     // window census: every (day, type) present in the batch data
     // appears exactly once

@@ -29,7 +29,16 @@ def main() -> int:
     print(f"suite 10x ratio: {sf1['value'] / sf01['value']:.2f}x"
           f" | skew/uniform: {skew['value'] / sf1['value']:.2f}x")
 
-    rows = sorted(((q1[k] / max(q01.get(k, 0), 1e-9), k) for k in q1 if k in q01),
+    # a failed query carries the -1.0 sentinel median: it must be
+    # reported as a FAILURE, never fed into a ratio (a failure at
+    # sf0.1 would otherwise top the cap-breaker list at ~1e9x, and a
+    # failure at sf1 would hide as a negative ratio)
+    failed = sorted(k for k in set(q01) | set(q1) | set(qs)
+                    if min(q01.get(k, 0), q1.get(k, 0), qs.get(k, 0)) < 0)
+    if failed:
+        print(f"\nFAILED queries (excluded from every ratio): {', '.join(failed)}")
+    ok = lambda k: q01.get(k, -1) >= 0 and q1.get(k, -1) >= 0
+    rows = sorted(((q1[k] / max(q01[k], 1e-9), k) for k in q1 if k in q01 and ok(k)),
                   reverse=True)
     over = [r for r in rows if r[0] > 10]
     print(f"\n10x invariant: {len(over)} of {len(rows)} queries over cap")
@@ -38,7 +47,8 @@ def main() -> int:
         print(f"  {r:6.2f}x  {q01[k]:6.2f} -> {q1[k]:6.2f}"
               f" (min {m if m is None else round(m, 2)})  {k}")
 
-    srows = sorted(((qs[k] / max(q1.get(k, 0), 1e-9), k) for k in qs if k in q1),
+    srows = sorted(((qs[k] / max(q1[k], 1e-9), k) for k in qs
+                    if k in q1 and q1.get(k, -1) >= 0 and qs.get(k, -1) >= 0),
                    reverse=True)
     print(f"\nskew vs uniform sf1 (same volume): top ratios")
     for r, k in srows[:10]:
