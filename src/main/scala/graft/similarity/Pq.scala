@@ -21,7 +21,9 @@ import VectorOps._
   * either way.
   *
   * Scale shape: the codebook is one broadcast row; code assignment is
-  * a narrow per-row pass (nested higher-order functions, no shuffle);
+  * a narrow per-row pass (fused native kernel
+  * [[graft.functions.PqSubDistances]], no shuffle, no per-element
+  * allocation);
   * ADC probes broadcast a per-probe 16×8 lookup table and scan codes
   * linearly — the fact side never shuffles until the bounded top-k.
   * Float math is kept in identical operation order on both engines so
@@ -52,27 +54,25 @@ object Pq {
       .agg(transform(array_sort(collect_list(struct(col("vec_id"), col("v")))),
         s => s.getField("v")).as("cb"))
 
-  /** Squared L2 between `vec`'s and codebook entry `kk`'s sub-space
-    * `mi`, as a left-fold sum over the Sub components (the fold order
-    * is what the DuckDB oracle mirrors with list_sum).
-    */
-  private def subDist(vec: Column, kk: Column, mi: Int): Column =
-    aggregate(sequence(lit(1), lit(Sub)), lit(0.0), (acc, j) => {
-      val a = element_at(vec, lit(mi * Sub) + j)
-      val b = element_at(element_at(col("cb"), kk + 1), lit(mi * Sub) + j)
-      acc + (a - b) * (a - b)
-    })
-
   /** Per-subspace distance vectors d0..d7 (each K entries) for `rows`,
     * against the codebook built from `cbSource` (always the FULL
     * corpus — a filtered row set must not shrink the codebook).
+    *
+    * The M×K×Sub distance grid is ONE call into the fused native
+    * kernel [[graft.functions.PqSubDistances]] (bit-identical left
+    * folds; see its scaladoc for why the interpreted HOF nest it
+    * replaces was a 30×-scale GC hazard). The kernel lands in its own
+    * projection so the d0..d7 extracts reference its output exactly
+    * once — CollapseProject keeps the boundary because the producer
+    * is non-cheap and multiply referenced.
     */
   private def withDistVectors(rows: DataFrame, cbSource: DataFrame): DataFrame = {
-    val cols = (0 until M).map { mi =>
-      transform(sequence(lit(0), lit(K - 1)), kk => subDist(col("v"), kk, mi)).as(s"d$mi")
-    }
-    rows.crossJoin(broadcast(codebookRow(cbSource)))
-      .select(col("vec_id") +: col("v").as("v") +: cols: _*)
+    val dall = rows.crossJoin(broadcast(codebookRow(cbSource)))
+      .select(col("vec_id"), col("v"),
+        graft.functions.VectorFunctions
+          .pq_sub_dists(col("v"), col("cb"), M, Sub, K).as("dall"))
+    dall.select(col("vec_id") +: col("v").as("v") +:
+      (0 until M).map(mi => element_at(col("dall"), mi + 1).as(s"d$mi")): _*)
   }
 
   /** Codes + quantization error per vector (no shuffle). */
@@ -120,11 +120,8 @@ object Pq {
       .filter(col("rnk") <= AdcTopK)
       .select(col("probe_id"), col("vec_id"))
     // exact squared-L2 top-3 for the same probes, same fold order
-    val l2 = aggregate(sequence(lit(1), lit(M * Sub)), lit(0.0), (acc, j) => {
-      val a = element_at(col("v"), j)
-      val b = element_at(col("q"), j)
-      acc + (a - b) * (a - b)
-    })
+    // (native fused loop — bit-equal to the portable HOF fold)
+    val l2 = graft.functions.VectorFunctions.squared_l2(col("v"), col("q"))
     val qOnly = probes.select(col("probe_id"), col("q"))
     val wL2 = Window.partitionBy(col("probe_id")).orderBy(col("l2"), col("vec_id"))
     val exactTop = e.crossJoin(broadcast(qOnly))
@@ -179,13 +176,13 @@ object Pq {
       .filter(col("rnk") <= RerankDepth)
       .select(col("probe_id"), col("vec_id"), col("rnk"))
       // semantic no-op (the rank cut already bounds the set); the
-      // literal makes the bound visible to the boundedness walk
-      .limit(AdcProbeCap / Probes * RerankDepth)
-    val l2 = aggregate(sequence(lit(1), lit(M * Sub)), lit(0.0), (acc, j) => {
-      val a = element_at(col("v"), j)
-      val b = element_at(col("q"), j)
-      acc + (a - b) * (a - b)
-    })
+      // literal makes the bound visible to the boundedness walk.
+      // Ceil division keeps it a provable UPPER bound on
+      // probes×RerankDepth for any retuning of the constants — with
+      // integer floor division a non-divisible AdcProbeCap/Probes
+      // pair would silently drop rerank candidates after the rank cut
+      .limit(((AdcProbeCap + Probes - 1) / Probes) * RerankDepth)
+    val l2 = graft.functions.VectorFunctions.squared_l2(col("v"), col("q"))
     val qOnly = probes.select(col("probe_id"), col("q"))
     // full-precision fetch of ONLY the candidate ids, then exact
     // re-rank within each probe's candidate list
@@ -387,11 +384,7 @@ object Pq {
       .filter(col("rnk") <= IvfPqK)
       .select(col("q_id"), col("vec_id"))
     // yardstick: global exact L2 top-k (same fold order as pq_adc)
-    val l2 = aggregate(sequence(lit(1), lit(M * Sub)), lit(0.0), (acc, j) => {
-      val a = element_at(col("v"), j)
-      val b = element_at(col("q"), j)
-      acc + (a - b) * (a - b)
-    })
+    val l2 = graft.functions.VectorFunctions.squared_l2(col("v"), col("q"))
     val qOnly = queries
     val wL2 = Window.partitionBy(col("q_id")).orderBy(col("l2"), col("vec_id"))
     val exactTop = e.filter(col("vec_id") >= 5).crossJoin(broadcast(qOnly))
