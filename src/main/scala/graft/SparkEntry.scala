@@ -2713,10 +2713,9 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhashOracleSql,
     "dedup_embedding_cos" ->
       s"""WITH $embCte,
+         |${Ann.derivedPlanesCteSql},
          |eb AS (SELECT vec_id, v,
-         |  (CASE WHEN v[1] > 0 THEN '1' ELSE '0' END)
-         |  || (CASE WHEN v[2] > 0 THEN '1' ELSE '0' END)
-         |  || (CASE WHEN v[3] > 0 THEN '1' ELSE '0' END) AS bucket FROM e)
+         |  ${Ann.signBucketSql("v")} AS bucket FROM e, pp)
          |SELECT vec_a, vec_b, bucket, cos FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket,
          |    round(list_cosine_similarity(a.v, b.v), 4) + 0.0 AS cos
@@ -2734,10 +2733,9 @@ object SparkEntry {
          |  FROM s) WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
     "ann_lsh_topk" ->
       s"""WITH $embCte,
+         |${Ann.derivedPlanesCteSql},
          |eb AS (SELECT vec_id, label, v,
-         |  (CASE WHEN v[1] > 0 THEN '1' ELSE '0' END)
-         |  || (CASE WHEN v[2] > 0 THEN '1' ELSE '0' END)
-         |  || (CASE WHEN v[3] > 0 THEN '1' ELSE '0' END) AS bucket FROM e),
+         |  ${Ann.signBucketSql("v")} AS bucket FROM e, pp),
          |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM eb WHERE vec_id < 5),
          |c AS (SELECT vec_id, v, bucket FROM eb WHERE vec_id >= 5),
          |s AS (SELECT q_id, c.vec_id, c.bucket,

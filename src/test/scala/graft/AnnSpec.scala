@@ -30,6 +30,28 @@ class AnnSpec extends GraftSpec {
     buckets.foreach { case (_, bs) => assert(bs.size === 1) } // one bucket per query
   }
 
+  test("derived plane count pins the LSH block-size law") {
+    // law: p is the smallest plane count with 2^p >= ceil(n/target),
+    // clamped to [3, 64] — so mean block size n/2^p is bounded by
+    // LshTargetBlock whenever the floor clamp isn't active, and pair
+    // work stays ~n*target/2 (linear) at any corpus size. The former
+    // fixed p=3 grew pair work n^2/8 (the r10 30x cap-breaker).
+    val t = Ann.LshTargetBlock.toLong
+    assert(Ann.derivedPlanes(1L) === 3)
+    assert(Ann.derivedPlanes(8 * t) === 3) // floor clamp boundary
+    assert(Ann.derivedPlanes(8 * t + 1) === 4) // first growth step
+    for (n <- Seq(500L, 2000L, 20000L, 60000L, 1000000L, 1000000000L, Long.MaxValue / 2)) {
+      val p = Ann.derivedPlanes(n)
+      assert(p >= 3 && p <= 64)
+      val q = (n + t - 1) / t
+      if (p < 64) assert(q <= (1L << p), s"block bound violated at n=$n")
+      if (p > 3) assert(q > (1L << (p - 1)), s"p not minimal at n=$n")
+    }
+    // and the JVM law matches the oracle SQL's printf('%b') bit-length
+    // formulation by construction: both are ceil(log2(q)) in integer
+    // arithmetic — cross-engine equality is what CORRECTNESS checks.
+  }
+
   test("random hyperplane buckets are deterministic and well-formed") {
     val a = Ann.randomHyperplaneBucket(spark, sf).orderBy("vec_id").collect()
     val b = Ann.randomHyperplaneBucket(spark, sf).orderBy("vec_id").collect()
