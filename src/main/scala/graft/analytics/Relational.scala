@@ -839,31 +839,37 @@ object Relational {
     * r9 version exploded the ENTIRE dimension ×8, a self-inflicted 8×
     * shuffle at 100 TB). A deterministic ~1/4 hash sample of the fact
     * side estimates per-key frequencies; only keys above the hot
-    * threshold — capped at the top 64, so the hot set is bounded by a
-    * LITERAL, not by the corpus — are salted: hot fact rows take a
-    * row-derived salt, hot dimension rows alone are exploded across
-    * the salt replicas, and the cold long tail joins unsalted
-    * (salt 0). Result is provably identical to the unsalted join for
-    * ANY hot-key choice — the oracle IS the plain join, so the
-    * engine-specific sampling hash never leaks into correctness.
-    * AQE's skew handling covers the runtime case; this operator is
-    * the explicit/static variant for engines or key distributions
-    * where AQE can't see the skew.
+    * threshold — cut to the top [[HotKeyTopK]] by estimate, so the
+    * hot set is bounded by a LITERAL, not by the corpus — are salted:
+    * hot fact rows take a row-derived salt, hot dimension rows alone
+    * are exploded across the salt replicas, and the cold long tail
+    * joins unsalted (salt 0). The ≤[[HotKeyTopK]]-row hot set is
+    * COLLECTED ONCE into a driver-side literal `isin` predicate, so
+    * both join sides consume the SAME hot-key choice by construction
+    * — the former two-broadcast form evaluated the (merge-order-
+    * sensitive) Misra–Gries frame twice and was only consistent via
+    * broadcast-exchange reuse, an optimizer optimization rather than
+    * a contract (r10 ADVICE). Result is provably identical to the
+    * unsalted join for ANY single hot-key choice — the oracle IS the
+    * plain join, so the engine-specific sampling hash never leaks
+    * into correctness. AQE's skew handling covers the runtime case;
+    * this operator is the explicit/static variant for engines or key
+    * distributions where AQE can't see the skew.
     */
   def qJoinSkewSalt(spark: SparkSession, dir: String): DataFrame = {
     val salts = 8
     val li = Tables.lineitem(spark, dir)
     val ord = Tables.orders(spark, dir)
-    val hot = hotKeys(li, col("l_orderkey"), col("l_linenumber"), salts)
-    val liS = li.join(broadcast(hot), li("l_orderkey") === hot("hot_key"), "left_outer")
-      .withColumn("salt",
-        when(col("hot_key").isNotNull, pmod(col("l_linenumber"), lit(salts)))
-          .otherwise(lit(0)).cast("int"))
-      .drop("hot_key")
-    val ordS = ord.join(broadcast(hot), ord("o_orderkey") === hot("hot_key"), "left_outer")
-      .withColumn("salt", explode(when(col("hot_key").isNotNull,
-        lit((0 until salts).toArray)).otherwise(array(lit(0)))))
-      .drop("hot_key")
+    // bounded pushdown parameter: ≤ HotKeyTopK longs on the driver
+    val hotSet: Array[Long] = hotKeys(li, col("l_orderkey"), col("l_linenumber"), salts)
+      .collect().map(_.getLong(0))
+    def isHot(key: Column): Column =
+      if (hotSet.isEmpty) lit(false) else key.isInCollection(hotSet)
+    val liS = li.withColumn("salt",
+      when(isHot(col("l_orderkey")), pmod(col("l_linenumber"), lit(salts)))
+        .otherwise(lit(0)).cast("int"))
+    val ordS = ord.withColumn("salt", explode(when(isHot(col("o_orderkey")),
+      lit((0 until salts).toArray)).otherwise(array(lit(0)))))
     liS.join(ordS, liS("l_orderkey") === ordS("o_orderkey") && liS("salt") === ordS("salt"))
       .groupBy(col("o_orderstatus"))
       .agg(dollars(sum(netE4), 10000.0).as("revenue"),
@@ -888,6 +894,11 @@ object Relational {
     */
   val HotKeyRowThreshold = 16L
   val HotKeyCapacity = 256
+  /** Final cut: only the top-64 keys by estimated frequency are
+    * salted. Salting buys nothing below the very top of the skew
+    * curve, and the cut makes the driver-side literal provably tiny.
+    */
+  val HotKeyTopK = 64
   def hotKeys(fact: DataFrame, key: Column, rowDiscriminator: Column,
       salts: Int): DataFrame =
     fact.filter(pmod(hash(key, rowDiscriminator), lit(4)) === 0)
@@ -895,6 +906,8 @@ object Relational {
         .freq_items_sketch(key.cast("string"), HotKeyCapacity).as("sketch"))
       .select(explode(col("sketch")).as(Seq("hot_key_s", "est")))
       .filter(col("est") * 4 >= HotKeyRowThreshold)
+      .orderBy(col("est").desc, col("hot_key_s"))
+      .limit(HotKeyTopK)
       .select(col("hot_key_s").cast("long").as("hot_key"))
 
   /** §2.2#150 — unpivot (wide → long): the four lineitem money/qty

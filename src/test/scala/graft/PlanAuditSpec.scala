@@ -146,10 +146,10 @@ class PlanAuditSpec extends GraftSpec {
     // AdcProbeCap literal id bound (≤60 probes at any SF) — the gate
     // now proves that side bounded on its own, which is the intended
     // end-state for sampled readouts.
-    "ann_ivf_pq_search" -> "deterministic 1/83 probe sample hint-broadcast into the IVF+PQ index",
-    "q_join_skew_salt" -> ("hot-key set: ≤ HotKeyCapacity (256) entries by construction — the " +
-      "Misra–Gries sketch buffer is the bound, which the name walk can't see (the explode " +
-      "fans out a bounded map, not a collected entity list)"))
+    "ann_ivf_pq_search" -> "deterministic 1/83 probe sample hint-broadcast into the IVF+PQ index")
+    // q_join_skew_salt left this list in r11: the hot set is now a
+    // driver-collected ≤HotKeyTopK (64) literal isin predicate — no
+    // broadcast hint remains for the walk to adjudicate.
 
   test("no broadcast hint on a frame derived from an unbounded entity axis") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, LessThan, LessThanOrEqual, Literal}
