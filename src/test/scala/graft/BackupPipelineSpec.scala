@@ -169,4 +169,42 @@ class BackupPipelineSpec extends GraftSpec {
     assert(BackupPipeline.restoreLedger(spark, target).count() === n.toLong)
     assert(BackupPipeline.restoreRemainder(spark, url, "2024-01-15").count() === 0)
   }
+
+  test("ledger migration is crash-safe: re-runs replace, never duplicate") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ledger-crash").toString
+    val url = s"directory://$root"
+    BackupPipeline.backup(spark, sf, url)
+    val target = Target.parse(url)
+    val full = BackupPipeline.restoreSet(spark, url, "2024-01-15")
+    val n = full.count().toInt
+    val legacy = full.orderBy(col("path")).limit(n / 2)
+      .select(col("path"), col("size_bytes"), lit("/old/dest").as("dest"), col("cf"))
+    legacy.write.mode("append").json(target.restoreLedgerPath)
+    val ledgerPath = new org.apache.hadoop.fs.Path(target.restoreLedgerPath)
+    val fs = ledgerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(BackupPipeline.restoreLedger(spark, target).count() === (n / 2).toLong)
+    // crash mode 1: the epoch overwrite COMMITTED but the marker was
+    // never written (and the flat files survived). The re-run must
+    // REPLACE the epoch partitions, not append a second copy.
+    val marker = new org.apache.hadoop.fs.Path(ledgerPath, "_MIGRATED")
+    fs.delete(marker, false)
+    legacy.write.mode("append").json(target.restoreLedgerPath)
+    BackupPipeline.resetLedgerLayoutCache()
+    assert(BackupPipeline.restoreLedger(spark, target).count() === (n / 2).toLong,
+      "re-run after crash-before-marker duplicated ledger rows")
+    assert(fs.exists(marker))
+    // crash mode 2: marker written but the flat deletes didn't finish.
+    // The re-run must delete leftovers WITHOUT re-reading them into
+    // the ledger (their rows are already in the epoch partitions).
+    legacy.limit(3).write.mode("append").json(target.restoreLedgerPath)
+    BackupPipeline.resetLedgerLayoutCache()
+    assert(BackupPipeline.restoreLedger(spark, target).count() === (n / 2).toLong,
+      "leftover flat files after the marker must not re-migrate")
+    assert(fs.listStatus(ledgerPath)
+      .filter(st => !st.getPath.getName.startsWith("_")).forall(_.isDirectory))
+    // steady state: the memoized layout check issues no migration work
+    // and the ledger keeps reading consistently
+    assert(BackupPipeline.restoreLedger(spark, target).count() === (n / 2).toLong)
+  }
 }
