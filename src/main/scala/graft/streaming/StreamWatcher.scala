@@ -638,10 +638,19 @@ object StreamWatcher {
     * CONSTANT, which is what makes latency/size-percentile telemetry
     * viable on a 100 TB/day stream.
     */
+  /** Sketch accuracy passed to `approx_percentile`: per-window value
+    * counts at or below this are in the EXACT regime (the sketch
+    * retains every value), which is what licenses the oracle's
+    * value-level hash compare. Above it the estimates are only
+    * rank-bounded (1/accuracy), and the contract must fall back to
+    * the rank tolerance — [[streamQuantileSketchQuery]] guards this.
+    */
+  val QuantileSketchAccuracy = 10000L
+
   def quantileSketchStream(stream: DataFrame): DataFrame =
     stream.withWatermark("ts", "2 days")
       .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
-      .agg(expr("approx_percentile(value, array(0.5D, 0.9D), 10000)").as("ap"),
+      .agg(expr(s"approx_percentile(value, array(0.5D, 0.9D), $QuantileSketchAccuracy)").as("ap"),
         count(lit(1)).as("n_events"))
       .select(col("win.start").as("day_start"), col("event_type"),
         col("n_events"),
@@ -659,11 +668,26 @@ object StreamWatcher {
     * become approximate and the contract reverts to the 1% rank
     * tolerance, which StreamingSpec asserts engine-side.
     */
-  def streamQuantileSketchQuery(spark: SparkSession, dir: String): DataFrame =
-    replayToBatch(quantileSketchStream(eventStream(spark, dir)), "complete")
+  def streamQuantileSketchQuery(spark: SparkSession, dir: String): DataFrame = {
+    val out = replayToBatch(quantileSketchStream(eventStream(spark, dir)), "complete")
       .select(col("day_start"), col("event_type"), col("n_events"),
         col("a50").as("p50"), col("a90").as("p90"))
-      .orderBy(col("day_start"), col("event_type"))
+    // exact-regime guard: the hash-compare oracle (DuckDB
+    // quantile_disc) is only valid while every (day, type) window
+    // stays within the sketch's exact regime. At a SF where windows
+    // outgrow it, the cross-engine hash would start failing
+    // NONDETERMINISTICALLY — fail fast with the contract to use
+    // instead (the 1/accuracy rank tolerance, asserted engine-side
+    // in StreamingSpec). The readout frame is |days×types| rows, so
+    // the check is a bounded scalar.
+    val maxN = out.agg(max(col("n_events"))).collect()(0).getLong(0)
+    require(maxN <= QuantileSketchAccuracy,
+      s"stream_quantile_sketch: a (day, type) window holds $maxN values, above the " +
+        s"sketch accuracy bound $QuantileSketchAccuracy — approx_percentile is no longer " +
+        "exact at this scale, so the value-hash oracle is invalid; grade this query " +
+        "by the 1/accuracy rank-tolerance contract (StreamingSpec) instead")
+    out.orderBy(col("day_start"), col("event_type"))
+  }
 
   /** Streaming upload plan: new arrivals (non-temp) mapped to their
     * inventory entries — the continuous version of
