@@ -263,6 +263,7 @@ object SparkEntry {
     "stream_interval_join" -> (StreamWatcher.streamIntervalJoinQuery(_, _)),
     "stream_interval_join_outer" -> (StreamWatcher.streamIntervalJoinOuterQuery(_, _)),
     "stream_dedup" -> (StreamWatcher.streamDedupQuery(_, _)),
+    "stream_dedup_incremental" -> ((s, d) => Dedup.dedupIncrementalStreamQuery(s, d)),
     "stream_static_join" -> (StreamWatcher.streamStaticJoinQuery(_, _)),
     "stream_append_windows" -> (StreamWatcher.streamAppendWindowsQuery(_, _)),
     "stream_late_drop" -> (StreamWatcher.streamLateDropQuery(_, _)),
@@ -2630,6 +2631,7 @@ object SparkEntry {
     "dedup_minhash_by_lang" -> Dedup.minhashByLangOracleSql,
     "dedup_pipeline_verified" -> Dedup.pipelineVerifiedOracleSql,
     "dedup_incremental" -> Dedup.incrementalOracleSql(),
+    "stream_dedup_incremental" -> Dedup.incrementalStreamOracleSql(),
     "dedup_substring" -> Dedup.dedupSubstringOracleSql(),
     "dedup_semantic" -> Ann.dedupSemanticOracleSql(),
     "dedup_ngram_jaccard" ->

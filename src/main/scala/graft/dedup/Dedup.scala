@@ -914,11 +914,20 @@ object Dedup {
     * Nothing rescans the base corpus per drop, and nothing is
     * quadratic in either side.
     */
-  def dedupIncremental(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.rebalanced(Tables.documents(spark, dir))
-    val base = docs.filter(col("doc_id") % 7 =!= 3)
-    val delta = docs.filter(col("doc_id") % 7 === 3)
-    // ---- standing index (build once, reuse per drop) ----
+  /** The standing dedup index a production drop pipeline persists:
+    * exact digests (with each cluster's keeper), LSH band buckets
+    * over the base's text representatives, and the reps' token sets
+    * for Jaccard verification.
+    */
+  private[graft] case class DedupIndex(digests: DataFrame, bands: DataFrame,
+      toks: DataFrame)
+
+  /** Build the standing index from a base corpus (one text-keyed
+    * shuffle; in production it is PERSISTED and amortized across
+    * drops — the lazy checkpoints stand in for that materialization,
+    * and [[dedupIncrementalStreamQuery]] does materialize it).
+    */
+  private[graft] def buildDedupIndex(base: DataFrame): DedupIndex = {
     val baseDigests = base
       .groupBy(md5(lower(col("text"))).as("digest"))
       .agg(min(col("doc_id")).as("exact_keeper"))
@@ -937,32 +946,51 @@ object Dedup {
       .select(col("doc_id").as("b_id"),
         array_sort(array_distinct(tokensCol(col("text")))).as("btok"))
       .cutLineage(eager = false)
-    // ---- per-drop probe (touches |delta|·bands + matched buckets) ----
+    DedupIndex(baseDigests, baseBands, baseToks)
+  }
+
+  /** One drop's probe of the standing index — |delta| digest lookups
+    * + |delta|·bands bucket probes + Jaccard verification on matched
+    * buckets only; nothing rescans the base corpus and nothing is
+    * quadratic in either side. Returns (doc_id, digest, verdict,
+    * matched_doc); the digest column is what the streaming twin
+    * appends back into the index for accepted docs.
+    */
+  private[graft] def probeDedupIndex(delta: DataFrame, idx: DedupIndex,
+      threshold: Double): DataFrame = {
     val withDigest = delta
       .select(col("doc_id"), col("text"), md5(lower(col("text"))).as("digest"))
-      .join(baseDigests, Seq("digest"), "left_outer")
+      .join(idx.digests, Seq("digest"), "left_outer")
       .cutLineage(eager = false)
     val unmatched = withDigest.filter(col("exact_keeper").isNull)
       .select(col("doc_id"), col("text"))
     val cands = bandsOf(minhashSignaturesOf(unmatched))
       .withColumnRenamed("doc_id", "d_id")
-      .join(baseBands.select(col("doc_id").as("b_id"),
+      .join(idx.bands.select(col("doc_id").as("b_id"),
         col("band_idx"), col("band_hash")), Seq("band_idx", "band_hash"))
       .select(col("d_id"), col("b_id")).distinct()
     val dtoks = unmatched.select(col("doc_id").as("d_id"),
       array_sort(array_distinct(tokensCol(col("text")))).as("dtok"))
     val near = cands
       .join(dtoks, Seq("d_id"))
-      .join(baseToks, Seq("b_id"))
+      .join(idx.toks, Seq("b_id"))
       .filter(round(jaccard_sorted(col("dtok"), col("btok")), 4) >= threshold)
       .groupBy(col("d_id")).agg(min(col("b_id")).as("near_keeper"))
-    withDigest.select(col("doc_id"), col("exact_keeper"))
+    withDigest.select(col("doc_id"), col("digest"), col("exact_keeper"))
       .join(near.withColumnRenamed("d_id", "doc_id"), Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("digest"),
         when(col("exact_keeper").isNotNull, lit("exact"))
           .when(col("near_keeper").isNotNull, lit("near"))
           .otherwise(lit("new")).as("verdict"),
         coalesce(col("exact_keeper"), col("near_keeper")).as("matched_doc"))
+  }
+
+  def dedupIncremental(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.rebalanced(Tables.documents(spark, dir))
+    val base = docs.filter(col("doc_id") % 7 =!= 3)
+    val delta = docs.filter(col("doc_id") % 7 === 3)
+    probeDedupIndex(delta, buildDedupIndex(base), threshold)
+      .select(col("doc_id"), col("verdict"), col("matched_doc"))
       .orderBy(col("doc_id"))
   }
 
@@ -970,14 +998,17 @@ object Dedup {
     * signature/band and token-set Jaccard construction; the near probe
     * runs only for delta docs with no exact hit, like the engine.
     */
+  private def incrSigExprs: String = (0 until MinhashK).map { k =>
+    s"list_aggregate(list_transform(sh, x -> md5('$k|' || x)), 'min') AS sig$k"
+  }.mkString(",\n  ")
+  private def incrBandSelects(sigCte: String): String = (0 until LshBands).map { b =>
+    val cat = (0 until 3).map(r => s"sig${3 * b + r}").mkString(" || ")
+    s"SELECT doc_id, CAST($b AS BIGINT) AS band_idx, md5($cat) AS band_hash FROM $sigCte"
+  }.mkString("\n  UNION ALL ")
+
   def incrementalOracleSql(threshold: Double = 0.5): String = {
-    val sigExprs = (0 until MinhashK).map { k =>
-      s"list_aggregate(list_transform(sh, x -> md5('$k|' || x)), 'min') AS sig$k"
-    }.mkString(",\n  ")
-    def bandSelects(sigCte: String) = (0 until LshBands).map { b =>
-      val cat = (0 until 3).map(r => s"sig${3 * b + r}").mkString(" || ")
-      s"SELECT doc_id, CAST($b AS BIGINT) AS band_idx, md5($cat) AS band_hash FROM $sigCte"
-    }.mkString("\n  UNION ALL ")
+    val sigExprs = incrSigExprs
+    def bandSelects(sigCte: String) = incrBandSelects(sigCte)
     s"""WITH base AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
        |delta AS (SELECT * FROM documents WHERE doc_id % 7 = 3),
        |bdig AS (SELECT md5(lower(text)) AS digest, min(doc_id) AS exact_keeper
@@ -1019,6 +1050,185 @@ object Dedup {
        |  coalesce(dd.exact_keeper, nearm.near_keeper) AS matched_doc
        |FROM dd LEFT JOIN nearm USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB oracle for [[dedupIncrementalStreamQuery]]: the
+    * closed-form of the sequential replay. Identical base index CTEs
+    * as [[incrementalOracleSql]]; the delta additionally carries its
+    * ntile drop_id, and docs with neither a base exact hit nor a
+    * near match resolve by digest group — min doc_id is 'new', the
+    * rest are 'exact' against that keeper. Because drops are
+    * doc_id-ordered slices and same-digest docs share near status,
+    * this equals the stream's land/drain sequence exactly (argued in
+    * the operator's scaladoc).
+    */
+  def incrementalStreamOracleSql(threshold: Double = 0.5): String = {
+    val sigExprs = incrSigExprs
+    def bandSelects(sigCte: String) = incrBandSelects(sigCte)
+    s"""WITH base AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
+       |delta AS (SELECT doc_id, text,
+       |  CAST(ntile(3) OVER (ORDER BY doc_id) - 1 AS BIGINT) AS drop_id
+       |  FROM documents WHERE doc_id % 7 = 3),
+       |bdig AS (SELECT md5(lower(text)) AS digest, min(doc_id) AS exact_keeper
+       |  FROM base GROUP BY 1),
+       |brep AS (SELECT text, min(doc_id) AS doc_id FROM base GROUP BY text),
+       |bt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM brep),
+       |bs AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS sh FROM bt),
+       |bsig AS MATERIALIZED (SELECT doc_id,
+       |  $sigExprs
+       |  FROM bs),
+       |bbands AS MATERIALIZED (${bandSelects("bsig")}),
+       |btok AS MATERIALIZED (SELECT brep.doc_id AS b_id,
+       |  list_distinct(bt.toks) AS btok FROM brep JOIN bt USING (doc_id)),
+       |dd AS (SELECT d.doc_id, d.text, d.drop_id, d.digest, bdig.exact_keeper
+       |  FROM (SELECT doc_id, text, drop_id, md5(lower(text)) AS digest FROM delta) d
+       |  LEFT JOIN bdig USING (digest)),
+       |unm AS (SELECT doc_id, text FROM dd WHERE exact_keeper IS NULL),
+       |dt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM unm),
+       |ds AS (SELECT doc_id, list_transform(range(1, len(toks) - 1),
+       |        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS sh FROM dt),
+       |dsig AS MATERIALIZED (SELECT doc_id,
+       |  $sigExprs
+       |  FROM ds),
+       |dbands AS (${bandSelects("dsig")}),
+       |cand AS (SELECT DISTINCT d.doc_id AS d_id, b.doc_id AS b_id
+       |  FROM dbands d JOIN bbands b
+       |    ON d.band_idx = b.band_idx AND d.band_hash = b.band_hash),
+       |nearm AS (SELECT d_id AS doc_id, min(b_id) AS near_keeper FROM cand
+       |  JOIN (SELECT doc_id AS d_id, list_distinct(toks) AS dtok FROM dt) USING (d_id)
+       |  JOIN btok USING (b_id)
+       |  WHERE round(CAST(len(list_filter(dtok, x -> list_contains(btok, x))) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(dtok, btok))) AS DOUBLE), 4) >= $threshold
+       |  GROUP BY d_id),
+       |rem AS (SELECT dd.doc_id, dd.digest FROM dd LEFT JOIN nearm USING (doc_id)
+       |  WHERE dd.exact_keeper IS NULL AND nearm.near_keeper IS NULL),
+       |grp AS (SELECT digest, min(doc_id) AS keeper FROM rem GROUP BY digest)
+       |SELECT dd.doc_id, dd.drop_id,
+       |  CASE WHEN dd.exact_keeper IS NOT NULL THEN 'exact'
+       |       WHEN nearm.near_keeper IS NOT NULL THEN 'near'
+       |       WHEN dd.doc_id = grp.keeper THEN 'new'
+       |       ELSE 'exact' END AS verdict,
+       |  CASE WHEN dd.exact_keeper IS NOT NULL THEN dd.exact_keeper
+       |       WHEN nearm.near_keeper IS NOT NULL THEN nearm.near_keeper
+       |       WHEN dd.doc_id = grp.keeper THEN NULL
+       |       ELSE grp.keeper END AS matched_doc
+       |FROM dd LEFT JOIN nearm USING (doc_id) LEFT JOIN grp ON dd.digest = grp.digest
+       |ORDER BY dd.doc_id""".stripMargin
+  }
+
+  /** §2.7 `stream_dedup_incremental` — the streaming twin of
+    * [[dedupIncremental]]: a document ingest stream dedups each
+    * micro-batch against a PERSISTED digest+band index, not against
+    * watermark-bounded state (`stream_dedup` dedups only WITHIN the
+    * watermark; a corpus ingest pipeline must dedup against
+    * everything ever accepted). Inside `foreachBatch` each drop
+    *   1. probes the index ([[probeDedupIndex]]: |batch| digest
+    *      lookups + |batch|·bands bucket probes),
+    *   2. resolves intra-batch digest groups (first doc by doc_id is
+    *      the keeper, the rest are exact dups of it),
+    *   3. appends its verdicts to the sink and the ACCEPTED docs'
+    *      digests to the index — so later drops exact-dedup against
+    *      earlier accepted docs.
+    * Per-batch cost is |batch| probes of a storage-resident table;
+    * the index is NOT state-store state because at 100 TB the digest
+    * set outgrows any executor-local store — storage + foreachBatch
+    * is the production shape (the state-store ops cover the
+    * bounded-state families).
+    *
+    * Band-index updates are deliberately deferred to the nightly
+    * compaction (a [[dedupIncremental]] batch run): intra-stream
+    * near-dup chaining would make verdicts arrival-order-dependent,
+    * while the digest append is order-insensitive (same digest ⇒
+    * same text modulo case ⇒ same verdict class), so every verdict
+    * is deterministic and the oracle is closed-form. Drops here are
+    * the three doc_id-ordered ntile slices of the delta landed and
+    * drained one `Trigger.AvailableNow` run at a time (the
+    * checkpoint's seen-files log is the cursor) — fixture
+    * construction; in production drops arrive as real files.
+    */
+  def dedupIncrementalStreamQuery(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.rebalanced(Tables.documents(spark, dir))
+    val base = docs.filter(col("doc_id") % 7 =!= 3)
+    val delta = docs.filter(col("doc_id") % 7 === 3)
+    val root = java.nio.file.Files.createTempDirectory("graft-sdedup-")
+    val dropsDir = root.resolve("drops"); java.nio.file.Files.createDirectory(dropsDir)
+    val digDir = s"$root/index/digests"
+    val bandsDir = s"$root/index/bands"
+    val toksDir = s"$root/index/toks"
+    val sink = s"$root/verdicts"
+    val ck = s"$root/ck"
+    // nightly-compaction artifact: the standing index, materialized
+    val idx = buildDedupIndex(base)
+    idx.digests.write.parquet(digDir)
+    idx.bands.write.parquet(bandsDir)
+    idx.toks.write.parquet(toksDir)
+    // stage the three drops as single files (ntile is fixture-side
+    // arrival simulation, not operator work)
+    val wd = Window.orderBy(col("doc_id"))
+    val staged = delta.select(col("doc_id"), col("text"),
+      (ntile(3).over(wd) - 1).cast("long").as("drop_id"))
+    (0 until 3).foreach { k =>
+      val stage = s"$root/stage_$k"
+      staged.filter(col("drop_id") === k).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      java.nio.file.Files.move(part.toPath, root.resolve(s"stage_$k.parquet"))
+    }
+    val schema = spark.read.parquet(s"$root/stage_0.parquet").schema
+    def land(k: Int): Unit =
+      java.nio.file.Files.move(root.resolve(s"stage_$k.parquet"),
+        dropsDir.resolve(s"drop_$k.parquet"))
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(dropsDir.toString)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val s = batch.sparkSession
+          val liveIdx = DedupIndex(s.read.parquet(digDir),
+            s.read.parquet(bandsDir), s.read.parquet(toksDir))
+          val probed = probeDedupIndex(
+            batch.select(col("doc_id"), col("text")), liveIdx, threshold)
+          // intra-batch digest groups among the would-be-new docs:
+          // min doc_id is the keeper, the rest exact-match it
+          val grp = probed.filter(col("verdict") === "new")
+            .groupBy(col("digest")).agg(min(col("doc_id")).as("keeper"))
+          val fin = probed.join(grp, Seq("digest"), "left_outer")
+            .select(col("doc_id"), col("digest"),
+              when(col("verdict") =!= "new", col("verdict"))
+                .when(col("doc_id") === col("keeper"), lit("new"))
+                .otherwise(lit("exact")).as("verdict"),
+              when(col("verdict") =!= "new", col("matched_doc"))
+                .when(col("doc_id") === col("keeper"), lit(null).cast("long"))
+                .otherwise(col("keeper")).as("matched_doc"))
+            .join(batch.select(col("doc_id"), col("drop_id")), Seq("doc_id"))
+            // run-once fence on EXECUTORS (the BackupPipeline ledger
+            // pattern): both writes below consume the frozen blocks —
+            // the second write appends to digDir, which this plan
+            // READS, so it must never recompute
+            .cutLineage(eager = true)
+          fin.select(col("doc_id"), col("drop_id"), col("verdict"), col("matched_doc"))
+            .write.mode("append").parquet(sink)
+          // accepted docs enter the index: later drops exact-dedup
+          // against them with the same one-lookup probe
+          fin.filter(col("verdict") === "new")
+            .select(col("digest"), col("doc_id").as("exact_keeper"))
+            .write.mode("append").parquet(digDir)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    land(0); drain()
+    land(1); drain()
+    land(2); drain()
+    spark.read.parquet(sink)
+      .select(col("doc_id"), col("drop_id"), col("verdict"), col("matched_doc"))
+      .orderBy(col("doc_id"))
   }
 
   /** §2.3 `dedup_substring` — exact substring dedup ACROSS documents

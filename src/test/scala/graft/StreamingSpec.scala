@@ -22,6 +22,48 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("stream_dedup_incremental dedups later drops against earlier accepted docs") {
+    import spark.implicits._
+    // crafted corpus: delta ids are = 3 (mod 7); with ntile(3) over
+    // the 10 delta ids, drops are {3,10,17,24} {31,38,45} {52,59,66}.
+    // N1/N2/N3 are distinct texts absent from the base; no two
+    // distinct texts are near-dups, so every verdict is digest-driven
+    // and exactly predictable.
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "one two three four five six seven eight nine ten"
+    val n1 = "quartz lantern orbit meadow cipher velvet anchor prism"
+    val n2 = "ember glacier saffron tundra mosaic harbor zenith quill"
+    val n3 = "nimbus copper willow fjord garnet sable onyx tarragon"
+    val n4 = "juniper basalt meridian echo lattice crimson vapor sage"
+    val docs = Seq(
+      1L -> a, 2L -> b, // base (ids not ≡ 3 mod 7)
+      3L -> n1, 10L -> a, 17L -> b, 24L -> n1, // drop 0
+      31L -> n1, 38L -> n2, 45L -> n4, // drop 1
+      52L -> n2.toUpperCase, 59L -> n3, 66L -> n3 // drop 2
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup-spec-").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val out = graft.dedup.Dedup.dedupIncrementalStreamQuery(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out === Map(
+      3L -> ("new", -1L), // first sight of N1
+      10L -> ("exact", 1L), // base digest hit
+      17L -> ("exact", 2L),
+      24L -> ("exact", 3L), // intra-batch digest group → drop-0 keeper
+      31L -> ("exact", 3L), // CROSS-DROP: matches the accepted drop-0 doc
+      38L -> ("new", -1L),
+      45L -> ("new", -1L),
+      52L -> ("exact", 38L), // cross-drop, case-insensitive digest
+      59L -> ("new", -1L),
+      66L -> ("exact", 59L))) // intra-batch within drop 2
+    // and the drop labels are the ntile slices
+    val drops = graft.dedup.Dedup.dedupIncrementalStreamQuery(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drops === Map(3L -> 0L, 10L -> 0L, 17L -> 0L, 24L -> 0L,
+      31L -> 1L, 38L -> 1L, 45L -> 1L, 52L -> 2L, 59L -> 2L, 66L -> 2L))
+  }
+
   test("streaming upload plan emits exactly the durable inventory") {
     val q = StreamWatcher.uploadPlanStream(StreamWatcher.eventStream(spark, sf))
       .writeStream.outputMode("append")
