@@ -1,0 +1,183 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** State-store scale evidence (r10 verdict item 7): replay the
+  * stateful streaming family CHRONOLOGICALLY — the events table cut
+  * into time-ordered slices landed as separate files, one micro-batch
+  * each — under the RocksDB state-store provider, and record every
+  * batch's state-operator telemetry (rows in state, rows
+  * updated/removed, state memory). The contract under test is the
+  * one that keeps a 100 TB/day stateful query alive: **rows in state
+  * are bounded by the watermark horizon (plus the in-flight slice),
+  * NOT by the total ingested volume** — the trajectory must stay
+  * flat across the replay while cumulative input grows 10×.
+  *
+  * Each shape asserts `max(numRowsTotal) ≤ bound`, where the bound
+  * is computed from the DATA (slice extent + watermark lag + slack),
+  * and the artifact records bound vs. the total key population the
+  * state WOULD hold if eviction leaked (windows over the full span /
+  * all event ids). A leak fails the assertion, not a human read.
+  *
+  * Usage: StateScale <sfDir> [outJson] — also exercised at test
+  * scale by StateScaleSpec under both providers.
+  */
+object StateScale {
+
+  case class BatchRow(batchId: Long, inputRows: Long, stateRows: Long,
+      updated: Long, removed: Long, memBytes: Long)
+  case class ShapeReport(name: String, provider: String, bound: Long,
+      leakPopulation: Long, batches: Seq[BatchRow]) {
+    def maxStateRows: Long = if (batches.isEmpty) 0L else batches.map(_.stateRows).max
+    def finalStateRows: Long = batches.lastOption.map(_.stateRows).getOrElse(0L)
+  }
+
+  val Slices = 10
+
+  /** Cut the events table into [[Slices]] equal time ranges and land
+    * them as one file each (names AND modification times ascending,
+    * so the file source replays them in event-time order).
+    */
+  private def landSlices(spark: SparkSession, sfDir: String): (String, Seq[Long]) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-statescale-")
+    val land = root.resolve("land"); java.nio.file.Files.createDirectory(land)
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ts = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        ev.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => ev
+    }
+    val Array(loMax) = ts.agg(
+      struct(unix_micros(min(col("ts"))), unix_micros(max(col("ts"))))).collect()
+    val (lo, hi) = (loMax.getStruct(0).getLong(0), loMax.getStruct(0).getLong(1))
+    val step = (hi - lo) / Slices + 1
+    val counts = (0 until Slices).map { k =>
+      val slice = ts.filter(unix_micros(col("ts")) >= lo + k.toLong * step &&
+        unix_micros(col("ts")) < lo + (k + 1).toLong * step)
+      val stage = root.resolve(s"stage_$k").toString
+      slice.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+      val dst = land.resolve(f"slice_$k%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + k * 60000L))
+      slice.count()
+    }
+    (land.toString, counts)
+  }
+
+  /** Run one stateful shape over the landed slices (one file = one
+    * micro-batch) and collect its per-batch state telemetry.
+    */
+  private def replayShape(spark: SparkSession, landDir: String,
+      shape: DataFrame => DataFrame, mode: String): Seq[BatchRow] = {
+    val schema = spark.read.parquet(landDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(landDir)
+    val ck = java.nio.file.Files.createTempDirectory("graft-statescale-ck-")
+    val q = shape(stream).writeStream.outputMode(mode).format("noop")
+      .option("checkpointLocation", ck.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    q.recentProgress.toSeq
+      .filter(p => p.numInputRows > 0 || p.stateOperators.nonEmpty)
+      .map { p =>
+        val so = p.stateOperators
+        BatchRow(p.batchId, p.numInputRows,
+          so.map(_.numRowsTotal).sum, so.map(_.numRowsUpdated).sum,
+          so.map(_.numRowsRemoved).sum, so.map(_.memoryUsedBytes).sum)
+      }
+  }
+
+  /** The stateful family under measurement, with data-derived bounds.
+    * Bound model: post-batch state holds at most the groups/keys of
+    * the in-flight slice plus the watermark-horizon tail of the
+    * previous one (eviction runs with the previous batch's
+    * watermark), plus slack for boundary windows.
+    */
+  def run(spark: SparkSession, sfDir: String): Seq[ShapeReport] = {
+    import graft.streaming.StreamWatcher
+    val provider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+      .map(_.split("\\.").last).getOrElse("HDFSBacked(default)")
+    val (landDir, sliceCounts) = landSlices(spark, sfDir)
+    val ev = spark.read.parquet(landDir)
+    val nTypes = ev.select(col("event_type")).distinct().count()
+    val spanHours = {
+      // `/` on longs is DOUBLE division in Spark SQL — cast back for getLong
+      val r = ev.agg(((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+        / lit(3600L * 1000000L)).cast("long")).collect()(0).getLong(0)
+      r + 1
+    }
+    val sliceHours = spanHours / Slices + 1
+    val sliceDays = sliceHours / 24 + 1
+    val maxSlice = sliceCounts.max
+
+    def report(name: String, shape: DataFrame => DataFrame, mode: String,
+        bound: Long, leakPopulation: Long): ShapeReport = {
+      val rows = replayShape(spark, landDir, shape, mode)
+      val rep = ShapeReport(name, provider, bound, leakPopulation, rows)
+      assert(rep.maxStateRows <= bound,
+        s"$name: state rows ${rep.maxStateRows} exceed the watermark-horizon bound " +
+          s"$bound — state is growing with ingested volume, not the horizon")
+      rep
+    }
+
+    Seq(
+      // 1h windows, 2h lag: live windows ≤ slice extent + lag tail
+      report("windowed_agg_1h", StreamWatcher.windowedCounts, "append",
+        bound = (sliceHours + 8) * nTypes,
+        leakPopulation = spanHours * nTypes),
+      // same window shape, HLL registers as the aggregation state
+      report("sketch_distinct_1h", StreamWatcher.sketchDistinctStream, "append",
+        bound = (sliceHours + 8) * nTypes,
+        leakPopulation = spanHours * nTypes),
+      // 1d windows, 2d lag
+      report("quantile_sketch_1d", StreamWatcher.quantileSketchStream, "append",
+        bound = (sliceDays + 4) * nTypes,
+        leakPopulation = (spanHours / 24 + 1) * nTypes),
+      // key-per-event dedup, 1h lag: state ≤ one slice's keys + the
+      // previous slice's horizon tail (keys, unlike windows, scale
+      // with the event rate — the bound is the slice population, and
+      // the leak population is EVERY event id ever ingested)
+      report("dedup_within_watermark", s => s.withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id"), "append",
+        bound = (maxSlice * 13) / 10 + 1000,
+        leakPopulation = sliceCounts.sum))
+  }
+
+  private def jsonify(reps: Seq[ShapeReport], sfDir: String): String = {
+    val shapes = reps.map { r =>
+      val b = r.batches.map(x => s"""{"batch":${x.batchId},"input_rows":${x.inputRows},""" +
+        s""""state_rows":${x.stateRows},"updated":${x.updated},"removed":${x.removed},""" +
+        s""""mem_bytes":${x.memBytes}}""").mkString("[", ",", "]")
+      s"""{"shape":"${r.name}","provider":"${r.provider}","bound":${r.bound},""" +
+        s""""leak_population":${r.leakPopulation},"max_state_rows":${r.maxStateRows},""" +
+        s""""final_state_rows":${r.finalStateRows},"batches":$b}"""
+    }.mkString("[", ",", "]")
+    s"""{"metric":"state_scale","slices":$Slices,"sf":"$sfDir","shapes":$shapes}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("STATE_SCALE.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val reps = run(spark, sfDir)
+    val json = jsonify(reps, sfDir)
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    reps.foreach(r => println(s"${r.name}: max ${r.maxStateRows} / bound ${r.bound} " +
+      s"/ leak-population ${r.leakPopulation} (final ${r.finalStateRows})"))
+    spark.stop()
+  }
+}

@@ -76,4 +76,30 @@ class StateStoreProviderSpec extends GraftSpec {
         "complete-mode aggregate must never evict")
     }
   }
+
+  test("chronological replay: state stays bounded by the watermark horizon under both providers") {
+    // the StateScale contract at test scale (the 10x-corpus run is
+    // the per-round artifact): events replayed as time-ordered
+    // slices, one micro-batch each — rows-in-state must track the
+    // slice+horizon bound, never the cumulative ingested volume, and
+    // eviction must actually fire across the replay
+    for (provider <- Seq(None, Some(RocksDb))) withProvider(provider) {
+      val reps = graft.tools.StateScale.run(spark, sf) // asserts each bound
+      assert(reps.size === 4)
+      reps.foreach { r =>
+        assert(r.batches.size >= graft.tools.StateScale.Slices - 1,
+          s"${r.name}: expected ~one batch per slice, got ${r.batches.size}")
+        assert(r.maxStateRows > 0, s"${r.name}: no state observed")
+        assert(r.maxStateRows < r.leakPopulation,
+          s"${r.name}: state reached the leak population — eviction never fired")
+      }
+      // the per-event-key shape is the sharp one: total keys = every
+      // event id, state must stay at slice scale (< 40% of total even
+      // with the previous slice's tail retained)
+      val dd = reps.find(_.name == "dedup_within_watermark").get
+      assert(dd.batches.map(_.removed).sum > 0, "watermark eviction never removed a key")
+      assert(dd.maxStateRows * 5 < dd.leakPopulation * 2,
+        s"dedup state ${dd.maxStateRows} not slice-bounded vs ${dd.leakPopulation} total keys")
+    }
+  }
 }
