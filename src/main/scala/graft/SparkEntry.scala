@@ -190,6 +190,7 @@ object SparkEntry {
     // §2.4 similarity
     "ann_bruteforce_topk" -> (Ann.annBruteforceTopk(_, _)),
     "ann_lsh_topk" -> (Ann.annLshTopk(_, _)),
+    "ann_lsh_multiprobe" -> (Ann.annLshMultiprobe(_, _)),
     "vec_norms" -> (Ann.vecNorms(_, _)),
     "ann_ivf_assign" -> (Ann.annIvfAssign(_, _)),
     "vec_quantize" -> (Ann.vecQuantize(_, _)),
@@ -226,6 +227,7 @@ object SparkEntry {
     "text_winnowing" -> ((s, d) => TextAnalysis.textWinnowing(s, d)),
     "text_bigram_model" -> (TextAnalysis.textBigramModel(_, _)),
     "text_perplexity" -> (TextAnalysis.textPerplexity(_, _)),
+    "text_perplexity_kn" -> (TextAnalysis.textPerplexityKn(_, _)),
     "q_acf" -> (EventAnalytics.qAcf(_, _)),
     "q_benford" -> (Relational.qBenford(_, _)),
     "text_zipf_fit" -> (TextAnalysis.textZipfFit(_, _)),
@@ -235,7 +237,9 @@ object SparkEntry {
     "text_common_spans" -> (TextAnalysis.textCommonSpans(_, _)),
     "text_pii_mask" -> (TextAnalysis.textPiiMask(_, _)),
     "text_freq_tokens" -> (TextAnalysis.textFreqTokens(_, _)),
+    "text_heavy_hitters_exact" -> (TextAnalysis.textHeavyHittersExact(_, _)),
     "text_pack_chunks" -> ((s, d) => graft.text.CorpusOps.textPackChunks(s, d)),
+    "corpus_chunk_overlap" -> ((s, d) => graft.text.CorpusOps.corpusChunkOverlap(s, d)),
     "text_contamination" -> ((s, d) => graft.text.CorpusOps.textContamination(s, d)),
     "corpus_mixture" -> (graft.text.CorpusOps.corpusMixture(_, _)),
     "corpus_source_overlap" -> (graft.text.CorpusOps.corpusSourceOverlap(_, _)),
@@ -281,6 +285,7 @@ object SparkEntry {
     "sync_ring_rebalance" -> (SyncOps.syncRingRebalance(_, _)),
     "q_did" -> (Stats.qDid(_, _)),
     "graph_label_prop" -> ((s, d) => graft.graph.GraphOps.graphLabelProp(s, d)),
+    "graph_modularity" -> ((s, d) => graft.graph.GraphOps.graphModularity(s, d)),
     "io_partitioned_inventory" -> (Io.ioPartitionedInventory(_, _)),
     "io_csv_json" -> (Io.ioCsvJson(_, _)),
     "io_bucketed_join" -> (Io.ioBucketedJoin(_, _)),
@@ -718,6 +723,27 @@ object SparkEntry {
          |FROM pairs
          |JOIN bgc ON pairs.lang = bgc.lang AND pairs.w1 = bgc.w1 AND pairs.w2 = bgc.w2
          |JOIN pc ON pairs.lang = pc.lang AND pairs.w1 = pc.w1
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_perplexity_kn" ->
+      s"""WITH $toksCte,
+         |bg AS (SELECT doc_id, lang,
+         |  unnest(list_transform(range(1, len(toks)),
+         |    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS b
+         |  FROM t),
+         |pairs AS (SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2 FROM bg),
+         |bgc AS (SELECT lang, w1, w2, count(*) AS c_bg FROM pairs GROUP BY 1, 2, 3),
+         |pref AS (SELECT lang, w1, sum(c_bg) AS c_w1, count(*) AS t_w1 FROM bgc GROUP BY 1, 2),
+         |cont AS (SELECT lang, w2, count(*) AS n1_w2 FROM bgc GROUP BY 1, 2),
+         |bt AS (SELECT lang, count(*) AS b_types FROM bgc GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  round(avg(-ln((c_bg - 0.75) / c_w1 +
+         |    0.75 * t_w1 / c_w1 * (CAST(n1_w2 AS DOUBLE) / b_types))), 4) + 0.0
+         |    AS avg_nll_kn
+         |FROM pairs
+         |JOIN bgc ON pairs.lang = bgc.lang AND pairs.w1 = bgc.w1 AND pairs.w2 = bgc.w2
+         |JOIN pref ON pairs.lang = pref.lang AND pairs.w1 = pref.w1
+         |JOIN cont ON pairs.lang = cont.lang AND pairs.w2 = cont.w2
+         |JOIN bt ON pairs.lang = bt.lang
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_acf" ->
       """WITH daily AS (SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
@@ -1347,6 +1373,18 @@ object SparkEntry {
         |  (start_off + n_tokens - 1) // 512 AS seq_last,
         |  (start_off + n_tokens - 1) // 512 - start_off // 512 + 1 AS n_seqs_spanned
         |FROM p ORDER BY lang, shard, doc_id""".stripMargin,
+    "corpus_chunk_overlap" ->
+      s"""WITH $toksCte,
+         |d AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         |k AS (SELECT doc_id, toks, n,
+         |  unnest(range(0, 1 + CASE WHEN n > 128 THEN (n - 128 + 95) // 96 ELSE 0 END)) AS ci
+         |  FROM d)
+         |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+         |  CAST(ci * 96 AS BIGINT) AS start_tok,
+         |  CAST(least(ci * 96 + 128, n) - ci * 96 AS BIGINT) AS n_tok_chunk,
+         |  md5(array_to_string(toks[CAST(ci * 96 + 1 AS INT) :
+         |    CAST(least(ci * 96 + 128, n) AS INT)], ' ')) AS chunk_md5
+         |FROM k ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_contamination" ->
       s"""WITH $toksCte,
          |s AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 6, 1)),
@@ -2029,6 +2067,7 @@ object SparkEntry {
          |  BETWEEN DATE '1996-01-01' AND DATE '1996-06-30'
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_label_prop" -> graft.graph.GraphOps.labelPropOracleSql(),
+    "graph_modularity" -> graft.graph.GraphOps.modularityOracleSql(),
     "q_interpolate_gaps" ->
       """WITH obs AS (SELECT event_type,
         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
@@ -2746,6 +2785,23 @@ object SparkEntry {
          |SELECT q_id, vec_id, bucket, cos, rnk FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
          |  FROM s) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "ann_lsh_multiprobe" ->
+      s"""WITH $embCte,
+         |${Ann.derivedPlanesCteSql},
+         |eb AS (SELECT vec_id, v, ${Ann.signBucketSql("v")} AS bucket FROM e, pp),
+         |q AS (SELECT vec_id AS q_id, v AS qv,
+         |  unnest(list_transform(range(0, p + 1), j -> CASE WHEN j = 0 THEN bucket
+         |    ELSE substr(bucket, 1, CAST(j - 1 AS INT)) ||
+         |      (CASE WHEN substr(bucket, CAST(j AS INT), 1) = '1' THEN '0' ELSE '1' END) ||
+         |      substr(bucket, CAST(j + 1 AS INT), p) END)) AS bucket
+         |  FROM eb, pp WHERE vec_id < 5),
+         |c AS (SELECT vec_id, v, bucket FROM eb WHERE vec_id >= 5),
+         |s AS (SELECT q_id, c.vec_id,
+         |  round(list_cosine_similarity(qv, v), 4) + 0.0 AS cos
+         |  FROM c JOIN q ON c.bucket = q.bucket)
+         |SELECT q_id, vec_id, cos, rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM s) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "vec_norms" ->
       s"""WITH $embCte
          |SELECT vec_id, label, CAST(len(v) AS BIGINT) AS dim,
@@ -3409,6 +3465,14 @@ object SparkEntry {
          |SELECT lang, token, cnt, rnk FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS BIGINT) AS rnk
          |  FROM c) WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+    "text_heavy_hitters_exact" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT unnest(toks) AS token FROM t),
+         |tot AS (SELECT count(*) AS n FROM tok),
+         |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+         |SELECT token, cnt, (cnt * 10000) // n AS share_bp
+         |FROM c, tot WHERE cnt * ${TextAnalysis.HhReportDiv} >= n
+         |ORDER BY cnt DESC, token""".stripMargin,
     "text_repetition" ->
       s"""WITH $toksCte,
          |g AS (SELECT doc_id,

@@ -466,6 +466,21 @@ object GraphOps {
     */
   def graphLabelProp(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
     val (nodes, edges) = graphOf(spark, dir)
+    labelPropLabels(nodes, edges, rounds)
+      .groupBy(col("label")).agg(sum(col("n_copies")).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
+  /** The label-prop fixpoint frame behind [[graphLabelProp]] and
+    * [[graphModularity]]: (node, label, n_copies) after `rounds`
+    * min-label rounds on the rep graph. Because a rep's id is the min
+    * doc_id of its copies and full-graph balls equal rep-graph balls
+    * (copy groups are cliques, rep edges complete-bipartite), each
+    * copy's full-graph label IS its rep's label.
+    */
+  private def labelPropLabels(nodes: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
     val e = edges.select(col("doc_a").as("s"), col("doc_b").as("t"))
       .union(edges.select(col("doc_b").as("s"), col("doc_a").as("t")))
       .cutLineage()
@@ -484,9 +499,92 @@ object GraphOps {
         .cutLineage()
       it += 1
     }
-    labels.groupBy(col("label")).agg(sum(col("n_copies")).as("cluster_size"))
-      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
-      .orderBy(col("cluster_size"))
+    labels
+  }
+
+  /** §2.3#305 — modularity of the label-prop partition: Newman's
+    * Q = Σ_c (e_c/m − (d_c/2m)²) over the FULL blown-up graph,
+    * computed entirely in rep-collapsed closed form — a copy group of
+    * n_g is an n_g-clique (C(n_g,2) internal edges, each copy degree
+    * n_g−1 inside the group) and a rep edge (a,b) is complete
+    * bipartite (n_a·n_b edges, adding n_b to each of a's copies).
+    * All of m, e_c, d_c are exact integers from two partial-agg
+    * passes (one over the node list, one over the rep edge list); the
+    * only float is the final Q sum over communities. The oracle
+    * recomputes Q from the materialized full graph, checking the
+    * closed form. Communities that touch no edge contribute nothing
+    * and are excluded on both sides (d_c > 0).
+    */
+  def graphModularity(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val (nodes, edges) = graphOf(spark, dir)
+    val labels = labelPropLabels(nodes, edges, rounds).cutLineage()
+    // per-group clique contributions: C(n,2) intra edges, n(n-1) degree
+    val fromGroups = labels.select(col("label"),
+      expr("n_copies * (n_copies - 1) div 2").as("e_in"),
+      expr("n_copies * (n_copies - 1)").as("d"))
+    // per rep edge: n_a·n_b full edges; intra iff both ends share a label
+    val eLab = edges
+      .join(labels.select(col("node").as("doc_a"), col("label").as("la")), Seq("doc_a"))
+      .join(labels.select(col("node").as("doc_b"), col("label").as("lb")), Seq("doc_b"))
+      .select(col("la"), col("lb"), (col("na") * col("nb")).as("w"))
+    val fromEdges = eLab.select(col("la").as("label"),
+        when(col("la") === col("lb"), col("w")).otherwise(lit(0L)).as("e_in"),
+        col("w").as("d"))
+      .union(eLab.select(col("lb").as("label"), lit(0L).as("e_in"), col("w").as("d")))
+    val comm = fromGroups.union(fromEdges)
+      .groupBy(col("label"))
+      .agg(sum(col("e_in")).as("e_c"), sum(col("d")).as("d_c"))
+      .filter(col("d_c") > 0)
+    val mFrame = labels.agg(sum(expr("n_copies * (n_copies - 1) div 2")).as("mg"))
+      .crossJoin(edges.agg(sum(col("na") * col("nb")).as("me")))
+      .select((col("mg") + col("me")).as("m"))
+    comm.crossJoin(broadcast(mFrame))
+      .select(col("e_c"), col("d_c"), col("m"),
+        (col("e_c").cast("double") / col("m") -
+          pow(col("d_c").cast("double") / (lit(2.0) * col("m")), 2)).as("qterm"))
+      .agg(count(lit(1)).as("n_communities"),
+        first(col("m")).as("m_edges"),
+        sum(col("e_c")).as("intra_edges"),
+        round(sum(col("qterm")), 4).as("modularity"))
+  }
+
+  /** DuckDB oracle for [[graphModularity]] — Q recomputed on the
+    * materialized FULL graph with the label-prop rounds unrolled
+    * (checks the rep-collapsed closed form).
+    */
+  def modularityOracleSql(rounds: Int = 3): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH " + Dedup.candOracleBody
+    sb ++= """,
+             |ed AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM cand
+             |  UNION ALL SELECT doc_b AS s, doc_a AS t FROM cand),
+             |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM ed)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+                |m$r AS MATERIALIZED (SELECT ed.t AS node, min(l.label) AS nbr
+                |  FROM ed JOIN l${r - 1} l ON ed.s = l.node GROUP BY 1),
+                |l$r AS MATERIALIZED (SELECT l.node,
+                |  least(l.label, coalesce(m.nbr, l.label)) AS label
+                |  FROM l${r - 1} l LEFT JOIN m$r m ON l.node = m.node)""".stripMargin
+    }
+    sb ++= s"""
+              |, mm AS (SELECT count(*) AS m FROM cand),
+              |ec AS (SELECT la.label AS label, count(*) AS e_c FROM cand
+              |  JOIN l$rounds la ON cand.doc_a = la.node
+              |  JOIN l$rounds lb ON cand.doc_b = lb.node
+              |  WHERE la.label = lb.label GROUP BY 1),
+              |dc AS (SELECT l.label AS label, count(*) AS d_c
+              |  FROM ed JOIN l$rounds l ON ed.s = l.node GROUP BY 1),
+              |per AS (SELECT dc.label, coalesce(ec.e_c, 0) AS e_c, dc.d_c
+              |  FROM dc LEFT JOIN ec ON dc.label = ec.label)
+              |SELECT count(*) AS n_communities,
+              |  (SELECT m FROM mm) AS m_edges,
+              |  sum(e_c) AS intra_edges,
+              |  round(sum(CAST(e_c AS DOUBLE) / (SELECT m FROM mm) -
+              |    pow(CAST(d_c AS DOUBLE) / (2.0 * (SELECT m FROM mm)), 2)), 4)
+              |    AS modularity
+              |FROM per""".stripMargin
+    sb.toString
   }
 
   /** DuckDB oracle for [[graphLabelProp]] — the FULL graph rounds

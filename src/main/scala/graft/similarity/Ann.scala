@@ -143,6 +143,42 @@ object Ann {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** §2.4#301 — multiprobe sign-bucket LSH top-k: each query searches
+    * its own bucket PLUS the p buckets at Hamming distance 1 (one
+    * hyperplane sign flipped) — the standard multiprobe recall
+    * recovery (Lv et al., VLDB'07) for vectors that fall near a
+    * hyperplane, WITHOUT growing block size: probe count is p+1 =
+    * O(log(n/target)), so probed volume is ~(p+1)·[[LshTargetBlock]]
+    * per query — logarithmic in the corpus, versus dropping a plane,
+    * which would DOUBLE every block for everyone. Corpus vectors live
+    * in exactly one bucket, so the probe union is duplicate-free by
+    * construction (no distinct needed). The ≤|q|·(p+1)-row probe
+    * frame broadcasts; the corpus is scanned once and never shuffles
+    * (broadcast-hash join on the bucket key).
+    */
+  def annLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = embeddings(spark, dir)
+    val p = derivedPlanes(e0.count()) // oracle recomputes from count(*)
+    val e = e0.withColumn("bucket", signBucket(col("v"), p))
+    // j = 0 keeps the home bucket; j = 1..p flips plane j's sign bit
+    val probeBuckets = transform(sequence(lit(0), lit(p)), j =>
+      when(j === 0, col("bucket")).otherwise(concat(
+        col("bucket").substr(lit(1), j - 1),
+        when(col("bucket").substr(j, lit(1)) === "1", lit("0")).otherwise(lit("1")),
+        col("bucket").substr(j + 1, lit(p)))))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(probeBuckets).as("bucket"))
+    val corpus = e.filter(col("vec_id") >= 5)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    corpus.join(broadcast(probes), Seq("bucket"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosine_sim(col("qv"), col("v")), 4).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** §2.4#35 — per-vector norm/moment primitives. */
   def vecNorms(spark: SparkSession, dir: String): DataFrame =
     embeddings(spark, dir)

@@ -48,6 +48,42 @@ object CorpusOps {
       .orderBy(col("lang"), col("shard"), col("doc_id"))
   }
 
+  /** §2.5#304 — overlapping chunking (RAG/eval windows): each
+    * document slices into fixed-length token chunks on a fixed
+    * stride (chunkLen 128, stride 96 → 32-token overlap), each chunk
+    * carrying its offsets and an md5 content address so downstream
+    * chunk-level dedup/retrieval is a plain equi-join. Unlike
+    * [[textPackChunks]] (which concatenates documents into training
+    * sequences), chunks never cross document boundaries and
+    * neighbors overlap so no sentence is ever split away from its
+    * context. Purely narrow work: a per-row index explode bounded by
+    * ⌈n/stride⌉ and one md5 per chunk — no shuffle at all until a
+    * consumer aggregates; at 100 TB this runs inside the scan.
+    */
+  def corpusChunkOverlap(spark: SparkSession, dir: String,
+      chunkLen: Int = 128, stride: Int = 96): DataFrame = {
+    require(stride <= chunkLen, "stride beyond chunkLen would skip tokens")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), toks.as("tk"))
+      .withColumn("n", size(col("tk")))
+    // chunk count: 1 + ceil((n - chunkLen) / stride) when the doc
+    // overflows one chunk (integer ceil; the last chunk may be short)
+    docs
+      .withColumn("n_chunks",
+        expr(s"1 + (CASE WHEN n > $chunkLen THEN (n - $chunkLen + ${stride - 1}) div $stride ELSE 0 END)"))
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("ci"))
+      .select(col("doc_id"),
+        col("ci").cast("long").as("chunk_idx"),
+        (col("ci") * stride).cast("long").as("start_tok"),
+        (least(col("ci") * stride + chunkLen, col("n")) - col("ci") * stride)
+          .cast("long").as("n_tok_chunk"),
+        md5(array_join(slice(col("tk"), col("ci") * stride + 1,
+          least(col("ci") * stride + chunkLen, col("n")) - col("ci") * stride), " "))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** §2.5#123 — benchmark-contamination check: flag corpus documents
     * sharing any 8-token span with a held-out "benchmark" set (the
     * deterministic doc_id % 97 slice stands in for an eval suite).

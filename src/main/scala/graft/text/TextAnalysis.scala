@@ -329,6 +329,48 @@ object TextAnalysis {
       .orderBy(col("lang"), col("rnk"))
   }
 
+  /** Misra–Gries capacity and report divisor for
+    * [[textHeavyHittersExact]]. Exactness needs report threshold
+    * n/[[HhReportDiv]] STRICTLY above the MG loss bound
+    * n/([[HhCapacity]]+1): 128 < 257, comfortably.
+    */
+  val HhCapacity = 256
+  val HhReportDiv = 128L
+
+  /** §2.5#302 — EXACT corpus-wide heavy hitters via the two-pass
+    * Misra–Gries protocol: pass 1 sketches candidates in an
+    * O(capacity) buffer (every token with true count > n/(cap+1)
+    * provably survives the sketch — the classic MG guarantee), the
+    * ≤[[HhCapacity]] survivors collect to a driver-side literal, and
+    * pass 2 recounts ONLY those tokens exactly. Because the report
+    * threshold n/[[HhReportDiv]] exceeds the loss bound n/(cap+1),
+    * the reported set provably EQUALS the exact "count ≥ n/128" cut
+    * at any corpus size — unlike the one-pass sketch
+    * ([[textFreqTokens]]), whose counts are exact only below
+    * capacity. This is the production pattern for exact heavy
+    * hitters over a vocabulary no groupBy could hold: pass 1 is one
+    * narrow map-side-combined pass, and pass 2's shuffle carries at
+    * most `capacity` distinct keys regardless of corpus size.
+    */
+  def textHeavyHittersExact(spark: SparkSession, dir: String): DataFrame = {
+    val toksDf = Tables.rebalanced(Tables.documents(spark, dir))
+      .select(explode(tokensCol(col("text"))).as("token"))
+    // bounded pushdown parameters: one long + ≤HhCapacity strings
+    val row = toksDf
+      .agg(count(lit(1)).as("n"), graft.functions.FreqItemsAggFunctions
+        .freq_items_sketch(col("token"), HhCapacity).as("sk"))
+      .select(col("n"), map_keys(col("sk")).as("cands"))
+      .collect()(0)
+    val total = row.getLong(0)
+    val cands = row.getSeq[String](1)
+    toksDf.filter(col("token").isInCollection(cands))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * HhReportDiv >= total)
+      .select(col("token"), col("cnt"),
+        expr(s"(cnt * 10000) div CAST($total AS BIGINT)").as("share_bp"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   /** §2.5 — PII masking: the scrub pass a training-data pipeline runs
     * before anything ships — email addresses and long digit runs
     * replaced by typed placeholder tokens, with per-document match
@@ -469,6 +511,56 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         (round(avg(col("nll")), 4) + lit(0.0)).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2.5#303 — Kneser–Ney-smoothed perplexity scoring: each
+    * document's mean negative log-likelihood under the corpus
+    * per-language bigram model with interpolated KN smoothing
+    * (absolute discount D = 0.75, continuation-probability backoff) —
+    * the KenLM-style quality filter (CCNet) that, unlike the
+    * unsmoothed [[textPerplexity]], assigns calibrated mass to rare
+    * continuations instead of trusting raw conditional frequencies:
+    *   P(w2|w1) = (c(w1,w2) − D)/c(w1·) + D·T(w1)/c(w1·) · N1+(·w2)/B
+    * where T(w1) = distinct continuations of w1, N1+(·w2) = distinct
+    * predecessors of w2, B = bigram types. Every statistic is one
+    * partial-aggregated count table on a bounded (lang, word) or
+    * (lang, pair) key — the model is never driver-resident; the per-
+    * language type total B is a broadcast-joined scalar row. Both
+    * engines evaluate the identical arithmetic on the identical
+    * integers, so the rounded score is deterministic.
+    */
+  def textPerplexityKn(spark: SparkSession, dir: String): DataFrame = {
+    val D = 0.75
+    val docBg = Tables.rebalanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("lang"), tokensCol(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        explode(transform(idxSeq(size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgc = docBg.groupBy(col("lang"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bg"))
+    // prefix totals AND continuation fan-out in one pass over the
+    // (already aggregated) bigram-type table
+    val pref = bgc.groupBy(col("lang"), col("w1"))
+      .agg(sum(col("c_bg")).as("c_w1"), count(lit(1)).as("t_w1"))
+    val cont = bgc.groupBy(col("lang"), col("w2"))
+      .agg(count(lit(1)).as("n1_w2"))
+    val bTypes = bgc.groupBy(col("lang")).agg(count(lit(1)).as("b_types"))
+    val pKn =
+      (col("c_bg") - lit(D)) / col("c_w1") +
+        lit(D) * col("t_w1") / col("c_w1") *
+          (col("n1_w2").cast("double") / col("b_types"))
+    docBg
+      .join(bgc, Seq("lang", "w1", "w2"))
+      .join(pref, Seq("lang", "w1"))
+      .join(cont, Seq("lang", "w2"))
+      .join(broadcast(bTypes), Seq("lang"))
+      .select(col("doc_id"), (-log(pKn)).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (round(avg(col("nll")), 4) + lit(0.0)).as("avg_nll_kn"))
       .orderBy(col("doc_id"))
   }
 
