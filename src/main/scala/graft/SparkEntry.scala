@@ -3569,10 +3569,13 @@ object SparkEntry {
         |FROM ex JOIN est ON ex.event_type = est.event_type
         |ORDER BY event_type""".stripMargin,
     "stream_quantile_sketch" ->
-      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day_start,
-        |  event_type, count(*) AS n_events,
-        |  quantile_disc(value, 0.5) AS p50, quantile_disc(value, 0.9) AS p90
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day_start,
+         |  event_type, count(*) AS n_events,
+         |  CASE WHEN count(*) <= ${StreamWatcher.QuantileSketchAccuracy}
+         |    THEN quantile_disc(value, 0.5) END AS p50,
+         |  CASE WHEN count(*) <= ${StreamWatcher.QuantileSketchAccuracy}
+         |    THEN quantile_disc(value, 0.9) END AS p90
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_sketch_distinct" ->
       """WITH du AS (SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP))
         |    AS hs, event_type, user_id FROM events),

@@ -36,8 +36,21 @@ object StreamWatcher {
       spark.read.parquet(s"$dir/events.parquet").schema
     // the file-stream source wants a directory to watch (new files
     // appear over time); the glob narrows it to the events table
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // two on-disk layouts: the driver's testdata lands events.parquet
+    // as a FLAT FILE inside dir (watch dir, glob the name), while any
+    // Spark-written corpus (the ScaleUp stress dirs — and every
+    // production table) is a DIRECTORY of part files (watch inside
+    // it). The glob form against a directory layout matches NOTHING
+    // and silently replays an EMPTY stream — the r10 sf1/skew bench
+    // artifacts carried ~0.16 s phantom times for the whole replay
+    // family exactly this way.
+    val tablePath = new java.io.File(dir, "events.parquet")
+    val raw =
+      if (tablePath.isDirectory)
+        spark.readStream.schema(schema).parquet(tablePath.toString)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -669,24 +682,24 @@ object StreamWatcher {
     * tolerance, which StreamingSpec asserts engine-side.
     */
   def streamQuantileSketchQuery(spark: SparkSession, dir: String): DataFrame = {
-    val out = replayToBatch(quantileSketchStream(eventStream(spark, dir)), "complete")
+    // exact-regime guard, per-window and crash-free: the hash-compare
+    // oracle (DuckDB quantile_disc) is only valid while a (day, type)
+    // window stays within the sketch's exact regime, so windows ABOVE
+    // the bound emit NULL quantile values (the oracle nulls on the
+    // identical `n_events <= accuracy` cut — deterministic in both
+    // engines, no cross-engine hash on approximate estimates, ever).
+    // The count column always lands, so the artifact still records
+    // how far past the exact regime each window went; the estimate
+    // quality above the bound is asserted engine-side by
+    // StreamingSpec's 1/accuracy rank-tolerance contract. The former
+    // require()-crash form took the whole query down at exactly the
+    // SFs the bench axes exist to measure.
+    val inExact = col("n_events") <= QuantileSketchAccuracy
+    replayToBatch(quantileSketchStream(eventStream(spark, dir)), "complete")
       .select(col("day_start"), col("event_type"), col("n_events"),
-        col("a50").as("p50"), col("a90").as("p90"))
-    // exact-regime guard: the hash-compare oracle (DuckDB
-    // quantile_disc) is only valid while every (day, type) window
-    // stays within the sketch's exact regime. At a SF where windows
-    // outgrow it, the cross-engine hash would start failing
-    // NONDETERMINISTICALLY — fail fast with the contract to use
-    // instead (the 1/accuracy rank tolerance, asserted engine-side
-    // in StreamingSpec). The readout frame is |days×types| rows, so
-    // the check is a bounded scalar.
-    val maxN = out.agg(max(col("n_events"))).collect()(0).getLong(0)
-    require(maxN <= QuantileSketchAccuracy,
-      s"stream_quantile_sketch: a (day, type) window holds $maxN values, above the " +
-        s"sketch accuracy bound $QuantileSketchAccuracy — approx_percentile is no longer " +
-        "exact at this scale, so the value-hash oracle is invalid; grade this query " +
-        "by the 1/accuracy rank-tolerance contract (StreamingSpec) instead")
-    out.orderBy(col("day_start"), col("event_type"))
+        when(inExact, col("a50")).as("p50"),
+        when(inExact, col("a90")).as("p90"))
+      .orderBy(col("day_start"), col("event_type"))
   }
 
   /** Streaming upload plan: new arrivals (non-temp) mapped to their

@@ -122,6 +122,29 @@ class Round11OpsSpec extends GraftSpec {
     }
   }
 
+  test("eventStream replays directory-shaped tables (the production/ScaleUp layout) in full") {
+    import graft.streaming.StreamWatcher
+    // land events as a Spark-written DIRECTORY of part files and
+    // replay: the stream must see every row — the glob-filter form
+    // silently replayed an EMPTY stream on this layout, which is how
+    // the r10 sf1/skew bench artifacts carried ~0.16s phantom times
+    // for the whole replay family
+    val root = java.nio.file.Files.createTempDirectory("graft-evdir-").toString
+    spark.read.parquet(s"$sf/events.parquet")
+      .repartition(4).write.parquet(s"$root/events.parquet")
+    val n = spark.read.parquet(s"$root/events.parquet").count()
+    assert(n > 0)
+    val dirCount = StreamWatcher.replayToBatch(
+      StreamWatcher.eventStream(spark, root).agg(count(lit(1)).as("n")), "complete")
+      .collect()(0).getLong(0)
+    assert(dirCount === n, "directory layout must replay every event row")
+    // and the flat single-file layout (driver testdata) still works
+    val flatCount = StreamWatcher.replayToBatch(
+      StreamWatcher.eventStream(spark, sf).agg(count(lit(1)).as("n")), "complete")
+      .collect()(0).getLong(0)
+    assert(flatCount === n, "flat layout must replay every event row")
+  }
+
   test("modularity: conservation laws and cross-op equalities hold") {
     val row = GraphOps.graphModularity(spark, sf).collect()(0)
     val (nComm, m, intra, q) =
