@@ -358,73 +358,56 @@ object StreamWatcher {
     * sides watermarked so the state store can expire rows — the
     * bounded-state form of the batch range join at 100 TB/day rates.
     */
-  /** Salt replicas for the stream-stream interval joins. */
-  val IntervalJoinSalts = 8
-
-  /** Hot-user side input for the interval joins: user ids holding
-    * more than ~1/64 of the event stream, from one bounded
-    * Misra–Gries pass over the (batch-visible) events table — the
-    * side-channel frequency sketch a production pipeline refreshes
-    * periodically. The est·85 ≥ n cut keeps every user truly above
-    * n/64 even at the sketch's maximal undercount (n/257), and the
-    * result is a ≤256-long driver literal. Salting is correct for ANY
-    * hot-set choice (results are join-identical; only state layout
-    * changes), so the sketch never touches correctness.
+  /** Time-bucket width for the interval joins — equal to the match
+    * interval, so a purchase's candidates live in exactly 2 buckets.
     */
-  private def hotUsers(spark: SparkSession, dir: String): Array[Long] = {
-    val row = graft.sources.Tables.events(spark, dir)
-      .agg(count(lit(1)).as("n"), graft.functions.FreqItemsAggFunctions
-        .freq_items_sketch(col("user_id").cast("string"), 256).as("sk"))
-      .collect()(0)
-    val n = row.getLong(0)
-    row.getMap[String, Long](1).collect {
-      case (u, est) if est * 85L >= n => u.toLong
-    }.toArray
-  }
+  val IntervalJoinBucketMinutes = 30
 
-  /** The two interval-join input streams with HOT-KEY-ONLY salting —
-    * the [[graft.analytics.Relational.qJoinSkewSalt]] pattern applied
-    * to stream-stream state: a stream-stream join partitions its
-    * state store by join-key hash, so ONE hot user (the skew corpus
-    * gives user 4242 ~10% of all events) serializes onto a single
-    * state partition and the join runs at 1/parallelism — measured
-    * 48× the uniform-corpus time before salting. Hot users' purchases
-    * take a row-derived salt, their clicks alone are replicated
-    * across the [[IntervalJoinSalts]] replicas (cold users carry one
-    * phantom salt-0 copy, no replication), and (user, salt) becomes
-    * the equality key — the hot key's state and probe work spread
-    * across `salts` partitions while every purchase still sees
-    * exactly the full click set once, so inner matches, outer null
-    * emission, and watermark eviction are all unchanged for ANY hot
-    * set. Click state for hot users costs ×salts — bounded by the
-    * watermark horizon × the literal hot-set size.
+  /** The two interval-join input streams with TIME-BUCKETED equality
+    * keys — the fix for both failure modes a hot key inflicts on a
+    * stream-stream join. Spark's symmetric-hash join state is a
+    * per-join-key row LIST: with `user_id` alone as the key, (a) one
+    * user holding ~10% of all events (the skew corpus's user 4242)
+    * hashes to ONE state partition and serializes the join — measured
+    * 48× the uniform-corpus time — and (b) every hot purchase scans
+    * the hot user's ENTIRE clicks-in-watermark list, quadratic probe
+    * work the time-range predicate cannot prune (state is not
+    * time-indexed within a key). Bucketing the key by
+    * ⌊ts / interval⌋ fixes both at once: clicks are replicated into
+    * their own and the NEXT bucket (so every candidate within
+    * [p_ts − 30 min, p_ts] is in the purchase's own bucket — a pair
+    * matches in exactly ONE bucket, no dedup needed), the equality
+    * key becomes (user, bucket), probe work drops to
+    * |clicks within ±interval| per purchase (near output-linear), and
+    * the hot user's state spreads across partitions because bucket
+    * varies with time. Flat ×2 click state for everyone; semantics
+    * (inner matches, outer null emission, watermark eviction) are
+    * unchanged. Hot-key-only salting — the first cut of this fix —
+    * only parallelized the list scan (166 → 46 s at skew); bucketing
+    * removes the scan itself.
     */
-  private def saltedIntervalSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val hot = hotUsers(spark, dir) // bounded pushdown literal (≤256 longs)
-    def isHot(c: org.apache.spark.sql.Column) =
-      if (hot.isEmpty) lit(false) else c.isInCollection(hot)
+  private def bucketedIntervalSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val bucketMicros = IntervalJoinBucketMinutes * 60L * 1000000L
+    def bucketOf(ts: org.apache.spark.sql.Column) =
+      floor(unix_micros(ts) / bucketMicros)
     val purchases = eventStream(spark, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("purchase_id"),
-        col("ts").as("p_ts"),
-        when(isHot(col("user_id")), pmod(col("event_id"), lit(IntervalJoinSalts)))
-          .otherwise(lit(0)).cast("int").as("p_salt"))
+        col("ts").as("p_ts"), bucketOf(col("ts")).as("p_bkt"))
       .withWatermark("p_ts", "1 hour")
     val clicks = eventStream(spark, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("c_ts"),
-        explode(when(isHot(col("user_id")),
-            lit((0 until IntervalJoinSalts).toArray))
-          .otherwise(array(lit(0)))).as("c_salt"))
+        explode(array(bucketOf(col("ts")), bucketOf(col("ts")) + 1)).as("c_bkt"))
       .withWatermark("c_ts", "1 hour")
     (purchases, clicks)
   }
 
   def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
-    val (purchases, clicks) = saltedIntervalSides(spark, dir)
+    val (purchases, clicks) = bucketedIntervalSides(spark, dir)
     purchases.join(clicks, expr(
-      "user_id = c_user AND p_salt = c_salt AND " +
+      "user_id = c_user AND p_bkt = c_bkt AND " +
         "c_ts >= p_ts - interval 30 minutes AND c_ts <= p_ts"))
       .select(col("user_id"), col("purchase_id"), col("click_id"))
   }
@@ -449,12 +432,12 @@ object StreamWatcher {
     * inner join.
     */
   def intervalJoinOuterStream(spark: SparkSession, dir: String): DataFrame = {
-    // same hot-key-salted sides as the inner form: each purchase
-    // lives in exactly ONE salt partition, so an unmatched purchase
-    // still emits its null row exactly once at watermark eviction
-    val (purchases, clicks) = saltedIntervalSides(spark, dir)
+    // same time-bucketed sides as the inner form: each purchase lives
+    // in exactly ONE bucket row, so an unmatched purchase still emits
+    // its null row exactly once at watermark eviction
+    val (purchases, clicks) = bucketedIntervalSides(spark, dir)
     purchases.join(clicks, expr(
-        "user_id = c_user AND p_salt = c_salt AND " +
+        "user_id = c_user AND p_bkt = c_bkt AND " +
           "c_ts >= p_ts - interval 30 minutes AND c_ts <= p_ts"),
         "left_outer")
       .select(col("user_id"), col("purchase_id"), col("click_id"))
