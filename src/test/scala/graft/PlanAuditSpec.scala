@@ -202,9 +202,24 @@ class PlanAuditSpec extends GraftSpec {
         // threshold-list pattern) is a constant fan-out — exploding a
         // collected list would recover entity scale from a bounded
         // aggregate and must NOT pass
+        // constant-shaped arrays: an explicit literal array, or a
+        // transform over a LITERAL-bounded sequence (the multiprobe
+        // bucket pattern: p+1 probe buckets for a driver-constant p) —
+        // both have data-independent length, so the fan-out is a
+        // constant multiplier, never entity-scale
+        def constantArray(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+          e match {
+            case _: org.apache.spark.sql.catalyst.expressions.CreateArray => true
+            case t: org.apache.spark.sql.catalyst.expressions.ArrayTransform =>
+              constantArray(t.argument)
+            case s: org.apache.spark.sql.catalyst.expressions.Sequence =>
+              s.start.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] &&
+                s.stop.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+            case _ => false
+          }
         val constantFanout = g.generator match {
           case e: org.apache.spark.sql.catalyst.expressions.ExplodeBase =>
-            e.child.isInstanceOf[org.apache.spark.sql.catalyst.expressions.CreateArray]
+            constantArray(e.child)
           case _ => false
         }
         constantFanout && boundedTop(g.child)
