@@ -294,6 +294,7 @@ object SparkEntry {
     "io_compact_small_files" -> (Io.ioCompactSmallFiles(_, _)),
     "io_zorder_layout" -> (graft.sources.ZOrder.ioZorderLayout(_, _)),
     "io_txn_log" -> (graft.sources.TxnLog.ioTxnLog(_, _)),
+    "io_txn_vacuum" -> (graft.sources.TxnLog.ioTxnVacuum(_, _)),
     "io_delete_vectors" -> (graft.sources.TxnLog.ioDeleteVectors(_, _)),
     "io_stats_prune_scan" -> (graft.sources.TxnLog.ioStatsPruneScan(_, _)),
     "sync_leveled_compaction" -> (SyncOps.syncLeveledCompaction(_, _)),
@@ -2052,6 +2053,18 @@ object SparkEntry {
         |SELECT CAST(1 AS BIGINT), count(*), CAST(sum(price_c) AS DOUBLE) / 100.0, max(d) FROM o
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(price_c) AS DOUBLE) / 100.0, max(d) FROM o
+        |ORDER BY version""".stripMargin,
+    "io_txn_vacuum" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |    CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT CAST(0 AS BIGINT) AS version, TRUE AS vacuumed,
+        |  CAST(NULL AS BIGINT) AS n_orders, CAST(NULL AS DOUBLE) AS total_price,
+        |  CAST(NULL AS DATE) AS last_date
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), TRUE, NULL, NULL, NULL
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), FALSE, count(*),
+        |  CAST(sum(price_c) AS DOUBLE) / 100.0, max(d) FROM o
         |ORDER BY version""".stripMargin,
     "io_delete_vectors" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

@@ -1154,16 +1154,21 @@ object Dedup {
     val docs = Tables.rebalanced(Tables.documents(spark, dir))
     val base = docs.filter(col("doc_id") % 7 =!= 3)
     val delta = docs.filter(col("doc_id") % 7 === 3)
-    val root = java.nio.file.Files.createTempDirectory("graft-sdedup-")
+    val root = graft.TmpDirs.cleanupOnExit(
+      java.nio.file.Files.createTempDirectory("graft-sdedup-"))
     val dropsDir = root.resolve("drops"); java.nio.file.Files.createDirectory(dropsDir)
     val digDir = s"$root/index/digests"
     val bandsDir = s"$root/index/bands"
     val toksDir = s"$root/index/toks"
     val sink = s"$root/verdicts"
     val ck = s"$root/ck"
-    // nightly-compaction artifact: the standing index, materialized
+    // nightly-compaction artifact: the standing index, materialized.
+    // The digest index is laid out as one subdirectory per writer
+    // (`bid_base` + one `bid_<batchId>` per micro-batch) so a RETRIED
+    // micro-batch is idempotent: it overwrites its own subdir and its
+    // index view excludes its own partial output (see drain below).
     val idx = buildDedupIndex(base)
-    idx.digests.write.parquet(digDir)
+    idx.digests.write.parquet(s"$digDir/bid_base")
     idx.bands.write.parquet(bandsDir)
     idx.toks.write.parquet(toksDir)
     // stage the three drops as single files (ntile is fixture-side
@@ -1187,9 +1192,24 @@ object Dedup {
       val q = spark.readStream.schema(schema).parquet(dropsDir.toString)
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           val s = batch.sparkSession
-          val liveIdx = DedupIndex(s.read.parquet(digDir),
+          // idempotent-retry protocol: foreachBatch re-runs a whole
+          // batch after any partial failure, and the verdict-sink and
+          // digest-index writes below are two non-atomic parquet
+          // writes. Both are therefore batch-scoped overwrites
+          // (`bid_<batchId>` subdirs) — a retry replaces its own
+          // output instead of appending duplicates — and the index
+          // view EXCLUDES the current batch's own subdir, so a retry
+          // recomputes the same verdicts even if the failed attempt
+          // already landed this batch's digests.
+          val digFs = new org.apache.hadoop.fs.Path(digDir)
+            .getFileSystem(s.sessionState.newHadoopConf())
+          val liveDigDirs = digFs
+            .listStatus(new org.apache.hadoop.fs.Path(digDir))
+            .filter(_.isDirectory).map(_.getPath.toString)
+            .filterNot(_.endsWith(s"/bid_$batchId"))
+          val liveIdx = DedupIndex(s.read.parquet(liveDigDirs.toIndexedSeq: _*),
             s.read.parquet(bandsDir), s.read.parquet(toksDir))
           val probed = probeDedupIndex(
             batch.select(col("doc_id"), col("text")), liveIdx, threshold)
@@ -1212,12 +1232,12 @@ object Dedup {
             // READS, so it must never recompute
             .cutLineage(eager = true)
           fin.select(col("doc_id"), col("drop_id"), col("verdict"), col("matched_doc"))
-            .write.mode("append").parquet(sink)
+            .write.mode("overwrite").parquet(s"$sink/bid_$batchId")
           // accepted docs enter the index: later drops exact-dedup
           // against them with the same one-lookup probe
           fin.filter(col("verdict") === "new")
             .select(col("digest"), col("doc_id").as("exact_keeper"))
-            .write.mode("append").parquet(digDir)
+            .write.mode("overwrite").parquet(s"$digDir/bid_$batchId")
           ()
         }
         .start()
@@ -1226,7 +1246,7 @@ object Dedup {
     land(0); drain()
     land(1); drain()
     land(2); drain()
-    spark.read.parquet(sink)
+    spark.read.option("recursiveFileLookup", "true").parquet(sink)
       .select(col("doc_id"), col("drop_id"), col("verdict"), col("matched_doc"))
       .orderBy(col("doc_id"))
   }

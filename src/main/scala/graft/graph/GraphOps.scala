@@ -509,11 +509,17 @@ object GraphOps {
     * n_g−1 inside the group) and a rep edge (a,b) is complete
     * bipartite (n_a·n_b edges, adding n_b to each of a's copies).
     * All of m, e_c, d_c are exact integers from two partial-agg
-    * passes (one over the node list, one over the rep edge list); the
-    * only float is the final Q sum over communities. The oracle
-    * recomputes Q from the materialized full graph, checking the
-    * closed form. Communities that touch no edge contribute nothing
-    * and are excluded on both sides (d_c > 0).
+    * passes (one over the node list, one over the rep edge list), and
+    * so is the whole sufficient-statistics reduction: Q factors as
+    * Q = Σ_c e_c/m − Σ_c d_c²/(4m²) = (4m·Σe_c − Σd_c²)/(4m²), with
+    * Σd_c² accumulated in decimal(38,0), leaving exactly ONE float
+    * operation — the final division — so the result is independent of
+    * partition/summation order on both engines (a per-community
+    * double `qterm` sum drifted in the 4th rounded decimal at sf0.1;
+    * §6 exact-sufficient-sums convention). The oracle recomputes Q
+    * from the materialized full graph with the same factored form,
+    * checking the closed form. Communities that touch no edge
+    * contribute nothing and are excluded on both sides (d_c > 0).
     */
   def graphModularity(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
     val (nodes, edges) = graphOf(spark, dir)
@@ -538,14 +544,19 @@ object GraphOps {
     val mFrame = labels.agg(sum(expr("n_copies * (n_copies - 1) div 2")).as("mg"))
       .crossJoin(edges.agg(sum(col("na") * col("nb")).as("me")))
       .select((col("mg") + col("me")).as("m"))
+    // exact sufficient sums: S1 = Σe_c (long), S2 = Σd_c² (decimal);
+    // ONE final float division → partition-order independent.
     comm.crossJoin(broadcast(mFrame))
-      .select(col("e_c"), col("d_c"), col("m"),
-        (col("e_c").cast("double") / col("m") -
-          pow(col("d_c").cast("double") / (lit(2.0) * col("m")), 2)).as("qterm"))
       .agg(count(lit(1)).as("n_communities"),
         first(col("m")).as("m_edges"),
         sum(col("e_c")).as("intra_edges"),
-        round(sum(col("qterm")), 4).as("modularity"))
+        sum(col("d_c").cast("decimal(38,0)") * col("d_c")).as("s2"))
+      .select(col("n_communities"), col("m_edges"), col("intra_edges"),
+        round(
+          (lit(4).cast("decimal(38,0)") * col("m_edges") * col("intra_edges") -
+            col("s2")).cast("double") /
+          (lit(4).cast("decimal(38,0)") * col("m_edges") * col("m_edges"))
+            .cast("double"), 4).as("modularity"))
   }
 
   /** DuckDB oracle for [[graphModularity]] — Q recomputed on the
@@ -580,9 +591,10 @@ object GraphOps {
               |SELECT count(*) AS n_communities,
               |  (SELECT m FROM mm) AS m_edges,
               |  sum(e_c) AS intra_edges,
-              |  round(sum(CAST(e_c AS DOUBLE) / (SELECT m FROM mm) -
-              |    pow(CAST(d_c AS DOUBLE) / (2.0 * (SELECT m FROM mm)), 2)), 4)
-              |    AS modularity
+              |  round(CAST(4 * (SELECT m FROM mm) * sum(e_c)
+              |        - sum(CAST(d_c AS HUGEINT) * d_c) AS DOUBLE)
+              |    / CAST(4 * (SELECT m FROM mm) * (SELECT m FROM mm) AS DOUBLE),
+              |    4) AS modularity
               |FROM per""".stripMargin
     sb.toString
   }

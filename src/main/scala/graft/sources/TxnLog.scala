@@ -106,6 +106,15 @@ object TxnLog {
     */
   def liveFiles(spark: SparkSession, root: String, asOf: Option[Int] = None): Seq[String] = {
     val upTo = asOf.getOrElse(latestVersion(root))
+    // time travel below the vacuum horizon fails CLEANLY at resolution
+    // time (the data files are physically gone — without this guard
+    // the failure would be a mid-scan missing-file error, or worse a
+    // silently partial result for a version whose files partly survive)
+    vacuumHorizon(root).foreach { h =>
+      if (upTo < h) throw new IllegalStateException(
+        s"time travel to version $upTo failed: vacuumed (horizon $h) — " +
+          "data files referenced only by versions below the horizon are deleted")
+    }
     spark.read
       .schema("version BIGINT, action STRING, file STRING, n_rows BIGINT")
       .option("mode", "FAILFAST")
@@ -124,6 +133,77 @@ object TxnLog {
   def snapshot(spark: SparkSession, root: String, schemaDdl: String,
       asOf: Option[Int] = None): DataFrame =
     spark.read.schema(schemaDdl).parquet(liveFiles(spark, root, asOf): _*)
+
+  /** Highest vacuumed-past horizon, if any vacuum has run. */
+  def vacuumHorizon(root: String): Option[Int] = {
+    val f = new File(logDir(root), "_vacuum.json")
+    if (!f.exists()) None
+    else """"horizon":(\d+)""".r
+      .findFirstMatchIn(new String(Files.readAllBytes(f.toPath), "UTF-8"))
+      .map(_.group(1).toInt)
+  }
+
+  /** Retention-bounded physical file GC — the lake twin of the
+    * reference's fsck `--older-than` prune (`README:28`): delete every
+    * data file unreferenced by ALL retained versions (asOf ≥
+    * `horizon`), then record the horizon so time travel below it fails
+    * cleanly ([[liveFiles]] guard) instead of scanning missing files.
+    *
+    * Deletability is one metadata fold over the log, no file listing:
+    * per file, its LAST liveness interval is [last add, last remove);
+    * any earlier interval ended earlier still, so a file is
+    * unreferenced by every version ≥ horizon iff it is currently
+    * tombstoned (last remove ≥ last add) AND the tombstone is at or
+    * before the horizon (removed at r ⇒ last live at r−1 < horizon ⇔
+    * r ≤ horizon). The deletes themselves run distributed
+    * (`foreachPartition` on the metadata-scale deletable list — at
+    * 100 TB a compaction-heavy table tombstones millions of files; the
+    * driver never loops over them). Returns (files deleted, files
+    * retained). Idempotent: re-running deletes nothing new and the
+    * recorded horizon is monotone.
+    */
+  def vacuum(spark: SparkSession, root: String, horizon: Int): (Long, Long) = {
+    val latest = latestVersion(root)
+    require(horizon >= 0 && horizon <= latest,
+      s"vacuum horizon $horizon outside committed range [0, $latest]")
+    val perFile = spark.read
+      .schema("version BIGINT, action STRING, file STRING, n_rows BIGINT")
+      .option("mode", "FAILFAST")
+      .json(s"$root/_txn_log/v*.json")
+      .groupBy(col("file"))
+      .agg(
+        max(when(col("action") === "add", col("version"))).as("last_add"),
+        max(when(col("action") === "remove", col("version"))).as("last_remove"))
+    // tombstones at or below a PREVIOUSLY recorded horizon were
+    // already deleted by that vacuum — excluding them makes the
+    // returned count exact and a re-run a true no-op
+    val prevHorizon = vacuumHorizon(root).getOrElse(-1)
+    val deletable = perFile.filter(
+      col("last_remove").isNotNull &&
+        (col("last_add").isNull || col("last_remove") >= col("last_add")) &&
+        col("last_remove") <= horizon &&
+        col("last_remove") > prevHorizon)
+      .select(col("file"))
+    val nDeleted = deletable.count()
+    // retained = referenced by some version >= horizon (excludes every
+    // GC'd tombstone, this run's and earlier runs')
+    val nRetained = perFile.filter(
+      col("last_remove").isNull || col("last_add") > col("last_remove") ||
+        col("last_remove") > horizon).count()
+    deletable.foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(r.getString(0))
+          val _ = p.getFileSystem(conf).delete(p, false)
+        }
+    }
+    val newHorizon = math.max(horizon, vacuumHorizon(root).getOrElse(0))
+    Files.write(new File(logDir(root), "_vacuum.json").toPath,
+      s"""{"horizon":$newHorizon,"files_deleted":$nDeleted}"""
+        .getBytes("UTF-8"))
+    (nDeleted, nRetained)
+  }
 
   /** Write a batch under `dir` and report the part files with their
     * row counts (footer metadata, not a data pass at parquet's level —
@@ -151,25 +231,77 @@ object TxnLog {
     */
   def txnFixture(spark: SparkSession, dir: String): String =
     txnRoots.computeIfAbsent(dir, d => {
-      val root = Files.createTempDirectory("graft_txn_log_").toString
-      val orders = Tables.orders(spark, d).select(
-        col("o_orderkey"), col("o_custkey"),
-        Money.cents(col("o_totalprice")).as("price_c"),
-        to_date(col("o_orderdate")).as("d"))
-      val old = orders.filter(col("d") < lit("1998-01-01").cast("date"))
-      commit(root, 0, writeData(old.repartition(2), s"$root/data/b0"))
-      commit(root, 1, writeData(
-        orders.filter(col("d") >= lit("1998-01-01").cast("date")).repartition(2),
-        s"$root/data/b1"))
-      // compaction: logically invisible — reads back v0's files through
-      // the log, rewrites them as one right-sized file, removes the originals
-      val v0Files = liveFiles(spark, root, Some(0))
-      val compacted = writeData(
-        spark.read.schema(txnSchema).parquet(v0Files: _*).coalesce(1),
-        s"$root/data/b2")
-      commit(root, 2, compacted ++ v0Files.map(f => Action("remove", f, 0L)))
+      val root = graft.TmpDirs.cleanupOnExit(
+        Files.createTempDirectory("graft_txn_log_")).toString
+      buildTxnCommits(spark, d, root)
       root
     })
+
+  /** The three-commit fixture body, reusable on a caller-owned root
+    * (the vacuum fixture and the byte-identity specs need roots they
+    * may mutate without poisoning the memoized [[txnFixture]]).
+    */
+  def buildTxnCommits(spark: SparkSession, dir: String, root: String): Unit = {
+    val orders = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      Money.cents(col("o_totalprice")).as("price_c"),
+      to_date(col("o_orderdate")).as("d"))
+    val old = orders.filter(col("d") < lit("1998-01-01").cast("date"))
+    commit(root, 0, writeData(old.repartition(2), s"$root/data/b0"))
+    commit(root, 1, writeData(
+      orders.filter(col("d") >= lit("1998-01-01").cast("date")).repartition(2),
+      s"$root/data/b1"))
+    // compaction: logically invisible — reads back v0's files through
+    // the log, rewrites them as one right-sized file, removes the originals
+    val v0Files = liveFiles(spark, root, Some(0))
+    val compacted = writeData(
+      spark.read.schema(txnSchema).parquet(v0Files: _*).coalesce(1),
+      s"$root/data/b2")
+    commit(root, 2, compacted ++ v0Files.map(f => Action("remove", f, 0L)))
+  }
+
+  private val vacuumRoots = new ConcurrentHashMap[String, String]()
+
+  /** Fixture for [[ioTxnVacuum]]: the same three commits on a private
+    * root, vacuumed to retain only the head version — v0's original
+    * files (tombstoned by the v2 compaction) are physically deleted.
+    */
+  def vacuumFixture(spark: SparkSession, dir: String): String =
+    vacuumRoots.computeIfAbsent(dir, d => {
+      val root = graft.TmpDirs.cleanupOnExit(
+        Files.createTempDirectory("graft_txn_vac_")).toString
+      buildTxnCommits(spark, d, root)
+      val _ = vacuum(spark, root, latestVersion(root))
+      root
+    })
+
+  /** §2.8 `io_txn_vacuum` — the versioned read surface AFTER a vacuum
+    * retaining only the head version: v2 must read exactly what it
+    * read before the GC (the oracle recomputes it from the raw table
+    * — any wrongly-deleted live file breaks the hash), while v0/v1
+    * now fail cleanly at resolution and report as vacuumed rows. The
+    * reference twin is fsck `--older-than`: GC bounded by a retention
+    * horizon, never touching live data.
+    */
+  def ioTxnVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val root = vacuumFixture(spark, dir)
+    (0 to 2).map { v =>
+      try
+        snapshot(spark, root, txnSchema, Some(v))
+          .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("sum_c"),
+            max(col("d")).as("last_date"))
+          .select(lit(v.toLong).as("version"), lit(false).as("vacuumed"),
+            col("n_orders"), Money.dollars(col("sum_c"), 100.0).as("total_price"),
+            col("last_date"))
+      catch { case _: IllegalStateException =>
+        spark.range(1).select(lit(v.toLong).as("version"),
+          lit(true).as("vacuumed"),
+          lit(null).cast("bigint").as("n_orders"),
+          lit(null).cast("double").as("total_price"),
+          lit(null).cast("date").as("last_date"))
+      }
+    }.reduce(_ unionByName _).orderBy(col("version"))
+  }
 
   /** §2.8 `io_txn_log` — the same aggregate read at every version:
     * v0 must equal the pre-1998 slice, v1 the full table, and v2
@@ -231,7 +363,8 @@ object TxnLog {
     */
   def dvFixture(spark: SparkSession, dir: String): String =
     dvRoots.computeIfAbsent(dir, d => {
-      val root = Files.createTempDirectory("graft_dv_").toString
+      val root = graft.TmpDirs.cleanupOnExit(
+        Files.createTempDirectory("graft_dv_")).toString
       Tables.orders(spark, d).select(
         col("o_orderkey"), col("o_orderstatus"),
         Money.cents(col("o_totalprice")).as("price_c"))
@@ -278,7 +411,8 @@ object TxnLog {
     */
   def statsFixture(spark: SparkSession, dir: String): String =
     statsRoots.computeIfAbsent(dir, d => {
-      val root = Files.createTempDirectory("graft_stats_").toString
+      val root = graft.TmpDirs.cleanupOnExit(
+        Files.createTempDirectory("graft_stats_")).toString
       Tables.lineitem(spark, d).select(
         to_date(col("l_shipdate")).as("ship_d"), col("l_returnflag"),
         Money.cents(col("l_quantity")).as("qty_c"),

@@ -44,9 +44,14 @@ object StreamWatcher {
     // and silently replays an EMPTY stream — the r10 sf1/skew bench
     // artifacts carried ~0.16 s phantom times for the whole replay
     // family exactly this way.
-    val tablePath = new java.io.File(dir, "events.parquet")
+    // probe via the Hadoop FS resolved from the path's scheme — a
+    // java.io.File check is local-FS-only and on hdfs://-s3a:// paths
+    // would always pick the glob branch, silently replaying an empty
+    // stream (the exact phantom-input mode the branch exists to fix)
+    val tablePath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val tableFs = tablePath.getFileSystem(spark.sessionState.newHadoopConf())
     val raw =
-      if (tablePath.isDirectory)
+      if (tableFs.exists(tablePath) && tableFs.getFileStatus(tablePath).isDirectory)
         spark.readStream.schema(schema).parquet(tablePath.toString)
       else
         spark.readStream.schema(schema)

@@ -138,4 +138,42 @@ class LakeFormatSpec extends GraftSpec {
     assert(got.map(_._1).distinct.sorted === Seq(0L, 1L, 2L))
     assert(got.exists(r => r._1 == 2L && r._2 == "remove" && r._3 == 2L))
   }
+
+  test("vacuum: retained reads byte-identical, retained files untouched, below-horizon fails") {
+    val schema = "o_orderkey BIGINT, o_custkey BIGINT, price_c BIGINT, d DATE"
+    val root = java.nio.file.Files.createTempDirectory("graft_vac_spec_").toString
+    TxnLog.buildTxnCommits(spark, sf, root)
+    def mtimes(fs: Seq[String]) = fs.map(f => f -> new File(
+      new java.net.URI(f).getPath).lastModified()).toMap
+    val v2Files = TxnLog.liveFiles(spark, root, Some(2))
+    val v1Files = TxnLog.liveFiles(spark, root, Some(1))
+    val before = TxnLog.snapshot(spark, root, schema, Some(2))
+      .collect().map(_.toString).sorted.toSeq
+    val mtBefore = mtimes(v2Files)
+    // horizon below the tombstone version deletes NOTHING (b0 was live at v1)
+    val (del1, _) = TxnLog.vacuum(spark, root, 1)
+    assert(del1 === 0L)
+    assert(v1Files.forall(f => new File(new java.net.URI(f).getPath).exists()))
+    // horizon = head: b0's two originals (tombstoned by the v2
+    // compaction) are the exact deletable set
+    val (del2, kept) = TxnLog.vacuum(spark, root, 2)
+    assert(del2 === 2L && kept === 3L)
+    val b0 = v1Files.filter(_.contains("/b0/"))
+    assert(b0.length === 2 && b0.forall(f => !new File(new java.net.URI(f).getPath).exists()))
+    // retained files: present, mtimes untouched (GC never rewrites live data)
+    assert(mtimes(v2Files) === mtBefore)
+    // retained version reads byte-identical rows
+    val after = TxnLog.snapshot(spark, root, schema, Some(2))
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before)
+    // time travel below the horizon fails cleanly at RESOLUTION time
+    for (v <- Seq(0, 1)) {
+      val e = intercept[IllegalStateException](TxnLog.liveFiles(spark, root, Some(v)))
+      assert(e.getMessage.contains("vacuumed"))
+    }
+    // vacuum is idempotent and the horizon is monotone
+    val (del3, _) = TxnLog.vacuum(spark, root, 2)
+    assert(del3 === 0L)
+    assert(TxnLog.vacuumHorizon(root) === Some(2))
+  }
 }

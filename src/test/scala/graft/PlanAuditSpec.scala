@@ -210,6 +210,12 @@ class PlanAuditSpec extends GraftSpec {
         def constantArray(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
           e match {
             case _: org.apache.spark.sql.catalyst.expressions.CreateArray => true
+            // ConstantFolding collapses sequence(lit, lit) — and any
+            // other all-literal constructor — into a Literal array
+            // BEFORE this gate walks optimizedPlan; a Literal of
+            // ArrayType is data-independent-length by definition
+            case l: org.apache.spark.sql.catalyst.expressions.Literal =>
+              l.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
             case t: org.apache.spark.sql.catalyst.expressions.ArrayTransform =>
               constantArray(t.argument)
             case s: org.apache.spark.sql.catalyst.expressions.Sequence =>

@@ -304,4 +304,32 @@ class StreamingSpec extends GraftSpec {
     }.nonEmpty
     assert(!hasStreamingJoin, "dim join must be stream-static, not stream-stream")
   }
+
+  test("interval-join equality keys stay time-bucketed (48x hot-key regression pin)") {
+    // r11's skew axis measured user_id-only join keys at 48x the
+    // uniform corpus: one hot user = one state partition + a full
+    // per-key row-list scan per probe. The fix keys the symmetric-hash
+    // join on (user, ⌊ts/interval⌋) with clicks replicated into their
+    // own and the next bucket; this pin keeps that shape in the plan.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+    for (df <- Seq(StreamWatcher.intervalJoinStream(spark, sf),
+        StreamWatcher.intervalJoinOuterStream(spark, sf))) {
+      val plan = df.queryExecution.analyzed
+      val joins = plan.collect { case j: Join => j }
+      assert(joins.nonEmpty, "interval join lost its join node")
+      val eqPairs: Seq[Set[String]] = joins.flatMap(_.condition.toSeq.flatMap(_.collect {
+        case EqualTo(a: AttributeReference, b: AttributeReference) => Set(a.name, b.name)
+      }))
+      assert(eqPairs.contains(Set("p_bkt", "c_bkt")),
+        "interval join must keep the time-bucket equality key — user_id " +
+          "alone re-opens the 48x hot-key state scan (BENCH_SKEW_IJ_r11)")
+      assert(eqPairs.contains(Set("user_id", "c_user")),
+        "interval join must still co-key on the user axis")
+      // the click side must be bucket-replicated (the explode that puts
+      // every candidate in the purchase's own bucket, exactly once)
+      assert(plan.collect { case g: Generate => g }.nonEmpty,
+        "click side lost its 2-bucket replication explode")
+    }
+  }
 }
