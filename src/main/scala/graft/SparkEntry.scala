@@ -278,6 +278,7 @@ object SparkEntry {
     "fs_inventory" -> (graft.syncer.FsInventory.fsInventoryQuery(_, _)),
     "sync_watch_service" -> (graft.streaming.WatchService.watchServiceQuery(_, _)),
     "sync_fsck_verify" -> (graft.streaming.WatchService.fsckQuery(_, _)),
+    "sync_watch_dedup" -> (graft.streaming.WatchService.watchDedupQuery(_, _)),
     "cass_lww_read" -> (graft.sources.cass.CassandraLikeStore.cassLwwRead(_, _)),
     "cass_token_scan" -> (graft.sources.cass.CassandraLikeStore.cassTokenScan(_, _)),
     "cass_compact" -> (graft.sources.cass.CassandraLikeStore.cassCompact(_, _)),
@@ -3238,6 +3239,18 @@ object SparkEntry {
          |SELECT path, cf, node_id, shard_id, generation, size_bytes
          |FROM inv WHERE generation <= 1500 AND NOT is_temp
          |ORDER BY generation""".stripMargin,
+    // zero-filled fixture files: content digest ≡ f(size_bytes), so the
+    // dedup gate's keeper/duplicate verdicts are exact SQL over sizes
+    "sync_watch_dedup" ->
+      s"""WITH $invCte,
+         |f AS (SELECT path, cf, generation, size_bytes FROM inv
+         |      WHERE generation <= 1500 AND NOT is_temp),
+         |k AS (SELECT size_bytes, min(path) AS keeper FROM f GROUP BY 1)
+         |SELECT f.path, f.cf, f.generation, f.size_bytes,
+         |  CASE WHEN f.path = k.keeper THEN 'accepted' ELSE 'duplicate' END AS verdict,
+         |  CASE WHEN f.path = k.keeper THEN NULL ELSE k.keeper END AS keeper_path
+         |FROM f JOIN k USING (size_bytes)
+         |ORDER BY f.path""".stripMargin,
     // the fixture tree's files are size_bytes zero bytes, so the
     // expected md5 is computable in SQL: md5(repeat(chr(0), n))
     "sync_fsck_verify" ->

@@ -43,6 +43,14 @@ sealed trait Target {
     */
   final def restoreLedgerPath: String =
     objectsPath.stripSuffix("/objects") + "/restore_ledger"
+  /** Persisted content-digest index for the dedup-gated watch daemon
+    * (batch-scoped `bid_*` subdirs — the idempotent-retry layout).
+    */
+  final def dedupIndexPath: String =
+    objectsPath.stripSuffix("/objects") + "/dedup_index"
+  /** Per-batch verdict manifests of the dedup-gated watch daemon. */
+  final def dedupManifestsPath: String =
+    objectsPath.stripSuffix("/objects") + "/dedup_manifests"
 }
 
 object Target {

@@ -257,16 +257,26 @@ object SyncOps {
     * bandwidth): the pending diff-upload backlog, in deterministic
     * generation order, is cut into transfer windows of ≤16 MB by
     * running-total bytes — window k is what a capped link ships in
-    * tick k. The running sum orders the BACKLOG (bounded, file
-    * metadata — never fact data); past ~10⁸ pending files the global
-    * window swaps for the classic two-pass per-partition prefix sums.
+    * tick k. The running sum is the banded distributed prefix sum
+    * ([[graft.analytics.Ranks.globalRankCumSum]] — ≤4096 generation
+    * bands from a one-row span pushdown, per-band offsets over the
+    * bounded band axis, within-band running sums under a partitioned
+    * spillable sort), replacing the single-task global window that
+    * made this the worst full-registry 30× row (3.25× for 3× data —
+    * the whole backlog sorted through one thread).
     */
   def syncBandwidthWindows(spark: SparkSession, dir: String,
       capBytes: Long = 16777216L): DataFrame = {
-    val w = Window.orderBy(col("generation"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    syncDiffUpload(spark, dir)
-      .withColumn("cum", sum(col("size_bytes")).over(w))
+    val backlog = syncDiffUpload(spark, dir)
+    // bounded pushdown parameter: the generation span (one metadata row)
+    val span = backlog.agg(min(col("generation")), max(col("generation"))).collect()(0)
+    val (lo, width) =
+      if (span.isNullAt(0)) (0L, 1L)
+      else (span.getLong(0),
+        math.max(1L, (span.getLong(1) - span.getLong(0)) / 4096L + 1L))
+    graft.analytics.Ranks.globalRankCumSum(backlog,
+        expr(s"CAST((generation - $lo) div $width AS BIGINT)"),
+        Seq(col("generation")), col("size_bytes"), "__rank", "cum")
       .withColumn("window_idx", expr(s"CAST((cum - 1) div $capBytes AS BIGINT)"))
       .groupBy(col("window_idx"))
       .agg(count(lit(1)).as("n_files"),

@@ -102,7 +102,7 @@ class PlanAuditSpec extends GraftSpec {
     "q_running_distinct" -> "daily series (calendar axis)",
     "q_skyline" -> "64-row bucket-threshold table + bucket-pruned near-frontier survivors",
     "q_survival_curve" -> "≤|days| event-time series",
-    "sync_bandwidth_windows" -> "hourly transfer windows (calendar axis)")
+    "sync_bandwidth_windows" -> "band count+sum offsets over ≤4096 generation-span cells (Ranks.globalRankCumSum; was a whole-backlog single-task window until r12)")
 
   /** One optimized plan per registry query, built once and shared by
     * the whole-registry gates below (plan construction is the
@@ -273,6 +273,9 @@ class PlanAuditSpec extends GraftSpec {
       "sample filling toward the caps"),
     "q_cms_estimate" -> ("fixed 4×256 count-min sketch: capacity is 1024 cells at any " +
       "corpus size; the growth is empty cells filling in at tiny SF"),
+    "sync_bandwidth_windows" -> ("band-offset frame hard-capped at 4096+1 rows at ANY " +
+      "corpus size (band width = generation span / 4096 from the one-row span pushdown); " +
+      "already AT the cap at sf0.1 — the measured growth is the cap filling at tiny SF"),
     "q_churn_by_engagement" -> ("band offsets over DISTINCT per-user event counts — the " +
       "activity-value axis, which grows with max per-user activity (log-ish), not with " +
       "users: 3.8× across a 100× events scale-up"),

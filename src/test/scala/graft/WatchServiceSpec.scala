@@ -157,4 +157,35 @@ class WatchServiceSpec extends GraftSpec {
     assert(got.exceptAll(expected).count() === 0)
     assert(expected.exceptAll(got).count() === 0)
   }
+
+  test("dedup-gated watch: later drops dedup against the persisted index; dups never copied") {
+    val (data, url) = freshDirs("dgate")
+    val t = Target.parse(url)
+    // drop 1: two distinct contents (sizes differ → digests differ)
+    mkFile(data, "ks1/click/node1/na-30-Data.db", 100)
+    mkFile(data, "ks1/click/node1/na-31-Data.db", 200)
+    WatchService.runOnceDedupGated(spark, Seq(data), url)
+    // drop 2: one new content + one byte-identical copy of na-30
+    mkFile(data, "ks1/view/node2/na-32-Data.db", 300)
+    mkFile(data, "ks1/view/node2/na-33-Data.db", 100) // dup of na-30
+    WatchService.runOnceDedupGated(spark, Seq(data), url) // same checkpoint
+    val m = WatchService.dedupManifest(spark, url).collect()
+    assert(m.length === 4)
+    val byPath = m.map(r => r.getAs[String]("path") -> r).toMap
+    assert(byPath("ks1/click/node1/na-30-Data.db").getAs[String]("verdict") === "accepted")
+    assert(byPath("ks1/click/node1/na-31-Data.db").getAs[String]("verdict") === "accepted")
+    assert(byPath("ks1/view/node2/na-32-Data.db").getAs[String]("verdict") === "accepted")
+    // the cross-batch duplicate names the INDEX keeper from drop 1
+    val dup = byPath("ks1/view/node2/na-33-Data.db")
+    assert(dup.getAs[String]("verdict") === "duplicate")
+    assert(dup.getAs[String]("keeper_path") === "ks1/click/node1/na-30-Data.db")
+    // the two drops ran as distinct micro-batches against the index
+    assert(m.map(_.getAs[Long]("batch_id")).distinct.sorted.toSeq === Seq(0L, 1L))
+    // duplicates never reach the object store; accepted files do
+    assert(Files.exists(Paths.get(t.objectsPath, "ks1/view/node2/na-32-Data.db")))
+    assert(!Files.exists(Paths.get(t.objectsPath, "ks1/view/node2/na-33-Data.db")))
+    // a third pass with nothing new writes nothing new
+    WatchService.runOnceDedupGated(spark, Seq(data), url)
+    assert(WatchService.dedupManifest(spark, url).count() === 4)
+  }
 }
