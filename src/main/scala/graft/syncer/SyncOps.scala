@@ -267,7 +267,10 @@ object SyncOps {
     */
   def syncBandwidthWindows(spark: SparkSession, dir: String,
       capBytes: Long = 16777216L): DataFrame = {
-    val backlog = syncDiffUpload(spark, dir)
+    // freeze the backlog once (thin metadata frame): both the span
+    // pushdown below and the banded pass read the same blocks instead
+    // of recomputing the diff-upload anti-join twice
+    val backlog = syncDiffUpload(spark, dir).cutLineage(eager = true)
     // bounded pushdown parameter: the generation span (one metadata row)
     val span = backlog.agg(min(col("generation")), max(col("generation"))).collect()(0)
     val (lo, width) =
