@@ -343,6 +343,11 @@ object SparkEntry {
     "corpus_near_dup_by_source" -> (Dedup.corpusNearDupBySource(_, _)),
     "dedup_minhash_calibration" -> (Dedup.dedupMinhashCalibration(_, _)),
     "mm_size_outliers" -> (Media.mmSizeOutliers(_, _)),
+    "sync_twcs_compaction" -> (SyncOps.syncTwcsCompaction(_, _)),
+    "graph_transitivity" -> (graft.graph.GraphOps.graphTransitivity(_, _)),
+    "q_mann_whitney" -> (Stats.qMannWhitney(_, _)),
+    "q_kendall_tau" -> (Stats.qKendallTau(_, _)),
+    "io_prune_effectiveness" -> (graft.sources.ZOrder.ioPruneEffectiveness(_, _)),
   )
 
   // ---- oracle SQL ----
@@ -4073,5 +4078,77 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN abs(m.n_bytes - sd.mean_b) > 2.0 * sd.sd_b
         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS outlier_rate
         |FROM m JOIN sd USING (mime) GROUP BY m.mime ORDER BY m.mime""".stripMargin,
+    "sync_twcs_compaction" ->
+      s"""WITH $invCte, $durCte,
+         |b AS (SELECT cf, snap_date AS bucket, count(*) AS n_files,
+         |    CAST(sum(size_bytes) AS BIGINT) AS total_bytes
+         |  FROM dur GROUP BY 1, 2),
+         |m AS (SELECT *, bucket = max(bucket) OVER (PARTITION BY cf) AS is_current
+         |  FROM b)
+         |SELECT cf, bucket, n_files, total_bytes, is_current,
+         |  (NOT is_current AND n_files > 1) AS needs_major,
+         |  (is_current AND n_files >= 4) AS stcs_trigger
+         |FROM m ORDER BY cf, bucket""".stripMargin,
+    "graph_transitivity" -> graft.graph.GraphOps.transitivityOracleSql,
+    "q_mann_whitney" ->
+      """WITH cells AS (SELECT event_type, value,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, ca, cb,
+        |    sum(cb) OVER (PARTITION BY event_type ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cb
+        |  FROM cells),
+        |ag AS (SELECT event_type,
+        |    CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+        |    CAST(sum(ca * (2 * (cum_cb - cb) + cb)) AS BIGINT) AS u2_a
+        |  FROM cum GROUP BY 1)
+        |SELECT event_type, n_a, n_b, u2_a,
+        |  round((CAST(u2_a AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0)
+        |    / sqrt(CAST(n_a AS DOUBLE) * n_b * (n_a + n_b + 1) / 12.0), 4) AS z
+        |FROM ag WHERE n_a > 0 AND n_b > 0 ORDER BY event_type""".stripMargin,
+    "q_kendall_tau" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1),
+        |p AS (SELECT x.event_type AS event_type,
+        |    CAST(sum(CASE WHEN x.s < y.s THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |    CAST(sum(CASE WHEN x.s > y.s THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |    CAST(sum(CASE WHEN x.s = y.s THEN 1 ELSE 0 END) AS BIGINT) AS ties
+        |  FROM daily x JOIN daily y ON x.event_type = y.event_type AND x.day < y.day
+        |  GROUP BY 1)
+        |SELECT event_type, n_days, concordant, discordant, ties,
+        |  round((2.0 * (concordant - discordant)) / (n_days * (n_days - 1)), 4) AS tau
+        |FROM n JOIN p USING (event_type)
+        |WHERE n_days > 1 ORDER BY event_type""".stripMargin,
+    "io_prune_effectiveness" ->
+      s"""WITH b AS (SELECT max(l_partkey) AS max_p, max(l_suppkey) AS max_s
+         |  FROM lineitem),
+         |c AS (SELECT (l_partkey * 256) // (max_p + 1) AS x8,
+         |             (l_suppkey * 256) // (max_s + 1) AS y8
+         |  FROM lineitem, b),
+         |z AS (SELECT x8, y8, ${graft.sources.ZOrder.morton8Sql("x8", "y8")} AS z,
+         |    (x8 BETWEEN 96 AND 127 AND y8 BETWEEN 96 AND 127) AS hit
+         |  FROM c),
+         |f AS (
+         |  SELECT 'linear' AS layout, x8 // 4 AS file_id, count(*) AS n,
+         |      min(x8) AS min_x, max(x8) AS max_x,
+         |      min(y8) AS min_y, max(y8) AS max_y,
+         |      CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |    FROM z GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'zorder', z // 1024, count(*),
+         |      min(x8), max(x8), min(y8), max(y8),
+         |      CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+         |    FROM z GROUP BY 1, 2),
+         |r AS (SELECT *,
+         |    NOT (max_x < 96 OR min_x > 127 OR max_y < 96 OR min_y > 127) AS rd
+         |  FROM f)
+         |SELECT layout, count(*) AS n_files,
+         |  CAST(sum(CASE WHEN rd THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+         |  CAST(sum(CASE WHEN rd THEN n ELSE 0 END) AS BIGINT) AS rows_read,
+         |  CAST(sum(hits) AS BIGINT) AS rows_matched
+         |FROM r GROUP BY 1 ORDER BY layout""".stripMargin,
   )
 }

@@ -694,4 +694,74 @@ object Stats {
         round(col("sy").cast("double") / col("n_days"), 2).as("mean_daily"))
       .orderBy(col("event_type"))
   }
+
+  /** §2.2 `q_mann_whitney` — Mann–Whitney U between the even-user (a)
+    * and odd-user (b) cohorts per event type: the nonparametric twin
+    * of [[qTtestAb]], robust to the heavy-tailed value distributions
+    * an experiment readout actually sees. Identical scale shape to
+    * [[qKsTest]]: one partial-agg pass collapses the fact table to
+    * compact (type, value) cells with per-cohort counts, one window
+    * cumsum over those cells yields, for each cell, how many b-values
+    * lie strictly below — so 2·U_a = Σ_cells c_a·(2·below_b + ties_b)
+    * is an EXACT integer (ties contribute the conventional ½ each,
+    * pre-doubled), accumulated in decimal(38,0) so 10⁹×10⁹ pair
+    * counts cannot wrap. The normal-approximation z assembles from
+    * the exact integers with identical IEEE ops in both engines.
+    * Raw rows are never sorted or paired — the U statistic's O(n²)
+    * pair count is computed, never materialized.
+    */
+  def qMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val isA = col("user_id") % 2 === 0
+    val cells = Tables.events(spark, dir)
+      .select(col("event_type"), isA.as("in_a"), col("value"))
+      .groupBy(col("event_type"), col("value"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_cb", sum(col("cb")).over(wCum))
+      .groupBy(col("event_type"))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum((col("ca") * (lit(2L) * (col("cum_cb") - col("cb")) + col("cb")))
+          .cast("decimal(38,0)")).cast("long").as("u2_a"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("event_type"), col("n_a"), col("n_b"), col("u2_a"),
+        round((col("u2_a").cast("double") / 2.0 -
+          col("n_a").cast("double") * col("n_b") / 2.0) /
+          sqrt(col("n_a").cast("double") * col("n_b") *
+            (col("n_a") + col("n_b") + 1) / 12.0), 4).as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  /** §2.2 `q_kendall_tau` — Kendall's τ-a between the day index and
+    * the daily revenue total per event type: the rank-based trend
+    * detector that backs [[qTrendSlope]]'s OLS with an
+    * outlier-immune verdict (one whale day cannot flip it). Daily
+    * totals are exact integer cents from ONE partial-agg pass; the
+    * pairwise concordance scan then runs over the bounded
+    * |types|×|calendar-days| frame — O(days²) per type over metadata,
+    * invariant to fact-table scale. Concordant/discordant/tie counts
+    * are exact integers; τ = 2(C−D)/(n(n−1)) is the one final float
+    * division.
+    */
+  def qKendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(Money.cents(col("value"))).as("s"))
+      .cutLineage(eager = false) // read once into the pairwise join's two sides
+    val pairs = daily.as("x").join(daily.as("y"),
+      col("x.event_type") === col("y.event_type") && col("x.day") < col("y.day"))
+    val counts = pairs.groupBy(col("x.event_type").as("event_type"))
+      .agg(sum(when(col("x.s") < col("y.s"), 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("x.s") > col("y.s"), 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("x.s") === col("y.s"), 1L).otherwise(0L)).as("ties"))
+    val nDays = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    nDays.join(counts, Seq("event_type"))
+      .filter(col("n_days") > 1)
+      .select(col("event_type"), col("n_days"), col("concordant"),
+        col("discordant"), col("ties"),
+        round((lit(2.0) * (col("concordant") - col("discordant"))) /
+          (col("n_days") * (col("n_days") - 1)), 4).as("tau"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -107,6 +107,56 @@ object GraphOps {
         (col("t1") + col("t2") + col("t3")).cast("long").as("n_triangles"))
   }
 
+  /** §2.3 `graph_transitivity` — global clustering coefficient
+    * (transitivity) of the candidate graph: C = 3·triangles / wedges,
+    * where wedges = Σ_v C(deg(v), 2) counts connected vertex triples.
+    * High transitivity = the near-dup graph is clique-like (verbatim
+    * copy families); low = chain/star shaped (template drift).
+    *
+    * Triangles come from [[graphTriangles]]' closed-form
+    * rep-collapsed decomposition; wedges fold the SAME multiplicity
+    * law over [[repDegrees]] — all n_r copies of rep r share one
+    * degree d, so they contribute n_r·d(d−1)/2 wedges, accumulated
+    * in decimal(38,0) (d(d−1) is even, so the /2 is exact). Both
+    * counts are exact integers; the single final float op is the
+    * 3T/W division, mirrored verbatim in the oracle — the repo's
+    * exact-sufficient-sums convention.
+    */
+  def graphTransitivity(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = graphOf(spark, dir)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val wedges = repDegrees(nodes, edges)
+      .agg(coalesce(
+        floor(sum(dec(col("n_copies")) * col("deg") * (col("deg") - 1)) / 2)
+          .cast("decimal(38,0)"),
+        lit(0L).cast("decimal(38,0)")).cast("long").as("n_wedges"))
+    graphTriangles(spark, dir).select(col("n_triangles"))
+      .crossJoin(wedges)
+      .select(col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0,
+          round((lit(3.0) * col("n_triangles")) / col("n_wedges"), 4))
+          .as("transitivity"))
+  }
+
+  /** SQL twin of [[graphTransitivity]] over the full candidate graph
+    * (exact-integer triangle/wedge counts verify the rep-collapse
+    * closed forms on every run, like [[trianglesOracleSql]]).
+    */
+  def transitivityOracleSql: String =
+    "WITH " + Dedup.candOracleBody +
+      """,
+        |tri AS (SELECT count(*) AS n_triangles FROM cand e1
+        |  JOIN cand e2 ON e1.doc_b = e2.doc_a
+        |  JOIN cand e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+        |sym AS (SELECT doc_a AS d FROM cand UNION ALL SELECT doc_b FROM cand),
+        |deg AS (SELECT d, count(*) AS dg FROM sym GROUP BY 1),
+        |w AS (SELECT COALESCE(CAST(sum(dg * (dg - 1)) // 2 AS BIGINT), 0) AS n_wedges
+        |  FROM deg)
+        |SELECT tri.n_triangles, w.n_wedges,
+        |  CASE WHEN n_wedges > 0
+        |    THEN round((3.0 * n_triangles) / n_wedges, 4) END AS transitivity
+        |FROM tri, w""".stripMargin
+
   /** §2.3 `graph_assortativity` — degree assortativity of the
     * candidate graph: Pearson correlation of endpoint degrees over
     * the symmetric edge incidence (each undirected edge counted both

@@ -73,6 +73,51 @@ object ZOrder {
         min(col("y8")).as("min_y"), max(col("y8")).as("max_y"))
       .orderBy(col("zbucket"))
 
+  /** §2.8 `io_prune_effectiveness` — measures the property z-order
+    * exists to buy: file-level min/max pruning on BOTH dimensions.
+    * For a literal query box (x8, y8 ∈ [96, 127] — one sixteenth of
+    * the grid), simulate the reader's stats-pruning decision under
+    * two 64-file layouts of the SAME rows: `zorder` (files = Morton
+    * ranges, the [[ioZorderLayout]] boundaries) vs `linear` (files =
+    * x8 ranges — the single-key sort a naive writer produces). A file
+    * is read iff its per-file [min, max] interval on each filtered
+    * column intersects the box — exactly the parquet footer-stats
+    * rule. All counts are exact integers off one scan per layout over
+    * a lineage-cut coded frame; at 100 TB the same arithmetic runs on
+    * the footer-stats relation (64 rows per layout here, |files|
+    * rows there), never on data. The linear layout reads every file
+    * whose x range hits the box regardless of y (~full x-slab);
+    * z-order reads only the tiles in the box — the measured gap IS
+    * the layout's value.
+    */
+  def ioPruneEffectiveness(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Ckpt.CutOps
+    val (lo, hi) = (96L, 127L)
+    val boxed = coded(spark, dir)
+      .withColumn("hit",
+        col("x8") >= lo && col("x8") <= hi && col("y8") >= lo && col("y8") <= hi)
+      .cutLineage(eager = false)
+    def layout(name: String, fileId: Column): DataFrame =
+      boxed
+        .groupBy(fileId.as("file_id"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x8")).as("min_x"), max(col("x8")).as("max_x"),
+          min(col("y8")).as("min_y"), max(col("y8")).as("max_y"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
+        .withColumn("read",
+          !(col("max_x") < lo || col("min_x") > hi ||
+            col("max_y") < lo || col("min_y") > hi))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("read"), 1L).otherwise(0L)).as("files_read"),
+          sum(when(col("read"), col("n")).otherwise(0L)).as("rows_read"),
+          sum(col("hits")).as("rows_matched"))
+        .select(lit(name).as("layout"), col("n_files"), col("files_read"),
+          col("rows_read"), col("rows_matched"))
+    layout("linear", expr("x8 div 4"))
+      .unionAll(layout("zorder", expr("z div 1024")))
+      .orderBy(col("layout"))
+  }
+
   /** Write `nFiles` z-ordered parquet files (range-partitioned and
     * sorted by the Morton code); returns the coded frame for reuse.
     * The shuffle is the same single range-exchange a plain sort-write

@@ -236,6 +236,31 @@ object SyncOps {
       .orderBy(col("cf"), col("level"))
   }
 
+  /** §2.1 `sync_twcs_compaction` — time-window compaction planning
+    * (Cassandra TWCS, completing the STCS/LCS/TWCS strategy trio the
+    * reference's SSTable landscape is compacted under): durable files
+    * bucket by their landing day; the CURRENT window (the cf's newest
+    * day) compacts under the STCS trigger (≥4 files), while every
+    * PAST window should have been majored down to one file — any
+    * past-window file count >1 is compaction backlog. Runs entirely
+    * over file metadata: one partial-agg groupBy to the bounded
+    * |cf|×|days| frame, then a window over the bounded cf key ON THAT
+    * FRAME — at 100 TB the inventory is billions of rows but nothing
+    * after the first map-side-combined shuffle exceeds |cf|×|days|.
+    */
+  def syncTwcsCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val wCf = Window.partitionBy(col("cf"))
+    FileInventory.durable(spark, dir)
+      .groupBy(col("cf"), col("snap_date").as("bucket"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size_bytes")).as("total_bytes"))
+      .withColumn("is_current", col("bucket") === max(col("bucket")).over(wCf))
+      .select(col("cf"), col("bucket"), col("n_files"), col("total_bytes"),
+        col("is_current"),
+        (!col("is_current") && col("n_files") > 1).as("needs_major"),
+        (col("is_current") && col("n_files") >= 4).as("stcs_trigger"))
+      .orderBy(col("cf"), col("bucket"))
+  }
+
   /** §2.1#87 — upload slot scheduling (reference: `Uploader`'s
     * `async.queue` with configurable concurrency): every planned
     * upload is assigned a worker slot by a deterministic md5-derived
