@@ -348,6 +348,9 @@ object SparkEntry {
     "q_mann_whitney" -> (Stats.qMannWhitney(_, _)),
     "q_kendall_tau" -> (Stats.qKendallTau(_, _)),
     "io_prune_effectiveness" -> (graft.sources.ZOrder.ioPruneEffectiveness(_, _)),
+    "q_theil_sen" -> (Stats.qTheilSen(_, _)),
+    "q_spearman" -> (Stats.qSpearman(_, _)),
+    "io_clustering_depth" -> (graft.sources.ZOrder.ioClusteringDepth(_, _)),
   )
 
   // ---- oracle SQL ----
@@ -4150,5 +4153,74 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN rd THEN n ELSE 0 END) AS BIGINT) AS rows_read,
          |  CAST(sum(hits) AS BIGINT) AS rows_matched
          |FROM r GROUP BY 1 ORDER BY layout""".stripMargin,
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events GROUP BY 1, 2),
+        |sl AS (SELECT x.event_type AS event_type,
+        |    CAST(y.s - x.s AS DOUBLE) / date_diff('day', x.day, y.day) AS slope,
+        |    x.day AS dx, y.day AS dy
+        |  FROM daily x JOIN daily y
+        |    ON x.event_type = y.event_type AND x.day < y.day),
+        |r AS (SELECT event_type, slope,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope, dx, dy) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_pairs
+        |  FROM sl)
+        |SELECT event_type, n_pairs,
+        |  round(slope, 4) AS slope_med_per_day
+        |FROM r WHERE rn = (n_pairs + 1) // 2
+        |ORDER BY event_type""".stripMargin,
+    "q_spearman" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS u,
+        |    count(*) AS v
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT event_type,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY u)
+        |      + count(*) OVER (PARTITION BY event_type, u) - 1 AS ru,
+        |    2 * rank() OVER (PARTITION BY event_type ORDER BY v)
+        |      + count(*) OVER (PARTITION BY event_type, v) - 1 AS rv
+        |  FROM daily),
+        |ag AS (SELECT event_type, count(*) AS n_days,
+        |    CAST(sum(ru) AS HUGEINT) AS sx, CAST(sum(rv) AS HUGEINT) AS sy,
+        |    CAST(sum(ru * rv) AS HUGEINT) AS sxy,
+        |    CAST(sum(ru * ru) AS HUGEINT) AS sxx,
+        |    CAST(sum(rv * rv) AS HUGEINT) AS syy
+        |  FROM rk GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |    nullif(sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE) *
+        |      CAST(n_days * syy - sy * sy AS DOUBLE)), 0.0), 4) AS rho
+        |FROM ag WHERE n_days > 1 ORDER BY event_type""".stripMargin,
+    "io_clustering_depth" ->
+      s"""WITH b AS (SELECT max(l_partkey) AS max_p, max(l_suppkey) AS max_s
+         |  FROM lineitem),
+         |c AS (SELECT (l_partkey * 256) // (max_p + 1) AS x8,
+         |             (l_suppkey * 256) // (max_s + 1) AS y8
+         |  FROM lineitem, b),
+         |z AS (SELECT x8, y8, ${graft.sources.ZOrder.morton8Sql("x8", "y8")} AS z
+         |  FROM c),
+         |f AS (
+         |  SELECT 'linear' AS layout, x8 // 4 AS file_id,
+         |      min(x8) AS min_x, max(x8) AS max_x
+         |    FROM z GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT 'zorder', z // 1024, min(x8), max(x8)
+         |    FROM z GROUP BY 1, 2),
+         |d AS (SELECT layout, pos, CAST(sum(delta) AS BIGINT) AS d FROM (
+         |    SELECT layout, min_x AS pos, 1 AS delta FROM f
+         |    UNION ALL SELECT layout, max_x + 1, -1 FROM f) u
+         |  GROUP BY 1, 2),
+         |r AS (SELECT layout, sum(d) OVER (PARTITION BY layout ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM d),
+         |md AS (SELECT layout, CAST(max(run) AS BIGINT) AS max_depth
+         |  FROM r GROUP BY 1),
+         |sp AS (SELECT layout, count(*) AS n_files,
+         |    CAST(sum(max_x - min_x + 1) AS BIGINT) AS span_sum
+         |  FROM f GROUP BY 1)
+         |SELECT sp.layout AS layout, n_files, max_depth,
+         |  round(CAST(span_sum AS DOUBLE) / 256.0, 4) AS avg_depth
+         |FROM sp JOIN md USING (layout) ORDER BY layout""".stripMargin,
   )
 }

@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.Ckpt.CutOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -730,6 +730,78 @@ object Stats {
           col("n_a").cast("double") * col("n_b") / 2.0) /
           sqrt(col("n_a").cast("double") * col("n_b") *
             (col("n_a") + col("n_b") + 1) / 12.0), 4).as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  /** §2.2 `q_theil_sen` — Theil–Sen robust trend of daily revenue per
+    * event type: the (lower-)median of all pairwise slopes, the
+    * estimator with a 29% breakdown point where [[qTrendSlope]]'s OLS
+    * breaks on one whale day. Pairwise slopes run over the bounded
+    * |types|×|calendar-days|² frame (metadata scale, like
+    * [[qKendallTau]]); each slope is ONE float division of exact
+    * integers (cents difference / day difference), and the median is
+    * an ORDER STATISTIC — row_number under a fully-deterministic
+    * (slope, day-pair) order, no float summation anywhere — so the
+    * result is bit-identical across engines and partitionings.
+    */
+  def qTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(Money.cents(col("value"))).as("s"))
+      .cutLineage(eager = false)
+    val slopes = daily.as("x").join(daily.as("y"),
+      col("x.event_type") === col("y.event_type") && col("x.day") < col("y.day"))
+      .select(col("x.event_type").as("event_type"),
+        ((col("y.s") - col("x.s")).cast("double") /
+          datediff(col("y.day"), col("x.day"))).as("slope"),
+        col("x.day").as("dx"), col("y.day").as("dy"))
+    val wOrd = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope"), col("dx"), col("dy"))
+    slopes
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(n_pairs + 1) div 2"))
+      .select(col("event_type"), col("n_pairs"),
+        round(col("slope"), 4).as("slope_med_per_day"))
+      .orderBy(col("event_type"))
+  }
+
+  /** §2.2 `q_spearman` — Spearman rank correlation between daily
+    * revenue and daily volume per event type: does money move with
+    * traffic, monotonically, outlier-free? Both variables rank over
+    * the bounded |types|×|days| daily frame with textbook
+    * average-rank ties kept EXACT as doubled ranks (2·avg-rank =
+    * 2·rank_min + ties − 1, an integer), then ρ is the Pearson
+    * closed form over exact integer sufficient sums accumulated in
+    * decimal(38,0) — identical IEEE assembly in both engines, the
+    * [[graft.graph.GraphOps.graphAssortativity]] contract.
+    */
+  def qSpearman(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(Money.cents(col("value"))).as("u"), count(lit(1)).as("v"))
+    def ranked2(c: String, out: String) = {
+      val wRank = Window.partitionBy(col("event_type")).orderBy(col(c))
+      val wTies = Window.partitionBy(col("event_type"), col(c))
+      (df: DataFrame) => df
+        .withColumn(out,
+          lit(2L) * rank().over(wRank) + count(lit(1)).over(wTies) - 1)
+    }
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    ranked2("v", "rv")(ranked2("u", "ru")(daily))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(dec(col("ru"))).as("sx"), sum(dec(col("rv"))).as("sy"),
+        sum(dec(col("ru")) * col("rv")).as("sxy"),
+        sum(dec(col("ru")) * col("ru")).as("sxx"),
+        sum(dec(col("rv")) * col("rv")).as("syy"))
+      .filter(col("n_days") > 1)
+      .select(col("event_type"), col("n_days"),
+        round((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          nullif(sqrt((col("n_days") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+            (col("n_days") * col("syy") - col("sy") * col("sy")).cast("double")),
+            lit(0.0)), 4).as("rho"))
       .orderBy(col("event_type"))
   }
 

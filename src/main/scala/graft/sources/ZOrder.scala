@@ -118,6 +118,48 @@ object ZOrder {
       .orderBy(col("layout"))
   }
 
+  /** §2.8 `io_clustering_depth` — clustering-depth audit, the metric
+    * Delta/Iceberg OPTIMIZE reports to decide when re-clustering pays:
+    * for each 64-file layout of the same rows (`zorder` Morton ranges
+    * vs `linear` x-ranges), how many files' [min_x, max_x] key ranges
+    * stab any given point of the x axis. max_depth is the worst-case
+    * point-lookup fan-in; avg_depth = Σ per-file span / 256 averages
+    * it over the key grid. A perfectly clustered layout has depth 1
+    * on its sort key; z-order trades bounded x-depth (each 32×32 tile
+    * column = 8 overlapping tiles) for pruning on BOTH dimensions —
+    * this op and [[ioPruneEffectiveness]] are the two sides of that
+    * trade, measured. Exact integers off per-file stats (64 rows per
+    * layout at any data scale — the sweep is a window over ≤130
+    * boundary rows per layout, never over data).
+    */
+  def ioClusteringDepth(spark: SparkSession, dir: String): DataFrame = {
+    import graft.Ckpt.CutOps
+    import org.apache.spark.sql.expressions.Window
+    val base = coded(spark, dir).cutLineage(eager = false)
+    def filesOf(name: String, fileId: Column): DataFrame =
+      base.groupBy(fileId.as("file_id"))
+        .agg(min(col("x8")).as("min_x"), max(col("x8")).as("max_x"))
+        .select(lit(name).as("layout"), col("min_x"), col("max_x"))
+    val f = filesOf("linear", expr("x8 div 4"))
+      .unionAll(filesOf("zorder", expr("z div 1024")))
+      .cutLineage(eager = false) // the two consumers below read it once
+    val deltas = f.select(col("layout"), col("min_x").as("pos"), lit(1L).as("delta"))
+      .unionAll(f.select(col("layout"), (col("max_x") + 1).as("pos"),
+        lit(-1L).as("delta")))
+      .groupBy(col("layout"), col("pos")).agg(sum(col("delta")).as("d"))
+    val wRun = Window.partitionBy(col("layout")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val depth = deltas.withColumn("run", sum(col("d")).over(wRun))
+      .groupBy(col("layout")).agg(max(col("run")).as("max_depth"))
+    f.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("max_x") - col("min_x") + 1).as("span_sum"))
+      .join(depth, Seq("layout"))
+      .select(col("layout"), col("n_files"), col("max_depth"),
+        round(col("span_sum").cast("double") / 256.0, 4).as("avg_depth"))
+      .orderBy(col("layout"))
+  }
+
   /** Write `nFiles` z-ordered parquet files (range-partitioned and
     * sorted by the Morton code); returns the coded frame for reuse.
     * The shuffle is the same single range-exchange a plain sort-write

@@ -108,6 +108,101 @@ class Round12OpsSpec extends GraftSpec {
     }
   }
 
+  test("theil-sen: slope is the lower median of the brute-force pairwise slope set") {
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+      .groupBy(x => (x._1, x._2)).map { case ((ty, d), xs) => (ty, d, xs.map(_._3).sum) }
+      .toSeq
+    val got = Stats.qTheilSen(spark, sf).collect()
+    val byType = daily.groupBy(_._1)
+    got.foreach { r =>
+      val ty = r.getString(0)
+      val s = byType(ty).sortBy(_._2.toEpochDay)
+      val slopes = (for (i <- s.indices; j <- i + 1 until s.size)
+        yield (s(j)._3 - s(i)._3).toDouble / (s(j)._2.toEpochDay - s(i)._2.toEpochDay))
+        .sorted
+      assert(r.getLong(1) === slopes.size.toLong, s"n_pairs($ty)")
+      val want = BigDecimal(slopes((slopes.size + 1) / 2 - 1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) === want, s"lower-median slope($ty)")
+    }
+    assert(got.map(_.getString(0)).toSet === byType.keySet)
+  }
+
+  test("spearman: rho matches a local average-rank recomputation, |rho| <= 1") {
+    val daily = Tables.events(spark, sf)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+      .groupBy(x => (x._1, x._2))
+      .map { case ((ty, d), xs) => (ty, d, xs.map(_._3).sum, xs.size.toLong) }
+      .toSeq
+    def ranks2(vs: Seq[Long]): Seq[Long] = {
+      // doubled average ranks: 2*avg = 2*rank_min + ties - 1
+      val byV = vs.sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, xs) => v -> (2L * (xs.map(_._2).min + 1) + xs.size - 1) }
+      vs.map(byV)
+    }
+    val got = Stats.qSpearman(spark, sf).collect()
+    val byType = daily.groupBy(_._1)
+    got.foreach { r =>
+      val ty = r.getString(0)
+      val s = byType(ty)
+      val (ru, rv) = (ranks2(s.map(_._3)), ranks2(s.map(_._4)))
+      val n = s.size.toLong
+      assert(r.getLong(1) === n, s"n_days($ty)")
+      val (sx, sy) = (ru.sum, rv.sum)
+      val sxy = ru.zip(rv).map { case (a, b) => a * b }.sum
+      val sxx = ru.map(a => a * a).sum
+      val syy = rv.map(a => a * a).sum
+      val den = math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+      if (den > 0) {
+        val want = BigDecimal((n * sxy - sx * sy).toDouble / den)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getDouble(2) - want) < 2e-4, s"rho($ty)")
+        assert(math.abs(r.getDouble(2)) <= 1.0, s"|rho|<=1 ($ty)")
+      }
+    }
+  }
+
+  test("clustering depth: boundary sweep matches a local per-point stab count") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (maxP, maxS) = (li.map(_._1).max, li.map(_._2).max)
+    def morton(x: Long, y: Long): Long =
+      (0 until 8).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    val coded = li.map { case (p, s) =>
+      val x8 = p * 256 / (maxP + 1); val y8 = s * 256 / (maxS + 1)
+      (x8, y8, morton(x8, y8))
+    }
+    def expect(fileOf: ((Long, Long, Long)) => Long): (Long, Long, Double) = {
+      val files = coded.groupBy(fileOf).values
+        .map(xs => (xs.map(_._1).min, xs.map(_._1).max)).toSeq
+      // stab count per grid point, brute force
+      val depths = (0L until 256L).map(p => files.count(f => f._1 <= p && p <= f._2))
+      (files.size.toLong, depths.max.toLong,
+        BigDecimal(files.map(f => f._2 - f._1 + 1).sum.toDouble / 256.0)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val want = Map("linear" -> expect(_._1 / 4), "zorder" -> expect(_._3 / 1024))
+    val got = ZOrder.ioClusteringDepth(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("linear", "zorder"))
+    got.foreach { r =>
+      val e = want(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getDouble(3)) === e,
+        s"layout ${r.getString(0)}")
+    }
+    // the claim itself: the linear layout is perfectly clustered on
+    // its own sort key; z-order pays bounded extra x-depth for 2-D
+    // pruning (tiles stack vertically)
+    val byLayout = got.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byLayout("linear") <= byLayout("zorder"))
+  }
+
   test("prune effectiveness: matches a local footer-stats simulation, box rows conserved") {
     val li = Tables.lineitem(spark, sf)
       .select(col("l_partkey"), col("l_suppkey")).collect()
