@@ -68,6 +68,14 @@ object GraphOps {
     */
   def graphTriangles(spark: SparkSession, dir: String): DataFrame = {
     val (nodes, edges) = graphOf(spark, dir)
+    trianglesOf(nodes, edges)
+  }
+
+  /** [[graphTriangles]]' closed form over an already-built rep graph —
+    * shared with [[graphTransitivity]] so consumers needing triangles
+    * plus another statistic build the candidate graph ONCE.
+    */
+  private def trianglesOf(nodes: DataFrame, edges: DataFrame): DataFrame = {
     // the wedge join reads the edge list three times — materialize it
     // once instead of tripling the band join in one plan
     val e = edges.cutLineage()
@@ -123,14 +131,14 @@ object GraphOps {
     * exact-sufficient-sums convention.
     */
   def graphTransitivity(spark: SparkSession, dir: String): DataFrame = {
-    val (nodes, edges) = graphOf(spark, dir)
+    val (nodes, edges) = graphOf(spark, dir) // built once, feeds both counts
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     val wedges = repDegrees(nodes, edges)
       .agg(coalesce(
         floor(sum(dec(col("n_copies")) * col("deg") * (col("deg") - 1)) / 2)
           .cast("decimal(38,0)"),
         lit(0L).cast("decimal(38,0)")).cast("long").as("n_wedges"))
-    graphTriangles(spark, dir).select(col("n_triangles"))
+    trianglesOf(nodes, edges).select(col("n_triangles"))
       .crossJoin(wedges)
       .select(col("n_triangles"), col("n_wedges"),
         when(col("n_wedges") > 0,

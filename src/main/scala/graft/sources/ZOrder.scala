@@ -91,31 +91,40 @@ object ZOrder {
     * the layout's value.
     */
   def ioPruneEffectiveness(spark: SparkSession, dir: String): DataFrame = {
-    import graft.Ckpt.CutOps
     val (lo, hi) = (96L, 127L)
-    val boxed = coded(spark, dir)
+    perFileStats(spark, dir)
+      .withColumn("read",
+        !(col("max_x") < lo || col("min_x") > hi ||
+          col("max_y") < lo || col("min_y") > hi))
+      .groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("read"), 1L).otherwise(0L)).as("files_read"),
+        sum(when(col("read"), col("n")).otherwise(0L)).as("rows_read"),
+        sum(col("hits")).as("rows_matched"))
+      .orderBy(col("layout"))
+  }
+
+  /** Per-(layout, file) footer stats for BOTH 64-file layouts off ONE
+    * fact scan: each row explodes into its two (layout, file_id)
+    * assignments, and the partial-aggregated groupBy collapses to
+    * ≤128 rows per map task before the only shuffle — the fact table
+    * is read once and never materialized, so this is exactly the
+    * footer-stats relation a lakehouse reader consults, at any scale.
+    */
+  private def perFileStats(spark: SparkSession, dir: String): DataFrame = {
+    val (lo, hi) = (96L, 127L)
+    coded(spark, dir)
       .withColumn("hit",
         col("x8") >= lo && col("x8") <= hi && col("y8") >= lo && col("y8") <= hi)
-      .cutLineage(eager = false)
-    def layout(name: String, fileId: Column): DataFrame =
-      boxed
-        .groupBy(fileId.as("file_id"))
-        .agg(count(lit(1)).as("n"),
-          min(col("x8")).as("min_x"), max(col("x8")).as("max_x"),
-          min(col("y8")).as("min_y"), max(col("y8")).as("max_y"),
-          sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
-        .withColumn("read",
-          !(col("max_x") < lo || col("min_x") > hi ||
-            col("max_y") < lo || col("min_y") > hi))
-        .agg(count(lit(1)).as("n_files"),
-          sum(when(col("read"), 1L).otherwise(0L)).as("files_read"),
-          sum(when(col("read"), col("n")).otherwise(0L)).as("rows_read"),
-          sum(col("hits")).as("rows_matched"))
-        .select(lit(name).as("layout"), col("n_files"), col("files_read"),
-          col("rows_read"), col("rows_matched"))
-    layout("linear", expr("x8 div 4"))
-      .unionAll(layout("zorder", expr("z div 1024")))
-      .orderBy(col("layout"))
+      .select(explode(array(
+        struct(lit("linear").as("layout"), expr("x8 div 4").as("file_id")),
+        struct(lit("zorder").as("layout"), expr("z div 1024").as("file_id")))).as("lf"),
+        col("x8"), col("y8"), col("hit"))
+      .groupBy(col("lf.layout").as("layout"), col("lf.file_id").as("file_id"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x8")).as("min_x"), max(col("x8")).as("max_x"),
+        min(col("y8")).as("min_y"), max(col("y8")).as("max_y"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("hits"))
   }
 
   /** §2.8 `io_clustering_depth` — clustering-depth audit, the metric
@@ -135,14 +144,12 @@ object ZOrder {
   def ioClusteringDepth(spark: SparkSession, dir: String): DataFrame = {
     import graft.Ckpt.CutOps
     import org.apache.spark.sql.expressions.Window
-    val base = coded(spark, dir).cutLineage(eager = false)
-    def filesOf(name: String, fileId: Column): DataFrame =
-      base.groupBy(fileId.as("file_id"))
-        .agg(min(col("x8")).as("min_x"), max(col("x8")).as("max_x"))
-        .select(lit(name).as("layout"), col("min_x"), col("max_x"))
-    val f = filesOf("linear", expr("x8 div 4"))
-      .unionAll(filesOf("zorder", expr("z div 1024")))
-      .cutLineage(eager = false) // the two consumers below read it once
+    // ONE fact scan (shared explode shape) down to ≤128 stats rows;
+    // the lineage cut only pins that compact frame for its two
+    // consumers below, never fact-cardinality data
+    val f = perFileStats(spark, dir)
+      .select(col("layout"), col("min_x"), col("max_x"))
+      .cutLineage(eager = false)
     val deltas = f.select(col("layout"), col("min_x").as("pos"), lit(1L).as("delta"))
       .unionAll(f.select(col("layout"), (col("max_x") + 1).as("pos"),
         lit(-1L).as("delta")))
