@@ -904,12 +904,24 @@ object SparkEntry {
       """WITH t AS (SELECT user_id, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
         |    count(*) OVER (PARTITION BY user_id) AS n
-        |  FROM events)
-        |SELECT user_id, count(*) AS n_events,
-        |  round(sum((CASE WHEN rn = 1 THEN pow(0.8, n - 1)
-        |    ELSE 0.2 * pow(0.8, n - rn) END) * value), 4) + 0.0 AS ewma_value,
-        |  round(avg(value), 4) + 0.0 AS mean_value
-        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  FROM events),
+        |tt AS (SELECT user_id, rn,
+        |    (CASE WHEN rn = 1 THEN pow(0.8, n - 1)
+        |      ELSE 0.2 * pow(0.8, n - rn) END) * value AS term
+        |  FROM t),
+        |b1 AS (SELECT user_id, (rn - 1) // 1024 AS blk,
+        |    list_reduce(list(term ORDER BY rn), (a, b) -> a + b) AS bs
+        |  FROM tt GROUP BY 1, 2),
+        |ew AS (SELECT user_id,
+        |    list_reduce(list(bs ORDER BY blk), (a, b) -> a + b) AS ew
+        |  FROM b1 GROUP BY 1),
+        |m AS (SELECT user_id, count(*) AS n_events,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1)
+        |SELECT m.user_id AS user_id, n_events,
+        |  ew + 0.0 AS ewma_value,
+        |  CAST(cents AS DOUBLE) / n_events / 100.0 AS mean_value
+        |FROM m JOIN ew USING (user_id) ORDER BY user_id""".stripMargin,
     "q_time_weighted_avg" ->
       """WITH t AS (SELECT event_type, event_id,
         |    CAST(round(value * 1000) AS BIGINT) AS v_milli,
@@ -3808,8 +3820,8 @@ object SparkEntry {
          |comp AS (SELECT pos - 1 AS dim, x FROM (
          |  SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e))
          |SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
-         |  round(avg(x), 4) AS mean_x, round(stddev_samp(x), 4) AS sd_x,
-         |  round(min(x), 4) AS min_x, round(max(x), 4) AS max_x
+         |  round(avg(x), 4) + 0.0 AS mean_x, round(stddev_samp(x), 4) + 0.0 AS sd_x,
+         |  round(min(x), 4) + 0.0 AS min_x, round(max(x), 4) + 0.0 AS max_x
          |FROM comp GROUP BY 1 ORDER BY dim""".stripMargin,
     "sync_oldest_pending" ->
       s"""WITH $invCte, $durCte

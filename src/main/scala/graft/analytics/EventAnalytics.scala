@@ -132,17 +132,49 @@ object EventAnalytics {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-    Tables.events(spark, dir)
+    // Each term α(1−α)^(n−rn)·v is one IEEE pow+multiply — identical
+    // in both engines. Their SUM must not be a free-order float sum:
+    // the mean of 2-decimal money values sits EXACTLY on .xxxx5
+    // rounding boundaries (sum_cents/n), where engine-order drift
+    // flips the 4th decimal (caught at sf0.1, the r11 modularity
+    // class). The mean therefore uses exact integer cents with one
+    // final division, and the EWMA folds in a FIXED-SHAPE two-level
+    // reduction: terms fold in rn order inside data-independent
+    // 1024-row blocks, block sums fold in block order — identical op
+    // sequence in both engines at any partitioning, with every
+    // collected array bounded (≤1024 terms / ≤n/1024 block sums), so
+    // a hot user spills to more blocks, never a bigger buffer.
+    val terms = Tables.events(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("wt",
-        when(col("rn") === 1, pow(lit(1 - alpha), col("n") - 1))
+      .withColumn("term",
+        (when(col("rn") === 1, pow(lit(1 - alpha), col("n") - 1))
           .otherwise(lit(alpha) * pow(lit(1 - alpha), col("n") - col("rn"))))
+          * col("value"))
+    val blockSums = terms
+      .groupBy(col("user_id"), expr("(rn - 1) div 1024").as("blk"))
+      .agg(sort_array(collect_list(struct(col("rn"), col("term")))).as("a"))
+      .select(col("user_id"), col("blk"),
+        aggregate(col("a"), lit(0.0), (acc, x) => acc + x.getField("term")).as("bs"))
+    val ewma = blockSums
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("blk"), col("bs")))).as("b"))
+      .select(col("user_id"),
+        aggregate(col("b"), lit(0.0), (acc, x) => acc + x.getField("bs")).as("ew"))
+    Tables.events(spark, dir)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        (round(sum(col("wt") * col("value")), 4) + lit(0.0)).as("ewma_value"),
-        (round(avg(col("value")), 4) + lit(0.0)).as("mean_value"))
+        sum(graft.analytics.Money.cents(col("value"))).as("cents"))
+      .join(ewma, Seq("user_id"))
+      // NO final round: the fold and the exact-cents division produce
+      // bit-identical doubles in both engines, while round(…, 4) at a
+      // money-tie value (sum_cents/n ends in …5 by construction)
+      // flips between Spark's shortest-repr HALF_UP and DuckDB's
+      // binary-value rounding — identical inputs, different 4th digit
+      .select(col("user_id"), col("n_events"),
+        (col("ew") + lit(0.0)).as("ewma_value"),
+        (col("cents").cast("double") / col("n_events") / 100.0).as("mean_value"))
       .orderBy(col("user_id"))
   }
 

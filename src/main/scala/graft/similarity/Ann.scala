@@ -878,10 +878,13 @@ object Ann {
       .select(posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("dim").cast("long").as("dim"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("x")), 4).as("mean_x"),
-        round(stddev_samp(col("x")), 4).as("sd_x"),
-        round(min(col("x")), 4).as("min_x"),
-        round(max(col("x")), 4).as("max_x"))
+        // + 0.0 normalizes -0.0 (a dim with mean in (-0.00005, 0]
+        // rounds to negative zero in DuckDB but not here — flipped
+        // the sf0.1 hash in r12)
+        (round(avg(col("x")), 4) + lit(0.0)).as("mean_x"),
+        (round(stddev_samp(col("x")), 4) + lit(0.0)).as("sd_x"),
+        (round(min(col("x")), 4) + lit(0.0)).as("min_x"),
+        (round(max(col("x")), 4) + lit(0.0)).as("max_x"))
       .orderBy(col("dim"))
 
   /** §2.4#274 — pairwise-cosine histogram over a deterministic hash
