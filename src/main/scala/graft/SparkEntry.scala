@@ -3915,9 +3915,9 @@ object SparkEntry {
         |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
         |  CAST(sum(x * x) AS BIGINT) AS sxx FROM xy GROUP BY 1)
         |SELECT event_type, n_days,
-        |  round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
-        |    nullif(CAST(n_days * sxx - sx * sx AS DOUBLE), 0.0), 4) AS slope_per_day,
-        |  round(CAST(sy AS DOUBLE) / n_days, 2) AS mean_daily
+        |  CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |    nullif(CAST(n_days * sxx - sx * sx AS DOUBLE), 0.0) AS slope_per_day,
+        |  CAST(sy AS DOUBLE) / n_days AS mean_daily
         |FROM s ORDER BY event_type""".stripMargin,
     "sync_catchup_eta" ->
       s"""WITH $invCte, $durCte,
@@ -4119,8 +4119,8 @@ object SparkEntry {
         |    CAST(sum(ca * (2 * (cum_cb - cb) + cb)) AS BIGINT) AS u2_a
         |  FROM cum GROUP BY 1)
         |SELECT event_type, n_a, n_b, u2_a,
-        |  round((CAST(u2_a AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0)
-        |    / sqrt(CAST(n_a AS DOUBLE) * n_b * (n_a + n_b + 1) / 12.0), 4) AS z
+        |  (CAST(u2_a AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0)
+        |    / sqrt(CAST(n_a AS DOUBLE) * n_b * (n_a + n_b + 1) / 12.0) AS z
         |FROM ag WHERE n_a > 0 AND n_b > 0 ORDER BY event_type""".stripMargin,
     "q_kendall_tau" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
@@ -4134,7 +4134,7 @@ object SparkEntry {
         |  FROM daily x JOIN daily y ON x.event_type = y.event_type AND x.day < y.day
         |  GROUP BY 1)
         |SELECT event_type, n_days, concordant, discordant, ties,
-        |  round((2.0 * (concordant - discordant)) / (n_days * (n_days - 1)), 4) AS tau
+        |  (2.0 * (concordant - discordant)) / (n_days * (n_days - 1)) AS tau
         |FROM n JOIN p USING (event_type)
         |WHERE n_days > 1 ORDER BY event_type""".stripMargin,
     "io_prune_effectiveness" ->
@@ -4180,7 +4180,7 @@ object SparkEntry {
         |    count(*) OVER (PARTITION BY event_type) AS n_pairs
         |  FROM sl)
         |SELECT event_type, n_pairs,
-        |  round(slope, 4) AS slope_med_per_day
+        |  slope AS slope_med_per_day
         |FROM r WHERE rn = (n_pairs + 1) // 2
         |ORDER BY event_type""".stripMargin,
     "q_spearman" ->
@@ -4201,9 +4201,9 @@ object SparkEntry {
         |    CAST(sum(rv * rv) AS HUGEINT) AS syy
         |  FROM rk GROUP BY 1)
         |SELECT event_type, n_days,
-        |  round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |  CAST(n_days * sxy - sx * sy AS DOUBLE) /
         |    nullif(sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE) *
-        |      CAST(n_days * syy - sy * sy AS DOUBLE)), 0.0), 4) AS rho
+        |      CAST(n_days * syy - sy * sy AS DOUBLE)), 0.0) AS rho
         |FROM ag WHERE n_days > 1 ORDER BY event_type""".stripMargin,
     "io_clustering_depth" ->
       s"""WITH b AS (SELECT max(l_partkey) AS max_p, max(l_suppkey) AS max_s

@@ -132,8 +132,15 @@ object EventAnalytics {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-    // Each term α(1−α)^(n−rn)·v is one IEEE pow+multiply — identical
-    // in both engines. Their SUM must not be a free-order float sum:
+    // Each term α(1−α)^(n−rn)·v is one pow+multiply. The pow must be
+    // [[graft.functions.LibmPow]] (java.lang.Math.pow), NOT Spark's
+    // built-in POWER: Spark's Pow evaluates via StrictMath/fdlibm,
+    // which disagrees with DuckDB's correctly-rounded libm pow by
+    // 1 ulp on real inputs (measured at 0.8^42 — it wobbled this
+    // op's unrounded output at sf0.01). Math.pow matches libm on
+    // this image; the PureFunctionProps pow pin (digest of 0.8^k
+    // bits, k≤256) turns that platform assumption into a loud test.
+    // Their SUM must not be a free-order float sum:
     // the mean of 2-decimal money values sits EXACTLY on .xxxx5
     // rounding boundaries (sum_cents/n), where engine-order drift
     // flips the 4th decimal (caught at sf0.1, the r11 modularity
@@ -149,8 +156,10 @@ object EventAnalytics {
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(wAll))
       .withColumn("term",
-        (when(col("rn") === 1, pow(lit(1 - alpha), col("n") - 1))
-          .otherwise(lit(alpha) * pow(lit(1 - alpha), col("n") - col("rn"))))
+        (when(col("rn") === 1,
+          graft.functions.MathFunctions.libm_pow(lit(1 - alpha), col("n") - 1))
+          .otherwise(lit(alpha) *
+            graft.functions.MathFunctions.libm_pow(lit(1 - alpha), col("n") - col("rn"))))
           * col("value"))
     val blockSums = terms
       .groupBy(col("user_id"), expr("(rn - 1) div 1024").as("blk"))

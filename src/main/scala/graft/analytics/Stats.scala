@@ -687,11 +687,11 @@ object Stats {
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
       .select(col("event_type"), col("n_days"),
-        round((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
           nullif((col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"),
-            lit(0.0)), 4)
+            lit(0.0)))
           .as("slope_per_day"),
-        round(col("sy").cast("double") / col("n_days"), 2).as("mean_daily"))
+        (col("sy").cast("double") / col("n_days")).as("mean_daily"))
       .orderBy(col("event_type"))
   }
 
@@ -726,10 +726,10 @@ object Stats {
           .cast("decimal(38,0)")).cast("long").as("u2_a"))
       .filter(col("n_a") > 0 && col("n_b") > 0)
       .select(col("event_type"), col("n_a"), col("n_b"), col("u2_a"),
-        round((col("u2_a").cast("double") / 2.0 -
+        ((col("u2_a").cast("double") / 2.0 -
           col("n_a").cast("double") * col("n_b") / 2.0) /
           sqrt(col("n_a").cast("double") * col("n_b") *
-            (col("n_a") + col("n_b") + 1) / 12.0), 4).as("z"))
+            (col("n_a") + col("n_b") + 1) / 12.0)).as("z"))
       .orderBy(col("event_type"))
   }
 
@@ -762,7 +762,7 @@ object Stats {
       .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy(col("event_type"))))
       .filter(col("rn") === expr("(n_pairs + 1) div 2"))
       .select(col("event_type"), col("n_pairs"),
-        round(col("slope"), 4).as("slope_med_per_day"))
+        col("slope").as("slope_med_per_day"))
       .orderBy(col("event_type"))
   }
 
@@ -797,11 +797,11 @@ object Stats {
         sum(dec(col("rv")) * col("rv")).as("syy"))
       .filter(col("n_days") > 1)
       .select(col("event_type"), col("n_days"),
-        round((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        ((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
           nullif(sqrt((col("n_days") * col("sxx") - col("sx") * col("sx"))
               .cast("double") *
             (col("n_days") * col("syy") - col("sy") * col("sy")).cast("double")),
-            lit(0.0)), 4).as("rho"))
+            lit(0.0))).as("rho"))
       .orderBy(col("event_type"))
   }
 
@@ -832,8 +832,8 @@ object Stats {
       .filter(col("n_days") > 1)
       .select(col("event_type"), col("n_days"), col("concordant"),
         col("discordant"), col("ties"),
-        round((lit(2.0) * (col("concordant") - col("discordant"))) /
-          (col("n_days") * (col("n_days") - 1)), 4).as("tau"))
+        ((lit(2.0) * (col("concordant") - col("discordant"))) /
+          (col("n_days") * (col("n_days") - 1))).as("tau"))
       .orderBy(col("event_type"))
   }
 }

@@ -133,16 +133,26 @@ object GraphOps {
   def graphTransitivity(spark: SparkSession, dir: String): DataFrame = {
     val (nodes, edges) = graphOf(spark, dir) // built once, feeds both counts
     def dec(c: Column): Column = c.cast("decimal(38,0)")
+    // d(d−1)/2 halved exactly per term via the even factor (deg div 2
+    // stays in long range for any deg; products widen in decimal), so
+    // there is no floor/scale-widening division whose overflow-null
+    // could be confused with the empty-graph null. The count guard
+    // coalesces ONLY the empty-input case: a genuine decimal overflow
+    // now surfaces as a null n_wedges (loud), not a silent 0.
     val wedges = repDegrees(nodes, edges)
-      .agg(coalesce(
-        floor(sum(dec(col("n_copies")) * col("deg") * (col("deg") - 1)) / 2)
-          .cast("decimal(38,0)"),
-        lit(0L).cast("decimal(38,0)")).cast("long").as("n_wedges"))
+      .agg(count(lit(1)).as("n_reps"),
+        sum(dec(col("n_copies")) *
+          when(col("deg") % 2 === 0,
+            dec(expr("deg div 2")) * (dec(col("deg")) - 1))
+          .otherwise(dec(col("deg")) * dec(expr("(deg - 1) div 2"))))
+          .as("w_raw"))
+      .select(when(col("n_reps") === 0, lit(0L))
+        .otherwise(col("w_raw").cast("long")).as("n_wedges"))
     trianglesOf(nodes, edges).select(col("n_triangles"))
       .crossJoin(wedges)
       .select(col("n_triangles"), col("n_wedges"),
         when(col("n_wedges") > 0,
-          round((lit(3.0) * col("n_triangles")) / col("n_wedges"), 4))
+          (lit(3.0) * col("n_triangles")) / col("n_wedges"))
           .as("transitivity"))
   }
 
@@ -162,7 +172,7 @@ object GraphOps {
         |  FROM deg)
         |SELECT tri.n_triangles, w.n_wedges,
         |  CASE WHEN n_wedges > 0
-        |    THEN round((3.0 * n_triangles) / n_wedges, 4) END AS transitivity
+        |    THEN (3.0 * n_triangles) / n_wedges END AS transitivity
         |FROM tri, w""".stripMargin
 
   /** §2.3 `graph_assortativity` — degree assortativity of the
@@ -574,7 +584,13 @@ object GraphOps {
     * operation — the final division — so the result is independent of
     * partition/summation order on both engines (a per-community
     * double `qterm` sum drifted in the 4th rounded decimal at sf0.1;
-    * §6 exact-sufficient-sums convention). The oracle recomputes Q
+    * §6 exact-sufficient-sums convention). Q is emitted UNROUNDED:
+    * both engines assemble the same exact integers and perform one
+    * correctly-rounded IEEE division, so the doubles are
+    * bit-identical and `round(x, 4)` would only re-introduce the one
+    * op where engines legitimately disagree on .xxxx5 ties (Spark
+    * HALF_UP on the shortest repr vs DuckDB on the binary value —
+    * the q_ewma lesson). The oracle recomputes Q
     * from the materialized full graph with the same factored form,
     * checking the closed form. Communities that touch no edge
     * contribute nothing and are excluded on both sides (d_c > 0).
@@ -610,11 +626,10 @@ object GraphOps {
         sum(col("e_c")).as("intra_edges"),
         sum(col("d_c").cast("decimal(38,0)") * col("d_c")).as("s2"))
       .select(col("n_communities"), col("m_edges"), col("intra_edges"),
-        round(
-          (lit(4).cast("decimal(38,0)") * col("m_edges") * col("intra_edges") -
+        ((lit(4).cast("decimal(38,0)") * col("m_edges") * col("intra_edges") -
             col("s2")).cast("double") /
           (lit(4).cast("decimal(38,0)") * col("m_edges") * col("m_edges"))
-            .cast("double"), 4).as("modularity"))
+            .cast("double")).as("modularity"))
   }
 
   /** DuckDB oracle for [[graphModularity]] — Q recomputed on the
@@ -649,10 +664,10 @@ object GraphOps {
               |SELECT count(*) AS n_communities,
               |  (SELECT m FROM mm) AS m_edges,
               |  sum(e_c) AS intra_edges,
-              |  round(CAST(4 * (SELECT m FROM mm) * sum(e_c)
+              |  CAST(4 * (SELECT m FROM mm) * sum(e_c)
               |        - sum(CAST(d_c AS HUGEINT) * d_c) AS DOUBLE)
-              |    / CAST(4 * (SELECT m FROM mm) * (SELECT m FROM mm) AS DOUBLE),
-              |    4) AS modularity
+              |    / CAST(4 * (SELECT m FROM mm) * (SELECT m FROM mm) AS DOUBLE)
+              |    AS modularity
               |FROM per""".stripMargin
     sb.toString
   }

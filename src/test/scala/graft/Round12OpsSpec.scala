@@ -56,9 +56,10 @@ class Round12OpsSpec extends GraftSpec {
     if (nWedges > 0) {
       val c = t(0).getDouble(2)
       assert(c >= 0.0 && c <= 1.0)
-      val want = BigDecimal(3.0 * nTri / nWedges)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(math.abs(c - want) < 1e-12)
+      // unrounded emission: exact ints + one IEEE division → bit equality
+      val want = 3.0 * nTri / nWedges
+      assert(java.lang.Double.doubleToLongBits(c) ===
+        java.lang.Double.doubleToLongBits(want))
     }
   }
 
@@ -79,6 +80,12 @@ class Round12OpsSpec extends GraftSpec {
         2L * b.count(y => x > y) + b.count(y => x == y)
       }.sum
       assert(r.getLong(3) === u2, s"u2_a($ty) exact")
+      // z is emitted unrounded; mirror the exact IEEE assembly
+      val (na, nb) = (a.size.toLong, b.size.toLong)
+      val zWant = (u2 / 2.0 - na.toDouble * nb / 2.0) /
+        math.sqrt(na.toDouble * nb * (na + nb + 1) / 12.0)
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ===
+        java.lang.Double.doubleToLongBits(zWant), s"z($ty) bit-exact")
     }
     assert(got.map(_.getString(0)).toSet === byType.keySet.filter { ty =>
       byType(ty).exists(_._2 % 2 == 0) && byType(ty).exists(_._2 % 2 != 0)
@@ -124,9 +131,11 @@ class Round12OpsSpec extends GraftSpec {
         yield (s(j)._3 - s(i)._3).toDouble / (s(j)._2.toEpochDay - s(i)._2.toEpochDay))
         .sorted
       assert(r.getLong(1) === slopes.size.toLong, s"n_pairs($ty)")
-      val want = BigDecimal(slopes((slopes.size + 1) / 2 - 1))
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(r.getDouble(2) === want, s"lower-median slope($ty)")
+      // unrounded emission: the lower-median slope is ONE exact-int
+      // division picked by an order statistic → bit equality
+      val want = slopes((slopes.size + 1) / 2 - 1)
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ===
+        java.lang.Double.doubleToLongBits(want), s"lower-median slope($ty)")
     }
     assert(got.map(_.getString(0)).toSet === byType.keySet)
   }
@@ -159,9 +168,11 @@ class Round12OpsSpec extends GraftSpec {
       val syy = rv.map(a => a * a).sum
       val den = math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
       if (den > 0) {
-        val want = BigDecimal((n * sxy - sx * sy).toDouble / den)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-        assert(math.abs(r.getDouble(2) - want) < 2e-4, s"rho($ty)")
+        // unrounded emission: both sides assemble the same exact
+        // integers through the same IEEE op chain → 1e-12, not 2e-4
+        // (a wrong 4th decimal must FAIL this parity test)
+        val want = (n * sxy - sx * sy).toDouble / den
+        assert(math.abs(r.getDouble(2) - want) < 1e-12, s"rho($ty)")
         assert(math.abs(r.getDouble(2)) <= 1.0, s"|rho|<=1 ($ty)")
       }
     }
