@@ -202,6 +202,7 @@ object SparkEntry {
     "ann_pq_codes" -> (graft.similarity.Pq.annPqCodes(_, _)),
     "ann_pq_adc" -> (graft.similarity.Pq.annPqAdc(_, _)),
     "ann_pq_rerank" -> (graft.similarity.Pq.annPqRerank(_, _)),
+    "ann_rerank_sweep" -> (graft.similarity.Pq.annRerankSweep(_, _)),
     "ann_ivf_pq_search" -> (graft.similarity.Pq.annIvfPqSearch(_, _)),
     "ann_label_separation" -> (Ann.annLabelSeparation(_, _)),
     "vec_argmax" -> (Ann.vecArgmax(_, _)),
@@ -298,6 +299,7 @@ object SparkEntry {
     "io_txn_vacuum" -> (graft.sources.TxnLog.ioTxnVacuum(_, _)),
     "io_delete_vectors" -> (graft.sources.TxnLog.ioDeleteVectors(_, _)),
     "io_stats_prune_scan" -> (graft.sources.TxnLog.ioStatsPruneScan(_, _)),
+    "io_stats_prune_bloom" -> (graft.sources.TxnLog.ioStatsPruneBloom(_, _)),
     "sync_leveled_compaction" -> (SyncOps.syncLeveledCompaction(_, _)),
     "q_skyline" -> (Frontier.qSkyline(_, _)),
     "q_max_concurrency" -> (Frontier.qMaxConcurrency(_, _)),
@@ -1809,6 +1811,8 @@ object SparkEntry {
     "ann_pq_codes" -> graft.similarity.Pq.pqCodesOracleSql,
     "ann_pq_adc" -> graft.similarity.Pq.pqAdcOracleSql,
     "ann_pq_rerank" -> graft.similarity.Pq.pqRerankOracleSql,
+    "ann_rerank_sweep" -> graft.similarity.Pq.rerankSweepOracleSql,
+    "io_stats_prune_bloom" -> graft.sources.TxnLog.statsPruneBloomOracleSql,
     "ann_ivf_pq_search" -> graft.similarity.Pq.ivfPqOracleSql,
     "graph_degree_hist" -> graft.graph.GraphOps.degreeHistOracleSql,
     "graph_triangles" -> graft.graph.GraphOps.trianglesOracleSql,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CutOps
 import graft.sources.Tables
 import VectorOps._
 
@@ -452,5 +453,140 @@ object Pq {
        |SELECT qs.q_id, CAST(coalesce(m.n_matched, 0) AS BIGINT) AS n_matched,
        |  CAST($IvfPqK AS BIGINT) AS top_k
        |FROM qs LEFT JOIN m ON qs.q_id = m.q_id ORDER BY qs.q_id""".stripMargin
+  }
+
+  val SweepDepths: Seq[Int] = Seq(3, 5, 10)
+
+  /** §2.4 `ann_rerank_sweep` — the retrieval-quality curve of the
+    * two-stage (ADC shortlist → exact re-rank) pipeline as a function
+    * of shortlist depth: the last readout of the FAISS-style stack
+    * that [[annPqRerank]] leaves implicit. For each depth d ∈
+    * {3, 5, 10}, the PQ scan retrieves d candidates, the exact
+    * re-rank reorders them, and three exact-integer metrics land per
+    * depth: Σ per-probe |rerank-top-3 ∩ exact-top-3| (recall mass),
+    * the number of probes whose re-ranked #1 IS the true global
+    * nearest (top-1 hits — the cross-encoder question "did the
+    * cheap stage even retrieve the right answer for the expensive
+    * stage to find?"), and the number of probes whose true nearest
+    * was retrieved at all (retrieval ceiling: re-ranking can never
+    * exceed it). Monotone in d by construction — spec-pinned.
+    *
+    * Scale: one candidate set at the max depth (bounded
+    * probes×[[RerankDepth]] rows, broadcast), ONE full-precision
+    * fetch of just those ids, and the depth dimension is a 3-way
+    * explode over that bounded frame — the corpus is scanned once
+    * for codes and once for the exact yardstick, independent of how
+    * many depths the sweep reads off.
+    */
+  def annRerankSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    val probes = withDistVectors(
+      e.filter(col("vec_id") % Probes === 0 && col("vec_id") < AdcProbeCap), e)
+      .select(col("vec_id").as("probe_id") +: col("v").as("q") +:
+        (0 until M).map(mi => col(s"d$mi").as(s"lut_$mi")): _*)
+    val codes = pqCodesDf(spark, dir)
+    val adc = (0 until M)
+      .map(mi => element_at(col(s"lut_$mi"), col(s"code_$mi").cast("int") + 1))
+      .reduce(_ + _)
+    val wAdc = Window.partitionBy(col("probe_id")).orderBy(col("adc"), col("vec_id"))
+    val candidates = codes.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("adc", adc)
+      .withColumn("rnk", row_number().over(wAdc))
+      .filter(col("rnk") <= RerankDepth)
+      .select(col("probe_id"), col("vec_id"), col("rnk"))
+      .limit(((AdcProbeCap + Probes - 1) / Probes) * RerankDepth)
+    val l2 = graft.functions.VectorFunctions.squared_l2(col("v"), col("q"))
+    val qOnly = probes.select(col("probe_id"), col("q"))
+    val candL2 = e.join(broadcast(candidates), Seq("vec_id"))
+      .join(broadcast(qOnly), Seq("probe_id"))
+      .withColumn("l2", l2)
+      .select(col("probe_id"), col("vec_id"), col("rnk"), col("l2"))
+    val candD = candL2
+      .withColumn("depth", explode(array(SweepDepths.map(lit(_)): _*)))
+      .filter(col("rnk") <= col("depth"))
+    val wRr = Window.partitionBy(col("depth"), col("probe_id"))
+      .orderBy(col("l2"), col("vec_id"))
+    val rr = candD.withColumn("rr", row_number().over(wRr))
+    val wEx = Window.partitionBy(col("probe_id")).orderBy(col("l2"), col("vec_id"))
+    val exact = e.crossJoin(broadcast(qOnly))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("l2", l2)
+      .withColumn("xr", row_number().over(wEx))
+      .filter(col("xr") <= AdcTopK)
+      .select(col("probe_id"), col("vec_id"), col("xr"))
+      .cutLineage() // yardstick read by three metric joins
+    val recall = rr.filter(col("rr") <= AdcTopK)
+      .join(exact, Seq("probe_id", "vec_id"))
+      .groupBy(col("depth")).agg(count(lit(1)).as("recall3_sum"))
+    val top1 = rr.filter(col("rr") === 1)
+      .join(exact.filter(col("xr") === 1), Seq("probe_id", "vec_id"))
+      .groupBy(col("depth")).agg(count(lit(1)).as("top1_hits"))
+    val bestRetrieved = candD
+      .join(exact.filter(col("xr") === 1), Seq("probe_id", "vec_id"))
+      .groupBy(col("depth")).agg(count(lit(1)).as("best_retrieved"))
+    import spark.implicits._
+    val depths = SweepDepths.toDF("depth")
+    depths.crossJoin(qOnly.agg(count(lit(1)).as("n_probes")))
+      .join(bestRetrieved, Seq("depth"), "left")
+      .join(top1, Seq("depth"), "left")
+      .join(recall, Seq("depth"), "left")
+      .select(col("depth"), col("n_probes"),
+        coalesce(col("best_retrieved"), lit(0L)).as("best_retrieved"),
+        coalesce(col("top1_hits"), lit(0L)).as("top1_hits"),
+        coalesce(col("recall3_sum"), lit(0L)).as("recall3_sum"))
+      .orderBy(col("depth"))
+  }
+
+  /** DuckDB oracle for [[annRerankSweep]] — same candidate CTE, the
+    * depth dimension as a VALUES join, identical float op order.
+    */
+  def rerankSweepOracleSql: String = {
+    val luts = (0 until M).map(mi => s"${subDistSql("q", mi)} AS lut_$mi").mkString(",\n  ")
+    val adcSum = (0 until M).map(mi => s"lut_$mi[code_$mi + 1]").mkString(" + ")
+    val l2 = s"list_sum(list_transform(range(1, ${M * Sub + 1}), " +
+      "j -> (v[j] - q[j]) * (v[j] - q[j])))"
+    val depthRows = SweepDepths.map(d => s"($d)").mkString(", ")
+    s"""WITH $cbCtes,
+       |$codesCte,
+       |probes AS (SELECT vec_id AS probe_id, v AS q,
+       |  $luts
+       |  FROM e, cbl WHERE vec_id % $Probes = 0 AND vec_id < $AdcProbeCap),
+       |adc AS (SELECT probe_id, vec_id,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY ($adcSum), vec_id) AS rnk
+       |  FROM codes, probes WHERE vec_id <> probe_id),
+       |cand AS (SELECT probe_id, vec_id, rnk FROM adc WHERE rnk <= $RerankDepth),
+       |cl AS (SELECT c.probe_id, c.vec_id, c.rnk, $l2 AS l2
+       |  FROM cand c JOIN e ON e.vec_id = c.vec_id
+       |  JOIN probes p ON p.probe_id = c.probe_id),
+       |dep AS (SELECT depth FROM (VALUES $depthRows) t(depth)),
+       |cd AS (SELECT dep.depth, cl.probe_id, cl.vec_id, cl.l2
+       |  FROM cl JOIN dep ON cl.rnk <= dep.depth),
+       |rr AS (SELECT depth, probe_id, vec_id,
+       |  row_number() OVER (PARTITION BY depth, probe_id ORDER BY l2, vec_id) AS rr
+       |  FROM cd),
+       |ex AS (SELECT probe_id, vec_id,
+       |  row_number() OVER (PARTITION BY probe_id ORDER BY $l2, vec_id) AS xr
+       |  FROM e, probes WHERE vec_id <> probe_id),
+       |ex_top AS (SELECT probe_id, vec_id, xr FROM ex WHERE xr <= $AdcTopK),
+       |np AS (SELECT count(*) AS n_probes FROM probes),
+       |rec AS (SELECT depth, count(*) AS recall3_sum FROM rr
+       |  JOIN ex_top x ON rr.probe_id = x.probe_id AND rr.vec_id = x.vec_id
+       |  WHERE rr.rr <= $AdcTopK GROUP BY 1),
+       |t1 AS (SELECT depth, count(*) AS top1_hits FROM rr
+       |  JOIN ex_top x ON rr.probe_id = x.probe_id AND rr.vec_id = x.vec_id
+       |  WHERE rr.rr = 1 AND x.xr = 1 GROUP BY 1),
+       |br AS (SELECT depth, count(*) AS best_retrieved FROM cd
+       |  JOIN ex_top x ON cd.probe_id = x.probe_id AND cd.vec_id = x.vec_id
+       |  WHERE x.xr = 1 GROUP BY 1)
+       |SELECT dep.depth AS depth, CAST(np.n_probes AS BIGINT) AS n_probes,
+       |  CAST(coalesce(br.best_retrieved, 0) AS BIGINT) AS best_retrieved,
+       |  CAST(coalesce(t1.top1_hits, 0) AS BIGINT) AS top1_hits,
+       |  CAST(coalesce(rec.recall3_sum, 0) AS BIGINT) AS recall3_sum
+       |FROM dep CROSS JOIN np
+       |LEFT JOIN br ON dep.depth = br.depth
+       |LEFT JOIN t1 ON dep.depth = t1.depth
+       |LEFT JOIN rec ON dep.depth = rec.depth
+       |ORDER BY depth""".stripMargin
   }
 }

@@ -5,9 +5,10 @@ import java.nio.file.Files
 import java.util.UUID
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CutOps
 import graft.analytics.Money
 
 /** Lake-format primitives: a Delta-style transaction log, merge-on-read
@@ -471,4 +472,132 @@ object TxnLog {
       col("min_d") <= lit("1996-06-30").cast("date")).count()
     (total, hit)
   }
+
+  // ---- Bloom / NDV stats audit ----
+
+  /** §2.8 `io_stats_prune_bloom` — the row-group-level Bloom + NDV
+    * audit twin of [[ioStatsPruneScan]]: min/max footer stats prune
+    * RANGE predicates on the clustering column, but are near-useless
+    * for POINT lookups on a column uncorrelated with the layout
+    * (every file's [min,max] spans the whole key domain). Real lake
+    * formats add per-file Bloom filters and NDV counts for exactly
+    * this; this op measures what they buy, with everything exact and
+    * oracle-reproducible.
+    *
+    * Layout: 16 synthetic range files on ship-date (the file id is a
+    * pure function of the data — `(datediff from min × 16) div
+    * (span+1)` — so the oracle rebuilds the identical layout; actual
+    * `repartitionByRange` boundaries depend on sampling and could
+    * not be mirrored). Per file: min/max/NDV of `l_orderkey` and a
+    * 2^16-bit Bloom over the file's distinct orderkeys, k=2 hash
+    * positions read straight off md5 hex prefixes (4 nibbles each, no
+    * hex→int conversion — the [[graft.dedup.Dedup.dedupSimhash]]
+    * portability discipline). The filter is stored as the SET of set
+    * bit positions, ≤ 2·NDV small rows per file — at 100 TB these are
+    * KBs of metadata per file, the same "metadata describes data"
+    * shape as the txn log (reference anchor: the manifest that
+    * `Uploader._writeManifest` keeps per directory,
+    * `bin/cassandra-syncer:215-226`).
+    *
+    * Probes: a bounded orderkey slice (`% 997 == 1 AND < 100000` —
+    * ≤101 probes at ANY scale, the [[graft.similarity.Pq.AdcProbeCap]]
+    * discipline). Per probe-bucket readout: files admitted by min/max
+    * alone, by min/max+Bloom, and truly containing the key, plus the
+    * row counts those admissions would scan — every column an exact
+    * integer, so engine parity is trivially bit-level. Invariant
+    * (spec-pinned): true ⊆ bloom ⊆ minmax row by row — a Bloom has
+    * false positives, never false negatives. Saturation is part of
+    * the readout: as per-file NDV approaches the 2^16 bit budget the
+    * bloom column converges to the minmax column, which is exactly
+    * the sizing signal a table-format maintainer needs.
+    *
+    * Scale: one map-side-combined groupBy collapses the fact table to
+    * (file, key) cells; stats and bloom rows aggregate those cells;
+    * the probe×file grid is ≤ 101×16 broadcast rows. Nothing
+    * quadratic, nothing collected.
+    */
+  def ioStatsPruneBloom(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(to_date(col("l_shipdate")).as("d"), col("l_orderkey").as("ok"))
+    val bounds = li.agg(min(col("d")).as("mn"),
+      datediff(max(col("d")), min(col("d"))).as("span"))
+    val filed = li.crossJoin(broadcast(bounds))
+      .select(expr("CAST((datediff(d, mn) * 16) div (span + 1) AS BIGINT)").as("f"),
+        col("ok"))
+    // (file, key) cells: truth set, NDV base, and per-key row counts
+    val pk = filed.groupBy(col("f"), col("ok"))
+      .agg(count(lit(1)).as("n_rows_key"))
+      .cutLineage() // feeds stats, bloom, truth — read once
+    val st = pk.groupBy(col("f"))
+      .agg(min(col("ok")).as("min_ok"), max(col("ok")).as("max_ok"),
+        count(lit(1)).as("ndv"), sum(col("n_rows_key")).as("n_rows"))
+    def pos(k: Column, seed: String): Column =
+      substring(md5(concat(k.cast("string"), lit(s"|$seed"))), 1, 4)
+    val bb = pk.select(col("f"),
+        explode(array(pos(col("ok"), "1"), pos(col("ok"), "2"))).as("pos"))
+      .distinct()
+    val probes = li.filter(col("ok") % 997 === 1 && col("ok") < 100000)
+      .select(col("ok")).distinct()
+    val grid = probes.crossJoin(st)
+      .withColumn("p1", pos(col("ok"), "1"))
+      .withColumn("p2", pos(col("ok"), "2"))
+    val flagged = grid
+      .join(bb.select(col("f"), col("pos").as("p1"), lit(1L).as("h1")),
+        Seq("f", "p1"), "left")
+      .join(bb.select(col("f"), col("pos").as("p2"), lit(1L).as("h2")),
+        Seq("f", "p2"), "left")
+      .join(pk.select(col("f"), col("ok"), lit(1L).as("present")),
+        Seq("f", "ok"), "left")
+      .withColumn("amm", col("ok").between(col("min_ok"), col("max_ok")))
+      .withColumn("abloom",
+        col("amm") && col("h1").isNotNull && col("h2").isNotNull)
+    flagged.groupBy((col("ok") % 7).as("probe_bucket"))
+      .agg(countDistinct(col("ok")).as("n_probes"),
+        sum(when(col("amm"), 1L).otherwise(0L)).as("minmax_file_admits"),
+        sum(when(col("abloom"), 1L).otherwise(0L)).as("bloom_file_admits"),
+        sum(when(col("present").isNotNull, 1L).otherwise(0L)).as("true_file_hits"),
+        sum(when(col("amm"), col("n_rows")).otherwise(0L)).as("minmax_rows_scanned"),
+        sum(when(col("abloom"), col("n_rows")).otherwise(0L)).as("bloom_rows_scanned"))
+      .orderBy(col("probe_bucket"))
+  }
+
+  /** DuckDB oracle for [[ioStatsPruneBloom]] — the identical
+    * deterministic layout, md5-prefix bloom, and probe grid.
+    */
+  def statsPruneBloomOracleSql: String =
+    """WITH li AS (SELECT CAST(l_shipdate AS DATE) AS d, l_orderkey AS ok
+      |    FROM lineitem),
+      |b AS (SELECT min(d) AS mn,
+      |    date_diff('day', min(d), max(d)) AS span FROM li),
+      |fd AS (SELECT CAST((date_diff('day', mn, d) * 16) // (span + 1) AS BIGINT) AS f,
+      |    ok FROM li, b),
+      |pk AS (SELECT f, ok, count(*) AS n_rows_key FROM fd GROUP BY 1, 2),
+      |st AS (SELECT f, min(ok) AS min_ok, max(ok) AS max_ok,
+      |    count(*) AS ndv, CAST(sum(n_rows_key) AS BIGINT) AS n_rows
+      |  FROM pk GROUP BY 1),
+      |bb AS (SELECT DISTINCT f, pos FROM (
+      |    SELECT f, substr(md5(CAST(ok AS VARCHAR) || '|1'), 1, 4) AS pos FROM pk
+      |    UNION ALL
+      |    SELECT f, substr(md5(CAST(ok AS VARCHAR) || '|2'), 1, 4) FROM pk)),
+      |pr AS (SELECT DISTINCT ok FROM li WHERE ok % 997 = 1 AND ok < 100000),
+      |grid AS (SELECT pr.ok, st.f, st.min_ok, st.max_ok, st.n_rows,
+      |    substr(md5(CAST(pr.ok AS VARCHAR) || '|1'), 1, 4) AS p1,
+      |    substr(md5(CAST(pr.ok AS VARCHAR) || '|2'), 1, 4) AS p2
+      |  FROM pr, st),
+      |fl AS (SELECT grid.ok, grid.n_rows,
+      |    (grid.ok BETWEEN grid.min_ok AND grid.max_ok) AS amm,
+      |    ((grid.ok BETWEEN grid.min_ok AND grid.max_ok)
+      |      AND b1.pos IS NOT NULL AND b2.pos IS NOT NULL) AS abloom,
+      |    (p.ok IS NOT NULL) AS tru
+      |  FROM grid
+      |  LEFT JOIN bb b1 ON b1.f = grid.f AND b1.pos = grid.p1
+      |  LEFT JOIN bb b2 ON b2.f = grid.f AND b2.pos = grid.p2
+      |  LEFT JOIN pk p ON p.f = grid.f AND p.ok = grid.ok)
+      |SELECT ok % 7 AS probe_bucket, count(DISTINCT ok) AS n_probes,
+      |  CAST(sum(CASE WHEN amm THEN 1 ELSE 0 END) AS BIGINT) AS minmax_file_admits,
+      |  CAST(sum(CASE WHEN abloom THEN 1 ELSE 0 END) AS BIGINT) AS bloom_file_admits,
+      |  CAST(sum(CASE WHEN tru THEN 1 ELSE 0 END) AS BIGINT) AS true_file_hits,
+      |  CAST(sum(CASE WHEN amm THEN n_rows ELSE 0 END) AS BIGINT) AS minmax_rows_scanned,
+      |  CAST(sum(CASE WHEN abloom THEN n_rows ELSE 0 END) AS BIGINT) AS bloom_rows_scanned
+      |FROM fl GROUP BY 1 ORDER BY probe_bucket""".stripMargin
 }
