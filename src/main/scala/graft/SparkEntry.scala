@@ -551,7 +551,7 @@ object SparkEntry {
       s"""WITH $invCte, $durCte
          |SELECT cf, count(*) AS n_files,
          |  CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
-         |  round(avg(size_bytes), 2) AS avg_bytes,
+         |  CAST(sum(size_bytes) AS DOUBLE) / count(*) AS avg_bytes,
          |  max(generation) AS max_generation,
          |  count(DISTINCT node_id) AS n_nodes
          |FROM dur GROUP BY cf ORDER BY cf""".stripMargin,
@@ -834,9 +834,11 @@ object SparkEntry {
         |w AS (SELECT e.event_type, value, greatest(lo, least(hi, value)) AS wv,
         |    CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END AS cl
         |  FROM events e JOIN b USING (event_type))
-        |SELECT event_type, count(*) AS n_events, round(avg(value), 4) AS raw_mean,
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |    / count(*) / 100.0 AS raw_mean,
         |  round(avg(wv), 4) AS winsorized_mean,
-        |  round(CAST(sum(cl) AS DOUBLE) / count(*) * 100, 4) AS pct_clamped
+        |  CAST(sum(cl) AS DOUBLE) / count(*) * 100 AS pct_clamped
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_median_abs_dev" ->
       """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
@@ -1585,7 +1587,7 @@ object SparkEntry {
          |grid AS (SELECT np, q_id FROM nps
          |  CROSS JOIN (SELECT DISTINCT q_id FROM exact))
          |SELECT CAST(np AS BIGINT) AS nprobe, CAST(count(*) AS BIGINT) AS n_queries,
-         |  round(avg(coalesce(n_hits, 0) / 5.0), 4) AS mean_recall
+         |  CAST(sum(coalesce(n_hits, 0)) AS DOUBLE) / (count(*) * 5) AS mean_recall
          |FROM grid LEFT JOIN hits USING (np, q_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_ivf_topk" ->
@@ -1716,7 +1718,8 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.9), 4) AS p90,
         |  round(quantile_cont(value, 0.99), 4) AS p99,
         |  round(stddev(value), 4) AS sd,
-        |  round(avg(value), 4) AS mean
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |    / count(*) / 100.0 AS mean
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_percentiles_approx" ->
       """SELECT event_type, count(*) AS n_events,
@@ -1882,7 +1885,9 @@ object SparkEntry {
         |ci AS (SELECT event_type,
         |    round(quantile_cont(mean_b, 0.025), 4) AS ci_lo,
         |    round(quantile_cont(mean_b, 0.975), 4) AS ci_hi FROM m GROUP BY 1),
-        |pt AS (SELECT event_type, round(avg(value), 4) AS mean_value
+        |pt AS (SELECT event_type,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |      / count(*) / 100.0 AS mean_value
         |  FROM events GROUP BY 1)
         |SELECT pt.event_type AS event_type, mean_value, ci_lo, ci_hi
         |FROM pt JOIN ci ON pt.event_type = ci.event_type
@@ -1955,8 +1960,7 @@ object SparkEntry {
         |    CAST(ntile(5) OVER (ORDER BY mon_cents, o_custkey) AS BIGINT) AS mq
         |  FROM c)
         |SELECT rq, fq, mq, count(*) AS n_cust,
-        |  round(CAST(sum(mon_cents) AS DOUBLE) / 100.0 / count(*), 2)
-        |    AS avg_monetary
+        |  CAST(sum(mon_cents) AS DOUBLE) / 100.0 / count(*) AS avg_monetary
         |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_cohort_ltv" ->
       """WITH o AS (SELECT o_custkey,
@@ -1991,12 +1995,12 @@ object SparkEntry {
         |d1 AS (SELECT c_us - v_us AS d FROM p WHERE c_us - v_us IS NOT NULL),
         |d2 AS (SELECT p_us - c_us AS d FROM p WHERE p_us - c_us IS NOT NULL),
         |s1 AS (SELECT 'view_to_click' AS step, CAST(count(*) AS BIGINT) AS n_users,
-        |    round(CAST(sum(d) AS DOUBLE) / count(*), 2) AS mean_us,
+        |    CAST(sum(d) AS DOUBLE) / count(*) AS mean_us,
         |    round(quantile_cont(d, 0.5), 2) AS p50_us,
         |    round(quantile_cont(d, 0.9), 2) AS p90_us FROM d1),
         |s2 AS (SELECT 'click_to_purchase' AS step,
         |    CAST(count(*) AS BIGINT) AS n_users,
-        |    round(CAST(sum(d) AS DOUBLE) / count(*), 2) AS mean_us,
+        |    CAST(sum(d) AS DOUBLE) / count(*) AS mean_us,
         |    round(quantile_cont(d, 0.5), 2) AS p50_us,
         |    round(quantile_cont(d, 0.9), 2) AS p90_us FROM d2)
         |SELECT * FROM s1 UNION ALL SELECT * FROM s2 ORDER BY step""".stripMargin,
@@ -3723,7 +3727,7 @@ object SparkEntry {
         |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
         |  FROM e)
         |SELECT event_type, count(*) AS n_gaps,
-        |  round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1e6, 2) AS avg_gap_s,
+        |  CAST(sum(gap_us) AS DOUBLE) / count(*) / 1e6 AS avg_gap_s,
         |  CAST(min(gap_us) // 1000000 AS BIGINT) AS min_gap_s,
         |  CAST(max(gap_us) // 1000000 AS BIGINT) AS max_gap_s
         |FROM g WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY event_type""".stripMargin,
@@ -3734,7 +3738,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY event_type ORDER BY n DESC, hr) AS rn,
         |    CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS total FROM h)
         |SELECT event_type, hr AS modal_hour, n AS n_at_mode,
-        |  round(CAST(n AS DOUBLE) / total, 4) AS mode_share
+        |  CAST(n AS DOUBLE) / total AS mode_share
         |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "q_pareto_share" ->
       """WITH pc AS (SELECT o_custkey,
@@ -3764,7 +3768,7 @@ object SparkEntry {
         |    WHEN gap_days <= 90 THEN 'c_31_90'
         |    ELSE 'd_90_plus' END AS bucket, gap_days FROM b)
         |SELECT bucket, count(*) AS n_gaps,
-        |  round(CAST(sum(gap_days) AS DOUBLE) / count(*), 2) AS avg_days,
+        |  CAST(sum(gap_days) AS DOUBLE) / count(*) AS avg_days,
         |  min(gap_days) AS min_days, max(gap_days) AS max_days
         |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin,
     "text_hapax_ratio" ->
@@ -3906,8 +3910,8 @@ object SparkEntry {
          |  FROM s a JOIN s b ON a.vec_id < b.vec_id),
          |h AS (SELECT band, count(*) AS n_pairs FROM p GROUP BY band),
          |tp AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tp FROM h)
-         |SELECT band, round(CAST(band AS DOUBLE) / 10, 1) AS cos_lo, n_pairs,
-         |  round(CAST(n_pairs AS DOUBLE) / tp, 4) AS share
+         |SELECT band, CAST(band AS DOUBLE) / 10 AS cos_lo, n_pairs,
+         |  CAST(n_pairs AS DOUBLE) / tp AS share
          |FROM h, tp ORDER BY band""".stripMargin,
     "q_trend_slope" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
@@ -3935,10 +3939,10 @@ object SparkEntry {
          |  FROM dur s WHERE EXISTS (SELECT 1 FROM tgt WHERE tgt.path = s.path)
          |  GROUP BY cf)
          |SELECT p.cf, p.n_pending, p.pending_bytes, d.done_bytes,
-         |  round(CAST(done_bytes AS DOUBLE) * 1e6 /
-         |    nullif(CAST(span_us AS DOUBLE), 0.0), 2) AS rate_bytes_s,
-         |  round(CAST(pending_bytes AS DOUBLE) *
-         |    nullif(CAST(span_us AS DOUBLE), 0.0) / done_bytes / 1e6, 2) AS eta_s
+         |  CAST(done_bytes AS DOUBLE) * 1e6 /
+         |    nullif(CAST(span_us AS DOUBLE), 0.0) AS rate_bytes_s,
+         |  CAST(pending_bytes AS DOUBLE) *
+         |    nullif(CAST(span_us AS DOUBLE), 0.0) / done_bytes / 1e6 AS eta_s
          |FROM p LEFT JOIN d ON p.cf = d.cf ORDER BY p.cf""".stripMargin,
     "q_top_movers" ->
       """WITH wk AS (SELECT event_type,
@@ -3966,7 +3970,7 @@ object SparkEntry {
         |SELECT mime, count(*) AS n_assets,
         |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
         |  min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes,
-        |  round(avg(n_bytes), 2) AS avg_bytes,
+        |  CAST(sum(n_bytes) AS DOUBLE) / count(*) AS avg_bytes,
         |  CAST(count(DISTINCT (width, height)) AS BIGINT) AS n_geometries
         |FROM m GROUP BY mime ORDER BY mime""".stripMargin,
     "vec_sim_threshold_sweep" ->

@@ -780,7 +780,7 @@ object EventAnalytics {
       Seq(col("mon_cents"), col("o_custkey")), 5, "mq")
     scored.groupBy(col("rq"), col("fq"), col("mq"))
       .agg(count(lit(1)).as("n_cust"),
-        round(Money.dollars(sum(col("mon_cents")), 100.0) / count(lit(1)), 2)
+        (Money.dollars(sum(col("mon_cents")), 100.0) / count(lit(1)))
           .as("avg_monetary"))
       .orderBy(col("rq"), col("fq"), col("mq"))
   }
@@ -849,7 +849,7 @@ object EventAnalytics {
           // exact long sum, ONE double division: avg() would
           // accumulate µs-magnitude doubles whose order-dependent
           // ulp (~0.03 at 2e14) exceeds the 2-decimal contract
-          round(sum(col("d")).cast("double") / count(lit(1)), 2).as("mean_us"),
+          (sum(col("d")).cast("double") / count(lit(1))).as("mean_us"),
           round(expr("percentile(d, 0.5)"), 2).as("p50_us"),
           round(expr("percentile(d, 0.9)"), 2).as("p90_us"))
         .select(lit(name).as("step"), col("n_users"), col("mean_us"),
@@ -923,7 +923,7 @@ object EventAnalytics {
       .withColumn("gap_us", col("us") - col("prev_us"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_gaps"),
-        round(sum(col("gap_us")).cast("double") / count(lit(1)) / 1e6, 2)
+        (sum(col("gap_us")).cast("double") / count(lit(1)) / 1e6)
           .as("avg_gap_s"),
         expr("min(gap_us) div 1000000").as("min_gap_s"),
         expr("max(gap_us) div 1000000").as("max_gap_s"))
@@ -1047,6 +1047,6 @@ object EventAnalytics {
         sum(col("n")).as("total"))
       .select(col("event_type"), (-col("m.neg_hr")).as("modal_hour"),
         col("m.n").as("n_at_mode"),
-        round(col("m.n").cast("double") / col("total"), 4).as("mode_share"))
+        (col("m.n").cast("double") / col("total")).as("mode_share"))
       .orderBy(col("event_type"))
 }

@@ -208,7 +208,12 @@ object Relational {
       Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
     val stats = ev.groupBy(col("event_type"))
       .agg(round(stddev(col("value")), 4).as("sd"),
-        round(avg(col("value")), 4).as("mean"))
+        // money mean = exact cents / n, UNROUNDED: sum_cents/n is the
+        // .xxxx5-attractor class where engine round() legitimately
+        // disagrees (the r12 q_ewma lesson); the quotient itself is
+        // bit-identical in both engines
+        (sum(graft.analytics.Money.cents(col("value"))).cast("double") /
+          count(lit(1)) / 100.0).as("mean"))
     quants.join(stats, Seq("event_type"))
       .select(col("event_type"),
         round(col("p50"), 4).as("p50"),
@@ -828,10 +833,15 @@ object Relational {
         greatest(col("lo"), least(col("hi"), col("value"))).as("wv"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(avg(col("value")), 4).as("raw_mean"),
+        // raw money mean: exact cents / n, unrounded (tie-attractor
+        // class); the winsorized mean keeps its round — clamped rows
+        // take interpolated quantile bounds, so its sum is a genuine
+        // float accumulation and round() is the drift absorber
+        (sum(graft.analytics.Money.cents(col("value"))).cast("double") /
+          count(lit(1)) / 100.0).as("raw_mean"),
         round(avg(col("wv")), 4).as("winsorized_mean"),
-        round(sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
-          .otherwise(0L)).cast("double") / count(lit(1)) * 100, 4).as("pct_clamped"))
+        (sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)) * 100).as("pct_clamped"))
       .orderBy(col("event_type"))
   }
 
@@ -1082,8 +1092,7 @@ object Relational {
           .otherwise("d_90_plus"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_gaps"),
-        round(sum(col("gap_days")).cast("double") / count(lit(1)), 2)
-          .as("avg_days"),
+        (sum(col("gap_days")).cast("double") / count(lit(1))).as("avg_days"),
         min(col("gap_days")).as("min_days"), max(col("gap_days")).as("max_days"))
       .orderBy(col("bucket"))
   }

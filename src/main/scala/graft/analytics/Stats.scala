@@ -660,7 +660,9 @@ object Stats {
       .agg(round(expr("percentile(mean_b, 0.025)"), 4).as("ci_lo"),
         round(expr("percentile(mean_b, 0.975)"), 4).as("ci_hi"))
     val pt = Tables.events(spark, dir).groupBy(col("event_type"))
-      .agg(round(avg(col("value")), 4).as("mean_value"))
+      // exact cents / n, unrounded — the money-mean tie-attractor class
+      .agg((sum(graft.analytics.Money.cents(col("value"))).cast("double") /
+        count(lit(1)) / 100.0).as("mean_value"))
     pt.join(ci, Seq("event_type")).orderBy(col("event_type"))
   }
 

@@ -71,7 +71,7 @@ object Media {
         sum(col("n_bytes")).as("total_bytes"),
         min(col("n_bytes")).as("min_bytes"),
         max(col("n_bytes")).as("max_bytes"),
-        round(avg(col("n_bytes")), 2).as("avg_bytes"),
+        (sum(col("n_bytes")).cast("double") / count(lit(1))).as("avg_bytes"),
         countDistinct(col("width"), col("height")).as("n_geometries"))
       .orderBy(col("mime"))
 

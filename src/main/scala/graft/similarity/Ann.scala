@@ -531,7 +531,10 @@ object Ann {
       .na.fill(0L, Seq("n_hits"))
       .groupBy(col("nprobe"))
       .agg(count(lit(1)).as("n_queries"),
-        round(avg(col("n_hits") / lit(5.0)), 4).as("mean_recall"))
+        // Σhits / 5n: exact-int quotient, emitted unrounded (the
+        // round-boundary class); bit-identical across engines
+        (sum(col("n_hits")).cast("double") / (count(lit(1)) * 5))
+          .as("mean_recall"))
       .orderBy(col("nprobe"))
   }
 
@@ -938,9 +941,9 @@ object Ann {
     val tot = bands.agg(sum(col("n_pairs")).as("tp"))
     bands.crossJoin(broadcast(tot))
       .select(col("band"),
-        round(col("band").cast("double") / 10, 1).as("cos_lo"),
+        (col("band").cast("double") / 10).as("cos_lo"),
         col("n_pairs"),
-        round(col("n_pairs").cast("double") / col("tp"), 4).as("share"))
+        (col("n_pairs").cast("double") / col("tp")).as("share"))
       .orderBy(col("band"))
   }
 

@@ -452,7 +452,7 @@ object SyncOps {
       .groupBy(col("cf"))
       .agg(count(lit(1)).as("n_files"),
         sum(col("size_bytes")).as("total_bytes"),
-        round(avg(col("size_bytes")), 2).as("avg_bytes"),
+        (sum(col("size_bytes")).cast("double") / count(lit(1))).as("avg_bytes"),
         max(col("generation")).as("max_generation"),
         countDistinct(col("node_id")).as("n_nodes"))
       .orderBy(col("cf"))
@@ -895,12 +895,12 @@ object SyncOps {
     pending.join(done, Seq("cf"), "left_outer")
       .select(col("cf"), col("n_pending"), col("pending_bytes"),
         col("done_bytes"),
-        round(col("done_bytes").cast("double") * 1e6 /
-          nullif(col("span_us").cast("double"), lit(0.0)), 2)
+        (col("done_bytes").cast("double") * 1e6 /
+          nullif(col("span_us").cast("double"), lit(0.0)))
           .as("rate_bytes_s"),
-        round(col("pending_bytes").cast("double") *
+        (col("pending_bytes").cast("double") *
           nullif(col("span_us").cast("double"), lit(0.0)) /
-          col("done_bytes") / 1e6, 2)
+          col("done_bytes") / 1e6)
           .as("eta_s"))
       .orderBy(col("cf"))
   }
