@@ -271,6 +271,9 @@ class PlanAuditSpec extends GraftSpec {
     "ann_pq_rerank" -> ("probe slice and candidate set hard-capped by the AdcProbeCap and " +
       "RerankDepth literals (≤60 probes × 10 candidates at ANY corpus size); growth is the " +
       "sample filling toward the caps"),
+    "ann_rerank_sweep" -> ("same AdcProbeCap/RerankDepth-capped probe and candidate frames " +
+      "as ann_pq_rerank (the sweep reuses them across three literal depths ≤ RerankDepth); " +
+      "growth is the sample filling toward the ≤60-probe cap at tiny SF"),
     "q_cms_estimate" -> ("fixed 4×256 count-min sketch: capacity is 1024 cells at any " +
       "corpus size; the growth is empty cells filling in at tiny SF"),
     "sync_bandwidth_windows" -> ("band-offset frame hard-capped at 4096+1 rows at ANY " +
