@@ -288,6 +288,9 @@ object SparkEntry {
     "q_did" -> (Stats.qDid(_, _)),
     "graph_label_prop" -> ((s, d) => graft.graph.GraphOps.graphLabelProp(s, d)),
     "graph_modularity" -> ((s, d) => graft.graph.GraphOps.graphModularity(s, d)),
+    "graph_community_members" -> ((s, d) => graft.graph.GraphOps.graphCommunityMembers(s, d)),
+    "graph_communities" -> ((s, d) => graft.graph.GraphOps.graphCommunities(s, d)),
+    "graph_modularity_sums" -> ((s, d) => graft.graph.GraphOps.graphModularitySums(s, d)),
     "io_partitioned_inventory" -> (Io.ioPartitionedInventory(_, _)),
     "io_csv_json" -> (Io.ioCsvJson(_, _)),
     "io_bucketed_join" -> (Io.ioBucketedJoin(_, _)),
@@ -780,7 +783,7 @@ object SparkEntry {
         |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
         |  FROM orders),
         |c AS (SELECT digit, count(*) AS n,
-        |  round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 4) AS p_observed,
+        |  CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS p_observed,
         |  round(log10(1.0 + 1.0 / digit), 4) AS p_benford
         |  FROM d GROUP BY digit)
         |SELECT digit, n, p_observed, p_benford,
@@ -900,8 +903,8 @@ object SparkEntry {
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
         |  FROM events)
         |SELECT prev_type, event_type AS next_type, count(*) AS n_trans,
-        |  round(CAST(count(*) AS DOUBLE)
-        |    / sum(count(*)) OVER (PARTITION BY prev_type), 4) AS p_trans
+        |  CAST(count(*) AS DOUBLE)
+        |    / sum(count(*)) OVER (PARTITION BY prev_type) AS p_trans
         |FROM t WHERE prev_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_ewma" ->
@@ -1441,8 +1444,8 @@ object SparkEntry {
         |  FROM vocab va, vocab vb WHERE va.source < vb.source)
         |SELECT source_a, source_b, sh_a, sh_b,
         |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
-        |  round(coalesce(n_shared, 0) /
-        |    CAST(sh_a + sh_b - coalesce(n_shared, 0) AS DOUBLE), 4) + 0.0 AS jaccard
+        |  coalesce(n_shared, 0) /
+        |    CAST(sh_a + sh_b - coalesce(n_shared, 0) AS DOUBLE) AS jaccard
         |FROM grid LEFT JOIN shared USING (source_a, source_b)
         |ORDER BY source_a, source_b""".stripMargin,
     "corpus_mixture" ->
@@ -1511,8 +1514,8 @@ object SparkEntry {
         |SELECT d0 AS cohort_day, CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(sum(CASE WHEN a.d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_retained,
-        |  round(CAST(sum(CASE WHEN a.d IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / count(*) * 100, 2) AS pct_retained
+        |  CAST(sum(CASE WHEN a.d IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 100 AS pct_retained
         |FROM f LEFT JOIN a ON f.user_id = a.user_id AND a.d = d0 + 7
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "vec_centroid_drift" ->
@@ -1903,7 +1906,7 @@ object SparkEntry {
         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
         |  FROM daily),
         |s AS (SELECT day, n_events,
-        |    round(cum - rn * (CAST(tot AS DOUBLE) / nd), 4) AS cusum
+        |    cum - rn * (CAST(tot AS DOUBLE) / nd) AS cusum
         |  FROM c CROSS JOIN st)
         |SELECT day, n_events, cusum,
         |  row_number() OVER (ORDER BY abs(cusum) DESC, day) = 1 AS is_peak
@@ -1943,7 +1946,7 @@ object SparkEntry {
         |SELECT quartile, count(*) AS n_users,
         |  CAST(sum(churned) AS BIGINT) AS n_churned,
         |  CAST(sum(n_events) AS BIGINT) AS tot_events,
-        |  round(CAST(sum(churned) AS DOUBLE) / count(*), 4) AS churn_rate
+        |  CAST(sum(churned) AS DOUBLE) / count(*) AS churn_rate
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rfm_segments" ->
       """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS max_day FROM orders),
@@ -2110,6 +2113,9 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_label_prop" -> graft.graph.GraphOps.labelPropOracleSql(),
     "graph_modularity" -> graft.graph.GraphOps.modularityOracleSql(),
+    "graph_community_members" -> graft.graph.GraphOps.communityMembersOracleSql(),
+    "graph_communities" -> graft.graph.GraphOps.communitiesOracleSql(),
+    "graph_modularity_sums" -> graft.graph.GraphOps.modularitySumsOracleSql(),
     "q_interpolate_gaps" ->
       """WITH obs AS (SELECT event_type,
         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
@@ -2358,9 +2364,9 @@ object SparkEntry {
         |    sum(x_c * y_c) AS gxy, sum(y_c * y_c) AS gyy
         |  FROM u GROUP BY 1)
         |SELECT variant, n_users,
-        |  round(CAST(gy AS DOUBLE) / n_users / 100.0, 4) AS mean_post,
-        |  round((CAST(gy AS DOUBLE) - theta *
-        |    (CAST(gx AS DOUBLE) - n_users * mx)) / n_users / 100.0, 4) AS mean_cuped,
+        |  CAST(gy AS DOUBLE) / n_users / 100.0 AS mean_post,
+        |  (CAST(gy AS DOUBLE) - theta *
+        |    (CAST(gx AS DOUBLE) - n_users * mx)) / n_users / 100.0 AS mean_cuped,
         |  CASE WHEN CAST(gyy AS DOUBLE) - CAST(gy AS DOUBLE) * gy / n_users = 0.0 THEN 0.0
         |  ELSE round(100.0 * (1.0 -
         |    (CAST(gyy AS DOUBLE) - 2.0 * theta * gxy + theta * theta * gxx -
@@ -2610,7 +2616,7 @@ object SparkEntry {
         |    count(*) AS n_users
         |  FROM uw JOIN f USING (user_id) GROUP BY 1, 2)
         |SELECT m.cohort_week, m.week_offset, m.n_users,
-        |  round(CAST(m.n_users AS DOUBLE) / c.cohort_size, 4) AS retained_share
+        |  CAST(m.n_users AS DOUBLE) / c.cohort_size AS retained_share
         |FROM m JOIN (SELECT cohort_week, n_users AS cohort_size FROM m
         |  WHERE week_offset = 0) c USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
@@ -2786,11 +2792,11 @@ object SparkEntry {
         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
         |  CAST(count(*) AS BIGINT) AS n_langs FROM c)
         |SELECT lang, n_docs,
-        |  round(CAST(n_docs AS DOUBLE) / total, 4) AS share,
-        |  round(least(3.0, (1.0 / n_langs) / (CAST(n_docs AS DOUBLE) / total)), 4)
+        |  CAST(n_docs AS DOUBLE) / total AS share,
+        |  least(3.0, (1.0 / n_langs) / (CAST(n_docs AS DOUBLE) / total))
         |    AS weight,
-        |  CAST(round(n_docs * round(least(3.0,
-        |    (1.0 / n_langs) / (CAST(n_docs AS DOUBLE) / total)), 4)) AS BIGINT)
+        |  CAST(round(n_docs * least(3.0,
+        |    (1.0 / n_langs) / (CAST(n_docs AS DOUBLE) / total))) AS BIGINT)
         |    AS expected_docs
         |FROM c CROSS JOIN tot ORDER BY lang""".stripMargin,
     "dedup_simhash" -> Dedup.simhashOracleSql,
@@ -2898,8 +2904,8 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_segments,
         |  CAST(sum(CASE WHEN n_docs_with >= 3 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_boilerplate,
-        |  round(CAST(count(*) - sum(CASE WHEN n_docs_with >= 3 THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / count(*), 4) AS keep_ratio
+        |  CAST(count(*) - sum(CASE WHEN n_docs_with >= 3 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*) AS keep_ratio
         |FROM segs JOIN freq USING (seg_hash)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_incremental_reagg" ->
@@ -2956,8 +2962,8 @@ object SparkEntry {
          |       WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS predicted_lang
          |  FROM h)
          |SELECT lang, predicted_lang, count(*) AS n_docs,
-         |  round(CAST(count(*) AS DOUBLE)
-         |    / sum(count(*)) OVER (PARTITION BY lang), 4) AS share_of_true
+         |  CAST(count(*) AS DOUBLE)
+         |    / sum(count(*)) OVER (PARTITION BY lang) AS share_of_true
          |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "vec_label_outliers" ->
       s"""WITH $embCte,
@@ -3421,8 +3427,8 @@ object SparkEntry {
          |SELECT true_label, count(*) AS n_probes,
          |  CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_correct,
-         |  round(CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / count(*), 4) AS accuracy
+         |  CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS accuracy
          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_rh_bucket" -> Ann.rhBucketOracleSql,
     "ann_dim_truncation" ->
@@ -3706,8 +3712,8 @@ object SparkEntry {
         |a AS (SELECT week, count(*) AS n_days,
         |    CAST(sum(dau) AS BIGINT) AS sum_dau FROM d GROUP BY 1)
         |SELECT a.week AS week, n_days, wau,
-        |  round(CAST(sum_dau AS DOUBLE) / n_days, 2) AS avg_dau,
-        |  round(CAST(sum_dau AS DOUBLE) / n_days / wau, 4) AS stickiness
+        |  CAST(sum_dau AS DOUBLE) / n_days AS avg_dau,
+        |  CAST(sum_dau AS DOUBLE) / n_days / wau AS stickiness
         |FROM a JOIN wk ON a.week = wk.week ORDER BY week""".stripMargin,
     "q_peak_days" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
@@ -3751,9 +3757,9 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_c
         |  FROM pc)
         |SELECT n_customers, CAST(max(rnk) AS BIGINT) AS n_top,
-        |  round(CAST(max(rnk) AS DOUBLE) / n_customers, 4) AS cust_share,
+        |  CAST(max(rnk) AS DOUBLE) / n_customers AS cust_share,
         |  CAST(max(cum_rev_c) AS BIGINT) AS top_rev_c, tot_rev_c,
-        |  round(CAST(max(cum_rev_c) AS DOUBLE) / tot_rev_c, 4) AS rev_share
+        |  CAST(max(cum_rev_c) AS DOUBLE) / tot_rev_c AS rev_share
         |FROM r, t WHERE (cum_rev_c - rev_c) * 5 < tot_rev_c * 4
         |GROUP BY n_customers, tot_rev_c""".stripMargin,
     "q_repeat_interval" ->
@@ -3778,7 +3784,7 @@ object SparkEntry {
          |SELECT lang, count(*) AS vocab_size,
          |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
          |  CAST(sum(n) AS BIGINT) AS n_tokens,
-         |  round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+         |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
          |    AS hapax_ratio
          |FROM tf GROUP BY 1 ORDER BY lang""".stripMargin,
     "ann_cell_balance" ->
@@ -3790,8 +3796,8 @@ object SparkEntry {
          |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total, count(*) AS n_cells
          |  FROM cells)
          |SELECT assigned_centroid, n_vecs,
-         |  round(CAST(n_vecs AS DOUBLE) / n_total, 4) AS share,
-         |  round(CAST(n_vecs AS DOUBLE) * n_cells / n_total, 4) AS imbalance
+         |  CAST(n_vecs AS DOUBLE) / n_total AS share,
+         |  CAST(n_vecs AS DOUBLE) * n_cells / n_total AS imbalance
          |FROM cells, t ORDER BY assigned_centroid""".stripMargin,
     "ann_ivf_incremental" ->
       s"""WITH $embCte,
@@ -3884,7 +3890,7 @@ object SparkEntry {
          |  CAST(sum(n_toks) AS BIGINT) AS lang_toks FROM m GROUP BY lang)
          |SELECT lt.lang, lt.n_docs, count(*) AS n_selected, lt.lang_toks,
          |  CAST(sum(sel.n_toks) AS BIGINT) AS toks_selected,
-         |  round(CAST(sum(sel.n_toks) AS DOUBLE) / lt.lang_toks, 4) AS tok_share
+         |  CAST(sum(sel.n_toks) AS DOUBLE) / lt.lang_toks AS tok_share
          |FROM sel JOIN lt ON sel.lang = lt.lang
          |GROUP BY lt.lang, lt.n_docs, lt.lang_toks ORDER BY lt.lang""".stripMargin,
     "corpus_token_budget" ->
@@ -3900,7 +3906,7 @@ object SparkEntry {
          |  CAST(sum(n_toks) AS BIGINT) AS lang_toks FROM m GROUP BY lang)
          |SELECT lt.lang, lt.n_docs, count(*) AS n_selected, lt.lang_toks,
          |  CAST(sum(sel.n_toks) AS BIGINT) AS toks_selected,
-         |  round(CAST(sum(sel.n_toks) AS DOUBLE) / lt.lang_toks, 4) AS tok_share
+         |  CAST(sum(sel.n_toks) AS DOUBLE) / lt.lang_toks AS tok_share
          |FROM sel JOIN lt ON sel.lang = lt.lang
          |GROUP BY lt.lang, lt.n_docs, lt.lang_toks ORDER BY lt.lang""".stripMargin,
     "vec_cosine_hist" ->
@@ -4057,7 +4063,7 @@ object SparkEntry {
         |  UNION ALL SELECT doc_b FROM cand))
         |SELECT d.source, count(*) AS n_docs,
         |  CAST(count(inv.doc_id) AS BIGINT) AS n_near_dup,
-        |  round(CAST(count(inv.doc_id) AS DOUBLE) / count(*), 4) AS near_dup_rate
+        |  CAST(count(inv.doc_id) AS DOUBLE) / count(*) AS near_dup_rate
         |FROM documents d LEFT JOIN inv ON d.doc_id = inv.doc_id
         |GROUP BY d.source ORDER BY d.source""".stripMargin),
     "dedup_minhash_calibration" -> {
@@ -4078,9 +4084,9 @@ object SparkEntry {
         |  JOIN sig sa ON cand.doc_a = sa.doc_id
         |  JOIN sig sb ON cand.doc_b = sb.doc_id)
         |SELECT n_agree,
-        |  round(CAST(n_agree AS DOUBLE) / ${graft.dedup.Dedup.MinhashK}, 4) AS est_jaccard,
+        |  CAST(n_agree AS DOUBLE) / ${graft.dedup.Dedup.MinhashK} AS est_jaccard,
         |  count(*) AS n_pairs,
-        |  round(CAST(sum(jac_scaled) AS DOUBLE) / count(*) / 10000.0, 4)
+        |  CAST(sum(jac_scaled) AS DOUBLE) / count(*) / 10000.0
         |    AS mean_exact_jaccard
         |FROM pj GROUP BY n_agree ORDER BY n_agree""".stripMargin
     },
@@ -4098,8 +4104,8 @@ object SparkEntry {
         |SELECT m.mime, count(*) AS n_assets,
         |  CAST(sum(CASE WHEN abs(m.n_bytes - sd.mean_b) > 2.0 * sd.sd_b
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-        |  round(CAST(sum(CASE WHEN abs(m.n_bytes - sd.mean_b) > 2.0 * sd.sd_b
-        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS outlier_rate
+        |  CAST(sum(CASE WHEN abs(m.n_bytes - sd.mean_b) > 2.0 * sd.sd_b
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS outlier_rate
         |FROM m JOIN sd USING (mime) GROUP BY m.mime ORDER BY m.mime""".stripMargin,
     "sync_twcs_compaction" ->
       s"""WITH $invCte, $durCte,

@@ -113,8 +113,9 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_trans"))
     val totals = org.apache.spark.sql.expressions.Window.partitionBy(col("prev_type"))
     trans
+      // exact-count quotient, emitted unrounded (tie-attractor rule)
       .withColumn("p_trans",
-        round(col("n_trans").cast("double") / sum(col("n_trans")).over(totals), 4))
+        col("n_trans").cast("double") / sum(col("n_trans")).over(totals))
       .orderBy(col("prev_type"), col("next_type"))
   }
 
@@ -526,8 +527,9 @@ object EventAnalytics {
       .groupBy(col("d0").as("cohort_day"))
       .agg(count(lit(1)).as("n_users"),
         sum(when(col("d7").isNotNull, 1L).otherwise(0L)).as("n_retained"))
+      // exact-count quotient chain, emitted unrounded (tie rule)
       .withColumn("pct_retained",
-        round(col("n_retained").cast("double") / col("n_users") * 100, 2))
+        col("n_retained").cast("double") / col("n_users") * 100)
       .orderBy(col("cohort_day"))
   }
 
@@ -641,7 +643,9 @@ object EventAnalytics {
       .withColumn("rn", row_number().over(Window.orderBy(col("day"))).cast("long"))
       .withColumn("cum", sum(col("n_events")).over(wCum))
       .select(col("day"), col("n_events"),
-        round(col("cum") - col("rn") * (col("tot").cast("double") / col("nd")), 4)
+        // exact-int chain (cum − rn·(tot/nd)), mirrored op order in the
+        // oracle → emitted unrounded (tie-attractor rule)
+        (col("cum") - col("rn") * (col("tot").cast("double") / col("nd")))
           .as("cusum"))
     val wPeak = Window.orderBy(abs(col("cusum")).desc, col("day"))
     scored.withColumn("is_peak", row_number().over(wPeak) === 1)
@@ -693,8 +697,9 @@ object EventAnalytics {
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n_users"), sum(col("churned")).as("n_churned"),
         sum(col("n_events")).as("tot_events"))
+      // exact-count quotient, emitted unrounded (tie-attractor rule)
       .withColumn("churn_rate",
-        round(col("n_churned").cast("double") / col("n_users"), 4))
+        col("n_churned").cast("double") / col("n_users"))
       .orderBy(col("quartile"))
   }
 
@@ -878,8 +883,8 @@ object EventAnalytics {
       // exact long sums, one double division each — deterministic
       // across engines (identical IEEE ops, no accumulation order)
       .select(col("week"), col("n_days"), col("wau"),
-        round(col("sum_dau").cast("double") / col("n_days"), 2).as("avg_dau"),
-        round(col("sum_dau").cast("double") / col("n_days") / col("wau"), 4)
+        (col("sum_dau").cast("double") / col("n_days")).as("avg_dau"),
+        (col("sum_dau").cast("double") / col("n_days") / col("wau"))
           .as("stickiness"))
       .orderBy(col("week"))
   }
@@ -1033,7 +1038,8 @@ object EventAnalytics {
       .select(col("cohort_week"), col("n_users").as("cohort_size"))
     grid.join(sizes, Seq("cohort_week"))
       .select(col("cohort_week"), col("week_offset"), col("n_users"),
-        round(col("n_users").cast("double") / col("cohort_size"), 4)
+        // exact-count quotient, emitted unrounded (tie-attractor rule)
+        (col("n_users").cast("double") / col("cohort_size"))
           .as("retained_share"))
       .orderBy(col("cohort_week"), col("week_offset"))
   }

@@ -344,8 +344,10 @@ object Relational {
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
     val tot = Window.partitionBy()
     counts
+      // exact-count quotient, emitted unrounded (tie-attractor rule);
+      // p_benford keeps its round as the log10 drift absorber
       .withColumn("p_observed",
-        round(col("n").cast("double") / sum(col("n")).over(tot), 4))
+        col("n").cast("double") / sum(col("n")).over(tot))
       .withColumn("p_benford",
         round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 4))
       .withColumn("abs_delta", round(abs(col("p_observed") - col("p_benford")), 4))
@@ -1063,11 +1065,12 @@ object Relational {
       .filter((col("cum_rev_c") - col("rev_c")) * 5 < col("tot_rev_c") * 4)
       .groupBy(col("n_customers"), col("tot_rev_c"))
       .agg(max(col("rnk")).as("n_top"), max(col("cum_rev_c")).as("top_rev_c"))
+      // exact count/cents quotients, emitted unrounded (tie rule)
       .select(col("n_customers"), col("n_top"),
-        round(col("n_top").cast("double") / col("n_customers"), 4)
+        (col("n_top").cast("double") / col("n_customers"))
           .as("cust_share"),
         col("top_rev_c"), col("tot_rev_c"),
-        round(col("top_rev_c").cast("double") / col("tot_rev_c"), 4)
+        (col("top_rev_c").cast("double") / col("tot_rev_c"))
           .as("rev_share"))
   }
 

@@ -261,10 +261,12 @@ object Stats {
         sum(dec(col("y_c")) * dec(col("y_c"))).as("gyy"))
     g.crossJoin(broadcast(tot))
       .select(col("variant"), col("n_users"),
-        round(col("gy").cast("double") / col("n_users") / 100.0, 4).as("mean_post"),
-        round((col("gy").cast("double") - col("theta") *
+        // exact-cents chains mirrored op-for-op in the oracle →
+        // emitted unrounded (tie-attractor rule)
+        (col("gy").cast("double") / col("n_users") / 100.0).as("mean_post"),
+        ((col("gy").cast("double") - col("theta") *
           (col("gx").cast("double") - col("n_users") * col("mx"))) /
-          col("n_users") / 100.0, 4).as("mean_cuped"),
+          col("n_users") / 100.0).as("mean_cuped"),
         // zero post-metric variance in a variant → nothing to reduce
         when(col("gyy").cast("double") -
             col("gy").cast("double") * col("gy") / col("n_users") === 0.0, lit(0.0))

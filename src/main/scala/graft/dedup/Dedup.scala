@@ -81,7 +81,9 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("near_dup")), lit(0L)).as("n_near_dup"))
       .select(col("source"), col("n_docs"), col("n_near_dup"),
-        round(col("n_near_dup").cast("double") / col("n_docs"), 4)
+        // exact-count quotient: one correctly-rounded division on both
+        // engines → emitted unrounded (round() is tie-attracted here)
+        (col("n_near_dup").cast("double") / col("n_docs"))
           .as("near_dup_rate"))
       .orderBy(col("source"))
   }
@@ -799,8 +801,9 @@ object Dedup {
         size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_common"),
         (col("na") * col("nb")).as("n_doc_pairs"))
       .withColumn("containment",
+        // exact-count quotient, emitted unrounded (tie-attractor rule)
         when(least(col("n_a"), col("n_b")) > 0,
-          round(col("n_common").cast("double") / least(col("n_a"), col("n_b")), 4))
+          col("n_common").cast("double") / least(col("n_a"), col("n_b")))
           .otherwise(lit(1.0)))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
         col("n_common"), col("containment"), col("n_doc_pairs"))
@@ -848,9 +851,12 @@ object Dedup {
       .groupBy(col("n_agree"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("jac_scaled")).as("jsum"))
       .select(col("n_agree"),
-        round(col("n_agree").cast("double") / MinhashK, 4).as("est_jaccard"),
+        // both outputs are exact-integer quotients (n_agree/12 and
+        // (jsum/n_pairs)/10⁴ — two correctly-rounded divisions in the
+        // same order on both engines): emitted unrounded
+        (col("n_agree").cast("double") / MinhashK).as("est_jaccard"),
         col("n_pairs"),
-        round(col("jsum").cast("double") / col("n_pairs") / 10000.0, 4)
+        (col("jsum").cast("double") / col("n_pairs") / 10000.0)
           .as("mean_exact_jaccard"))
       .orderBy(col("n_agree"))
   }
@@ -864,8 +870,8 @@ object Dedup {
       |  CAST(len(b.shs) AS BIGINT) AS n_b,
       |  CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS n_common,
       |  CASE WHEN least(len(a.shs), len(b.shs)) > 0
-      |       THEN round(CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
-      |                  / least(len(a.shs), len(b.shs)), 4)
+      |       THEN CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE)
+      |                  / least(len(a.shs), len(b.shs))
       |       ELSE 1.0 END AS containment,
       |  ca.n_copies * cb.n_copies AS n_doc_pairs
       |FROM cand JOIN sets a ON cand.doc_a = a.doc_id

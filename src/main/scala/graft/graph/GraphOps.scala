@@ -218,9 +218,10 @@ object GraphOps {
         sum(dec(col("sxx"))).as("sxx"), sum(dec(col("sxy"))).as("sxy"))
       .select(col("n").cast("long").as("n_endpoints"),
         when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(null))
-          .otherwise(round(
+          // exact-integer moments, one division → emitted unrounded
+          .otherwise(
             (col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
-              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 4))
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
           .as("assortativity"))
   }
 
@@ -243,8 +244,8 @@ object GraphOps {
         |  sum(du * du) AS sxx, sum(du * dv) AS sxy FROM j)
         |SELECT CAST(n AS BIGINT) AS n_endpoints,
         |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
-        |    ELSE round(CAST(n * sxy - sx * sx AS DOUBLE)
-        |      / CAST(n * sxx - sx * sx AS DOUBLE), 4) END AS assortativity
+        |    ELSE CAST(n * sxy - sx * sx AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) END AS assortativity
         |FROM st""".stripMargin
 
   /** §2.3#149 — PageRank over the undirected candidate graph: five
@@ -595,7 +596,15 @@ object GraphOps {
     * checking the closed form. Communities that touch no edge
     * contribute nothing and are excluded on both sides (d_c > 0).
     */
-  def graphModularity(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+  /** Shared sufficient-statistics frames behind [[graphModularity]],
+    * [[graphCommunities]] and [[graphModularitySums]]: the label-prop
+    * labels, the per-community exact (e_c, d_c) pairs, and the exact
+    * full-graph edge count m — all integers, all in the rep-collapsed
+    * closed form documented at [[graphModularity]].
+    */
+  private case class CommStats(labels: DataFrame, comm: DataFrame, mFrame: DataFrame)
+
+  private def commStatsOf(spark: SparkSession, dir: String, rounds: Int): CommStats = {
     val (nodes, edges) = graphOf(spark, dir)
     val labels = labelPropLabels(nodes, edges, rounds).cutLineage()
     // per-group clique contributions: C(n,2) intra edges, n(n-1) degree
@@ -618,9 +627,124 @@ object GraphOps {
     val mFrame = labels.agg(sum(expr("n_copies * (n_copies - 1) div 2")).as("mg"))
       .crossJoin(edges.agg(sum(col("na") * col("nb")).as("me")))
       .select((col("mg") + col("me")).as("m"))
+    CommStats(labels, comm, mFrame)
+  }
+
+  /** §2.3#318 `graph_community_members` — the label-prop partition
+    * itself, per FULL-graph node: (node, label) for every document in
+    * the blown-up candidate graph (each copy inherits its rep's label
+    * — the ball argument at [[labelPropLabels]]). Pure exact
+    * integers/ids, no floats anywhere. This certifies the one surface
+    * [[graphLabelProp]]'s size histogram is provably blind to: a
+    * size-preserving relabel or partition swap leaves the histogram
+    * fixed while Q's per-community e_c/d_c sums move. A driver-env
+    * divergence of the partition turns THIS row red and localizes the
+    * `graph_modularity` break (ROUND_AUDIT_r14 has the decision
+    * table). Cost: one docMap join onto rep labels — linear, no new
+    * shuffle shape.
+    */
+  def graphCommunityMembers(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val g = Dedup.candGraph(spark, dir)
+    val labels = labelPropLabels(g.nodes, g.edges, rounds)
+    g.docMap
+      .join(labels.select(col("node").as("rep_id"), col("label")), Seq("rep_id"))
+      .select(col("doc_id").as("node"), col("label"))
+      .orderBy(col("node"))
+  }
+
+  /** DuckDB oracle for [[graphCommunityMembers]] — the full-graph
+    * label-prop rounds unrolled, node set = edge endpoints.
+    */
+  def communityMembersOracleSql(rounds: Int = 3): String =
+    labelPropUnrollCtes(rounds) +
+      s"\nSELECT node, label FROM l$rounds ORDER BY node"
+
+  /** §2.3#319 `graph_communities` — per-community exact sufficient
+    * statistics of the modularity sum: full-graph member count,
+    * intra-community full-graph edge count e_c, and total degree d_c,
+    * every value an exact integer in the same rep-collapsed closed
+    * form as [[graphModularity]]. Between [[graphCommunityMembers]]
+    * (partition), this row (per-community reduction), and
+    * [[graphModularitySums]] (global sums), a driver-env hash break
+    * on `graph_modularity` is bracketed to one surface by which
+    * companion rows flip. Also a first-class readout: community size
+    * vs internal density is the standard cluster-quality table a
+    * dedup pipeline reviews before collapsing clusters.
+    */
+  def graphCommunities(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val st = commStatsOf(spark, dir, rounds)
+    val sizes = st.labels.groupBy(col("label"))
+      .agg(sum(col("n_copies")).as("n_members"))
+    st.comm.join(sizes, Seq("label"))
+      .select(col("label").as("community"), col("n_members"),
+        col("e_c"), col("d_c"))
+      .orderBy(col("community"))
+  }
+
+  /** DuckDB oracle for [[graphCommunities]] — recomputed on the
+    * materialized full graph.
+    */
+  def communitiesOracleSql(rounds: Int = 3): String =
+    labelPropUnrollCtes(rounds) + s""",
+       |sz AS (SELECT label, count(*) AS n_members FROM l$rounds GROUP BY 1),
+       |ec AS (SELECT la.label AS label, count(*) AS e_c FROM cand
+       |  JOIN l$rounds la ON cand.doc_a = la.node
+       |  JOIN l$rounds lb ON cand.doc_b = lb.node
+       |  WHERE la.label = lb.label GROUP BY 1),
+       |dc AS (SELECT l.label AS label, count(*) AS d_c
+       |  FROM ed JOIN l$rounds l ON ed.s = l.node GROUP BY 1)
+       |SELECT sz.label AS community, sz.n_members,
+       |  coalesce(ec.e_c, 0) AS e_c, dc.d_c
+       |FROM sz JOIN dc ON sz.label = dc.label
+       |  LEFT JOIN ec ON sz.label = ec.label
+       |ORDER BY community""".stripMargin
+
+  /** §2.3#320 `graph_modularity_sums` — the exact global sufficient
+    * sums behind Q with NO float operation at all: n_communities, m,
+    * S1 = Σe_c and S2 = Σd_c², emitted as BIGINT on both sides. Green
+    * here plus a red `graph_modularity` would confine a driver-env
+    * break to the single final IEEE division (or the checker's float
+    * path); red here with green [[graphCommunities]] would implicate
+    * the global reduction. S2 is accumulated in decimal(38,0) and
+    * emitted as long — exact up to d_c ≈ 3·10⁹, far beyond any
+    * candidate graph the dedup gate admits (a documented bound, not a
+    * silent wrap: the decimal accumulation would overflow loudly
+    * first).
+    */
+  def graphModularitySums(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val st = commStatsOf(spark, dir, rounds)
+    st.comm.crossJoin(broadcast(st.mFrame))
+      .agg(count(lit(1)).as("n_communities"),
+        first(col("m")).as("m_edges"),
+        sum(col("e_c")).as("intra_edges"),
+        sum(col("d_c").cast("decimal(38,0)") * col("d_c")).as("s2d"))
+      .select(col("n_communities"), col("m_edges"), col("intra_edges"),
+        col("s2d").cast("long").as("s2"))
+  }
+
+  /** DuckDB oracle for [[graphModularitySums]]. */
+  def modularitySumsOracleSql(rounds: Int = 3): String =
+    labelPropUnrollCtes(rounds) + s""",
+       |mm AS (SELECT count(*) AS m FROM cand),
+       |ec AS (SELECT la.label AS label, count(*) AS e_c FROM cand
+       |  JOIN l$rounds la ON cand.doc_a = la.node
+       |  JOIN l$rounds lb ON cand.doc_b = lb.node
+       |  WHERE la.label = lb.label GROUP BY 1),
+       |dc AS (SELECT l.label AS label, count(*) AS d_c
+       |  FROM ed JOIN l$rounds l ON ed.s = l.node GROUP BY 1),
+       |per AS (SELECT dc.label, coalesce(ec.e_c, 0) AS e_c, dc.d_c
+       |  FROM dc LEFT JOIN ec ON dc.label = ec.label)
+       |SELECT count(*) AS n_communities,
+       |  (SELECT m FROM mm) AS m_edges,
+       |  CAST(sum(e_c) AS BIGINT) AS intra_edges,
+       |  CAST(sum(CAST(d_c AS HUGEINT) * d_c) AS BIGINT) AS s2
+       |FROM per""".stripMargin
+
+  def graphModularity(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val st = commStatsOf(spark, dir, rounds)
     // exact sufficient sums: S1 = Σe_c (long), S2 = Σd_c² (decimal);
     // ONE final float division → partition-order independent.
-    comm.crossJoin(broadcast(mFrame))
+    st.comm.crossJoin(broadcast(st.mFrame))
       .agg(count(lit(1)).as("n_communities"),
         first(col("m")).as("m_edges"),
         sum(col("e_c")).as("intra_edges"),
@@ -632,11 +756,14 @@ object GraphOps {
             .cast("double")).as("modularity"))
   }
 
-  /** DuckDB oracle for [[graphModularity]] — Q recomputed on the
-    * materialized FULL graph with the label-prop rounds unrolled
-    * (checks the rep-collapsed closed form).
+  /** Shared CTE prefix for every label-prop oracle: candidate pairs →
+    * full-graph symmetric edge list `ed` → `rounds` unrolled
+    * min-label rounds ending at `l$rounds`. One text, four oracles
+    * (`graph_label_prop`, `graph_modularity`, and the r14 diagnostic
+    * companions) — so a driver-env divergence of the chain moves ALL
+    * of their rows together, never just one.
     */
-  def modularityOracleSql(rounds: Int = 3): String = {
+  private def labelPropUnrollCtes(rounds: Int): String = {
     val sb = new StringBuilder
     sb ++= "WITH " + Dedup.candOracleBody
     sb ++= """,
@@ -651,6 +778,16 @@ object GraphOps {
                 |  least(l.label, coalesce(m.nbr, l.label)) AS label
                 |  FROM l${r - 1} l LEFT JOIN m$r m ON l.node = m.node)""".stripMargin
     }
+    sb.toString
+  }
+
+  /** DuckDB oracle for [[graphModularity]] — Q recomputed on the
+    * materialized FULL graph with the label-prop rounds unrolled
+    * (checks the rep-collapsed closed form).
+    */
+  def modularityOracleSql(rounds: Int = 3): String = {
+    val sb = new StringBuilder
+    sb ++= labelPropUnrollCtes(rounds)
     sb ++= s"""
               |, mm AS (SELECT count(*) AS m FROM cand),
               |ec AS (SELECT la.label AS label, count(*) AS e_c FROM cand
@@ -675,27 +812,11 @@ object GraphOps {
   /** DuckDB oracle for [[graphLabelProp]] — the FULL graph rounds
     * unrolled (checks the ball-radius closed form).
     */
-  def labelPropOracleSql(rounds: Int = 3): String = {
-    val sb = new StringBuilder
-    sb ++= "WITH " + Dedup.candOracleBody
-    sb ++= """,
-             |ed AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM cand
-             |  UNION ALL SELECT doc_b AS s, doc_a AS t FROM cand),
-             |l0 AS MATERIALIZED (SELECT DISTINCT s AS node, s AS label FROM ed)""".stripMargin
-    for (r <- 1 to rounds) {
-      sb ++= s""",
-                |m$r AS MATERIALIZED (SELECT ed.t AS node, min(l.label) AS nbr
-                |  FROM ed JOIN l${r - 1} l ON ed.s = l.node GROUP BY 1),
-                |l$r AS MATERIALIZED (SELECT l.node,
-                |  least(l.label, coalesce(m.nbr, l.label)) AS label
-                |  FROM l${r - 1} l LEFT JOIN m$r m ON l.node = m.node)""".stripMargin
-    }
-    sb ++= s"""
-              |SELECT cluster_size, count(*) AS n_clusters FROM (
-              |  SELECT label, count(*) AS cluster_size FROM l$rounds GROUP BY 1)
-              |GROUP BY 1 ORDER BY 1""".stripMargin
-    sb.toString
-  }
+  def labelPropOracleSql(rounds: Int = 3): String =
+    labelPropUnrollCtes(rounds) + s"""
+       |SELECT cluster_size, count(*) AS n_clusters FROM (
+       |  SELECT label, count(*) AS cluster_size FROM l$rounds GROUP BY 1)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** §2.3 `q_copurchase_jaccard` — item-item similarity from the
     * bipartite order↔part structure: for part pairs co-occurring in
@@ -730,8 +851,11 @@ object GraphOps {
     val nb = nOrd.select(col("part").as("pb"), col("n_ord").as("n_b"))
     pairs.join(na, Seq("pa")).join(nb, Seq("pb"))
       .select(col("pa"), col("pb"), col("common"), col("n_a"), col("n_b"),
-        round(col("common").cast("double") /
-          (col("n_a") + col("n_b") - col("common")), 4).as("jaccard"))
+        // exact-count quotient, emitted unrounded (tie-attractor rule);
+        // bit-identical on both engines so the top-20 order it keys is
+        // identical too
+        (col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common"))).as("jaccard"))
       .orderBy(col("jaccard").desc, col("pa"), col("pb"))
       .limit(20)
   }
@@ -746,7 +870,7 @@ object GraphOps {
       |  GROUP BY 1, 2 HAVING count(*) >= 2)
       |SELECT p.pa AS pa, p.pb AS pb, p.common AS common,
       |  na.n_ord AS n_a, nb.n_ord AS n_b,
-      |  round(CAST(p.common AS DOUBLE) / (na.n_ord + nb.n_ord - p.common), 4)
+      |  CAST(p.common AS DOUBLE) / (na.n_ord + nb.n_ord - p.common)
       |    AS jaccard
       |FROM p JOIN n na ON p.pa = na.part JOIN n nb ON p.pb = nb.part
       |ORDER BY jaccard DESC, pa, pb LIMIT 20""".stripMargin

@@ -106,7 +106,8 @@ object Media {
         sum(when(abs(col("n_bytes") - col("mean_b")) > lit(2.0) * col("sd_b"), 1L)
           .otherwise(0L)).as("n_outliers"))
       .select(col("mime"), col("n_assets"), col("n_outliers"),
-        round(col("n_outliers").cast("double") / col("n_assets"), 4)
+        // exact-count quotient, emitted unrounded (tie-attractor rule)
+        (col("n_outliers").cast("double") / col("n_assets"))
           .as("outlier_rate"))
       .orderBy(col("mime"))
   }

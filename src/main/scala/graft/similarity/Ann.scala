@@ -69,8 +69,9 @@ object Ann {
       .groupBy(col("true_label"))
       .agg(count(lit(1)).as("n_probes"),
         sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L)).as("n_correct"))
+      // exact-count quotient, emitted unrounded (tie-attractor rule)
       .withColumn("accuracy",
-        round(col("n_correct").cast("double") / col("n_probes"), 4))
+        col("n_correct").cast("double") / col("n_probes"))
       .orderBy(col("true_label"))
   }
 
@@ -816,9 +817,10 @@ object Ann {
     val tot = cells.agg(sum(col("n_vecs")).as("n_total"),
       count(lit(1)).as("n_cells"))
     cells.crossJoin(broadcast(tot))
+      // exact-count quotients/chains, emitted unrounded (tie rule)
       .select(col("assigned_centroid"), col("n_vecs"),
-        round(col("n_vecs").cast("double") / col("n_total"), 4).as("share"),
-        round(col("n_vecs").cast("double") * col("n_cells") / col("n_total"), 4)
+        (col("n_vecs").cast("double") / col("n_total")).as("share"),
+        (col("n_vecs").cast("double") * col("n_cells") / col("n_total"))
           .as("imbalance"))
       .orderBy(col("assigned_centroid"))
   }

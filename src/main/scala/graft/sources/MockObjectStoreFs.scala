@@ -61,9 +61,16 @@ class MockObjectStoreFs extends RawLocalFileSystem {
     } else p
   }
 
-  private def fix(s: org.apache.hadoop.fs.FileStatus): org.apache.hadoop.fs.FileStatus = {
-    s.setPath(normalize(s.getPath)); s
-  }
+  private def fix(s: org.apache.hadoop.fs.FileStatus): org.apache.hadoop.fs.FileStatus =
+    // rebuild as a plain FileStatus with synthetic permissions: object
+    // stores have no POSIX bits (s3a synthesizes them the same way),
+    // and RawLocalFileSystem's deprecated lazy permission loader
+    // cannot re-read a mockos:// URI (it news a java.io.File from the
+    // status path — LocatedFileStatus triggers that eagerly inside
+    // FileSystem.listFiles recursion)
+    new org.apache.hadoop.fs.FileStatus(s.getLen, s.isDirectory, 1,
+      s.getBlockSize, s.getModificationTime, s.getAccessTime,
+      null, null, null, normalize(s.getPath))
 
   override def getFileStatus(f: Path): org.apache.hadoop.fs.FileStatus =
     fix(super.getFileStatus(f))

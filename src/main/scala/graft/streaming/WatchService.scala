@@ -247,6 +247,54 @@ object WatchService {
           .otherwise("corrupt"))
   }
 
+  /** Prune half of the reference's composed `fsck --older-than N`
+    * utility (`README:28` — verify integrity, then drop what the
+    * backup set no longer needs): storage objects the watch manifest
+    * does not reference as uploaded (orphaned partials, stray files)
+    * whose mtime is older than `asOfMs − olderThanDays`. The verify
+    * half is [[fsckVerify]]; GraftCli's `fsck` verb composes the two
+    * and optionally deletes the plan. Listing is metadata-scale
+    * ([[graft.syncer.FsInventory.listFiles]] walks subtrees on
+    * executors — no complete file list on the driver); the manifest
+    * reference set joins on the relative path key.
+    */
+  def fsckPrunePlan(spark: SparkSession, targetUrl: String,
+      olderThanDays: Int, asOfMs: Long): DataFrame = {
+    val objectsPath = Target.parse(targetUrl).objectsPath
+    val cutoffMs = asOfMs - olderThanDays.toLong * 86400000L
+    val prefix = new Path(objectsPath).toUri.getPath.stripSuffix("/") + "/"
+    val referenced = manifest(spark, targetUrl)
+      .filter(col("status") === "uploaded")
+      .select(col("path")).distinct()
+    graft.syncer.FsInventory.listFiles(spark, objectsPath)
+      .select(expr(s"substring(path, ${prefix.length + 1})").as("path"),
+        col("size_bytes"), col("mtime_ms"))
+      .filter(col("mtime_ms") < cutoffMs)
+      .join(referenced, Seq("path"), "left_anti")
+      .orderBy(col("path"))
+  }
+
+  /** Execute a [[fsckPrunePlan]]: delete each planned object on
+    * executors (the plan is never collected — an orphan sweep after a
+    * long outage can be file-count scale). Returns the deleted count.
+    */
+  def fsckPruneApply(spark: SparkSession, targetUrl: String,
+      plan: DataFrame): Long = {
+    val objectsPath = Target.parse(targetUrl).objectsPath
+    val spark2 = spark; import spark2.implicits._
+    plan.select(col("path")).as[String]
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { rel =>
+          val p = new Path(objectsPath, rel)
+          if (p.getFileSystem(conf).delete(p, false)) 1L else 0L
+        }
+      }
+      .toDF("deleted")
+      .agg(coalesce(sum(col("deleted")), lit(0L)))
+      .first().getLong(0)
+  }
+
   // ---- dedup-gated watch (the watch loop composed with the
   // LLM-pipeline dedup gate) ----
 

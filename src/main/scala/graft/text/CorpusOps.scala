@@ -238,11 +238,15 @@ object CorpusOps {
     val tot = counts.agg(sum(col("n_docs")).as("total"),
       count(lit(1)).as("n_langs"))
     counts.crossJoin(broadcast(tot))
+      // share and weight are short deterministic float chains over
+      // exact integers (each step correctly rounded on both engines)
+      // → emitted unrounded per the tie-attractor rule. The round()
+      // inside expected_docs is scale-0: a .5 tie there is binary-
+      // exact, where both engines agree — not the attractor class.
       .withColumn("share", col("n_docs").cast("double") / col("total"))
       .withColumn("weight",
-        round(least(lit(3.0),
-          (lit(1.0) / col("n_langs")) / col("share")), 4))
-      .select(col("lang"), col("n_docs"), round(col("share"), 4).as("share"),
+        least(lit(3.0), (lit(1.0) / col("n_langs")) / col("share")))
+      .select(col("lang"), col("n_docs"), col("share"),
         col("weight"),
         round(col("n_docs") * col("weight")).cast("long").as("expected_docs"))
       .orderBy(col("lang"))
@@ -285,7 +289,8 @@ object CorpusOps {
       .join(broadcast(langTotals), Seq("lang"))
       .select(col("lang"), col("n_docs"), col("n_selected"),
         col("lang_toks"), col("toks_selected"),
-        round(col("toks_selected").cast("double") / col("lang_toks"), 4)
+        // exact-long quotient, emitted unrounded (tie-attractor rule)
+        (col("toks_selected").cast("double") / col("lang_toks"))
           .as("tok_share"))
       .orderBy(col("lang"))
   }
@@ -367,7 +372,8 @@ object CorpusOps {
       .join(broadcast(langTotals), Seq("lang"))
       .select(col("lang"), col("n_docs"), col("n_selected"),
         col("lang_toks"), col("toks_selected"),
-        round(col("toks_selected").cast("double") / col("lang_toks"), 4)
+        // exact-long quotient, emitted unrounded (tie-attractor rule)
+        (col("toks_selected").cast("double") / col("lang_toks"))
           .as("tok_share"))
       .orderBy(col("lang"))
   }
@@ -420,8 +426,9 @@ object CorpusOps {
       .select(col("source_a"), col("source_b"),
         col("sh_a"), col("sh_b"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        round(coalesce(col("n_shared"), lit(0L)).cast("double") /
-          (col("sh_a") + col("sh_b") - coalesce(col("n_shared"), lit(0L))), 4)
+        // exact-count Jaccard quotient, emitted unrounded
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          (col("sh_a") + col("sh_b") - coalesce(col("n_shared"), lit(0L))))
           .as("jaccard"))
       .orderBy(col("source_a"), col("source_b"))
   }

@@ -224,9 +224,10 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_segments"),
         sum(when(col("n_docs_with") >= 3, 1L).otherwise(0L)).as("n_boilerplate"))
+      // exact-count quotient, emitted unrounded (tie-attractor rule)
       .withColumn("keep_ratio",
-        round((col("n_segments") - col("n_boilerplate")).cast("double") /
-          col("n_segments"), 4))
+        (col("n_segments") - col("n_boilerplate")).cast("double") /
+          col("n_segments"))
       .orderBy(col("doc_id"))
   }
 
@@ -240,8 +241,9 @@ object TextAnalysis {
     textLangid(spark, dir)
       .groupBy(col("lang"), col("predicted_lang"))
       .agg(count(lit(1)).as("n_docs"))
+      // exact-count quotient, emitted unrounded (tie-attractor rule)
       .withColumn("share_of_true",
-        round(col("n_docs").cast("double") / sum(col("n_docs")).over(byTrue), 4))
+        col("n_docs").cast("double") / sum(col("n_docs")).over(byTrue))
       .orderBy(col("lang"), col("predicted_lang"))
   }
 
@@ -820,7 +822,8 @@ object TextAnalysis {
         sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"),
         sum(col("n")).as("n_tokens"))
       .select(col("lang"), col("vocab_size"), col("n_hapax"), col("n_tokens"),
-        round(col("n_hapax").cast("double") / col("vocab_size"), 4)
+        // exact-count quotient, emitted unrounded (tie-attractor rule)
+        (col("n_hapax").cast("double") / col("vocab_size"))
           .as("hapax_ratio"))
       .orderBy(col("lang"))
 }

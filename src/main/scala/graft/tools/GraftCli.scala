@@ -13,6 +13,7 @@ import graft.syncer.BackupPipeline
   *   runMain graft.tools.GraftCli backup  --data <dir> --target <url>
   *   runMain graft.tools.GraftCli restore --target <url> [--as-of 2024-01-15]
   *   runMain graft.tools.GraftCli prune   --target <url> [--cutoff 2024-01-20]
+  *   runMain graft.tools.GraftCli fsck    --target <url> [--older-than 21 [--apply true]]
   *   runMain graft.tools.GraftCli query   --data <dir> --name <registry-key>
   *   runMain graft.tools.GraftCli list
   *   runMain graft.tools.GraftCli <cmd>   --config contrib/config.json.example
@@ -111,6 +112,43 @@ object GraftCli {
             println(s"watching ${roots.mkString(",")} -> $targetUrl every $interval (ctrl-c to stop)")
             q.awaitTermination()
           }
+        case "fsck" =>
+          // the reference's composed utility (README:28): verify every
+          // stored object against its manifest digest, then (with
+          // --older-than N) plan/apply the prune of unreferenced
+          // objects older than N days. Exit 1 if any object fails
+          // verification — scriptable like the reference CLI.
+          import org.apache.spark.sql.functions.{col, sum => sqlSum}
+          val targetUrl = req("target")
+          val ws = graft.streaming.WatchService
+          val report = ws.fsckVerify(spark, targetUrl)
+          val counts = report.groupBy(col("fsck_status")).count().collect()
+            .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+          println(s"fsck verify: " +
+            (if (counts.isEmpty) "empty manifest" else counts.mkString(" ")))
+          val bad = report.filter(col("fsck_status") =!= "ok")
+          val nBad = bad.count()
+          if (nBad > 0) bad.show(20, truncate = false)
+          opts.get("older-than").foreach { days =>
+            val asOfMs = opts.get("as-of")
+              .map(d => java.time.LocalDate.parse(d)
+                .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+              .getOrElse(System.currentTimeMillis())
+            val plan = ws.fsckPrunePlan(spark, targetUrl, days.toInt, asOfMs)
+            val stats = plan.agg(
+              org.apache.spark.sql.functions.count(col("path")).as("n"),
+              org.apache.spark.sql.functions.coalesce(
+                sqlSum(col("size_bytes")),
+                org.apache.spark.sql.functions.lit(0L)).as("b")).first()
+            println(s"prunable older than $days days: ${stats.getLong(0)} " +
+              s"objects, ${stats.getLong(1)} bytes")
+            plan.show(20, truncate = false)
+            if (opts.get("apply").contains("true")) {
+              val n = ws.fsckPruneApply(spark, targetUrl, plan)
+              println(s"pruned $n objects")
+            }
+          }
+          if (nBad > 0) { spark.stop(); sys.exit(1) }
         case "query" =>
           val name = req("name")
           graft.SparkEntry.queries.get(name) match {
@@ -139,10 +177,11 @@ object GraftCli {
   }
 
   private def usage(): Unit = System.err.println(
-    """usage: GraftCli <backup|watch|restore|prune|query|explain|list> [--config <json>]
+    """usage: GraftCli <backup|watch|restore|prune|fsck|query|explain|list> [--config <json>]
       |  backup  --data <dir> --target <directory://...|objectstore://bucket>
       |  watch   --data <dir>[,<dir>...] --target <url> [--interval '10 seconds'] [--once true]
       |  restore --target <url> [--as-of YYYY-MM-DD] [--dest <dir> [--max-files N]]
       |  prune   --target <url> [--cutoff YYYY-MM-DD]
+      |  fsck    --target <url> [--older-than <days> [--as-of YYYY-MM-DD] [--apply true]]
       |  query   --data <dir> --name <registry-key>""".stripMargin)
 }

@@ -16,8 +16,12 @@ query:
               .xxxx5 attractors (no exact-cents/n means).
   MISMATCH  — disagree even at checker precision (a real bug).
 
-Rows are matched by sorting on the non-float columns (float cols
-excluded from the sort key to keep pairing stable under drift).
+Rows are paired by sorting on ALL columns, with float columns entering
+the key at the checker's 9-decimal precision (so sub-ulp drift cannot
+reorder the pairing; rows that tie on every non-float column AND on
+all floats at 9 decimals may still pair bitexact-vs-drift variants
+against each other — that worst case misclassifies drift as bitexact,
+never produces a false MISMATCH).
 """
 import json, math, struct, sys
 import duckdb
@@ -35,7 +39,7 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 def bits(v):
     return struct.unpack("<Q", struct.pack("<d", v))[0]
 
-def keyed(rows, names, float_idx):
+def keyed(rows, float_idx):
     def k(r):
         out = []
         for i, v in enumerate(r):
@@ -68,8 +72,7 @@ for name, sql in sorted(oracle.items()):
                  if isinstance(v, float)}
     if not float_idx:
         nofloat.append(name); continue
-    g, e = keyed(g, [got_names[i] for i in order_g], float_idx), \
-           keyed(e, [exp_names[i] for i in order_e], float_idx)
+    g, e = keyed(g, float_idx), keyed(e, float_idx)
     worst = "bitexact"; detail = ""
     for rg, re_ in zip(g, e):
         for i in float_idx:
