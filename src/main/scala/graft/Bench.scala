@@ -37,7 +37,22 @@ object Bench {
     // (noise diagnosis: a single's time should match its suite time)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+    // de-noise ordering (r13 adjudication cost, verdict #5): streaming
+    // replays, watch/backup fixtures and sink-writing queries leave
+    // debt settle() cannot fully reclaim (state-store dirs, committed
+    // output trees, shuffle files, pending GC), and two rounds of
+    // isolated-singles adjudication traced suite-row inflation to
+    // exactly that neighbor class. Run pure-batch analytics first,
+    // disk-writing source/sink ops second, stateful/streaming last —
+    // alphabetical within a class so artifacts stay diffable.
+    def benchClass(name: String): Int =
+      if (name.startsWith("stream_") || name.startsWith("sync_watch_") ||
+        name == "sync_fsck_verify" || name == "backup_pipeline" ||
+        name == "sync_restore_resume" || name == "q_stream_batch_twin") 2
+      else if (name.startsWith("io_") || name.startsWith("cass_")) 1
+      else 0
+    val selected = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) => (benchClass(name), name) }
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // median-of-N per query (default 3, SPARK_GRAFT_BENCH_RUNS
     // overrides): the committed artifacts at identical HEAD/SF were

@@ -43,6 +43,8 @@ object SparkEntry {
     "sync_path_parse" -> (SyncOps.syncPathParse(_, _)),
     "sync_slot_schedule" -> ((s, d) => SyncOps.syncSlotSchedule(s, d)),
     "sync_bandwidth_windows" -> ((s, d) => SyncOps.syncBandwidthWindows(s, d)),
+    "sync_restore_bandwidth" -> ((s, d) => SyncOps.syncRestoreBandwidth(s, d)),
+    "text_rerank_sweep" -> (TextAnalysis.textRerankSweep(_, _)),
     "sync_compaction_plan" -> (SyncOps.syncCompactionPlan(_, _)),
     "sync_daily_ingest" -> (SyncOps.syncDailyIngest(_, _)),
     "sync_generation_gaps" -> (SyncOps.syncGenerationGaps(_, _)),
@@ -675,6 +677,73 @@ object SparkEntry {
          |  CAST(sum(size_bytes) AS BIGINT) AS window_bytes,
          |  min(generation) AS first_gen, max(generation) AS last_gen
          |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sync_restore_bandwidth" ->
+      s"""WITH $invCte, $durCte,
+         |rs AS (SELECT generation, path, size_bytes FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cf, node_id, shard_id
+         |                               ORDER BY generation DESC) AS rn
+         |  FROM dur WHERE snap_date <= DATE '2024-01-15') WHERE rn = 1),
+         |c AS (SELECT generation, size_bytes,
+         |    CAST(sum(size_bytes) OVER (ORDER BY generation, path ROWS BETWEEN
+         |      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM rs),
+         |t AS (SELECT generation, size_bytes,
+         |    CAST((cum - 1) // 16777216 AS BIGINT) AS window_idx FROM c)
+         |SELECT window_idx, count(*) AS n_files,
+         |  CAST(sum(size_bytes) AS BIGINT) AS window_bytes,
+         |  min(generation) AS first_gen, max(generation) AS last_gen
+         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_rerank_sweep" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(toks) AS word FROM t),
+         |pd AS (SELECT word, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM pd GROUP BY 1),
+         |df AS (SELECT word, count(*) AS df FROM pd GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS total_toks FROM dl),
+         |qt AS (SELECT q_id, word, df FROM (
+         |  SELECT pd.doc_id AS q_id, pd.word AS word, df.df AS df,
+         |    row_number() OVER (PARTITION BY pd.doc_id
+         |      ORDER BY df.df, pd.word) AS tr
+         |  FROM pd JOIN df ON pd.word = df.word
+         |  WHERE pd.doc_id % 89 = 7
+         |    AND pd.doc_id < ${TextAnalysis.TextProbeCap}) WHERE tr <= 3),
+         |sc AS (SELECT qt.q_id AS q_id, pd.doc_id AS doc_id,
+         |    CAST(sum(CAST(round(ln((n_docs - qt.df + 0.5) / (qt.df + 0.5) + 1.0) *
+         |      (pd.tf * 2.2 / (pd.tf + 1.2 * (0.25 + 0.75 *
+         |        (dl.dl / (CAST(total_toks AS DOUBLE) / n_docs))))) * 1000000)
+         |      AS BIGINT)) AS BIGINT) AS bm25q
+         |  FROM pd JOIN qt ON pd.word = qt.word AND pd.doc_id <> qt.q_id
+         |  JOIN dl ON pd.doc_id = dl.doc_id CROSS JOIN n CROSS JOIN tot
+         |  GROUP BY 1, 2),
+         |sl AS (SELECT q_id, doc_id, rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY bm25q DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM sc) WHERE rnk <= 20),
+         |sets AS (SELECT doc_id, list_sort(list_distinct(toks)) AS ts FROM t),
+         |pairs AS (SELECT sl.q_id AS q_id, sl.doc_id AS doc_id, sl.rnk AS rnk,
+         |    CASE WHEN len(list_distinct(list_concat(qs.ts, ds.ts))) > 0
+         |      THEN CAST(round(CAST(len(list_intersect(qs.ts, ds.ts)) AS DOUBLE)
+         |        / CAST(len(list_distinct(list_concat(qs.ts, ds.ts))) AS DOUBLE)
+         |        * 10000) AS BIGINT)
+         |      ELSE CAST(10000 AS BIGINT) END AS jacq
+         |  FROM sl JOIN sets ds ON sl.doc_id = ds.doc_id
+         |  JOIN sets qs ON sl.q_id = qs.doc_id),
+         |b1 AS (SELECT CAST(sum(jacq) AS BIGINT) AS bm25_top1_jacq
+         |  FROM pairs WHERE rnk = 1),
+         |d AS (SELECT * FROM (VALUES (5), (10), (20)) AS v(depth)),
+         |rr AS (SELECT depth, q_id, jacq FROM (
+         |  SELECT d.depth AS depth, p.q_id AS q_id, p.jacq AS jacq,
+         |    row_number() OVER (PARTITION BY d.depth, p.q_id
+         |      ORDER BY p.jacq DESC, p.doc_id) AS rr
+         |  FROM pairs p JOIN d ON p.rnk <= d.depth) WHERE rr = 1)
+         |SELECT CAST(depth AS BIGINT) AS depth, count(*) AS n_queries,
+         |  (SELECT bm25_top1_jacq FROM b1) AS bm25_top1_jacq,
+         |  CAST(sum(jacq) AS BIGINT) AS rerank_top1_jacq,
+         |  CAST((SELECT bm25_top1_jacq FROM b1) AS DOUBLE) / count(*) / 10000.0
+         |    AS mean_bm25_top1,
+         |  CAST(sum(jacq) AS DOUBLE) / count(*) / 10000.0 AS mean_rerank_top1
+         |FROM rr GROUP BY depth ORDER BY depth""".stripMargin,
     "ann_recall_at_k" ->
       s"""WITH $embCte,
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),

@@ -464,12 +464,15 @@ object Pq {
     * {3, 5, 10}, the PQ scan retrieves d candidates, the exact
     * re-rank reorders them, and three exact-integer metrics land per
     * depth: Σ per-probe |rerank-top-3 ∩ exact-top-3| (recall mass),
-    * the number of probes whose re-ranked #1 IS the true global
-    * nearest (top-1 hits — the cross-encoder question "did the
-    * cheap stage even retrieve the right answer for the expensive
-    * stage to find?"), and the number of probes whose true nearest
-    * was retrieved at all (retrieval ceiling: re-ranking can never
-    * exceed it). Monotone in d by construction — spec-pinned.
+    * the number of probes whose RETRIEVER-order #1 (raw ADC, rnk = 1
+    * — a different scorer than the exact yardstick, so the column is
+    * not a restatement of the ceiling) is the true global nearest
+    * (the "was the cheap stage alone already right?" baseline,
+    * depth-invariant by construction), and the number of probes whose
+    * true nearest was retrieved at all (retrieval ceiling: re-ranking
+    * can never exceed it; its per-depth gap over the ADC baseline IS
+    * the re-ranker's value). Ceiling and recall mass are monotone in
+    * d by construction — spec-pinned.
     *
     * Scale: one candidate set at the max depth (bounded
     * probes×[[RerankDepth]] rows, broadcast), ONE full-precision
@@ -495,7 +498,10 @@ object Pq {
       .withColumn("rnk", row_number().over(wAdc))
       .filter(col("rnk") <= RerankDepth)
       .select(col("probe_id"), col("vec_id"), col("rnk"))
-      .limit(((AdcProbeCap + Probes - 1) / Probes) * RerankDepth)
+      // no cap needed: rnk <= RerankDepth already bounds this frame to
+      // a deterministic probes x RerankDepth rows (a limit() here on an
+      // unordered frame would select nondeterministic rows if it ever
+      // bound — r13 advice)
     val l2 = graft.functions.VectorFunctions.squared_l2(col("v"), col("q"))
     val qOnly = probes.select(col("probe_id"), col("q"))
     val candL2 = e.join(broadcast(candidates), Seq("vec_id"))
@@ -519,9 +525,15 @@ object Pq {
     val recall = rr.filter(col("rr") <= AdcTopK)
       .join(exact, Seq("probe_id", "vec_id"))
       .groupBy(col("depth")).agg(count(lit(1)).as("recall3_sum"))
-    val top1 = rr.filter(col("rr") === 1)
+    // the RETRIEVER's own #1 (ADC order, rnk==1) vs the true nearest:
+    // the cross-encoder baseline column. Ranked on a DIFFERENT scorer
+    // than the exact yardstick, so it is not derivable from
+    // best_retrieved (whose gap to it per depth IS the re-ranker's
+    // value) — the r13 advice on the degenerate exact-order top-1.
+    // Depth-invariant by construction (rnk==1 survives every depth cut).
+    val top1 = candD.filter(col("rnk") === 1)
       .join(exact.filter(col("xr") === 1), Seq("probe_id", "vec_id"))
-      .groupBy(col("depth")).agg(count(lit(1)).as("top1_hits"))
+      .groupBy(col("depth")).agg(count(lit(1)).as("adc_top1_hits"))
     val bestRetrieved = candD
       .join(exact.filter(col("xr") === 1), Seq("probe_id", "vec_id"))
       .groupBy(col("depth")).agg(count(lit(1)).as("best_retrieved"))
@@ -533,7 +545,7 @@ object Pq {
       .join(recall, Seq("depth"), "left")
       .select(col("depth"), col("n_probes"),
         coalesce(col("best_retrieved"), lit(0L)).as("best_retrieved"),
-        coalesce(col("top1_hits"), lit(0L)).as("top1_hits"),
+        coalesce(col("adc_top1_hits"), lit(0L)).as("adc_top1_hits"),
         coalesce(col("recall3_sum"), lit(0L)).as("recall3_sum"))
       .orderBy(col("depth"))
   }
@@ -560,7 +572,7 @@ object Pq {
        |  FROM cand c JOIN e ON e.vec_id = c.vec_id
        |  JOIN probes p ON p.probe_id = c.probe_id),
        |dep AS (SELECT depth FROM (VALUES $depthRows) t(depth)),
-       |cd AS (SELECT dep.depth, cl.probe_id, cl.vec_id, cl.l2
+       |cd AS (SELECT dep.depth, cl.probe_id, cl.vec_id, cl.rnk, cl.l2
        |  FROM cl JOIN dep ON cl.rnk <= dep.depth),
        |rr AS (SELECT depth, probe_id, vec_id,
        |  row_number() OVER (PARTITION BY depth, probe_id ORDER BY l2, vec_id) AS rr
@@ -573,15 +585,15 @@ object Pq {
        |rec AS (SELECT depth, count(*) AS recall3_sum FROM rr
        |  JOIN ex_top x ON rr.probe_id = x.probe_id AND rr.vec_id = x.vec_id
        |  WHERE rr.rr <= $AdcTopK GROUP BY 1),
-       |t1 AS (SELECT depth, count(*) AS top1_hits FROM rr
-       |  JOIN ex_top x ON rr.probe_id = x.probe_id AND rr.vec_id = x.vec_id
-       |  WHERE rr.rr = 1 AND x.xr = 1 GROUP BY 1),
+       |t1 AS (SELECT depth, count(*) AS adc_top1_hits FROM cd
+       |  JOIN ex_top x ON cd.probe_id = x.probe_id AND cd.vec_id = x.vec_id
+       |  WHERE cd.rnk = 1 AND x.xr = 1 GROUP BY 1),
        |br AS (SELECT depth, count(*) AS best_retrieved FROM cd
        |  JOIN ex_top x ON cd.probe_id = x.probe_id AND cd.vec_id = x.vec_id
        |  WHERE x.xr = 1 GROUP BY 1)
        |SELECT dep.depth AS depth, CAST(np.n_probes AS BIGINT) AS n_probes,
        |  CAST(coalesce(br.best_retrieved, 0) AS BIGINT) AS best_retrieved,
-       |  CAST(coalesce(t1.top1_hits, 0) AS BIGINT) AS top1_hits,
+       |  CAST(coalesce(t1.adc_top1_hits, 0) AS BIGINT) AS adc_top1_hits,
        |  CAST(coalesce(rec.recall3_sum, 0) AS BIGINT) AS recall3_sum
        |FROM dep CROSS JOIN np
        |LEFT JOIN br ON dep.depth = br.depth

@@ -45,6 +45,13 @@ object Tables {
     * converts ns→µs with integer division (`div`, not double math —
     * ns epoch values exceed double's 2^53 exact range), matching
     * DuckDB's ns→µs truncation exactly.
+    *
+    * `events.value` is money-shaped: EXACTLY two decimal places, so
+    * `round(value * 100)` is a lossless cents quantization. Every
+    * cents/n exact-quotient output (q_percentiles mean, q_ab_cuped,
+    * …) leans on this; Round14OpsSpec pins it per corpus so a future
+    * finer-precision corpus fails loudly instead of silently
+    * quantizing those statistics.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = apply(s, d, "events")

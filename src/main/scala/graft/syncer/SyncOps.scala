@@ -314,6 +314,38 @@ object SyncOps {
       .orderBy(col("window_idx"))
   }
 
+  /** §2.1#322 `sync_restore_bandwidth` — rate-limited restore
+    * planning, the download twin of [[syncBandwidthWindows]]: the
+    * reference's restore fetches the minimal manifest set over the
+    * same capped link the uploader fills
+    * (`bin/cassandra-syncer-restore:60-96` drains its fetch queue
+    * sequentially), so the as-of restore set, in deterministic
+    * (generation, path) order, is cut into ≤`capBytes` transfer
+    * windows by running-total bytes — window k is what the link pulls
+    * in tick k. Same banded distributed prefix sum as the upload twin
+    * (bounded generation bands from a one-row span pushdown; no
+    * single-task global sort at any backlog size).
+    */
+  def syncRestoreBandwidth(spark: SparkSession, dir: String,
+      capBytes: Long = 16777216L, asOf: String = "2024-01-15"): DataFrame = {
+    val backlog = syncRestoreSet(spark, dir, asOf).cutLineage(eager = true)
+    val span = backlog.agg(min(col("generation")), max(col("generation"))).collect()(0)
+    val (lo, width) =
+      if (span.isNullAt(0)) (0L, 1L)
+      else (span.getLong(0),
+        math.max(1L, (span.getLong(1) - span.getLong(0)) / 4096L + 1L))
+    graft.analytics.Ranks.globalRankCumSum(backlog,
+        expr(s"CAST((generation - $lo) div $width AS BIGINT)"),
+        Seq(col("generation"), col("path")), col("size_bytes"), "__rank", "cum")
+      .withColumn("window_idx", expr(s"CAST((cum - 1) div $capBytes AS BIGINT)"))
+      .groupBy(col("window_idx"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("size_bytes")).as("window_bytes"),
+        min(col("generation")).as("first_gen"),
+        max(col("generation")).as("last_gen"))
+      .orderBy(col("window_idx"))
+  }
+
   /** §2.1#105 — replication-factor audit: on how many nodes each
     * (cf, shard) lineage is materialized — the "is every shard
     * replicated where it should be" check over the synced inventory.

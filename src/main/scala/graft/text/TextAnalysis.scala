@@ -804,6 +804,118 @@ object TextAnalysis {
       .orderBy(col("word"), col("rnk"))
   }
 
+  /** §2.5#321 `text_rerank_sweep` — retrieve-then-rerank evaluation
+    * over text, the lexical twin of `ann_rerank_sweep` (and the
+    * harness a cross-encoder reranker slots into): each probe
+    * document's 3 RAREST terms form a keyword query; BM25 scores only
+    * those terms' postings into a shortlist (the cheap retriever);
+    * the shortlist — never the corpus — is re-ranked by exact
+    * token-set Jaccard against the FULL probe document (the expensive
+    * pairwise metric a cross-encoder stands in for: it needs both
+    * texts together, so its cost is per shortlist pair — which is the
+    * whole point of the two-stage shape). Per shortlist depth the
+    * sweep reports the exact-Jaccard mass of the retriever's own
+    * top-1 (the depth-invariant baseline) and of the re-ranked top-1
+    * (monotone in depth): the uplift IS the reranker's value, so
+    * neither column is derivable from the other (the r13 advice on
+    * `ann_rerank_sweep`'s degenerate top-1 column, designed out).
+    *
+    * Engine exactness: per-term BM25 is quantized to a 10⁻⁶-quantum
+    * long (the class of `text_bm25`'s round-6 scores) and SUMMED in
+    * integers, so shortlist ranking never compares raw float
+    * accumulations; Jaccard is an exact-count quotient quantized at
+    * 10⁻⁴ (the calibration-op convention) and summed in longs; the
+    * only output floats are exact-integer quotients, emitted
+    * unrounded.
+    *
+    * Scale shape: probes are a hard-capped eval slice
+    * ([[TextProbeCap]]: ≤60 at any corpus size); each costs 3
+    * rare-term postings joins (rare ⇒ short postings), one bounded
+    * top-20 window, and ≤20 set-intersection pairs. Nothing is
+    * corpus-quadratic.
+    */
+  /** Probe-slice cap for [[textRerankSweep]]: doc_id % 89 == 7 under
+    * this literal id bound is ≤60 probes at ANY corpus size (the
+    * `AdcProbeCap` pattern) — the eval slice must not scale with the
+    * corpus or its broadcast shortlist would.
+    */
+  val TextProbeCap: Int = 89 * 60
+
+  def textRerankSweep(spark: SparkSession, dir: String): DataFrame = {
+    val depths = Seq(5, 10, 20)
+    val docs = Tables.rebalanced(Tables.documents(spark, dir))
+      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .cutLineage(eager = false)
+    val perDoc = docs.select(col("doc_id"), explode(col("toks")).as("word"))
+      .groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .cutLineage(eager = false) // postings read by qterms AND scoring
+    val dl = perDoc.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val df = perDoc.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val tot = dl.agg(sum(col("dl")).as("total_toks"))
+    val wRare = Window.partitionBy(col("q_id")).orderBy(col("df"), col("word"))
+    val qt = perDoc
+      .filter(col("doc_id") % 89 === 7 && col("doc_id") < TextProbeCap)
+      .select(col("doc_id").as("q_id"), col("word"))
+      .join(df, Seq("word"))
+      .withColumn("tr", row_number().over(wRare))
+      .filter(col("tr") <= 3)
+      .select(col("q_id"), col("word"), col("df"))
+    val avgdl = col("total_toks").cast("double") / col("n_docs")
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val norm = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl)))
+    // ≤3 quantized longs per (probe, doc) — integer sums, order-free
+    val scored = perDoc.join(broadcast(qt), Seq("word"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(tot))
+      .select(col("q_id"), col("doc_id"),
+        round(idf * norm * 1000000).cast("long").as("sq"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("sq")).as("bm25q"))
+    val wShort = Window.partitionBy(col("q_id"))
+      .orderBy(col("bm25q").desc, col("doc_id"))
+    val shortlist = scored
+      .withColumn("rnk", row_number().over(wShort).cast("long"))
+      .filter(col("rnk") <= depths.max)
+    val sets = docs.select(col("doc_id"),
+      array_sort(array_distinct(col("toks"))).as("ts"))
+    val qsets = sets
+      .filter(col("doc_id") % 89 === 7 && col("doc_id") < TextProbeCap)
+      .select(col("doc_id").as("q_id"), col("ts").as("qs"))
+    val pairs = sets.join(broadcast(shortlist), Seq("doc_id"))
+      .join(broadcast(qsets), Seq("q_id"))
+      .select(col("q_id"), col("doc_id"), col("rnk"),
+        when(size(array_distinct(concat(col("qs"), col("ts")))) > 0,
+          round(size(array_intersect(col("qs"), col("ts"))).cast("double") /
+            size(array_distinct(concat(col("qs"), col("ts")))).cast("double")
+            * 10000).cast("long"))
+          .otherwise(lit(10000L)).as("jacq"))
+      .cutLineage() // read by the baseline row AND every depth slice
+    val wRr = Window.partitionBy(col("depth"), col("q_id"))
+      .orderBy(col("jacq").desc, col("doc_id"))
+    val rerank = pairs
+      .withColumn("depth", explode(array(depths.map(d => lit(d.toLong)): _*)))
+      .filter(col("rnk") <= col("depth"))
+      .withColumn("rr", row_number().over(wRr))
+      .filter(col("rr") === 1)
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("jacq")).as("rerank_top1_jacq"))
+    val baseline = pairs.filter(col("rnk") === 1)
+      .agg(sum(col("jacq")).as("bm25_top1_jacq"))
+    rerank.crossJoin(broadcast(baseline))
+      .select(col("depth"), col("n_queries"),
+        col("bm25_top1_jacq"), col("rerank_top1_jacq"),
+        (col("bm25_top1_jacq").cast("double") / col("n_queries") / 10000.0)
+          .as("mean_bm25_top1"),
+        (col("rerank_top1_jacq").cast("double") / col("n_queries") / 10000.0)
+          .as("mean_rerank_top1"))
+      .orderBy(col("depth"))
+  }
+
   /** §2.5#269 — hapax-legomena profile per language: the share of
     * vocabulary seen exactly once. A high hapax ratio flags noisy or
     * OCR-corrupted slices; a collapsing one flags template spam —

@@ -102,7 +102,8 @@ class PlanAuditSpec extends GraftSpec {
     "q_running_distinct" -> "daily series (calendar axis)",
     "q_skyline" -> "64-row bucket-threshold table + bucket-pruned near-frontier survivors",
     "q_survival_curve" -> "≤|days| event-time series",
-    "sync_bandwidth_windows" -> "band count+sum offsets over ≤4096 generation-span cells (Ranks.globalRankCumSum; was a whole-backlog single-task window until r12)")
+    "sync_bandwidth_windows" -> "band count+sum offsets over ≤4096 generation-span cells (Ranks.globalRankCumSum; was a whole-backlog single-task window until r12)",
+    "sync_restore_bandwidth" -> "same Ranks.globalRankCumSum band-offset shape as sync_bandwidth_windows over the as-of restore set — ≤4096+1 cells at any backlog size")
 
   /** One optimized plan per registry query, built once and shared by
     * the whole-registry gates below (plan construction is the
@@ -146,7 +147,13 @@ class PlanAuditSpec extends GraftSpec {
     // AdcProbeCap literal id bound (≤60 probes at any SF) — the gate
     // now proves that side bounded on its own, which is the intended
     // end-state for sampled readouts.
-    "ann_ivf_pq_search" -> "deterministic 1/83 probe sample hint-broadcast into the IVF+PQ index")
+    "ann_ivf_pq_search" -> "deterministic 1/83 probe sample hint-broadcast into the IVF+PQ index",
+    // the r13 limit() that made this frame visible to the walk would
+    // have selected nondeterministic rows if it ever bound (r13
+    // advice) — the real bound is the rnk <= RerankDepth window
+    // filter: ≤60 probes (AdcProbeCap literal) × 10 rows at any SF,
+    // also measured by the growth gate's allowlisted entry
+    "ann_rerank_sweep" -> "ADC candidate frame bounded to AdcProbeCap/Probes × RerankDepth rows by the rnk <= RerankDepth window filter (a window rank the static walk cannot prove)")
     // q_join_skew_salt left this list in r11: the hot set is now a
     // driver-collected ≤HotKeyTopK (64) literal isin predicate — no
     // broadcast hint remains for the walk to adjudicate.
@@ -287,7 +294,11 @@ class PlanAuditSpec extends GraftSpec {
     "q_rfm_segments" -> ("recency/frequency/monetary band cells — statistic axes (distinct " +
       "order counts, $-band offsets) that saturate: ≤2.2× across a 100× orders scale-up"),
     "text_contamination" -> ("the broadcast probe set is a corpus slice ONLY as the test " +
-      "fixture; a production run feeds a fixed benchmark suite (constant spans)"))
+      "fixture; a production run feeds a fixed benchmark suite (constant spans)"),
+    "text_rerank_sweep" -> ("probe slice hard-capped at TextProbeCap (doc_id % 89 under a " +
+      "literal id bound: ≤60 probes at ANY corpus size), so the broadcast query-term, " +
+      "shortlist (≤60×20) and probe-tokset frames are capacity-bounded; the measured " +
+      "growth is the sample filling toward the cap at tiny SF"))
 
   test("broadcast-hinted frame cardinality is SF-invariant (measured, not inferred)") {
     // The r9 gate hole, closed by MEASURING: dedup_semantic's hinted

@@ -81,9 +81,13 @@ class Round13OpsSpec extends GraftSpec {
     sweep.foreach { r =>
       assert(r.getLong(2) <= np, "best_retrieved <= n_probes")
       assert(r.getLong(3) <= r.getLong(2),
-        "a top-1 hit requires the true nearest to have been retrieved")
+        "an ADC top-1 hit is itself a retrieved true-nearest")
       assert(r.getLong(4) <= 3 * np, "recall mass bounded by 3 per probe")
     }
+    // the ADC-order baseline is depth-invariant (rnk==1 survives every
+    // depth cut) — the re-ranker's value is best_retrieved minus this
+    assert(sweep.map(_.getLong(3)).distinct.length === 1,
+      "adc_top1_hits must not depend on the sweep depth")
     // cross-op conservation: the per-probe readout of ann_pq_rerank
     // sums to the sweep's depth-10 row (same candidates, same rerank),
     // and its raw-ADC column is the depth-3 row (re-ranking exactly

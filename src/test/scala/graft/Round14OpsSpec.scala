@@ -49,6 +49,50 @@ class Round14OpsSpec extends GraftSpec {
       "communities.n_members must match the members partition")
   }
 
+  test("restore bandwidth: windows exactly partition the as-of restore set") {
+    import org.apache.spark.sql.functions._
+    val win = graft.syncer.SyncOps.syncRestoreBandwidth(spark, sf).collect()
+    assert(win.nonEmpty)
+    // contiguous window indexes from 0
+    assert(win.map(_.getLong(0)).toSeq === (0L until win.length).toSeq)
+    // conservation: every restore file lands in exactly one window
+    val rs = graft.syncer.SyncOps.syncRestoreSet(spark, sf)
+      .agg(count(lit(1)), sum(col("size_bytes"))).collect()(0)
+    assert(win.map(_.getLong(1)).sum === rs.getLong(0), "file count conserved")
+    assert(win.map(_.getLong(2)).sum === rs.getLong(1), "byte total conserved")
+    // the cap binds: a window ends within cap bytes of the boundary it
+    // crossed, so every window but the last holds > 0 bytes and the
+    // running construction means no window's START offset skips a cap
+    win.foreach(r => assert(r.getLong(2) > 0))
+  }
+
+  test("rerank sweep (text): reranked top-1 dominates the BM25 baseline and is monotone in depth") {
+    val sweep = graft.text.TextAnalysis.textRerankSweep(spark, sf).collect()
+    assert(sweep.map(_.getLong(0)).toSeq === Seq(5L, 10L, 20L))
+    val nq = sweep.head.getLong(1)
+    assert(sweep.forall(_.getLong(1) === nq), "query count constant across depths")
+    val base = sweep.head.getLong(2)
+    assert(sweep.forall(_.getLong(2) === base), "BM25 baseline is depth-invariant")
+    val rr = sweep.map(_.getLong(3)).toSeq
+    assert(rr === rr.sorted, "re-ranked top-1 mass monotone in depth")
+    // per query the re-ranked top-1 maximizes jacq over a set that
+    // CONTAINS the BM25 top-1, so the sum dominates the baseline
+    sweep.foreach(r => assert(r.getLong(3) >= base,
+      "re-ranking a set containing the retriever's #1 can only help"))
+  }
+
+  test("events.value is exactly 2-decimal money (the cents-quantization premise)") {
+    import org.apache.spark.sql.functions._
+    // q_percentiles' mean (and every cents/n conversion) is the exact
+    // statistic ONLY because value*100 is integral — pin the premise
+    // (r13 advice) so a finer-precision corpus fails loudly instead of
+    // silently turning those means into quantized means
+    val worst = graft.sources.Tables.events(spark, sf)
+      .select(abs(col("value") * 100 - round(col("value") * 100)).as("d"))
+      .agg(max(col("d"))).collect()(0).getDouble(0)
+    assert(worst < 1e-6, s"events.value must be 2-decimal: max residual $worst")
+  }
+
   test("modularity sums: Q is exactly the one-division assembly of the integer sums") {
     val sums = GraphOps.graphModularitySums(spark, sf).collect()(0)
     val (m, s1, s2) = (sums.getLong(1), sums.getLong(2), sums.getLong(3))
