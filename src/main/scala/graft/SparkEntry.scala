@@ -45,6 +45,11 @@ object SparkEntry {
     "sync_bandwidth_windows" -> ((s, d) => SyncOps.syncBandwidthWindows(s, d)),
     "sync_restore_bandwidth" -> ((s, d) => SyncOps.syncRestoreBandwidth(s, d)),
     "text_rerank_sweep" -> (TextAnalysis.textRerankSweep(_, _)),
+    "q_anova" -> (Stats.qAnova(_, _)),
+    "q_cramers_v" -> (EventAnalytics.qCramersV(_, _)),
+    "q_hhi" -> (Relational.qHhi(_, _)),
+    "text_ngram_novelty" -> (TextAnalysis.textNgramNovelty(_, _)),
+    "io_age_tiering" -> (SyncOps.ioAgeTiering(_, _)),
     "sync_compaction_plan" -> (SyncOps.syncCompactionPlan(_, _)),
     "sync_daily_ingest" -> (SyncOps.syncDailyIngest(_, _)),
     "sync_generation_gaps" -> (SyncOps.syncGenerationGaps(_, _)),
@@ -744,6 +749,93 @@ object SparkEntry {
          |    AS mean_bm25_top1,
          |  CAST(sum(jacq) AS DOUBLE) / count(*) / 10000.0 AS mean_rerank_top1
          |FROM rr GROUP BY depth ORDER BY depth""".stripMargin,
+    "q_anova" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s, sum(c * c) AS ss,
+        |    CAST(round(CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS BIGINT)
+        |      / count(*)) AS BIGINT) AS tq
+        |  FROM ev GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+        |    CAST(sum(n) AS BIGINT) AS n_total, CAST(sum(s) AS BIGINT) AS s_tot,
+        |    sum(ss) AS ss_tot, CAST(sum(tq) AS BIGINT) AS t_exact FROM g),
+        |fin AS (SELECT n_groups, n_total,
+        |    CAST(t_exact AS DOUBLE)
+        |      - CAST(s_tot AS DOUBLE) * s_tot / n_total AS ss_between,
+        |    CAST(ss_tot AS DOUBLE) - CAST(t_exact AS DOUBLE) AS ss_within
+        |  FROM tot WHERE n_groups > 1 AND n_total > n_groups)
+        |SELECT n_groups, n_total AS n, ss_between, ss_within,
+        |  (ss_between / (n_groups - 1))
+        |    / (ss_within / (n_total - n_groups)) AS f
+        |FROM fin""".stripMargin,
+    "q_cramers_v" ->
+      """WITH obs AS (SELECT event_type,
+        |    CAST((date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 3) % 7
+        |      AS BIGINT) AS dow, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS row_n FROM obs GROUP BY 1),
+        |ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS col_n FROM obs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+        |agg AS (SELECT max(n) AS n_events,
+        |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT dow) AS BIGINT) AS n_cols,
+        |    sum((o - CAST(row_n AS DOUBLE) * col_n / n)
+        |      * (o - CAST(row_n AS DOUBLE) * col_n / n)
+        |      / (CAST(row_n AS DOUBLE) * col_n / n)) AS chi2_raw
+        |  FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot)
+        |SELECT n_events, n_rows, n_cols, round(chi2_raw, 4) AS chi2,
+        |  round(sqrt(chi2_raw / (n_events * (least(n_rows, n_cols) - 1))), 4)
+        |    AS cramers_v
+        |FROM agg WHERE least(n_rows, n_cols) > 1""".stripMargin,
+    "q_hhi" ->
+      s"""WITH $lpCte,
+         |bs AS (SELECT l_suppkey,
+         |    CAST(sum(price_c * (100 - disc_c)) AS BIGINT) AS r
+         |  FROM lp GROUP BY 1),
+         |bn AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+         |    sum(r) AS rev_sum, sum(CAST(r AS HUGEINT) * r) AS rev_sq
+         |  FROM bs JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  GROUP BY 1)
+         |SELECT n_name, n_suppliers,
+         |  CAST(rev_sum AS DOUBLE) / 10000.0 AS revenue,
+         |  CAST(rev_sq AS DOUBLE)
+         |    / (CAST(rev_sum AS DOUBLE) * CAST(rev_sum AS DOUBLE)) AS hhi
+         |FROM bn ORDER BY 1""".stripMargin,
+    "io_age_tiering" ->
+      s"""WITH $invCte, $durCte, $liveCte,
+         |mx AS (SELECT max(snap_date) AS d_max FROM live),
+         |t AS (SELECT cf,
+         |    CASE WHEN date_diff('day', snap_date, d_max) <= 7 THEN 'a_hot'
+         |      WHEN date_diff('day', snap_date, d_max) <= 30 THEN 'b_warm'
+         |      ELSE 'c_cold' END AS tier, size_bytes
+         |  FROM live CROSS JOIN mx),
+         |a AS (SELECT cf, tier, CAST(count(*) AS BIGINT) AS n_files,
+         |    CAST(sum(size_bytes) AS BIGINT) AS tier_bytes
+         |  FROM t GROUP BY 1, 2),
+         |c AS (SELECT cf, CAST(sum(tier_bytes) AS BIGINT) AS cf_bytes
+         |  FROM a GROUP BY 1)
+         |SELECT a.cf AS cf, tier, n_files, tier_bytes,
+         |  CAST(tier_bytes AS DOUBLE) / cf_bytes AS byte_share
+         |FROM a JOIN c ON a.cf = c.cf ORDER BY 1, 2""".stripMargin,
+    "text_ngram_novelty" ->
+      s"""WITH $toksCte,
+         |p0 AS (SELECT lang, doc_id,
+         |    unnest(list_transform(range(1, len(toks) - 3),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         |        || ' ' || toks[i+3] || ' ' || toks[i+4])) AS g
+         |  FROM t),
+         |p AS (SELECT DISTINCT lang, doc_id, g FROM p0),
+         |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_shingles
+         |  FROM p GROUP BY 1),
+         |f AS (SELECT g, arg_min(lang, doc_id) AS lang FROM p GROUP BY 1),
+         |nv AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_novel
+         |  FROM f GROUP BY 1)
+         |SELECT tot.lang AS lang, n_shingles,
+         |  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+         |  CAST(coalesce(n_novel, 0) AS DOUBLE) / n_shingles AS novelty_rate
+         |FROM tot LEFT JOIN nv ON tot.lang = nv.lang ORDER BY 1""".stripMargin,
     "ann_recall_at_k" ->
       s"""WITH $embCte,
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),

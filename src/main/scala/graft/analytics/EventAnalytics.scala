@@ -1055,4 +1055,46 @@ object EventAnalytics {
         col("m.n").as("n_at_mode"),
         (col("m.n").cast("double") / col("total")).as("mode_share"))
       .orderBy(col("event_type"))
+
+  /** §2.2 `q_cramers_v` — Cramér's V association strength of the
+    * event_type × day-of-week contingency table: the normalized
+    * effect-size readout [[qChiSquare]]'s per-type χ² contributions
+    * feed into (χ² alone grows with n; V = √(χ²/(n·min(r−1,c−1)))
+    * is comparable across corpus sizes — the statistic a drift
+    * monitor actually thresholds on).
+    *
+    * Same single-pass shape as qChiSquare: ONE scan builds the
+    * ≤|types|×7 table, marginals are window sums over those bounded
+    * rows. χ² sums float cell contributions in no guaranteed order,
+    * so both outputs keep round(·,4) as the ulp-drift absorber (the
+    * float-accumulation branch of the rounding rule, not the
+    * exact-quotient branch).
+    */
+  def qCramersV(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dow = ((datediff(to_date(col("ts")), lit("1970-01-01").cast("date")) + 3) % 7)
+      .cast("long")
+    val obs = Tables.events(spark, dir)
+      .select(col("event_type"), dow.as("dow"))
+      .groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("o"))
+    val cells = obs
+      .withColumn("row_n", sum(col("o")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("col_n", sum(col("o")).over(Window.partitionBy(col("dow"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+      .withColumn("exp", col("row_n").cast("double") * col("col_n") / col("n"))
+      .withColumn("contrib",
+        (col("o") - col("exp")) * (col("o") - col("exp")) / col("exp"))
+    cells
+      .agg(max(col("n")).as("n_events"),
+        countDistinct(col("event_type")).as("n_rows"),
+        countDistinct(col("dow")).as("n_cols"),
+        sum(col("contrib")).as("chi2_raw"))
+      .filter(least(col("n_rows"), col("n_cols")) > 1)
+      .select(col("n_events"), col("n_rows"), col("n_cols"),
+        round(col("chi2_raw"), 4).as("chi2"),
+        round(sqrt(col("chi2_raw") /
+          (col("n_events") * (least(col("n_rows"), col("n_cols")) - 1))), 4)
+          .as("cramers_v"))
+  }
 }

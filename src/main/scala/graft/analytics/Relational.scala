@@ -1099,4 +1099,42 @@ object Relational {
         min(col("gap_days")).as("min_days"), max(col("gap_days")).as("max_days"))
       .orderBy(col("bucket"))
   }
+
+  /** §2.2 `q_hhi` — Herfindahl–Hirschman revenue-concentration index
+    * per nation: HHI = Σᵢ shareᵢ² over each nation's suppliers — the
+    * sourcing-concentration readout (1/HHI is the "effective supplier
+    * count") that complements [[qParetoShare]]'s top-decile view.
+    *
+    * Shares never materialize: with exact integer revenues rᵢ
+    * (netE4 units), HHI = Σrᵢ² / (Σrᵢ)², so one shuffle reduces
+    * lineitem to (nation, supplier) exact sums, a second bounded agg
+    * accumulates Σr and Σr² in decimal(38,0) (rᵢ ~10¹³ → rᵢ² ~10²⁶,
+    * far past long), and the single float op is the final division —
+    * exact-quotient, emitted unrounded. The supplier→nation map is a
+    * broadcast dim join; nothing data-scale crosses the network twice.
+    */
+  def qHhi(spark: SparkSession, dir: String): DataFrame = {
+    val bySupp = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey"), Money.netE4.as("r"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("r")).as("r"))
+    val suppNation = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nation = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"))
+    bySupp.join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      // both reductions in decimal(38,0): Σr alone passes 2^63 around
+      // 10⁵× this corpus, and Σr² already at sf0.001
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("r").cast("decimal(38,0)")).as("rev_sum"),
+        sum(col("r").cast("decimal(38,0)") * col("r")).as("rev_sq"))
+      .select(col("n_name"), col("n_suppliers"),
+        Money.dollars(col("rev_sum"), 10000.0).as("revenue"),
+        (col("rev_sq").cast("double") /
+          (col("rev_sum").cast("double") * col("rev_sum").cast("double")))
+          .as("hhi"))
+      .orderBy(col("n_name"))
+  }
 }

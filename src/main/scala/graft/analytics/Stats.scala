@@ -840,4 +840,47 @@ object Stats {
           (col("n_days") * (col("n_days") - 1))).as("tau"))
       .orderBy(col("event_type"))
   }
+
+  /** §2.2 `q_anova` — one-way ANOVA F over event values between the
+    * event-type groups: does the type explain the value variance?
+    * The experiment-analysis sibling of [[qTtestAb]] for k > 2 arms.
+    *
+    * One partial-aggregated pass reduces the fact table to k rows of
+    * EXACT sufficient statistics (n, Σcents as long, Σcents² in
+    * decimal(38,0) so the squares never wrap), then SSB/SSW/F
+    * assemble in closed form on the bounded k-row aggregate. The one
+    * order-sensitive float reduction — Σ_g S_g²/n_g — is quantized
+    * per group to an exact integer (round to 1 cent², the
+    * text_char_entropy convention; each per-group double is itself a
+    * bit-exact mirrored chain) so the cross-group sum is exact and
+    * order-free, and every float output is engine-bit-exact, emitted
+    * unrounded. At 10¹² rows the plan is unchanged: the shuffles
+    * carry k sufficient-statistic rows, never data.
+    */
+  def qAnova(spark: SparkSession, dir: String): DataFrame = {
+    val c = Money.cents(col("value"))
+    val g = Tables.events(spark, dir)
+      .select(col("event_type"), c.as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("ss"))
+      // s_g²/n_g quantized to an exact long: the fold over groups must
+      // not depend on aggregation arrival order (long, not decimal —
+      // Spark's double→decimal goes through the shortest decimal repr,
+      // which is not the binary value above 2^53; double→long is exact)
+      .withColumn("tq",
+        round(col("s").cast("double") * col("s") / col("n")).cast("long"))
+    g.agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_total"),
+        sum(col("s")).as("s_tot"), sum(col("ss")).as("ss_tot"),
+        sum(col("tq")).as("t_exact"))
+      .filter(col("n_groups") > 1 && col("n_total") > col("n_groups"))
+      .withColumn("t", col("t_exact").cast("double"))
+      .withColumn("ss_between",
+        col("t") - col("s_tot").cast("double") * col("s_tot") / col("n_total"))
+      .withColumn("ss_within", col("ss_tot").cast("double") - col("t"))
+      .select(col("n_groups"), col("n_total").as("n"),
+        col("ss_between"), col("ss_within"),
+        ((col("ss_between") / (col("n_groups") - 1)) /
+          (col("ss_within") / (col("n_total") - col("n_groups")))).as("f"))
+  }
 }

@@ -936,4 +936,41 @@ object SyncOps {
           .as("eta_s"))
       .orderBy(col("cf"))
   }
+
+  /** §2.8 `io_age_tiering` — storage-lifecycle tiering audit over the
+    * LIVE set: each current file classed hot (≤7 days old), warm
+    * (≤30) or cold by age against the newest manifest day, with per-cf
+    * file/byte totals and the byte share each tier holds. This is the
+    * read-side twin of the reference's older-than pruning
+    * (`bin/cassandra-syncer-restore`'s `--older-than`, README:28,37):
+    * prune decides what to DELETE; tiering decides what storage class
+    * the survivors should occupy before the bucket bill does.
+    *
+    * Shape: the standard live-set window (partitioned by lineage —
+    * distributed, never a global sort), a broadcast scalar for the
+    * corpus max day, then everything reduces to the bounded cf×3
+    * grid. byte_share is an exact-count quotient, emitted unrounded.
+    */
+  def ioAgeTiering(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("cf"), col("node_id"), col("shard_id"))
+      .orderBy(col("generation").desc)
+    val live = FileInventory.durable(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cf"), col("snap_date"), col("size_bytes"))
+    val mx = live.agg(max(col("snap_date")).as("d_max"))
+    val wCf = Window.partitionBy(col("cf"))
+    live.crossJoin(broadcast(mx))
+      .withColumn("age_days", datediff(col("d_max"), col("snap_date")).cast("long"))
+      .withColumn("tier",
+        when(col("age_days") <= 7, "a_hot")
+          .when(col("age_days") <= 30, "b_warm")
+          .otherwise("c_cold"))
+      .groupBy(col("cf"), col("tier"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size_bytes")).as("tier_bytes"))
+      .withColumn("cf_bytes", sum(col("tier_bytes")).over(wCf))
+      .select(col("cf"), col("tier"), col("n_files"), col("tier_bytes"),
+        (col("tier_bytes").cast("double") / col("cf_bytes")).as("byte_share"))
+      .orderBy(col("cf"), col("tier"))
+  }
 }

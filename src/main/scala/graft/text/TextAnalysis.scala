@@ -938,4 +938,40 @@ object TextAnalysis {
         (col("n_hapax").cast("double") / col("vocab_size"))
           .as("hapax_ratio"))
       .orderBy(col("lang"))
+
+  /** §2.5 `text_ngram_novelty` — first-occurrence 5-gram novelty per
+    * language: of each language's distinct (doc, shingle) instances,
+    * what share is the shingle's first appearance in the whole corpus
+    * (by doc_id order)? Low novelty = the language slice is
+    * boilerplate recycled from earlier documents — the freshness gate
+    * a training-data mixture applies before weighting a slice up.
+    *
+    * Shape: linear shingle explode → one distinct on (doc, shingle)
+    * → ONE shuffle on the shingle key where min_by picks the first
+    * document's language (doc_ids are unique, so the argmin is
+    * deterministic) → bounded per-lang rollup. No join-back of the
+    * pair set and nothing pairwise; the novelty rate is an
+    * exact-count quotient, emitted unrounded (tie-attractor rule).
+    */
+  def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val grams = transform(idxSeq(size(col("toks")) - 4),
+      i => concat_ws(" ", element_at(col("toks"), i),
+        element_at(col("toks"), i + 1), element_at(col("toks"), i + 2),
+        element_at(col("toks"), i + 3), element_at(col("toks"), i + 4)))
+    val pairs = Tables.rebalanced(Tables.documents(spark, dir))
+      .select(col("lang"), col("doc_id"), tokensCol(col("text")).as("toks"))
+      .select(col("lang"), col("doc_id"), explode(grams).as("g"))
+      .distinct()
+      .cutLineage(eager = false) // one scan feeds both reductions
+    val totals = pairs.groupBy(col("lang")).agg(count(lit(1)).as("n_shingles"))
+    val novel = pairs.groupBy(col("g"))
+      .agg(min_by(col("lang"), col("doc_id")).as("lang"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_novel"))
+    totals.join(novel, Seq("lang"), "left")
+      .select(col("lang"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("novelty_rate"))
+      .orderBy(col("lang"))
+  }
 }

@@ -95,6 +95,7 @@ class PlanAuditSpec extends GraftSpec {
     "q_benford" -> "9 first-digit cells",
     "q_changepoint" -> "daily series (calendar axis)",
     "q_chi_square" -> "event_type × segment contingency cells",
+    "q_cramers_v" -> "same ≤|types|×7 contingency cells as q_chi_square (global-n marginal window)",
     "q_equidepth_hist" -> "distinct-value cells (value range is a bounded measurement axis)",
     "q_growth_rate" -> "monthly series (calendar axis)",
     "q_mutual_info" -> "event_type × event_type cells",

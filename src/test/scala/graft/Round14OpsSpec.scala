@@ -102,4 +102,114 @@ class Round14OpsSpec extends GraftSpec {
       java.lang.Double.doubleToLongBits(expected),
       s"Q must be bit-identical to the closed-form assembly: $q vs $expected")
   }
+
+  test("anova: SSB + SSW reproduces the total sum of squares; F agrees with a direct recompute") {
+    import org.apache.spark.sql.functions._
+    val r = graft.analytics.Stats.qAnova(spark, sf).collect()(0)
+    val (k, n) = (r.getLong(0), r.getLong(1))
+    val (ssb, ssw, f) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(k > 1 && n > k && ssb >= 0 && ssw > 0 && f > 0)
+    // recompute SST = Σc² − S²/N on collected cents (tiny at sf0.001)
+    val cents = graft.sources.Tables.events(spark, sf)
+      .select(round(col("value") * 100).cast("long").as("c"),
+        col("event_type")).collect()
+    val s = cents.map(_.getLong(0)).sum
+    val ss = cents.map(x => x.getLong(0).toDouble * x.getLong(0)).sum
+    val sst = ss - s.toDouble * s / n
+    // the Σ s_g²/n_g quantization moves SSB and SSW by < 0.5 cent² per
+    // group, and SST itself is float-assembled here — compare loosely
+    assert(math.abs(ssb + ssw - sst) / sst < 1e-9,
+      s"SSB+SSW=${ssb + ssw} must reproduce SST=$sst")
+    val byG = cents.groupBy(_.getString(1)).values.map { xs =>
+      val sg = xs.map(_.getLong(0)).sum; (xs.length, sg.toDouble * sg / xs.length)
+    }
+    val t = byG.map(_._2).sum
+    val fDirect = ((t - s.toDouble * s / n) / (k - 1)) / ((ss - t) / (n - k))
+    assert(math.abs(f - fDirect) / fDirect < 1e-6, s"F=$f vs direct $fDirect")
+  }
+
+  test("cramers v: bounded by [0,1] and consistent with the chi-square op's contributions") {
+    val r = graft.analytics.EventAnalytics.qCramersV(spark, sf).collect()(0)
+    val (nEvents, nRows, nCols) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (chi2, v) = (r.getDouble(3), r.getDouble(4))
+    assert(nRows > 1 && nCols > 1 && nCols <= 7)
+    assert(v >= 0.0 && v <= 1.0, s"V=$v out of [0,1]")
+    // same contingency table as q_chi_square: the global χ² must equal
+    // the sum of its per-type contributions (each rounded to 4dp)
+    val perType = graft.analytics.EventAnalytics.qChiSquare(spark, sf).collect()
+    assert(perType.map(_.getLong(1)).sum === nEvents)
+    val chiSum = perType.map(_.getDouble(2)).sum
+    assert(math.abs(chi2 - chiSum) < 1e-3 * perType.length,
+      s"global chi2 $chi2 vs per-type sum $chiSum")
+    // V is the normalized chi2, exactly
+    val vDirect = math.sqrt(chi2 / (nEvents * (math.min(nRows, nCols) - 1)))
+    assert(math.abs(v - vDirect) < 1e-4)
+  }
+
+  test("hhi: concentration bounded by [1/n, 1] and exact on a direct per-supplier recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analytics.Relational.qHhi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nSupp, hhi) = (r.getLong(1), r.getDouble(3))
+      assert(hhi >= 1.0 / nSupp - 1e-12 && hhi <= 1.0 + 1e-12,
+        s"${r.getString(0)}: hhi=$hhi outside [1/$nSupp, 1]")
+    }
+    // exact recompute for the first nation from raw revenues
+    val name = rows.head.getString(0)
+    val revs = graft.sources.Tables.lineitem(spark, sf)
+      .join(graft.sources.Tables.supplier(spark, sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(graft.sources.Tables.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === name)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(graft.analytics.Money.netE4).as("r"))
+      .collect().map(_.getLong(1))
+    val bigSq = revs.map(x => BigInt(x) * BigInt(x)).sum
+    val bigS = revs.map(BigInt(_)).sum
+    val direct = bigSq.toDouble / (bigS.toDouble * bigS.toDouble)
+    assert(java.lang.Double.doubleToLongBits(rows.head.getDouble(3)) ===
+      java.lang.Double.doubleToLongBits(direct),
+      s"hhi must be bit-identical to the exact-integer assembly for $name")
+  }
+
+  test("age tiering: tiers partition the live set; shares sum to 1 per cf") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.syncer.SyncOps.ioAgeTiering(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set("a_hot", "b_warm", "c_cold")(r.getString(1))))
+    // conservation against the live set
+    val live = graft.syncer.SyncOps.syncLiveSet(spark, sf)
+      .agg(count(lit(1)), sum(col("size_bytes"))).collect()(0)
+    assert(rows.map(_.getLong(2)).sum === live.getLong(0), "live file count conserved")
+    assert(rows.map(_.getLong(3)).sum === live.getLong(1), "live byte total conserved")
+    // per-cf byte shares sum to 1 exactly-ish (each is an exact quotient)
+    rows.groupBy(_.getString(0)).values.foreach { cf =>
+      val s = cf.map(_.getDouble(4)).sum
+      assert(math.abs(s - 1.0) < 1e-12, s"shares of ${cf.head.getString(0)} sum to $s")
+    }
+  }
+
+  test("ngram novelty: novel counts partition the distinct-shingle vocabulary; rates in (0,1]") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.text.TextAnalysis.textNgramNovelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "novel ≤ instances per lang")
+      val rate = r.getDouble(3)
+      assert(rate > 0.0 && rate <= 1.0, s"${r.getString(0)}: rate=$rate")
+    }
+    // every distinct shingle is novel in exactly one language
+    val toks = graft.text.TextAnalysis.tokensCol(col("text"))
+    val vocab = graft.sources.Tables.documents(spark, sf)
+      .select(toks.as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 4), " +
+          "i -> concat_ws(' ', t[i-1], t[i], t[i+1], t[i+2], t[i+3]))")).as("g"))
+      .distinct().count()
+    assert(rows.map(_.getLong(2)).sum === vocab,
+      "Σ novel over langs must equal the distinct 5-gram vocabulary")
+  }
 }
