@@ -50,6 +50,10 @@ object SparkEntry {
     "q_hhi" -> (Relational.qHhi(_, _)),
     "text_ngram_novelty" -> (TextAnalysis.textNgramNovelty(_, _)),
     "io_age_tiering" -> (SyncOps.ioAgeTiering(_, _)),
+    "q_rate_ztest" -> (Stats.qRateZtest(_, _)),
+    "q_abc_class" -> (Relational.qAbcClass(_, _)),
+    "text_readability" -> (TextAnalysis.textReadability(_, _)),
+    "vec_pq_distortion" -> (graft.similarity.Pq.vecPqDistortion(_, _)),
     "sync_compaction_plan" -> (SyncOps.syncCompactionPlan(_, _)),
     "sync_daily_ingest" -> (SyncOps.syncDailyIngest(_, _)),
     "sync_generation_gaps" -> (SyncOps.syncGenerationGaps(_, _)),
@@ -836,6 +840,63 @@ object SparkEntry {
          |  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
          |  CAST(coalesce(n_novel, 0) AS DOUBLE) / n_shingles AS novelty_rate
          |FROM tot LEFT JOIN nv ON tot.lang = nv.lang ORDER BY 1""".stripMargin,
+    "q_rate_ztest" ->
+      """WITH bd AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT min(day) AS d_min, max(day) AS d_max FROM bd),
+        |k AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN day * 2 <= d_min + d_max THEN n ELSE 0 END)
+        |      AS BIGINT) AS k_first,
+        |    CAST(sum(CASE WHEN day * 2 > d_min + d_max THEN n ELSE 0 END)
+        |      AS BIGINT) AS k_second
+        |  FROM bd CROSS JOIN sp GROUP BY 1)
+        |SELECT event_type, k_first, k_second,
+        |  CAST(k_first - k_second AS DOUBLE)
+        |    / sqrt(CAST(k_first + k_second AS DOUBLE)) AS z
+        |FROM k ORDER BY 1""".stripMargin,
+    "q_abc_class" ->
+      """WITH pp AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot_c,
+        |    CAST(count(*) AS BIGINT) AS n_total FROM pp),
+        |r AS (SELECT l_partkey, rev_c,
+        |    CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_c
+        |  FROM pp),
+        |c AS (SELECT CASE WHEN cum_c * 5 <= tot_c * 4 THEN 'A'
+        |      WHEN cum_c * 20 <= tot_c * 19 THEN 'B' ELSE 'C' END AS cls,
+        |    rev_c, n_total, tot_c
+        |  FROM r CROSS JOIN t)
+        |SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(count(*) AS DOUBLE) / n_total AS part_share,
+        |  CAST(sum(rev_c) AS BIGINT) AS class_rev_c,
+        |  CAST(sum(rev_c) AS DOUBLE) / tot_c AS rev_share
+        |FROM c GROUP BY cls, n_total, tot_c ORDER BY cls""".stripMargin,
+    "text_readability" ->
+      s"""WITH $toksCte,
+         |pd AS (SELECT lang,
+         |    CAST(len(toks) AS BIGINT) AS w,
+         |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         |      AS BIGINT) AS y
+         |  FROM t),
+         |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(w) AS BIGINT) AS words,
+         |    CAST(sum(s) AS BIGINT) AS sentences,
+         |    CAST(sum(y) AS BIGINT) AS syllables
+         |  FROM pd GROUP BY 1)
+         |SELECT lang, n_docs, words, sentences, syllables,
+         |  206.835
+         |    - 1.015 * (CAST(words AS DOUBLE)
+         |      / CAST(greatest(sentences, 1) AS DOUBLE))
+         |    - 84.6 * (CAST(syllables AS DOUBLE)
+         |      / CAST(greatest(words, 1) AS DOUBLE)) AS reading_ease
+         |FROM a ORDER BY 1""".stripMargin,
     "ann_recall_at_k" ->
       s"""WITH $embCte,
          |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
@@ -1979,6 +2040,7 @@ object SparkEntry {
     "ann_pq_adc" -> graft.similarity.Pq.pqAdcOracleSql,
     "ann_pq_rerank" -> graft.similarity.Pq.pqRerankOracleSql,
     "ann_rerank_sweep" -> graft.similarity.Pq.rerankSweepOracleSql,
+    "vec_pq_distortion" -> graft.similarity.Pq.pqDistortionOracleSql,
     "io_stats_prune_bloom" -> graft.sources.TxnLog.statsPruneBloomOracleSql,
     "ann_ivf_pq_search" -> graft.similarity.Pq.ivfPqOracleSql,
     "graph_degree_hist" -> graft.graph.GraphOps.degreeHistOracleSql,

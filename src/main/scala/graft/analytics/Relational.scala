@@ -1137,4 +1137,41 @@ object Relational {
           .as("hhi"))
       .orderBy(col("n_name"))
   }
+
+  /** §2.2#329 `q_abc_class` — ABC inventory classification: parts
+    * ranked by gross revenue, classed A (inside the top 80% of
+    * cumulative revenue), B (80–95%], C (rest). Class boundaries are
+    * pure integer comparisons on exact cents (cum·5 ≤ tot·4,
+    * cum·20 ≤ tot·19) so the partition of parts is engine-exact; the
+    * part/revenue shares are exact count/cents quotients emitted
+    * unrounded (tie rule).
+    *
+    * Scale: the global revenue cumsum over the entity-scale part axis
+    * goes through [[Ranks.globalRankCumSum]] — per-band partitioned
+    * windows plus a broadcast band-offset join, never one
+    * unpartitioned window over all parts.
+    */
+  def qAbcClass(spark: SparkSession, dir: String): DataFrame = {
+    val perPart = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), cents(col("l_extendedprice")).as("r"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("r")).as("rev_c"))
+    val tot = perPart.agg(sum(col("rev_c")).as("tot_c"),
+      count(lit(1)).as("n_total"))
+    Ranks.globalRankCumSum(perPart, expr("-(rev_c div 10000000)"),
+        Seq(col("rev_c").desc, col("l_partkey")), col("rev_c"),
+        "rnk", "cum_c")
+      .crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(col("cum_c") * 5 <= col("tot_c") * 4, "A")
+          .when(col("cum_c") * 20 <= col("tot_c") * 19, "B")
+          .otherwise("C"))
+      .groupBy(col("cls"), col("n_total"), col("tot_c"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev_c")).as("class_rev_c"))
+      .select(col("cls"), col("n_parts"),
+        (col("n_parts").cast("double") / col("n_total")).as("part_share"),
+        col("class_rev_c"),
+        (col("class_rev_c").cast("double") / col("tot_c")).as("rev_share"))
+      .orderBy(col("cls"))
+  }
 }

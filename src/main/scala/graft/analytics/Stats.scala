@@ -883,4 +883,39 @@ object Stats {
         ((col("ss_between") / (col("n_groups") - 1)) /
           (col("ss_within") / (col("n_total") - col("n_groups")))).as("f"))
   }
+
+  /** §2.2#328 `q_rate_ztest` — two-sample Poisson rate z per event
+    * type: did the arrival rate shift between the first and second
+    * half of the observed span? The halves split on the day midpoint
+    * as a pure integer comparison (day·2 ≤ d_min+d_max — no float
+    * midpoint), counts are exact longs, and
+    * z = (k₁−k₂)/√(k₁+k₂) is a mirrored chain of correctly-rounded
+    * IEEE ops (subtract, add, sqrt, divide) over exact integers —
+    * emitted unrounded per the tie rule.
+    *
+    * Scale: one events scan collapses to the bounded (type × day)
+    * grid; the global span is a 1-row broadcast off that grid; the
+    * final per-type reduction is k rows. No unbounded window, no
+    * second fact scan.
+    */
+  def qRateZtest(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+      .cast("long")
+    val byDay = Tables.events(spark, dir)
+      .select(col("event_type"), day.as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val span = byDay.agg(min(col("day")).as("d_min"), max(col("day")).as("d_max"))
+    byDay.crossJoin(broadcast(span))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("day") * 2 <= col("d_min") + col("d_max"), col("n"))
+          .otherwise(lit(0L))).as("k_first"),
+        sum(when(col("day") * 2 > col("d_min") + col("d_max"), col("n"))
+          .otherwise(lit(0L))).as("k_second"))
+      .select(col("event_type"), col("k_first"), col("k_second"),
+        ((col("k_first") - col("k_second")).cast("double") /
+          sqrt((col("k_first") + col("k_second")).cast("double"))).as("z"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -601,4 +601,50 @@ object Pq {
        |LEFT JOIN rec ON dep.depth = rec.depth
        |ORDER BY depth""".stripMargin
   }
+
+  /** §2.4#331 `vec_pq_distortion` — per-subspace quantization error
+    * profile: for each of the M sub-spaces, the mean squared L2
+    * between a vector's sub-vector and its assigned codebook entry
+    * (= the sub-space's reconstruction MSE; the column a PQ operator
+    * watches to decide which sub-space needs more codebook bits).
+    * Per-row errors are floor-quantized to exact µ-units (the
+    * `err_u` convention of [[pqCodesDf]]) so the per-subspace sum is
+    * an order-free exact-long reduction; the MSE is then a chain of
+    * two correctly-rounded divisions over exact integers — emitted
+    * unrounded (tie rule).
+    *
+    * Scale: one narrow pass over the codes frame (codebook
+    * broadcast, fused kernel distances), an 8×-rows posexplode of
+    * µ-unit longs, and an M-row groupBy. No shuffle wider than the
+    * bounded sub-space axis.
+    */
+  def vecPqDistortion(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddings(spark, dir)
+    val d = withDistVectors(e, e)
+    val errs = array((0 until M).map(mi =>
+      floor(array_min(col(s"d$mi")) * 1e6).cast("long")): _*)
+    d.select(errs.as("errs"))
+      .select(posexplode(col("errs")).as(Seq("m", "err_u")))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("err_u")).as("sum_err_u"))
+      .select(col("m").cast("long").as("m"), col("n_vecs"), col("sum_err_u"),
+        (col("sum_err_u").cast("double") / col("n_vecs") / 1e6).as("mse"))
+      .orderBy(col("m"))
+  }
+
+  def pqDistortionOracleSql: String = {
+    val dists = (0 until M)
+      .map(mi => s"${subDistSql("v", mi)} AS d$mi").mkString(",\n  ")
+    val arms = (0 until M).map(mi =>
+      s"SELECT $mi AS m, CAST(floor(list_min(d$mi) * 1000000) AS BIGINT) AS err_u FROM d")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $cbCtes,
+       |d AS (SELECT vec_id, $dists
+       |  FROM e, cbl),
+       |u AS ($arms)
+       |SELECT CAST(m AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(sum(err_u) AS BIGINT) AS sum_err_u,
+       |  CAST(sum(err_u) AS DOUBLE) / count(*) / 1000000.0 AS mse
+       |FROM u GROUP BY m ORDER BY m""".stripMargin
+  }
 }

@@ -974,4 +974,39 @@ object TextAnalysis {
           .as("novelty_rate"))
       .orderBy(col("lang"))
   }
+
+  /** §2.5#330 `text_readability` — per-language Flesch-style reading
+    * ease over the corpus totals: 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+    * with W = tokens, S = sentence-punctuation clusters, Y =
+    * vowel-group syllable proxies, all exact per-document integer
+    * counts summed per language. The ease chain is correctly-rounded
+    * IEEE ops over exact longs and shared decimal literals, mirrored
+    * op-for-op in the oracle — emitted unrounded (tie rule). The
+    * greatest(·,1) guards make the quotients total without changing
+    * any populated language's value.
+    *
+    * Scale: narrow per-row regex counts (codegen pass, no explode),
+    * one bounded groupBy on the language axis.
+    */
+  def textReadability(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.rebalanced(Tables.documents(spark, dir))
+      .select(col("lang"),
+        size(tokensCol(col("text"))).cast("long").as("w"),
+        size(expr("regexp_extract_all(text, '[.!?]+', 0)"))
+          .cast("long").as("s"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+          .cast("long").as("y"))
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+        sum(col("s")).as("sentences"), sum(col("y")).as("syllables"))
+      .select(col("lang"), col("n_docs"), col("words"), col("sentences"),
+        col("syllables"),
+        (lit(206.835) -
+          lit(1.015) * (col("words").cast("double") /
+            greatest(col("sentences"), lit(1L)).cast("double")) -
+          lit(84.6) * (col("syllables").cast("double") /
+            greatest(col("words"), lit(1L)).cast("double")))
+          .as("reading_ease"))
+      .orderBy(col("lang"))
+  }
 }

@@ -88,6 +88,7 @@ class PlanAuditSpec extends GraftSpec {
     "q_churn_by_engagement" -> "band offsets over distinct per-user event counts — activity axis, not the user axis (Ranks.ntileBanded)",
     "q_decile_report" -> "band offsets over $100k revenue cells (Ranks.ntileBanded)",
     "q_pareto_share" -> "band count+sum offsets over $100k revenue cells (Ranks.globalRankCumSum)",
+    "q_abc_class" -> "band count+sum offsets over $100k per-part revenue cells (Ranks.globalRankCumSum — same shape as q_pareto_share on the part axis)",
     "corpus_token_budget" -> "band count+sum offsets over 21 quality-score cells (Ranks.globalRankCumSum)",
     "corpus_token_budget_bpe" -> "same 21 quality-score band cells as corpus_token_budget (Ranks.globalRankCumSum; only the summed token axis changed)",
     "q_gini" -> "cumulative count over distinct per-user activity cells (closed-form tied-run ranks)",

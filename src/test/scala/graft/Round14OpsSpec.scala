@@ -212,4 +212,95 @@ class Round14OpsSpec extends GraftSpec {
     assert(rows.map(_.getLong(2)).sum === vocab,
       "Σ novel over langs must equal the distinct 5-gram vocabulary")
   }
+
+  test("rate ztest: halves partition each type's events; z is the exact-integer assembly") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analytics.Stats.qRateZtest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows.map(_.getString(0)).toSet === byType.keySet)
+    rows.foreach { r =>
+      val (t, k1, k2, z) = (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(k1 + k2 === byType(t), s"$t: halves must partition the type's events")
+      val direct = (k1 - k2).toDouble / math.sqrt((k1 + k2).toDouble)
+      assert(java.lang.Double.doubleToLongBits(z) ===
+        java.lang.Double.doubleToLongBits(direct),
+        s"$t: z must be bit-identical to the exact-count assembly")
+    }
+  }
+
+  test("abc class: classes partition the part axis; the 80/95 cuts hold as exact integers") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.analytics.Relational.qAbcClass(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === rows.map(_.getString(0)).toSeq.sorted)
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("A", "B", "C")))
+    val pp = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"))
+      .agg(sum(graft.analytics.Money.cents(col("l_extendedprice"))).as("r"))
+      .agg(count(lit(1)), sum(col("r"))).collect()(0)
+    val (nTotal, totC) = (pp.getLong(0), pp.getLong(1))
+    assert(rows.map(_.getLong(1)).sum === nTotal, "classes must partition the parts")
+    assert(rows.map(_.getLong(3)).sum === totC, "class revenues must sum to the total")
+    rows.groupBy(_ => ()).values.foreach { rs =>
+      val shareSum = rs.map(_.getDouble(2)).sum
+      assert(math.abs(shareSum - 1.0) < 1e-12, s"part shares sum to $shareSum")
+    }
+    val byCls = rows.map(r => (r.getString(0), r.getLong(3))).toMap
+    // the 80% boundary is an exact-integer cut: A's cumulative mass
+    // never crosses 4/5 of the total, A+B never crosses 19/20
+    assert(byCls.getOrElse("A", 0L) * 5 <= totC * 4, "A mass must stay within 80%")
+    assert((byCls.getOrElse("A", 0L) + byCls.getOrElse("B", 0L)) * 20 <= totC * 19,
+      "A+B mass must stay within 95%")
+    rows.foreach { r =>
+      val direct = r.getLong(3).toDouble / totC
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ===
+        java.lang.Double.doubleToLongBits(direct), "rev_share exact quotient")
+    }
+  }
+
+  test("readability: integer totals conserve against a direct recompute; ease is the exact assembly") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.text.TextAnalysis.textReadability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val direct = graft.sources.Tables.documents(spark, sf)
+      .select(col("lang"),
+        size(graft.text.TextAnalysis.tokensCol(col("text"))).cast("long").as("w"),
+        size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long").as("s"))
+      .groupBy(col("lang")).agg(sum(col("w")), sum(col("s")))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    rows.foreach { r =>
+      val (lang, w, s, y) = (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert((w, s) === direct(lang), s"$lang: word/sentence totals must conserve")
+      assert(y > 0, s"$lang: a text corpus has vowel groups")
+      val ease = 206.835 - 1.015 * (w.toDouble / math.max(s, 1L).toDouble) -
+        84.6 * (y.toDouble / math.max(w, 1L).toDouble)
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(5)) ===
+        java.lang.Double.doubleToLongBits(ease),
+        s"$lang: reading ease must be bit-identical to the exact-sum assembly")
+    }
+  }
+
+  test("pq distortion: one row per subspace over the full corpus; mse is the exact quotient") {
+    val rows = graft.similarity.Pq.vecPqDistortion(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L until 8L).toSeq)
+    val n = rows.head.getLong(1)
+    assert(rows.forall(_.getLong(1) === n), "every subspace covers every vector")
+    assert(n === graft.sources.Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0L)
+      val direct = r.getLong(2).toDouble / n / 1e6
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ===
+        java.lang.Double.doubleToLongBits(direct), "mse exact quotient")
+    }
+    // cross-op tie to ann_pq_codes' err_u = floor(Σ_m min_m · 1e6):
+    // a sum of per-m floors undershoots the floor of the sum by < M per
+    // vector (modulo float ulp), so the two µ-unit totals straddle
+    val codesErr = graft.similarity.Pq.annPqCodes(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("err_u")).collect()(0).getLong(0)
+    val perMSum = rows.map(_.getLong(2)).sum
+    assert(perMSum <= codesErr + n, "per-subspace floors cannot exceed the total-error floor")
+    assert(codesErr - perMSum <= 9L * n, "floor gap bounded by M per vector")
+  }
 }
