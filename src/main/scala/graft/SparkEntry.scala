@@ -301,7 +301,6 @@ object SparkEntry {
     "graph_modularity" -> ((s, d) => graft.graph.GraphOps.graphModularity(s, d)),
     "graph_community_members" -> ((s, d) => graft.graph.GraphOps.graphCommunityMembers(s, d)),
     "graph_communities" -> ((s, d) => graft.graph.GraphOps.graphCommunities(s, d)),
-    "graph_modularity_sums" -> ((s, d) => graft.graph.GraphOps.graphModularitySums(s, d)),
     "io_partitioned_inventory" -> (Io.ioPartitionedInventory(_, _)),
     "io_csv_json" -> (Io.ioCsvJson(_, _)),
     "io_bucketed_join" -> (Io.ioBucketedJoin(_, _)),
@@ -2338,7 +2337,6 @@ object SparkEntry {
     "graph_modularity" -> graft.graph.GraphOps.modularityOracleSql(),
     "graph_community_members" -> graft.graph.GraphOps.communityMembersOracleSql(),
     "graph_communities" -> graft.graph.GraphOps.communitiesOracleSql(),
-    "graph_modularity_sums" -> graft.graph.GraphOps.modularitySumsOracleSql(),
     "q_interpolate_gaps" ->
       """WITH obs AS (SELECT event_type,
         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,

@@ -581,23 +581,32 @@ object GraphOps {
     * passes (one over the node list, one over the rep edge list), and
     * so is the whole sufficient-statistics reduction: Q factors as
     * Q = Σ_c e_c/m − Σ_c d_c²/(4m²) = (4m·Σe_c − Σd_c²)/(4m²), with
-    * Σd_c² accumulated in decimal(38,0), leaving exactly ONE float
-    * operation — the final division — so the result is independent of
-    * partition/summation order on both engines (a per-community
-    * double `qterm` sum drifted in the 4th rounded decimal at sf0.1;
-    * §6 exact-sufficient-sums convention). Q is emitted UNROUNDED:
-    * both engines assemble the same exact integers and perform one
-    * correctly-rounded IEEE division, so the doubles are
-    * bit-identical and `round(x, 4)` would only re-introduce the one
-    * op where engines legitimately disagree on .xxxx5 ties (Spark
-    * HALF_UP on the shortest repr vs DuckDB on the binary value —
-    * the q_ewma lesson). The oracle recomputes Q
-    * from the materialized full graph with the same factored form,
-    * checking the closed form. Communities that touch no edge
-    * contribute nothing and are excluded on both sides (d_c > 0).
+    * Σd_c² accumulated in decimal(38,0). Communities that touch no
+    * edge contribute nothing and are excluded on both sides (d_c>0).
+    *
+    * The emitted surface is 100% INTEGER — no IEEE op anywhere. Q
+    * itself ships as `modularity_e12 = (4m·Σe_c − Σd_c²)·10¹² div
+    * 4m²`, the quotient in parts-per-10¹² computed with
+    * multiply-before-divide integral arithmetic: Spark decimal(38,0)
+    * `div` and DuckDB HUGEINT `//` both truncate toward zero
+    * (verified: −7 div 2 = −3 on both), so the longs are equal by
+    * construction, not merely to float precision. History: rounds
+    * 11-14 emitted the same sums with ONE final IEEE division as a
+    * `modularity` double; the r14 float-free companion rows
+    * ([[graphCommunityMembers]], [[graphCommunities]], and the
+    * since-folded global-sums row) proved every exact surface equal
+    * in the driver env while the double row alone stayed red — so
+    * per VERDICT r14 #1 the float left the hashed surface entirely.
+    * The global sums (n_communities, m_edges, intra_edges = Σe_c,
+    * s2 = Σd_c²) ride along as columns, which is why the r14
+    * `graph_modularity_sums` diagnostic row folded into this one.
+    * Headroom: ·10¹² puts the numerator near 4m²·10¹²; decimal(38,0)
+    * holds it to m ≈ 1.5·10¹² full-graph edges, far beyond any
+    * candidate graph the dedup gate admits, and overflow is loud
+    * (decimal overflow → null row, not a wrap).
     */
   /** Shared sufficient-statistics frames behind [[graphModularity]],
-    * [[graphCommunities]] and [[graphModularitySums]]: the label-prop
+    * [[graphCommunities]]: the label-prop
     * labels, the per-community exact (e_c, d_c) pairs, and the exact
     * full-graph edge count m — all integers, all in the rep-collapsed
     * closed form documented at [[graphModularity]].
@@ -664,10 +673,10 @@ object GraphOps {
     * intra-community full-graph edge count e_c, and total degree d_c,
     * every value an exact integer in the same rep-collapsed closed
     * form as [[graphModularity]]. Between [[graphCommunityMembers]]
-    * (partition), this row (per-community reduction), and
-    * [[graphModularitySums]] (global sums), a driver-env hash break
-    * on `graph_modularity` is bracketed to one surface by which
-    * companion rows flip. Also a first-class readout: community size
+    * (partition), this row (per-community reduction), and the global
+    * sums columns on [[graphModularity]] itself, a driver-env hash
+    * break on the family is bracketed to one surface by which rows
+    * flip. Also a first-class readout: community size
     * vs internal density is the standard cluster-quality table a
     * dedup pipeline reviews before collapsing clusters.
     */
@@ -699,61 +708,21 @@ object GraphOps {
        |  LEFT JOIN ec ON sz.label = ec.label
        |ORDER BY community""".stripMargin
 
-  /** §2.3#320 `graph_modularity_sums` — the exact global sufficient
-    * sums behind Q with NO float operation at all: n_communities, m,
-    * S1 = Σe_c and S2 = Σd_c², emitted as BIGINT on both sides. Green
-    * here plus a red `graph_modularity` would confine a driver-env
-    * break to the single final IEEE division (or the checker's float
-    * path); red here with green [[graphCommunities]] would implicate
-    * the global reduction. S2 is accumulated in decimal(38,0) and
-    * emitted as long — exact up to d_c ≈ 3·10⁹, far beyond any
-    * candidate graph the dedup gate admits (a documented bound, not a
-    * silent wrap: the decimal accumulation would overflow loudly
-    * first).
-    */
-  def graphModularitySums(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+  def graphModularity(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
     val st = commStatsOf(spark, dir, rounds)
+    // exact sufficient sums: S1 = Σe_c (long), S2 = Σd_c² (decimal);
+    // the quotient ships as truncated parts-per-10¹² — zero IEEE ops.
     st.comm.crossJoin(broadcast(st.mFrame))
       .agg(count(lit(1)).as("n_communities"),
         first(col("m")).as("m_edges"),
         sum(col("e_c")).as("intra_edges"),
         sum(col("d_c").cast("decimal(38,0)") * col("d_c")).as("s2d"))
       .select(col("n_communities"), col("m_edges"), col("intra_edges"),
-        col("s2d").cast("long").as("s2"))
-  }
-
-  /** DuckDB oracle for [[graphModularitySums]]. */
-  def modularitySumsOracleSql(rounds: Int = 3): String =
-    labelPropUnrollCtes(rounds) + s""",
-       |mm AS (SELECT count(*) AS m FROM cand),
-       |ec AS (SELECT la.label AS label, count(*) AS e_c FROM cand
-       |  JOIN l$rounds la ON cand.doc_a = la.node
-       |  JOIN l$rounds lb ON cand.doc_b = lb.node
-       |  WHERE la.label = lb.label GROUP BY 1),
-       |dc AS (SELECT l.label AS label, count(*) AS d_c
-       |  FROM ed JOIN l$rounds l ON ed.s = l.node GROUP BY 1),
-       |per AS (SELECT dc.label, coalesce(ec.e_c, 0) AS e_c, dc.d_c
-       |  FROM dc LEFT JOIN ec ON dc.label = ec.label)
-       |SELECT count(*) AS n_communities,
-       |  (SELECT m FROM mm) AS m_edges,
-       |  CAST(sum(e_c) AS BIGINT) AS intra_edges,
-       |  CAST(sum(CAST(d_c AS HUGEINT) * d_c) AS BIGINT) AS s2
-       |FROM per""".stripMargin
-
-  def graphModularity(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    val st = commStatsOf(spark, dir, rounds)
-    // exact sufficient sums: S1 = Σe_c (long), S2 = Σd_c² (decimal);
-    // ONE final float division → partition-order independent.
-    st.comm.crossJoin(broadcast(st.mFrame))
-      .agg(count(lit(1)).as("n_communities"),
-        first(col("m")).as("m_edges"),
-        sum(col("e_c")).as("intra_edges"),
-        sum(col("d_c").cast("decimal(38,0)") * col("d_c")).as("s2"))
-      .select(col("n_communities"), col("m_edges"), col("intra_edges"),
-        ((lit(4).cast("decimal(38,0)") * col("m_edges") * col("intra_edges") -
-            col("s2")).cast("double") /
-          (lit(4).cast("decimal(38,0)") * col("m_edges") * col("m_edges"))
-            .cast("double")).as("modularity"))
+        col("s2d").cast("long").as("s2"),
+        expr("""((4 * CAST(m_edges AS decimal(38,0)) * intra_edges - s2d)
+               |  * 1000000000000) div
+               |(4 * CAST(m_edges AS decimal(38,0)) * m_edges)""".stripMargin)
+          .as("modularity_e12"))
   }
 
   /** Shared CTE prefix for every label-prop oracle: candidate pairs →
@@ -800,11 +769,12 @@ object GraphOps {
               |  FROM dc LEFT JOIN ec ON dc.label = ec.label)
               |SELECT count(*) AS n_communities,
               |  (SELECT m FROM mm) AS m_edges,
-              |  sum(e_c) AS intra_edges,
-              |  CAST(4 * (SELECT m FROM mm) * sum(e_c)
-              |        - sum(CAST(d_c AS HUGEINT) * d_c) AS DOUBLE)
-              |    / CAST(4 * (SELECT m FROM mm) * (SELECT m FROM mm) AS DOUBLE)
-              |    AS modularity
+              |  CAST(sum(e_c) AS BIGINT) AS intra_edges,
+              |  CAST(sum(CAST(d_c AS HUGEINT) * d_c) AS BIGINT) AS s2,
+              |  CAST(((4 * CAST((SELECT m FROM mm) AS HUGEINT) * sum(e_c)
+              |          - sum(CAST(d_c AS HUGEINT) * d_c)) * 1000000000000)
+              |    // (4 * CAST((SELECT m FROM mm) AS HUGEINT)
+              |          * (SELECT m FROM mm)) AS BIGINT) AS modularity_e12
               |FROM per""".stripMargin
     sb.toString
   }

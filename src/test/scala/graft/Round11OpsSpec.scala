@@ -147,8 +147,9 @@ class Round11OpsSpec extends GraftSpec {
 
   test("modularity: conservation laws and cross-op equalities hold") {
     val row = GraphOps.graphModularity(spark, sf).collect()(0)
+    // q in parts-per-10¹² since r15 (pure-integer surface)
     val (nComm, m, intra, q) =
-      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(4) / 1e12)
     // full-graph edge count must equal graph_triangles' n_edges
     val tri = GraphOps.graphTriangles(spark, sf).collect()(0)
     assert(m === tri.getLong(1), "m must equal the triangles op's full-graph edge count")

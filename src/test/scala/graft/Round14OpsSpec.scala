@@ -28,10 +28,12 @@ class Round14OpsSpec extends GraftSpec {
     assert(sizes === hist, "members partition must reproduce graph_label_prop's histogram")
   }
 
-  test("communities: per-community stats re-aggregate to the modularity sums row") {
+  test("communities: per-community stats re-aggregate to the modularity row's global sums") {
     val comms = GraphOps.graphCommunities(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    val sums = GraphOps.graphModularitySums(spark, sf).collect()(0)
+    // graph_modularity's leading columns ARE the former sums row
+    // (n_communities, m_edges, intra_edges, s2) — folded in r15
+    val sums = GraphOps.graphModularity(spark, sf).collect()(0)
     assert(comms.length.toLong === sums.getLong(0), "n_communities")
     assert(comms.map(_._3).sum === sums.getLong(2), "Σe_c == intra_edges")
     assert(comms.map(d => d._4 * d._4).sum === sums.getLong(3), "Σd_c² == s2")
@@ -93,14 +95,18 @@ class Round14OpsSpec extends GraftSpec {
     assert(worst < 1e-6, s"events.value must be 2-decimal: max residual $worst")
   }
 
-  test("modularity sums: Q is exactly the one-division assembly of the integer sums") {
-    val sums = GraphOps.graphModularitySums(spark, sf).collect()(0)
-    val (m, s1, s2) = (sums.getLong(1), sums.getLong(2), sums.getLong(3))
-    val q = GraphOps.graphModularity(spark, sf).collect()(0).getDouble(3)
-    val expected = (4.0 * m * s1 - s2) / (4.0 * m * m)
-    assert(java.lang.Double.doubleToLongBits(q) ===
-      java.lang.Double.doubleToLongBits(expected),
-      s"Q must be bit-identical to the closed-form assembly: $q vs $expected")
+  test("modularity: the e12 quotient is exactly the truncated integer assembly of the sums") {
+    val row = GraphOps.graphModularity(spark, sf).collect()(0)
+    val (m, s1, s2) = (row.getLong(1), row.getLong(2), row.getLong(3))
+    val e12 = row.getLong(4)
+    // BigInt `/` truncates toward zero, the same semantics as Spark's
+    // decimal `div` and DuckDB's HUGEINT `//` (verified r15)
+    val expected = (BigInt(4) * m * s1 - s2) * BigInt("1000000000000") /
+      (BigInt(4) * m * m)
+    assert(BigInt(e12) === expected,
+      s"modularity_e12 must equal the pure-integer quotient: $e12 vs $expected")
+    // and it sits in Q's a-priori range, scaled: Q ∈ (−0.5, 1]
+    assert(e12 > -500000000000L && e12 <= 1000000000000L)
   }
 
   test("anova: SSB + SSW reproduces the total sum of squares; F agrees with a direct recompute") {
