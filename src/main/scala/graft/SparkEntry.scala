@@ -785,12 +785,16 @@ object SparkEntry {
         |    CAST(count(DISTINCT dow) AS BIGINT) AS n_cols,
         |    sum((o - CAST(row_n AS DOUBLE) * col_n / n)
         |      * (o - CAST(row_n AS DOUBLE) * col_n / n)
-        |      / (CAST(row_n AS DOUBLE) * col_n / n)) AS chi2_raw
-        |  FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot)
+        |      / (CAST(row_n AS DOUBLE) * col_n / n)) AS chi2_obs,
+        |    sum(CAST(row_n AS DOUBLE) * col_n / n) AS exp_obs
+        |  FROM obs JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot),
+        |dense AS (SELECT n_events, n_rows, n_cols,
+        |    chi2_obs + (n_events - exp_obs) AS chi2_raw
+        |  FROM agg)
         |SELECT n_events, n_rows, n_cols, round(chi2_raw, 4) AS chi2,
         |  round(sqrt(chi2_raw / (n_events * (least(n_rows, n_cols) - 1))), 4)
         |    AS cramers_v
-        |FROM agg WHERE least(n_rows, n_cols) > 1""".stripMargin,
+        |FROM dense WHERE least(n_rows, n_cols) > 1""".stripMargin,
     "q_hhi" ->
       s"""WITH $lpCte,
          |bs AS (SELECT l_suppkey,

@@ -384,6 +384,14 @@ object EventAnalytics {
     * contributions on the bounded |types|×7 contingency table. All
     * inputs are exact integer counts so both engines derive identical
     * doubles.
+    *
+    * Convention: contributions are summed over OBSERVED cells only —
+    * an empty (type, dow) cell's (0−E)²/E = E mass is excluded, so a
+    * scipy.stats.chi2_contingency cross-check will read higher
+    * whenever a type misses a weekday. This is deliberate for the
+    * per-type diagnostic rows (an all-zero stripe is better surfaced
+    * by its absence); [[qCramersV]], the thresholded statistic,
+    * densifies via the closed-form n − Σ_observed E correction.
     */
   def qChiSquare(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1069,6 +1077,17 @@ object EventAnalytics {
     * so both outputs keep round(·,4) as the ulp-drift absorber (the
     * float-accumulation branch of the rounding rule, not the
     * exact-quotient branch).
+    *
+    * Unlike [[qChiSquare]] (whose per-type rows are a diagnostic
+    * readout and document their observed-cells-only convention), V is
+    * the thresholded statistic, so this op densifies the grid: an
+    * EMPTY (type, dow) cell contributes (0−E)²/E = E, and since the
+    * expected counts of the FULL r×c grid always sum to exactly n
+    * (ΣᵣΣ꜀ row_n·col_n/n = n·n/n), the total empty-cell mass is
+    * n − Σ_observed E in closed form — the dense-grid χ² without
+    * materializing a single empty cell (r15, ADVICE r14: the sparse
+    * convention understated V whenever a type missed a weekday, which
+    * a scipy cross-check would flag as a bug).
     */
   def qCramersV(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1089,8 +1108,13 @@ object EventAnalytics {
       .agg(max(col("n")).as("n_events"),
         countDistinct(col("event_type")).as("n_rows"),
         countDistinct(col("dow")).as("n_cols"),
-        sum(col("contrib")).as("chi2_raw"))
+        sum(col("contrib")).as("chi2_obs"),
+        sum(col("exp")).as("exp_obs"))
       .filter(least(col("n_rows"), col("n_cols")) > 1)
+      // dense-grid χ²: empty cells contribute E each, and the full
+      // grid's ΣE is exactly n — so add n − Σ_observed E
+      .withColumn("chi2_raw",
+        col("chi2_obs") + (col("n_events").cast("double") - col("exp_obs")))
       .select(col("n_events"), col("n_rows"), col("n_cols"),
         round(col("chi2_raw"), 4).as("chi2"),
         round(sqrt(col("chi2_raw") /

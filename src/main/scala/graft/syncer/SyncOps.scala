@@ -31,15 +31,19 @@ object SyncOps {
 
   /** [[syncLiveSet]] over ANY durable inventory relation (the
     * events-derived model or a real [[FsInventory]] tree).
+    * `extraCols` carries additional inventory columns (e.g.
+    * `snap_date` for [[ioAgeTiering]]) through the window so every
+    * consumer shares ONE live-set definition — the lineage key and
+    * the generation-desc tie-break live here and nowhere else.
     */
-  def liveSetOf(durable: DataFrame): DataFrame = {
+  def liveSetOf(durable: DataFrame, extraCols: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(col("cf"), col("node_id"), col("shard_id"))
       .orderBy(col("generation").desc)
     durable
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("cf"), col("node_id"), col("shard_id"),
-        col("generation"), col("path"), col("size_bytes"))
+      .select(Seq("cf", "node_id", "shard_id", "generation", "path", "size_bytes")
+        .++(extraCols).map(col): _*)
       .orderBy(col("cf"), col("node_id"), col("shard_id"))
   }
 
@@ -952,11 +956,10 @@ object SyncOps {
     * grid. byte_share is an exact-count quotient, emitted unrounded.
     */
   def ioAgeTiering(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("cf"), col("node_id"), col("shard_id"))
-      .orderBy(col("generation").desc)
-    val live = FileInventory.durable(spark, dir)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    // the shared live-set definition, carrying snap_date (r14 advice:
+    // one row_number window, not a re-implementation that could drift
+    // from syncLiveSet's lineage key / tie-break)
+    val live = liveSetOf(FileInventory.durable(spark, dir), Seq("snap_date"))
       .select(col("cf"), col("snap_date"), col("size_bytes"))
     val mx = live.agg(max(col("snap_date")).as("d_max"))
     val wCf = Window.partitionBy(col("cf"))

@@ -204,7 +204,10 @@ class Round14OpsSpec extends GraftSpec {
     rows.foreach { r =>
       assert(r.getLong(2) <= r.getLong(1), "novel ≤ instances per lang")
       val rate = r.getDouble(3)
-      assert(rate > 0.0 && rate <= 1.0, s"${r.getString(0)}: rate=$rate")
+      // >= 0: a language whose every distinct shingle debuts in
+      // another language legally has zero novelty (r14 advice); the
+      // partition assertion below is the correctness check
+      assert(rate >= 0.0 && rate <= 1.0, s"${r.getString(0)}: rate=$rate")
     }
     // every distinct shingle is novel in exactly one language
     val toks = graft.text.TextAnalysis.tokensCol(col("text"))
@@ -290,7 +293,7 @@ class Round14OpsSpec extends GraftSpec {
 
   test("pq distortion: one row per subspace over the full corpus; mse is the exact quotient") {
     val rows = graft.similarity.Pq.vecPqDistortion(spark, sf).collect()
-    assert(rows.map(_.getLong(0)).toSeq === (0L until 8L).toSeq)
+    assert(rows.map(_.getLong(0)).toSeq === (0L until graft.similarity.Pq.M.toLong).toSeq)
     val n = rows.head.getLong(1)
     assert(rows.forall(_.getLong(1) === n), "every subspace covers every vector")
     assert(n === graft.sources.Tables.embeddings(spark, sf).count())
@@ -307,6 +310,7 @@ class Round14OpsSpec extends GraftSpec {
       .agg(org.apache.spark.sql.functions.sum("err_u")).collect()(0).getLong(0)
     val perMSum = rows.map(_.getLong(2)).sum
     assert(perMSum <= codesErr + n, "per-subspace floors cannot exceed the total-error floor")
-    assert(codesErr - perMSum <= 9L * n, "floor gap bounded by M per vector")
+    assert(codesErr - perMSum <= (graft.similarity.Pq.M + 1L) * n,
+      "floor gap bounded by M per vector")
   }
 }
