@@ -253,6 +253,8 @@ object SparkEntry {
     "text_pack_chunks" -> ((s, d) => graft.text.CorpusOps.textPackChunks(s, d)),
     "corpus_chunk_overlap" -> ((s, d) => graft.text.CorpusOps.corpusChunkOverlap(s, d)),
     "text_contamination" -> ((s, d) => graft.text.CorpusOps.textContamination(s, d)),
+    "ann_semantic_contamination" -> (Ann.annSemanticContamination(_, _)),
+    "corpus_curriculum_order" -> (graft.text.CorpusOps.corpusCurriculumOrder(_, _)),
     "corpus_mixture" -> (graft.text.CorpusOps.corpusMixture(_, _)),
     "corpus_source_overlap" -> (graft.text.CorpusOps.corpusSourceOverlap(_, _)),
     "corpus_dsir_select" -> (graft.text.CorpusOps.corpusDsirSelect(_, _)),
@@ -1837,6 +1839,33 @@ object SparkEntry {
          |  round(list_cosine_similarity(qv, v), 4) AS cos
          |  FROM c JOIN q ON c.assigned_centroid = q.probe)
          |SELECT q_id, vec_id, probe, cos, rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM s) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "ann_semantic_contamination" ->
+      s"""WITH $embCte,
+         |comp AS (SELECT label AS c_id, pos - 1 AS pos, x
+         |         FROM (SELECT label, unnest(v) AS x,
+         |               generate_subscripts(v, 1) AS pos FROM e)),
+         |cent AS (SELECT c_id, list(cx ORDER BY pos) AS cv FROM (
+         |  SELECT c_id, pos, avg(x) AS cx FROM comp GROUP BY c_id, pos) GROUP BY c_id),
+         |scored AS (SELECT vec_id, label, c_id,
+         |  round(list_cosine_similarity(v, cv), 4) + 0.0 AS ccos FROM e CROSS JOIN cent),
+         |assign AS (SELECT vec_id, c_id AS assigned_centroid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+         |  FROM scored) WHERE rn = 1),
+         |ea AS (SELECT e.vec_id, v, assigned_centroid FROM e JOIN assign ON e.vec_id = assign.vec_id),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM ea WHERE vec_id % 97 = 0),
+         |c AS (SELECT vec_id, v, assigned_centroid FROM ea WHERE vec_id % 97 <> 0),
+         |cranks AS (SELECT q.q_id, cent.c_id,
+         |  row_number() OVER (PARTITION BY q.q_id
+         |    ORDER BY round(list_cosine_similarity(q.qv, cent.cv), 4) DESC, cent.c_id)
+         |    AS rn FROM q CROSS JOIN cent),
+         |probes AS (SELECT q_id, c_id FROM cranks WHERE rn <= 2),
+         |s AS (SELECT p.q_id, c.vec_id,
+         |  round(list_cosine_similarity(q.qv, c.v), 4) AS cos
+         |  FROM c JOIN probes p ON c.assigned_centroid = p.c_id
+         |  JOIN q ON q.q_id = p.q_id)
+         |SELECT q_id, rnk, vec_id, cos, cos >= 0.45 AS contaminated FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rnk
          |  FROM s) WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "vec_argmax" ->
@@ -4118,6 +4147,28 @@ object SparkEntry {
          |  CAST(sum(sel.n_toks) AS DOUBLE) / lt.lang_toks AS tok_share
          |FROM sel JOIN lt ON sel.lang = lt.lang
          |GROUP BY lt.lang, lt.n_docs, lt.lang_toks ORDER BY lt.lang""".stripMargin,
+    "corpus_curriculum_order" ->
+      s"""WITH $toksCte,
+         |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+         |  CAST(round(round((1.0 - len(list_filter(toks, x -> x = 'the' OR x = 'a')) / CAST(len(toks) AS DOUBLE)) * least(1.0, len(toks) / 50.0), 4) * 10000) AS BIGINT) AS qs,
+         |  CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS s,
+         |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+         |  FROM t),
+         |me AS (SELECT *, (206835 * greatest(s, 1) * n_toks
+         |    - 1015 * n_toks * n_toks - 84600 * y * greatest(s, 1))
+         |    // (greatest(s, 1) * n_toks) AS ease_m FROM m),
+         |tot AS (SELECT (CAST(sum(n_toks) AS BIGINT) * 6) // 10 AS budget FROM me),
+         |r AS (SELECT *, sum(n_toks) OVER (ORDER BY qs DESC, doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks FROM me),
+         |sel AS (SELECT r.* FROM r, tot WHERE cum_toks - n_toks < budget),
+         |ph AS (SELECT *, CAST(ntile(5) OVER (ORDER BY ease_m DESC, doc_id)
+         |  AS BIGINT) AS phase FROM sel)
+         |SELECT phase, count(*) AS n_docs,
+         |  CAST(sum(n_toks) AS BIGINT) AS phase_toks,
+         |  CAST(max(ease_m) AS BIGINT) AS ease_hi,
+         |  CAST(min(ease_m) AS BIGINT) AS ease_lo,
+         |  CAST(sum(qs) AS DOUBLE) / count(*) / 10000.0 AS mean_quality
+         |FROM ph GROUP BY phase ORDER BY phase""".stripMargin,
     "corpus_token_budget" ->
       s"""WITH $toksCte,
          |m AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_toks,

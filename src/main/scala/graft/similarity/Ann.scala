@@ -388,6 +388,38 @@ object Ann {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** §2.5#333 `ann_semantic_contamination` — embedding-space eval-set
+    * contamination probe through the materialized IVF index: the
+    * held-out slice (vec_id % 97, the same deterministic eval-suite
+    * stand-in as `text_contamination`) queries the stored index with
+    * nprobe=2, and each eval item's top-k semantic neighbors among
+    * the REST of the corpus are reported with a `contaminated` flag
+    * at cosine ≥ 0.45. This is the semantic twin of the 8-token
+    * span-hash check: a paraphrased benchmark item shares no exact
+    * span, but its embedding still lands next to the leaked source —
+    * the decontamination pass n-gram overlap provably misses
+    * (span hashing is blind to any rewording; the cosine isn't).
+    *
+    * Cost is the IVF probe bill, not a corpus scan: |eval| × nprobe
+    * cell partitions read through the stored partition filter, then
+    * broadcast-join + bounded rank inside the probed cells — the
+    * shape that stays |eval|-bounded when the corpus is 100 TB
+    * (the index build amortizes across every probe-family op via
+    * [[ivfIndex]]). The threshold lives on the ROUNDED round(·,4)
+    * cosine, so the boolean is bit-deterministic on both engines.
+    */
+  def annSemanticContamination(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfIndex(spark, dir)
+    val queries = spark.read.parquet(s"$idx/cells")
+      .filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    annIvfProbe(spark, queries, k = 5, nprobe = 2, indexPath = idx,
+      corpusFilter = col("vec_id") % 97 =!= 0)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"),
+        (col("cos") >= lit(0.45)).as("contaminated"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** §2.4#64 — scalar quantization: each vector affinely mapped to
     * uint8 codes against its own [min, max] range — the storage-side
     * compression step of a vector index (4× smaller than float32;

@@ -295,6 +295,77 @@ object CorpusOps {
       .orderBy(col("lang"))
   }
 
+  /** §2.5#332 `corpus_curriculum_order` — curriculum schedule over
+    * the token-budget selection: the docs that survive the 60% budget
+    * cut (IDENTICAL greedy-by-quality prefix as [[corpusTokenBudget]])
+    * are ordered easiest→hardest by per-document Flesch reading ease
+    * and split into `phases` equal-count curriculum phases — the
+    * easy-first ordering a curriculum-learning run feeds its sampler.
+    * Output per phase: doc/token mass, the ease range it spans, and
+    * mean quality (easier phases should not be quality-degenerate —
+    * that is the diagnostic this table exists to show).
+    *
+    * Exactness: the per-doc sort key is integer milli-ease in one
+    * truncated quotient, ease_m = (206835·s·w − 1015·w² − 84600·y·s)
+    * div (s·w) — Spark `div` and DuckDB `//` both truncate toward
+    * zero (verified r15), so the global curriculum ORDER is
+    * bit-identical across engines with no float anywhere in a sort
+    * key. Phases come from the exact ntile arithmetic
+    * ([[graft.analytics.Ranks.ntileFromRank]] ≡ SQL `ntile`).
+    *
+    * Scale: the quality prefix and the curriculum rank are BOTH
+    * banded global ranks (the [[graft.analytics.Ranks]] spine — no
+    * single-task sort at any corpus size); the ease band axis is the
+    * bounded statistic range (~25 cells of 50 milli-ease units,
+    * clamped), everything after reduces to the `phases`-row grid.
+    */
+  def corpusCurriculumOrder(spark: SparkSession, dir: String,
+      phases: Int = 5): DataFrame = {
+    val nToks = size(toks).cast("double")
+    val stopHits = size(filter(toks, t => t === "the" || t === "a")).cast("double")
+    val q = round((lit(1.0) - stopHits / nToks) * least(lit(1.0), nToks / 50.0), 4)
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_toks"),
+        round(q * 10000).cast("long").as("qs"),
+        size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long").as("s"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+          .cast("long").as("y"))
+      // integer milli-ease; greatest(s,1) totalizes sentence-free docs
+      // without moving any populated one (w ≥ 1: the tokenizer never
+      // returns an empty array, same premise corpusTokenBudget's
+      // stopword quotient already stands on)
+      .withColumn("ease_m", expr(
+        """(206835 * greatest(s, 1) * n_toks - 1015 * n_toks * n_toks
+          |  - 84600 * y * greatest(s, 1)) div (greatest(s, 1) * n_toks)"""
+          .stripMargin))
+    val budget = scored.agg(sum(col("n_toks")).as("tt"))
+      .selectExpr("(tt * 6) div 10 AS budget")
+    val ranked = graft.analytics.Ranks.globalRankCumSum(scored,
+      expr("(10000 - qs) div 500"), Seq(col("qs").desc, col("doc_id")),
+      col("n_toks"), "sel_rank", "cum_toks")
+    val selected = ranked.crossJoin(broadcast(budget))
+      .filter(col("cum_toks") - col("n_toks") < col("budget"))
+      .select(col("doc_id"), col("n_toks"), col("qs"), col("ease_m"))
+    // easiest first: band must be non-decreasing along (ease_m DESC);
+    // ease_m ≤ 206835 < 207000 so the band index is always ≥ 0, and
+    // the clamp only merges the pathological ultra-hard tail into one
+    // band (within-band order still sorts them exactly)
+    val phased = graft.analytics.Ranks.ntileBanded(selected,
+      expr("least((207000 - ease_m) div 50000, 40)"),
+      Seq(col("ease_m").desc, col("doc_id")), phases, "phase")
+    phased.groupBy(col("phase").cast("long").as("phase"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("phase_toks"),
+        max(col("ease_m")).as("ease_hi"), min(col("ease_m")).as("ease_lo"),
+        sum(col("qs")).as("qs_sum"))
+      .select(col("phase"), col("n_docs"), col("phase_toks"),
+        col("ease_hi"), col("ease_lo"),
+        // exact-long quotient chain, emitted unrounded (tie rule)
+        (col("qs_sum").cast("double") / col("n_docs") / 10000.0)
+          .as("mean_quality"))
+      .orderBy(col("phase"))
+  }
+
   /** Top-`k` character-pair merges by corpus frequency (ties broken
     * on the pair string) — the data-derived merges table the BPE
     * apply broadcasts. Bounded by the LITERAL k at any corpus size;
