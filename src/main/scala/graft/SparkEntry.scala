@@ -52,6 +52,8 @@ object SparkEntry {
     "io_age_tiering" -> (SyncOps.ioAgeTiering(_, _)),
     "q_rate_ztest" -> (Stats.qRateZtest(_, _)),
     "q_abc_class" -> (Relational.qAbcClass(_, _)),
+    "q7_volume_shipping" -> (Relational.q7VolumeShipping(_, _)),
+    "q8_market_share" -> (Relational.q8MarketShare(_, _)),
     "text_readability" -> (TextAnalysis.textReadability(_, _)),
     "vec_pq_distortion" -> (graft.similarity.Pq.vecPqDistortion(_, _)),
     "sync_compaction_plan" -> (SyncOps.syncCompactionPlan(_, _)),
@@ -358,6 +360,7 @@ object SparkEntry {
     "io_snapshot_diff" -> (graft.sources.TxnLog.ioSnapshotDiff(_, _)),
     "text_top_terms" -> (TextAnalysis.textTopTerms(_, _)),
     "corpus_near_dup_by_source" -> (Dedup.corpusNearDupBySource(_, _)),
+    "corpus_dup_provenance" -> (Dedup.corpusDupProvenance(_, _)),
     "dedup_minhash_calibration" -> (Dedup.dedupMinhashCalibration(_, _)),
     "mm_size_outliers" -> (Media.mmSizeOutliers(_, _)),
     "sync_twcs_compaction" -> (SyncOps.syncTwcsCompaction(_, _)),
@@ -882,6 +885,39 @@ object SparkEntry {
         |  CAST(sum(rev_c) AS BIGINT) AS class_rev_c,
         |  CAST(sum(rev_c) AS DOUBLE) / tot_c AS rev_share
         |FROM c GROUP BY cls, n_total, tot_c ORDER BY cls""".stripMargin,
+    "q7_volume_shipping" ->
+      s"""WITH $lpCte
+        |SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  EXTRACT(year FROM l_shipdate) AS l_year,
+        |  CAST(sum(price_c * (100 - disc_c)) AS DOUBLE) / 10000.0 AS revenue
+        |FROM lp JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      s"""WITH $lpCte,
+        |base AS (SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+        |    CASE WHEN sn.n_name = 'NATION_5'
+        |      THEN price_c * (100 - disc_c) ELSE 0 END AS nat_e4,
+        |    price_c * (100 - disc_c) AS e4
+        |  FROM lp JOIN orders ON l_orderkey = o_orderkey
+        |    JOIN supplier ON l_suppkey = s_suppkey
+        |    JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |      JOIN nation ON c_nationkey = n_nationkey
+        |      JOIN region ON n_regionkey = r_regionkey
+        |      WHERE r_name = 'AMERICA')
+        |    AND l_partkey IN (SELECT p_partkey FROM part
+        |      WHERE p_type = 'PROMO'))
+        |SELECT o_year,
+        |  CAST(sum(nat_e4) AS DOUBLE) / CAST(sum(e4) AS DOUBLE) AS mkt_share,
+        |  CAST(sum(e4) AS DOUBLE) / 10000.0 AS total_revenue
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_readability" ->
       s"""WITH $toksCte,
          |pd AS (SELECT lang,
@@ -4342,6 +4378,7 @@ object SparkEntry {
         |  CAST(count(inv.doc_id) AS DOUBLE) / count(*) AS near_dup_rate
         |FROM documents d LEFT JOIN inv ON d.doc_id = inv.doc_id
         |GROUP BY d.source ORDER BY d.source""".stripMargin),
+    "corpus_dup_provenance" -> graft.dedup.Dedup.dupProvenanceOracleSql,
     "dedup_minhash_calibration" -> {
       val agree = (0 until graft.dedup.Dedup.MinhashK)
         .map(k => s"(CASE WHEN sa.sig$k = sb.sig$k THEN 1 ELSE 0 END)")

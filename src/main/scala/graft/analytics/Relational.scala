@@ -1174,4 +1174,67 @@ object Relational {
         (col("class_rev_c").cast("double") / col("tot_c")).as("rev_share"))
       .orderBy(col("cls"))
   }
+
+  /** §2.2#334 `q7_volume_shipping` — Q7-shape bilateral trade matrix:
+    * revenue between every ordered (supplier nation, customer nation)
+    * pair by ship year, supp ≠ cust, over a two-year ship window.
+    * One lineitem↔orders shuffle on the order key; supplier/customer
+    * are SF-scaled and left un-hinted (AQE broadcasts while they
+    * fit); the nation dim is joined TWICE (both roles) as an explicit
+    * broadcast. Output is bounded by nations² × years. Revenue is the
+    * exact-cents sum divided once ([[Money]] convention).
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    li.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(nation.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cn_key"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dollars(sum(netE4), 10000.0).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** §2.2#335 `q8_market_share` — Q8-shape national market share: of
+    * the AMERICA-region PROMO-part market, the revenue share captured
+    * by one nation's suppliers, per order year. Numerator and
+    * denominator are both exact-cents longs from ONE aggregation pass
+    * (conditional partial agg, no second scan); the share is their
+    * single mirrored IEEE division, emitted unrounded. Bounded dims
+    * (nation, region) broadcast; part is SF-scaled and un-hinted.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.nation(spark, dir)
+    val americaCust = Tables.customer(spark, dir)
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(americaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(Tables.part(spark, dir).filter(col("p_type") === "PROMO")
+        .select(col("p_partkey")), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_5", netE4).otherwise(lit(0L)))
+          .as("nat_e4"),
+        sum(netE4).as("tot_e4"))
+      .select(col("o_year"),
+        (col("nat_e4").cast("double") / col("tot_e4").cast("double"))
+          .as("mkt_share"),
+        dollars(col("tot_e4"), 10000.0).as("total_revenue"))
+      .orderBy(col("o_year"))
+  }
 }

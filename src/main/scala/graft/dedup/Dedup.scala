@@ -1366,4 +1366,67 @@ object Dedup {
        |FROM t JOIN reps USING (digest) LEFT JOIN pr ON pr.rep_id = reps.rep_id
        |ORDER BY t.doc_id""".stripMargin
   }
+
+  /** §2.3#336 `corpus_dup_provenance` — the source×source near-dup
+    * flow matrix: for every unordered source pair, how many FULL-graph
+    * candidate pairs (docs sharing ≥1 LSH band) connect a doc of one
+    * to a doc of the other. The provenance readout behind
+    * [[corpusNearDupBySource]]'s per-source rates: which feeds mirror
+    * WHICH — the table a curator reads before deciding whose copies
+    * to keep. Computed entirely rep-collapsed: per-rep source
+    * composition (rep_id, source, c) is a doc-keyed join + bounded
+    * agg; intra-group cliques contribute C(c,2) same-source and
+    * c_a·c_b cross-source pairs via a rep-keyed self-join whose
+    * fan-out is bounded by the source catalog; rep edges contribute
+    * n_a·n_b split by both endpoints' compositions (≤ |sources|² rows
+    * per edge). A million-copy boilerplate group costs its
+    * composition rows, never 10¹² materialized pairs. Output ≤
+    * C(|sources|+1, 2) rows. Oracle recomputes over the materialized
+    * full pair set ([[candOracleBody]]'s `cand`), so the closed form
+    * is verified, not assumed.
+    */
+  def corpusDupProvenance(spark: SparkSession, dir: String): DataFrame = {
+    val g = candGraph(spark, dir)
+    val comp = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(g.docMap, Seq("doc_id"))
+      .groupBy(col("rep_id"), col("source"))
+      .agg(count(lit(1)).as("c"))
+      // columnar pin: consumed three times below (intra self-join + both
+      // edge endpoints); see CachePins / dedupNgramJaccard note
+      .transform(CachePins.pin)
+    val intra = comp.select(col("rep_id"), col("source").as("sa"), col("c").as("ca"))
+      .join(comp.select(col("rep_id"), col("source").as("sb"), col("c").as("cb")),
+        Seq("rep_id"))
+      .filter(col("sa") <= col("sb"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        when(col("sa") === col("sb"), expr("ca * (ca - 1) div 2"))
+          .otherwise(col("ca") * col("cb")).as("pairs"))
+    val cross = g.edges
+      .join(comp.select(col("rep_id").as("doc_a"), col("source").as("sa"),
+        col("c").as("ca")), Seq("doc_a"))
+      .join(comp.select(col("rep_id").as("doc_b"), col("source").as("sb"),
+        col("c").as("cb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        (col("ca") * col("cb")).as("pairs"))
+    intra.union(cross)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("pairs")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** DuckDB oracle for [[corpusDupProvenance]] — counted over the
+    * materialized full-graph candidate pair set.
+    */
+  def dupProvenanceOracleSql: String =
+    s"""WITH $candOracleBody,
+       |ds AS (SELECT doc_id, source FROM documents)
+       |SELECT least(a.source, b.source) AS source_a,
+       |  greatest(a.source, b.source) AS source_b,
+       |  count(*) AS n_pairs
+       |FROM cand JOIN ds a ON cand.doc_a = a.doc_id
+       |  JOIN ds b ON cand.doc_b = b.doc_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

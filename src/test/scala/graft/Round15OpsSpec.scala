@@ -65,4 +65,57 @@ class Round15OpsSpec extends GraftSpec {
         "contaminated flag is exactly the 0.45 threshold on the rounded cosine")
     }
   }
+
+  test("q7 volume shipping: pair revenues sum to a direct cross-nation recompute") {
+    import graft.sources.Tables
+    val rows = graft.analytics.Relational.q7VolumeShipping(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) !== r.getString(1), "supp_nation != cust_nation")
+      assert(Seq(1996, 1997).contains(r.getInt(2)), "ship years inside the window")
+    }
+    // conservation: Σ pair revenue == windowed cross-nation revenue
+    // recomputed through an independent plan (single join chain, no
+    // per-pair grouping), both in exact cents before ONE division
+    val direct = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .filter(col("s_nationkey") =!= col("c_nationkey"))
+      .agg(sum(graft.analytics.Money.netE4).as("e4")).collect()(0).getLong(0)
+    val got = rows.map(r => math.round(r.getDouble(3) * 10000)).sum
+    assert(got === direct,
+      s"q7 pair sum $got != direct windowed cross-nation revenue $direct")
+  }
+
+  test("q8 market share: share bounded and consistent with its own totals") {
+    val rows = graft.analytics.Relational.q8MarketShare(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getDouble(1)
+      assert(share >= 0.0 && share <= 1.0, s"share in [0,1]: $share")
+      assert(r.getDouble(2) > 0.0, "non-empty market per emitted year")
+    }
+  }
+
+  test("dup provenance: matrix is canonical and conserves the full pair count") {
+    val rows = graft.dedup.Dedup.corpusDupProvenance(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "unordered pairs keyed (min, max)")
+      assert(r.getLong(2) > 0L, "zero cells are not emitted")
+    }
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length === rows.length)
+    // conservation: Σ n_pairs over source pairs == total full-graph
+    // candidate pairs, assembled along the multiplicity path (group
+    // cliques + edge blow-ups) rather than the source split
+    val g = graft.dedup.Dedup.candGraph(spark, sf)
+    val intra = g.docMap.groupBy(col("rep_id")).agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2"))).collect()(0).getLong(0)
+    val cross = g.edges.agg(sum(col("na") * col("nb"))).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(2)).sum === intra + cross,
+      "source-pair matrix must partition the full candidate pair set")
+  }
 }
