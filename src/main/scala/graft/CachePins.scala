@@ -74,22 +74,4 @@ object CachePins {
     entries.foreach(_.df.unpersist(blocking = false))
     entries.clear()
   }
-
-  private val memos = scala.collection.mutable.Map.empty[String, DataFrame]
-
-  /** Session-lifetime keyed pin: build and persist once per key,
-    * SURVIVING [[release]] (which drains only per-query pins). For
-    * small frames shared by a FAMILY of registry entries — the
-    * modularity family's candidate-graph labels, where a per-entry
-    * rebuild multiplies the dominant label-prop chain cost by the
-    * family size (VERDICT r14 #4). Keys must embed the session's
-    * applicationId (and every input that selects the frame's content,
-    * e.g. the sf dir and round count) so a stopped session's dead
-    * frames are never handed to a new one and distinct inputs never
-    * collide. Only rep-scale frames belong here: a memo is held for
-    * the life of the session, so entity-scale data would accumulate.
-    */
-  def memo(key: String)(build: => DataFrame): DataFrame = synchronized {
-    memos.getOrElseUpdate(key, build.persist(StorageLevel.MEMORY_AND_DISK))
-  }
 }
