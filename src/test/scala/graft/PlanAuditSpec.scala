@@ -91,6 +91,7 @@ class PlanAuditSpec extends GraftSpec {
     "q_abc_class" -> "band count+sum offsets over $100k per-part revenue cells (Ranks.globalRankCumSum — same shape as q_pareto_share on the part axis)",
     "corpus_token_budget" -> "band count+sum offsets over 21 quality-score cells (Ranks.globalRankCumSum)",
     "corpus_token_budget_bpe" -> "same 21 quality-score band cells as corpus_token_budget (Ranks.globalRankCumSum; only the summed token axis changed)",
+    "corpus_curriculum_order" -> "band count+sum offsets over the 21 quality cells (budget prefix, Ranks.globalRankCumSum) plus ≤41 milli-ease band cells (phase cut, Ranks.ntileBanded) — both statistic axes",
     "q_gini" -> "cumulative count over distinct per-user activity cells (closed-form tied-run ranks)",
     "q_acf" -> "lagged self-join over the ≤|days| daily series",
     "q_benford" -> "9 first-digit cells",
