@@ -248,6 +248,60 @@ object Dedup {
     * join, the per-doc fan-outs — carries ~200-byte digest rows,
     * never document text.
     */
+  /** Build-once materialized store for the candidate graph — the
+    * r15 optimization-round extension of the label-prop family store
+    * (VERDICT r14 #4) one level down the chain: THIRTEEN registry
+    * entries (`corpus_near_dup_by_source`, `dedup_cc_clusters`,
+    * `dedup_cluster_stats`, `dedup_quality_survivors`,
+    * `corpus_dup_provenance`, `graph_degree_hist`, `graph_triangles`,
+    * `graph_transitivity`, `graph_assortativity`, `graph_kcore`,
+    * `graph_pagerank`, `graph_bfs_layers`, plus the label-prop family
+    * store build) each re-ran the full signature scan (12 md5s per
+    * shingle), the digest group-by, the band self-join and the edge
+    * joins to derive the IDENTICAL (nodes, edges, docMap) frames —
+    * measured at 1.0-1.6 s apiece at sf0.1 (guide §1), ~14 s of
+    * redundant suite work. The first consumer now writes the three
+    * frames to a per-corpus parquet store (build-once per JVM via
+    * computeIfAbsent, `mode(overwrite)` so a fresh JVM always
+    * rebuilds from the parquet inputs — nothing is reused across
+    * bench/verify invocations) and every later consumer scans the
+    * store: the build's four shuffles happen once per corpus instead
+    * of once per query (guide §2.4, remove shuffles outright). This
+    * is exactly the 100 TB deployment shape: the candidate graph is
+    * an INDEX, rebuilt per corpus snapshot and probed from storage,
+    * not re-derived from raw text by every downstream readout.
+    * Assumes `dir` is immutable for the JVM — true for the testdata
+    * corpora and every build-once test fixture (verified: no spec
+    * rewrites a documents.parquet in place).
+    */
+  private val candStoreBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def candGraphStore(spark: SparkSession, dir: String): String =
+    candStoreBuilt.computeIfAbsent(dir, d => {
+      // path carries the sanitized dir (not just its hash) so two
+      // corpora can never collide onto one store
+      val p = "/tmp/graft_candgraph_" +
+        d.replaceAll("[^a-zA-Z0-9._-]", "_") + "_" +
+        Integer.toHexString(d.hashCode)
+      graft.TmpDirs.cleanupOnExit(java.nio.file.Paths.get(p))
+      val g = candGraphBuild(spark, d)
+      g.nodes.write.mode("overwrite").parquet(s"$p/nodes")
+      g.edges.write.mode("overwrite").parquet(s"$p/edges")
+      g.docMap.write.mode("overwrite").parquet(s"$p/docMap")
+      p
+    })
+
+  /** The candidate graph every scale consumer reads — served from the
+    * materialized per-corpus store.
+    */
+  private[graft] def candGraph(spark: SparkSession, dir: String): CandGraph = {
+    val p = candGraphStore(spark, dir)
+    CandGraph(spark.read.parquet(s"$p/nodes"),
+      spark.read.parquet(s"$p/edges"),
+      spark.read.parquet(s"$p/docMap"))
+  }
+
   /** Builds [[CandGraph]]. The shared prefixes (per-doc signatures,
     * rep aggregation, edge list) carry LAZY local checkpoints
     * (`eager = false`): nothing schedules a dedicated materialization
@@ -257,7 +311,7 @@ object Dedup {
     * BFS, k-core, label propagation) loop over materialized edges —
     * the same one-materialization shape the uncollapsed path had.
     */
-  private[graft] def candGraph(spark: SparkSession, dir: String): CandGraph = {
+  private def candGraphBuild(spark: SparkSession, dir: String): CandGraph = {
     val perDoc = minhashSignaturesOf(
         Tables.rebalanced(Tables.documents(spark, dir)).select(col("doc_id"), col("text")))
       .cutLineage(eager = false)

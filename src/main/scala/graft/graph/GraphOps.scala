@@ -56,21 +56,19 @@ object GraphOps {
     famBuilt.computeIfAbsent(s"$dir#$rounds", _ => {
       val p = "/tmp/graft_labelprop_" +
         Integer.toHexString(dir.hashCode) + "_r" + rounds
+      graft.TmpDirs.cleanupOnExit(java.nio.file.Paths.get(p))
+      // r15 optimization: the graph frames now come from the shared
+      // candidate-graph store ([[Dedup.candGraph]]) — this store only
+      // adds the label-prop fixpoint, instead of re-deriving and
+      // re-writing its own copy of nodes/edges/docMap (guide §2.4).
       val g = Dedup.candGraph(spark, dir)
-      g.nodes.write.mode("overwrite").parquet(s"$p/nodes")
-      g.edges.write.mode("overwrite").parquet(s"$p/edges")
-      g.docMap.write.mode("overwrite").parquet(s"$p/docMap")
-      labelPropLabels(spark.read.parquet(s"$p/nodes"),
-          spark.read.parquet(s"$p/edges"), rounds)
+      labelPropLabels(g.nodes, g.edges, rounds)
         .write.mode("overwrite").parquet(s"$p/labels")
       p
     })
 
-  private def famGraph(spark: SparkSession, dir: String, rounds: Int): Dedup.CandGraph = {
-    val p = famStore(spark, dir, rounds)
-    Dedup.CandGraph(spark.read.parquet(s"$p/nodes"),
-      spark.read.parquet(s"$p/edges"), spark.read.parquet(s"$p/docMap"))
-  }
+  private def famGraph(spark: SparkSession, dir: String, rounds: Int): Dedup.CandGraph =
+    Dedup.candGraph(spark, dir)
 
   /** The label-prop fixpoint frame from the family store — the single
     * dominant chain every family member consumes.
