@@ -1045,11 +1045,46 @@ object Dedup {
         coalesce(col("exact_keeper"), col("near_keeper")).as("matched_doc"))
   }
 
+  /** Build-once materialized store for the STANDING dedup index of
+    * `dir`'s base corpus (doc_id % 7 != 3) — r15 optimization: both
+    * `dedup_incremental` and `stream_dedup_incremental` rebuilt the
+    * identical index (digest group-by + rep collapse + signature scan
+    * + band explode + token sets) per entry, ~1.5 s apiece at sf0.1,
+    * and the docstrings had always said "in production it is
+    * PERSISTED and amortized across drops". Now it actually is: first
+    * consumer writes digests/bands/toks parquet once per (JVM,
+    * corpus), later consumers scan them (guide §2.4). mode(overwrite)
+    * + per-JVM memo: a fresh JVM always rebuilds from the parquet
+    * inputs, nothing persists across bench/verify invocations.
+    */
+  private val dedupIdxBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def dedupIndexStore(spark: SparkSession, dir: String): String =
+    dedupIdxBuilt.computeIfAbsent(dir, d => {
+      val p = "/tmp/graft_dedupidx_" +
+        d.replaceAll("[^a-zA-Z0-9._-]", "_") + "_" +
+        Integer.toHexString(d.hashCode)
+      graft.TmpDirs.cleanupOnExit(java.nio.file.Paths.get(p))
+      val base = Tables.rebalanced(Tables.documents(spark, d))
+        .filter(col("doc_id") % 7 =!= 3)
+      val idx = buildDedupIndex(base)
+      idx.digests.write.mode("overwrite").parquet(s"$p/digests")
+      idx.bands.write.mode("overwrite").parquet(s"$p/bands")
+      idx.toks.write.mode("overwrite").parquet(s"$p/toks")
+      p
+    })
+
+  private[graft] def storedDedupIndex(spark: SparkSession, dir: String): DedupIndex = {
+    val p = dedupIndexStore(spark, dir)
+    DedupIndex(spark.read.parquet(s"$p/digests"),
+      spark.read.parquet(s"$p/bands"), spark.read.parquet(s"$p/toks"))
+  }
+
   def dedupIncremental(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = Tables.rebalanced(Tables.documents(spark, dir))
-    val base = docs.filter(col("doc_id") % 7 =!= 3)
     val delta = docs.filter(col("doc_id") % 7 === 3)
-    probeDedupIndex(delta, buildDedupIndex(base), threshold)
+    probeDedupIndex(delta, storedDedupIndex(spark, dir), threshold)
       .select(col("doc_id"), col("verdict"), col("matched_doc"))
       .orderBy(col("doc_id"))
   }
@@ -1212,30 +1247,41 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.streaming.Trigger
     val docs = Tables.rebalanced(Tables.documents(spark, dir))
-    val base = docs.filter(col("doc_id") % 7 =!= 3)
     val delta = docs.filter(col("doc_id") % 7 === 3)
     val root = graft.TmpDirs.cleanupOnExit(
       java.nio.file.Files.createTempDirectory("graft-sdedup-"))
     val dropsDir = root.resolve("drops"); java.nio.file.Files.createDirectory(dropsDir)
     val digDir = s"$root/index/digests"
-    val bandsDir = s"$root/index/bands"
-    val toksDir = s"$root/index/toks"
     val sink = s"$root/verdicts"
     val ck = s"$root/ck"
-    // nightly-compaction artifact: the standing index, materialized.
-    // The digest index is laid out as one subdirectory per writer
-    // (`bid_base` + one `bid_<batchId>` per micro-batch) so a RETRIED
-    // micro-batch is idempotent: it overwrites its own subdir and its
-    // index view excludes its own partial output (see drain below).
-    val idx = buildDedupIndex(base)
-    idx.digests.write.parquet(s"$digDir/bid_base")
-    idx.bands.write.parquet(bandsDir)
-    idx.toks.write.parquet(toksDir)
+    // nightly-compaction artifact: the standing index, materialized —
+    // served from the shared per-corpus store (r15: the batch twin
+    // `dedup_incremental` reads the same one; the build happens once
+    // per JVM, guide §2.4). Bands/toks are never appended to, so the
+    // stream reads them straight from the store; the DIGEST index is
+    // append-per-batch, so it gets its own writer-layout root: one
+    // subdirectory per writer (`bid_base` + one `bid_<batchId>` per
+    // micro-batch), making a RETRIED micro-batch idempotent — it
+    // overwrites its own subdir and its index view excludes its own
+    // partial output (see the foreachBatch body below).
+    val store = dedupIndexStore(spark, dir)
+    val bandsDir = s"$store/bands"
+    val toksDir = s"$store/toks"
+    // the base digests stay in the shared store (no per-run copy into
+    // the writer layout); each batch's live view reads store digests
+    // plus the per-batch bid_* appends below
+    val baseDigests = s"$store/digests"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(digDir))
     // stage the three drops as single files (ntile is fixture-side
-    // arrival simulation, not operator work)
+    // arrival simulation, not operator work). One checkpointed pass
+    // computes the global ntile window; the three per-drop writes
+    // read the materialized rows instead of re-running the window
+    // sort per drop (r15, guide §1/§2 — was 3× the same single
+    // -partition window).
     val wd = Window.orderBy(col("doc_id"))
     val staged = delta.select(col("doc_id"), col("text"),
       (ntile(3).over(wd) - 1).cast("long").as("drop_id"))
+      .cutLineage()
     (0 until 3).foreach { k =>
       val stage = s"$root/stage_$k"
       staged.filter(col("drop_id") === k).coalesce(1)
@@ -1245,11 +1291,23 @@ object Dedup {
       java.nio.file.Files.move(part.toPath, root.resolve(s"stage_$k.parquet"))
     }
     val schema = spark.read.parquet(s"$root/stage_0.parquet").schema
-    def land(k: Int): Unit =
-      java.nio.file.Files.move(root.resolve(s"stage_$k.parquet"),
-        dropsDir.resolve(s"drop_$k.parquet"))
+    // land all three drops up front with strictly increasing mtimes:
+    // ONE AvailableNow query with maxFilesPerTrigger=1 then drains
+    // them as three ordered micro-batches (drop k = batch k, exactly
+    // the former land/drain/land/drain sequence) while paying one
+    // stream startup instead of three (r15; the file source admits
+    // oldest-mtime first, and the explicit stamps make that order
+    // deterministic even on a coarse-mtime filesystem).
+    def land(k: Int): Unit = {
+      val landed = dropsDir.resolve(s"drop_$k.parquet")
+      java.nio.file.Files.move(root.resolve(s"stage_$k.parquet"), landed)
+      java.nio.file.Files.setLastModifiedTime(landed,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + k * 60000L))
+    }
     def drain(): Unit = {
-      val q = spark.readStream.schema(schema).parquet(dropsDir.toString)
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dropsDir.toString)
         .writeStream.trigger(Trigger.AvailableNow())
         .option("checkpointLocation", ck)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -1265,11 +1323,11 @@ object Dedup {
           // already landed this batch's digests.
           val digFs = new org.apache.hadoop.fs.Path(digDir)
             .getFileSystem(s.sessionState.newHadoopConf())
-          val liveDigDirs = digFs
+          val liveDigDirs = baseDigests +: digFs
             .listStatus(new org.apache.hadoop.fs.Path(digDir))
             .filter(_.isDirectory).map(_.getPath.toString)
-            .filterNot(_.endsWith(s"/bid_$batchId"))
-          val liveIdx = DedupIndex(s.read.parquet(liveDigDirs.toIndexedSeq: _*),
+            .filterNot(_.endsWith(s"/bid_$batchId")).toIndexedSeq
+          val liveIdx = DedupIndex(s.read.parquet(liveDigDirs: _*),
             s.read.parquet(bandsDir), s.read.parquet(toksDir))
           val probed = probeDedupIndex(
             batch.select(col("doc_id"), col("text")), liveIdx, threshold)
@@ -1303,9 +1361,7 @@ object Dedup {
         .start()
       q.awaitTermination()
     }
-    land(0); drain()
-    land(1); drain()
-    land(2); drain()
+    land(0); land(1); land(2); drain()
     spark.read.option("recursiveFileLookup", "true").parquet(sink)
       .select(col("doc_id"), col("drop_id"), col("verdict"), col("matched_doc"))
       .orderBy(col("doc_id"))

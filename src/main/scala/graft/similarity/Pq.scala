@@ -76,15 +76,52 @@ object Pq {
       (0 until M).map(mi => element_at(col("dall"), mi + 1).as(s"d$mi")): _*)
   }
 
-  /** Codes + quantization error per vector (no shuffle). */
+  /** Build-once materialized PQ codes store — r15 optimization: five
+    * registry entries (`ann_pq_codes`, `ann_pq_adc`, `ann_pq_rerank`,
+    * `ann_rerank_sweep`, `vec_pq_distortion`) each re-ran the full
+    * M×K×Sub distance kernel over the corpus to derive the identical
+    * code assignment. The first consumer writes (vec_id, code_0..7,
+    * errd_0..7) once per (JVM, corpus) and later consumers scan it
+    * (guide §2.4; the IVF-index / candidate-graph store pattern — a
+    * production IVFPQ system stores its codes, it does not re-encode
+    * the corpus per query). The per-subspace min distances are kept
+    * as RAW doubles so both downstream float surfaces stay bit-equal:
+    * `err_u` re-forms the original left-fold sum before its single
+    * floor, and `vec_pq_distortion` floors each subspace term
+    * directly (doubles round-trip parquet exactly). mode(overwrite) +
+    * per-JVM memo: a fresh JVM always rebuilds from the parquet
+    * inputs.
+    */
+  private val pqStoreBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def pqCodesStore(spark: SparkSession, dir: String): String =
+    pqStoreBuilt.computeIfAbsent(dir, d0 => {
+      val p = "/tmp/graft_pqcodes_" +
+        d0.replaceAll("[^a-zA-Z0-9._-]", "_") + "_" +
+        Integer.toHexString(d0.hashCode)
+      graft.TmpDirs.cleanupOnExit(java.nio.file.Paths.get(p))
+      val e = embeddings(spark, d0)
+      val d = withDistVectors(e, e)
+      val codeCols = (0 until M).map { mi =>
+        (array_position(col(s"d$mi"), array_min(col(s"d$mi"))) - 1).as(s"code_$mi")
+      }
+      val errCols = (0 until M).map(mi => array_min(col(s"d$mi")).as(s"errd_$mi"))
+      d.select(col("vec_id") +: (codeCols ++ errCols): _*)
+        .write.mode("overwrite").parquet(s"$p/codes")
+      p
+    })
+
+  /** Codes + quantization error per vector, from the materialized
+    * store. `err_u` reproduces the original fold exactly: the same
+    * left-to-right double sum of the per-subspace minima, floored
+    * once at the end.
+    */
   def pqCodesDf(spark: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(spark, dir)
-    val d = withDistVectors(e, e)
-    val codeCols = (0 until M).map { mi =>
-      (array_position(col(s"d$mi"), array_min(col(s"d$mi"))) - 1).as(s"code_$mi")
-    }
-    val err = (0 until M).map(mi => array_min(col(s"d$mi"))).reduce(_ + _)
-    d.select(col("vec_id") +: codeCols :+
+    val stored = spark.read.parquet(s"${pqCodesStore(spark, dir)}/codes")
+    val err = (0 until M).map(mi => col(s"errd_$mi")).reduce(_ + _)
+    stored.select(col("vec_id") +:
+      (0 until M).map(mi => col(s"code_$mi")) :+
       floor(err * 1e6).cast("long").as("err_u"): _*)
   }
 
@@ -619,10 +656,13 @@ object Pq {
     * bounded sub-space axis.
     */
   def vecPqDistortion(spark: SparkSession, dir: String): DataFrame = {
-    val e = embeddings(spark, dir)
-    val d = withDistVectors(e, e)
+    // reads the materialized codes store (r15): the per-subspace
+    // reconstruction errors were already computed (and floored
+    // per-subspace here, exactly as before — errd_m round-trips the
+    // double bit-for-bit through parquet)
+    val d = spark.read.parquet(s"${pqCodesStore(spark, dir)}/codes")
     val errs = array((0 until M).map(mi =>
-      floor(array_min(col(s"d$mi")) * 1e6).cast("long")): _*)
+      floor(col(s"errd_$mi") * 1e6).cast("long")): _*)
     d.select(errs.as("errs"))
       .select(posexplode(col("errs")).as(Seq("m", "err_u")))
       .groupBy(col("m"))
