@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Ckpt.CutOps
+
 /** Distributed exact global ranks (SURVEY.md §2.2 scale fix for the
   * dimension-rank family: `q_rfm_segments`, `q_churn_by_engagement`,
   * `q_decile_report`, `io_shard_balance`).
@@ -51,7 +53,14 @@ object Ranks {
     */
   def globalRowNumber(df: DataFrame, band: Column, orderCols: Seq[Column],
       out: String): DataFrame = {
+    // lazy lineage cut (r15, guide §2.4/§5): the banded frame feeds
+    // BOTH the band-count aggregate and the rank join below — without
+    // the cut every caller's whole input lineage executed twice per
+    // rank level (and ntile chains like q_rfm_segments re-ran it
+    // 2^levels times). The first consuming job materializes the
+    // partitions; no dedicated job is scheduled.
     val banded = df.withColumn("__band", band.cast("long"))
+      .cutLineage(eager = false)
     val counts = banded.groupBy(col("__band")).agg(count(lit(1)).as("__bc"))
     // cumulative offset over the bounded band-statistic axis
     val wBands = Window.orderBy(col("__band"))
@@ -74,8 +83,10 @@ object Ranks {
     */
   def globalRankCumSum(df: DataFrame, band: Column, orderCols: Seq[Column],
       value: Column, rankOut: String, cumOut: String): DataFrame = {
+    // lazy cut for the same two-consumer reason as globalRowNumber
     val banded = df.withColumn("__band", band.cast("long"))
       .withColumn("__v", value.cast("long"))
+      .cutLineage(eager = false)
     val stats = banded.groupBy(col("__band"))
       .agg(count(lit(1)).as("__bc"), sum(col("__v")).as("__bs"))
     val wBands = Window.orderBy(col("__band"))
@@ -113,8 +124,11 @@ object Ranks {
     */
   def ntileBanded(df: DataFrame, band: Column, orderCols: Seq[Column],
       n: Int, out: String): DataFrame = {
-    val total = df.agg(count(lit(1)).as("__tot"))
-    val ranked = globalRowNumber(df, band, orderCols, "__rank")
+    // lazy cut: `df` feeds the total-count aggregate AND the banded
+    // rank (which itself consumes it twice — see globalRowNumber)
+    val cut = df.cutLineage(eager = false)
+    val total = cut.agg(count(lit(1)).as("__tot"))
+    val ranked = globalRowNumber(cut, band, orderCols, "__rank")
     ranked.crossJoin(broadcast(total))
       .withColumn(out, ntileFromRank(col("__rank"), col("__tot"), n))
       .drop("__rank", "__tot")

@@ -502,6 +502,10 @@ object TextAnalysis {
           i => struct(element_at(col("toks"), i).as("w1"),
             element_at(col("toks"), i + 1).as("w2")))).as("bg"))
       .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // lazy cut (r15, guide §2.4): three consumers (bigram counts,
+      // prefix counts, the scoring join) — without it the corpus was
+      // re-tokenized and re-exploded once per consumer
+      .cutLineage(eager = false)
     val bgCounts = docBg.groupBy(col("lang"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_bg"))
     val prefixCounts = docBg.groupBy(col("lang"), col("w1"))
@@ -541,8 +545,15 @@ object TextAnalysis {
           i => struct(element_at(col("toks"), i).as("w1"),
             element_at(col("toks"), i + 1).as("w2")))).as("bg"))
       .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // lazy cut (r15): consumed by the bigram-type aggregate AND the
+      // scoring join — one tokenize+explode pass instead of two
+      .cutLineage(eager = false)
     val bgc = docBg.groupBy(col("lang"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_bg"))
+      // lazy cut (r15): four consumers (prefix totals, continuation
+      // fan-out, per-language type totals, the scoring join) re-ran
+      // the full bigram aggregation each
+      .cutLineage(eager = false)
     // prefix totals AND continuation fan-out in one pass over the
     // (already aggregated) bigram-type table
     val pref = bgc.groupBy(col("lang"), col("w1"))
@@ -574,6 +585,9 @@ object TextAnalysis {
         i => struct(element_at(col("toks"), i).as("w1"),
           element_at(col("toks"), i + 1).as("w2")))).as("bg"))
       .select(col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // lazy cut (r15): bigram counts and prefix counts both consume
+      // this exploded stream — one tokenize pass instead of two
+      .cutLineage(eager = false)
     val bgCounts = bigrams.groupBy(col("lang"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_bg"))
     val prefixCounts = bigrams.groupBy(col("lang"), col("w1"))
